@@ -1,0 +1,60 @@
+"""Minimal catalog: name -> path registry with temp-view registration.
+
+The reference's "catalog" is a Streamlit page running DuckDB
+``read_parquet('s3://.../gold/<t>/*.parquet')`` per table (reference
+``src/streamlit_app.py:35-53``).  The Spark-native equivalent is
+``spark.read.parquet`` + ``createOrReplaceTempView`` so the whole
+surface is queryable via ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's synthetic star schema (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    """Name -> parquet path registry over a lake root directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._tables: dict[str, str] = {}
+
+    def register(self, name: str, path: str | None = None) -> None:
+        self._tables[name] = path or os.path.join(self.root, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            self.register(name)
+        return self.spark.read.parquet(self._tables[name])
+
+    def create_views(self, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+        """Register each table as a temp view for ``spark.sql`` serving."""
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the synthetic star-schema tables from an sf directory."""
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
