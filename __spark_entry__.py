@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nasa_asteroid_data_lakehouse_spark.plans import operator_queries
 from nasa_asteroid_data_lakehouse_spark.plans import queries as plans
 
 SF0001 = "/root/testdata/sf0.001"
@@ -24,17 +25,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {
+    out = {
         "q1_pricing_summary": plans.q1_pricing_summary,
         "q3_top_unshipped_orders": plans.q3_top_unshipped_orders,
         "q5_revenue_by_nation": plans.q5_revenue_by_nation,
     }
+    out.update(operator_queries.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per queries() key."""
-    return {
+    out = {
         "q1_pricing_summary": plans.Q1_SQL,
         "q3_top_unshipped_orders": plans.Q3_SQL,
         "q5_revenue_by_nation": plans.Q5_SQL,
     }
+    out.update(operator_queries.ORACLES)
+    return out

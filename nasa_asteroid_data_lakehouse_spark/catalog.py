@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 # The driver's synthetic star schema (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -26,6 +28,21 @@ TESTDATA_TABLES = (
     "documents",
     "embeddings",
 )
+
+
+# Columns stored as parquet TIMESTAMP(NANOS); Spark reads them as long
+# (see session.py nanosAsLong) and we convert to micros-truncated
+# timestamps so semantics match DuckDB's TIMESTAMP_NS -> TIMESTAMP cast.
+NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing nanos-timestamp columns."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NS_TIMESTAMP_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
 
 
 class Catalog:

@@ -1,0 +1,349 @@
+"""Operator-level queries for the driver's DuckDB-oracle correctness gate.
+
+Each function wraps ONE engine operator (from ``operators/`` or
+``functions/``) applied to the synthetic fixture tables, paired with
+the ANSI-SQL equivalent DuckDB runs side-by-side.  Float outputs are
+rounded identically on both sides so the driver's value hash is stable
+across the engines' different accumulation orders.
+"""
+
+from __future__ import annotations
+
+from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark import operators as ops
+from nasa_asteroid_data_lakehouse_spark.functions import (
+    surrogate_key,
+    with_calendar_parts,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --- D4/D5/E: dedup --------------------------------------------------------
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key-subset dedup: one row per text, lowest doc_id wins."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.dedup_deterministic(
+        docs.select("doc_id", "text", "lang", "source"), ["text"], ["doc_id"]
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id, text, lang, source
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+def dedup_all_columns_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row exact dedup (reference dropDuplicates() semantics)."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    return ops.dedup_all_columns(docs)
+
+
+DEDUP_ALL_SQL = "SELECT DISTINCT lang, source FROM documents"
+
+
+def duplicate_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group report on documents (lang, source) pairs."""
+    return ops.duplicate_groups(_t(spark, sf_dir, "documents"), ["lang", "source"])
+
+
+DUP_GROUPS_SQL = """
+SELECT lang, source, COUNT(*) AS dup_count
+FROM documents GROUP BY lang, source HAVING COUNT(*) > 1
+"""
+
+
+# --- B5/D1/D2: single-pass profiling ---------------------------------------
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass null/distinct profile (replaces the reference's 80-job loop)."""
+    return ops.profile(_t(spark, sf_dir, "documents"))
+
+
+PROFILE_SQL = """
+SELECT 'doc_id' AS "column", COUNT(*) AS total_count,
+       COUNT(*) FILTER (WHERE doc_id IS NULL) AS null_count,
+       COUNT(DISTINCT doc_id) AS distinct_count FROM documents
+UNION ALL
+SELECT 'text', COUNT(*), COUNT(*) FILTER (WHERE text IS NULL),
+       COUNT(DISTINCT text) FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*), COUNT(*) FILTER (WHERE lang IS NULL),
+       COUNT(DISTINCT lang) FROM documents
+UNION ALL
+SELECT 'source', COUNT(*), COUNT(*) FILTER (WHERE source IS NULL),
+       COUNT(DISTINCT source) FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*), COUNT(*) FILTER (WHERE n_chars IS NULL),
+       COUNT(DISTINCT n_chars) FROM documents
+"""
+
+
+# --- B4: placeholder normalization ------------------------------------------
+
+def normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim + placeholder->null on string columns, types preserved."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return ops.normalize_placeholders(docs)
+
+
+NORMALIZE_SQL = """
+SELECT
+  doc_id,
+  CASE WHEN trim(lang) IN ('NULL','Null','null','') THEN NULL ELSE trim(lang) END AS lang,
+  CASE WHEN trim(source) IN ('NULL','Null','null','') THEN NULL ELSE trim(source) END AS source,
+  n_chars
+FROM documents
+"""
+
+
+# --- G1: union by name -------------------------------------------------------
+
+def union_by_name_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-tolerant union: customers ∪ suppliers with disjoint extras."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_key"),
+        F.col("c_name").alias("party_name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_key"),
+        F.col("s_name").alias("party_name"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return ops.union_by_name(cust, supp)
+
+
+UNION_BY_NAME_SQL = """
+SELECT c_custkey AS party_key, c_name AS party_name, c_nationkey AS nationkey,
+       c_mktsegment AS mktsegment, NULL::DOUBLE AS acctbal
+FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, s_nationkey, NULL, s_acctbal
+FROM supplier
+"""
+
+
+# --- F: top-k ---------------------------------------------------------------
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by totalprice (TakeOrderedAndProject plan)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return ops.top_k(orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10)
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via ranking window."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return ops.top_k_per_group(
+        orders, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3
+    )
+
+
+TOPK_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+FROM orders
+QUALIFY rank <= 3
+"""
+
+
+# --- E: analytic window (net-new surface, SURVEY §2 E) -----------------------
+
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative order value per customer over order date."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+RUNNING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+# --- C: anti join ------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no URGENT-priority order."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return ops.anti_join(cust, urgent, ["c_custkey"])
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+# --- K1: merge-dedup upsert ---------------------------------------------------
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge operator's relational core, checked as a query.
+
+    'existing' = orders with orderkey % 3 == 0 (tagged batch=1);
+    'incoming' = orders with orderkey % 2 == 0 (tagged batch=2).
+    Incoming wins on overlap (orderkey % 6 == 0 → batch 2 survives).
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    existing = orders.where(F.col("o_orderkey") % 3 == 0).withColumn(
+        "batch", F.lit(1)
+    )
+    incoming = orders.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "batch", F.lit(2)
+    )
+    return ops.merge_dataframes(existing, incoming, ["o_orderkey"])
+
+
+MERGE_UPSERT_SQL = """
+WITH existing AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 1 AS batch
+  FROM orders WHERE o_orderkey % 3 = 0
+), incoming AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 2 AS batch
+  FROM orders WHERE o_orderkey % 2 = 0
+), unioned AS (
+  SELECT *, 0 AS prio FROM incoming
+  UNION ALL
+  SELECT *, 1 AS prio FROM existing
+)
+SELECT o_orderkey, o_custkey, o_totalprice, batch
+FROM unioned
+QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY prio) = 1
+"""
+
+
+# --- H4/H5: surrogate keys ----------------------------------------------------
+
+def surrogate_keys_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-derived sha2-256 dim keys (reference gold-layer pattern)."""
+    nation = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        "n_name",
+        surrogate_key("n_name").alias("sk_nation"),
+        surrogate_key("n_nationkey", "n_name").alias("sk_composite"),
+    )
+
+
+SURROGATE_KEYS_SQL = """
+SELECT n_nationkey, n_name,
+       sha256(n_name) AS sk_nation,
+       sha256(CAST(n_nationkey AS VARCHAR) || '||' || n_name) AS sk_composite
+FROM nation
+"""
+
+
+# --- H6-H8: calendar kit ------------------------------------------------------
+
+def calendar_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar decomposition of event timestamps (date-dim pattern)."""
+    events = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return with_calendar_parts(events, "ts").drop("ts")
+
+
+CALENDAR_SQL = """
+SELECT event_id,
+       CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
+       CAST(dayofmonth(ts) AS INTEGER) AS day, CAST(hour(ts) AS INTEGER) AS hour,
+       CAST(minute(ts) AS INTEGER) AS minute,
+       CAST(weekofyear(ts) AS INTEGER) AS week_of_year
+FROM events
+"""
+
+
+# --- H10: embedded JSON extraction --------------------------------------------
+
+def from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the events.props JSON-string column."""
+    events = _t(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "props_parsed", F.from_json(F.col("props"), "k INT")
+    )
+    return parsed.select(
+        "event_id", "event_type", F.col("props_parsed.k").alias("prop_k")
+    )
+
+
+FROM_JSON_SQL = """
+SELECT event_id, event_type, CAST(props->>'k' AS INTEGER) AS prop_k
+FROM events
+"""
+
+
+QUERIES = {
+    "dedup_exact_documents": dedup_exact_documents,
+    "dedup_all_columns_documents": dedup_all_columns_documents,
+    "duplicate_groups_documents": duplicate_groups_documents,
+    "profile_documents": profile_documents,
+    "normalize_documents": normalize_documents,
+    "union_by_name_parties": union_by_name_parties,
+    "topk_orders": topk_orders,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "running_customer_revenue": running_customer_revenue,
+    "customers_without_orders": customers_without_orders,
+    "merge_upsert_orders": merge_upsert_orders,
+    "surrogate_keys_nation": surrogate_keys_nation,
+    "calendar_events": calendar_events,
+    "from_json_events": from_json_events,
+}
+
+ORACLES = {
+    "dedup_exact_documents": DEDUP_EXACT_SQL,
+    "dedup_all_columns_documents": DEDUP_ALL_SQL,
+    "duplicate_groups_documents": DUP_GROUPS_SQL,
+    "profile_documents": PROFILE_SQL,
+    "normalize_documents": NORMALIZE_SQL,
+    "union_by_name_parties": UNION_BY_NAME_SQL,
+    "topk_orders": TOPK_ORDERS_SQL,
+    "topk_orders_per_customer": TOPK_PER_CUSTOMER_SQL,
+    "running_customer_revenue": RUNNING_REVENUE_SQL,
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "merge_upsert_orders": MERGE_UPSERT_SQL,
+    "surrogate_keys_nation": SURROGATE_KEYS_SQL,
+    "calendar_events": CALENDAR_SQL,
+    "from_json_events": FROM_JSON_SQL,
+}

@@ -18,15 +18,14 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
-import os
-
+from nasa_asteroid_data_lakehouse_spark.catalog import read_table
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_table(spark, sf_dir, name)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,6 +54,11 @@ def get_spark(
         # Nested-column pruning so the NeoWs flatten reads only the
         # projected struct leaves from parquet/JSON (SURVEY.md §4).
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # Parquet TIMESTAMP(NANOS) columns (e.g. the events fixture) read
+        # as long nanos-since-epoch instead of erroring; catalog.read_table
+        # converts them to truncated-to-micros timestamps (matching DuckDB's
+        # TIMESTAMP_NS -> TIMESTAMP cast).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Simulate the round driver against __spark_entry__.py (the repo's
+runtime surface): smoke entry(), then run every queries() entry at
+sf0.01 and diff against oracle_sql() via DuckDB (sorted columns,
+order-insensitive rows, float rtol 1e-9). Exit 1 on any mismatch.
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def frames_match(a: pd.DataFrame, e: pd.DataFrame) -> str | None:
+    if list(a.columns) != list(e.columns):
+        return f"columns: spark={list(a.columns)} duckdb={list(e.columns)}"
+    if len(a) != len(e):
+        return f"rows: spark={len(a)} duckdb={len(e)}"
+    for c in a.columns:
+        x, y = a[c], e[c]
+        if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
+            for i, (u, v) in enumerate(zip(x, y)):
+                un = float("nan") if pd.isna(u) else float(u)
+                vn = float("nan") if pd.isna(v) else float(v)
+                if math.isnan(un) and math.isnan(vn):
+                    continue
+                if not math.isclose(un, vn, rel_tol=1e-9, abs_tol=1e-9):
+                    return f"col {c} row {i}: spark={u} duckdb={v}"
+        else:
+            bad = x.astype(str) != y.astype(str)
+            if bad.any():
+                i = bad.idxmax()
+                return f"col {c} row {i}: spark={x[i]} duckdb={y[i]}"
+    return None
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    mod = load_entry()
+
+    from nasa_asteroid_data_lakehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="driver-sim", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = mod.entry(spark).collect()
+    print(f"entry: {len(rows)} rows {'OK' if rows else 'EMPTY (FAIL)'}")
+    failures = 0 if rows else 1
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    for name, fn in qs.items():
+        try:
+            actual = norm(fn(spark, sf).toPandas())
+        except Exception as exc:  # noqa: BLE001 — report, keep going
+            print(f"  {name}: SPARK ERROR {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"  {name}: rows={len(actual)} (no oracle — rows-only check)")
+            if actual.empty:
+                failures += 1
+            continue
+        expected = norm(con.execute(oracles[name]).df())
+        diff = frames_match(actual, expected)
+        if diff:
+            print(f"  {name}: MISMATCH {diff}")
+            failures += 1
+        else:
+            print(f"  {name}: rows={len(actual)} MATCH")
+    spark.stop()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

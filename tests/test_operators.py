@@ -1,0 +1,147 @@
+"""Unit tests for the core relational operators (SURVEY.md §2 B/C/D/E/F/G/K)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from nasa_asteroid_data_lakehouse_spark import operators as ops
+from nasa_asteroid_data_lakehouse_spark.functions import (
+    surrogate_key,
+    with_calendar_parts,
+)
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    return spark.createDataFrame(
+        [
+            (1, "  alpha  ", "NULL", 1.5),
+            (2, "beta", "x", None),
+            (3, "", "Null", 2.0),
+            (3, "", "Null", 2.0),
+            (4, None, "  keep ", 3.0),
+        ],
+        ["id", "a", "b", "v"],
+    )
+
+
+def test_normalize_placeholders_trims_and_nulls(messy):
+    out = ops.normalize_placeholders(messy)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["a"] == "alpha" and rows[1]["b"] is None
+    assert rows[3]["a"] is None and rows[3]["b"] is None
+    assert rows[4]["b"] == "keep"
+    # types preserved: numeric column untouched (the reference's
+    # all-strings silver bug must NOT reproduce)
+    assert dict(out.dtypes)["v"] == "double"
+    assert rows[2]["v"] is None
+
+
+def test_normalize_placeholders_only_strings(messy):
+    out = ops.normalize_placeholders(messy)
+    assert [f.dataType for f in out.schema.fields] == [
+        f.dataType for f in messy.schema.fields
+    ]
+
+
+def test_profile_single_pass(messy):
+    prof = {r["column"]: r for r in ops.profile(messy).collect()}
+    assert prof["a"]["total_count"] == 5
+    assert prof["a"]["null_count"] == 1
+    assert prof["a"]["distinct_count"] == 3  # "  alpha  ", "beta", ""
+    assert prof["v"]["null_count"] == 1
+    assert prof["id"]["distinct_count"] == 4
+
+
+def test_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "old", 10), (1, "new", 20), (2, "only", 5)], ["k", "tag", "ord"]
+    )
+    out = ops.dedup_deterministic(df, ["k"], [F.desc("ord")])
+    rows = {r["k"]: r["tag"] for r in out.collect()}
+    assert rows == {1: "new", 2: "only"}
+
+
+def test_duplicate_groups(messy):
+    dups = ops.duplicate_groups(messy, ["id"]).collect()
+    assert len(dups) == 1 and dups[0]["id"] == 3 and dups[0]["dup_count"] == 2
+
+
+def test_semi_anti_join(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "x"])
+    right = spark.createDataFrame([(2,), (3,)], ["k"])
+    assert {r["k"] for r in ops.semi_join(left, right, ["k"]).collect()} == {2, 3}
+    assert {r["k"] for r in ops.anti_join(left, right, ["k"]).collect()} == {1}
+
+
+def test_star_join_and_integrity(spark):
+    fact = spark.createDataFrame([(1, 100.0), (2, 50.0), (9, 1.0)], ["dk", "m"])
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], ["dk", "name"])
+    joined = ops.star_join(fact, {"dk": dim})
+    assert joined.count() == 2 and "name" in joined.columns
+    orphans = ops.key_integrity(fact, dim, "dk").collect()
+    assert len(orphans) == 1 and orphans[0]["dk"] == 9
+
+
+def test_union_by_name_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], ["k", "only_a"])
+    b = spark.createDataFrame([(2, 9.0)], ["k", "only_b"])
+    out = ops.union_by_name(a, b)
+    assert set(out.columns) == {"k", "only_a", "only_b"}
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[1]["only_b"] is None and rows[2]["only_a"] is None
+
+
+def test_top_k_and_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 5), ("g1", 3), ("g2", 9), ("g2", 2)], ["g", "v"]
+    )
+    top = ops.top_k(df, [F.desc("v")], 2).collect()
+    assert [r["v"] for r in top] == [9, 5]
+    per = ops.top_k_per_group(df, ["g"], [F.desc("v")], 1)
+    assert {(r["g"], r["v"]) for r in per.collect()} == {("g1", 5), ("g2", 9)}
+
+
+def test_merge_dataframes_incoming_wins(spark):
+    old = spark.createDataFrame([(1, "old1"), (2, "old2")], ["k", "val"])
+    new = spark.createDataFrame([(2, "new2"), (3, "new3")], ["k", "val"])
+    merged = ops.merge_dataframes(old, new, ["k"])
+    rows = {r["k"]: r["val"] for r in merged.collect()}
+    assert rows == {1: "old1", 2: "new2", 3: "new3"}
+
+
+def test_save_or_update_table_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "val"])
+    ops.save_or_update_table(spark, first, path, ["k"])
+    second = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "val"])
+    ops.save_or_update_table(spark, second, path, ["k"])
+    rows = {r["k"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+    # idempotent re-run: same incoming twice leaves one row per key
+    ops.save_or_update_table(spark, second, path, ["k"])
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_surrogate_key_deterministic(spark):
+    df = spark.createDataFrame([("Earth",), ("Earth",), ("Mars",)], ["body"])
+    out = df.withColumn("sk", surrogate_key("body")).collect()
+    sks = {r["body"]: r["sk"] for r in out}
+    assert len(sks["Earth"]) == 64
+    # known sha256 of "Earth"
+    import hashlib
+
+    assert sks["Earth"] == hashlib.sha256(b"Earth").hexdigest()
+
+
+def test_calendar_parts(spark):
+    df = spark.createDataFrame([("2025-12-31 23:59:00",)], ["s"]).select(
+        F.to_timestamp("s").alias("ts")
+    )
+    row = with_calendar_parts(df, "ts").collect()[0]
+    assert (row["year"], row["month"], row["day"], row["hour"], row["minute"]) == (
+        2025, 12, 31, 23, 59,
+    )
+    assert row["week_of_year"] == 1  # ISO week: Dec 31 2025 is week 1 of 2026
