@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nasa_asteroid_data_lakehouse_spark.plans import operator_queries
+from nasa_asteroid_data_lakehouse_spark.plans import llm_queries, operator_queries
 from nasa_asteroid_data_lakehouse_spark.plans import queries as plans
 
 SF0001 = "/root/testdata/sf0.001"
@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_revenue_by_nation": plans.q5_revenue_by_nation,
     }
     out.update(operator_queries.QUERIES)
+    out.update(llm_queries.QUERIES)
     return out
 
 
@@ -42,4 +43,5 @@ def oracle_sql() -> dict[str, str]:
         "q5_revenue_by_nation": plans.Q5_SQL,
     }
     out.update(operator_queries.ORACLES)
+    out.update(llm_queries.ORACLES)
     return out

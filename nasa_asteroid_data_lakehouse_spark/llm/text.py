@@ -1,0 +1,144 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Everything here is built-in Column algebra (JVM-side, whole-stage
+codegen) — no Python UDFs in the hot path.  At 100 TB these run as one
+narrow projection over the documents table: no shuffle, no
+materialization, fully pushdown-compatible.
+
+Operators: tokenization (whitespace + BPE-ish regex), quality scoring
+(length/punct/stopword ratios), language ID (stopword + script
+heuristic), document fingerprinting (normalized content hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories: enough signal for a cheap
+# first-pass router; a real pipeline would swap in fastText & co. via
+# the same column interface.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "it", "you", "that"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es": ("el", "los", "de", "y", "un", "una", "es", "que", "por", "con"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "zu", "nicht", "mit", "auf"),
+}
+
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+BPE_ISH_PATTERN = r"\w+|[^\w\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-style pre-tokenization: word pieces + individual punctuation
+    (the regex family GPT-2/tiktoken pre-tokenizers use)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """How many tokens are stopwords of ``lang`` (lowercased match)."""
+    words = STOPWORDS[lang]
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality statistics + a composite quality score.
+
+    Columns added: n_chars_measured, n_tokens, n_bpe_tokens,
+    avg_token_len, punct_ratio, stopword_ratio, digit_ratio,
+    quality_score (all deterministic, SQL-mirrorable).
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    non_space = F.length(F.regexp_replace(c, r"\s+", ""))
+    punct = n_chars - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    digits = n_chars - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    stop_hits = stopword_hits(text_col, "en")
+
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    punct_ratio = F.round(punct / safe_chars, 6)
+    stop_ratio = F.round(stop_hits / safe_tokens, 6)
+    quality = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(punct / safe_chars * 5, F.lit(1.0))) * 0.3
+        + F.least(stop_hits / safe_tokens * 5, F.lit(1.0)) * 0.3,
+        6,
+    )
+    return df.withColumns(
+        {
+            "n_chars_measured": n_chars,
+            "n_tokens": n_tokens,
+            "n_bpe_tokens": F.size(bpe_ish_tokens(text_col)),
+            "avg_token_len": F.round(non_space / safe_tokens, 6),
+            "punct_ratio": punct_ratio,
+            "digit_ratio": F.round(digits / safe_chars, 6),
+            "stopword_ratio": stop_ratio,
+            "quality_score": quality,
+        }
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: Han-script ratio routes zh; otherwise the
+    language with the most stopword hits (priority en>fr>es>de on ties,
+    'und' when nothing matches)."""
+    c = F.col(text_col)
+    han = F.length(c) - F.length(F.regexp_replace(c, r"[一-鿿]", ""))
+    han_ratio = han / F.greatest(F.length(c), F.lit(1))
+    hits = {lang: stopword_hits(text_col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(han_ratio > 0.3, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(hits["en"] == best, F.lit("en"))
+        .when(hits["fr"] == best, F.lit("fr"))
+        .when(hits["es"] == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return df.withColumn(out, pred)
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for content hashing: lowercase, whitespace
+    collapsed to single spaces, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """128-bit content fingerprint (md5 hex of normalized text)."""
+    return F.md5(normalized_text(col))
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """60-bit integer fingerprint: first 15 hex chars of the md5,
+    base-16 decoded.  Integer form for compact storage / joins; same
+    construction is expressible in any SQL dialect."""
+    return F.conv(F.substring(fingerprint(col), 1, 15), 16, 10).cast("long")
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumns(
+        {
+            "fingerprint": fingerprint(text_col),
+            "fingerprint64": fingerprint64(text_col),
+        }
+    )

@@ -1,0 +1,163 @@
+"""Unit tests for the LLM-data-pipeline operators (text analysis,
+dedup families, similarity search, multimodal plumbing)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.llm import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the  quick brown fox JUMPS over the lazy dog"),  # near-normalized dup of 1
+        (3, "The quick brown fox jumps over the lazy cat today"),  # near-dup of 1
+        (4, "le chat est sur la table et il est content"),
+        (5, "el perro es grande y la casa es bonita"),
+        (6, "der Hund ist groß und die Katze ist klein"),
+        (7, "这是一个中文句子测试"),
+        (8, "zzz qqq xxx"),
+        (9, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_counts(spark, docs):
+    out = {r["doc_id"]: r for r in text.with_text_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[9]["n_tokens"] == 0
+    assert out[1]["n_bpe_tokens"] == 9
+    assert out[1]["stopword_ratio"] == pytest.approx(2 / 9, abs=1e-6)
+    assert 0.0 <= out[1]["quality_score"] <= 1.0
+
+
+def test_lang_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in text.with_lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[4] == "fr"
+    assert out[5] == "es"
+    assert out[6] == "de"
+    assert out[7] == "zh"
+    assert out[8] == "und"
+
+
+def test_fingerprint_normalization(docs):
+    out = {r["doc_id"]: r for r in text.with_fingerprints(docs).collect()}
+    # case/whitespace-insensitive: 1 and 2 collide, 3 differs
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
+    assert out[1]["fingerprint"] != out[3]["fingerprint"]
+    assert out[1]["fingerprint64"] == out[2]["fingerprint64"]
+    assert isinstance(out[1]["fingerprint64"], int)
+
+
+def test_exact_dedup(docs):
+    kept = dedup.exact_dedup(docs, "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids and 2 not in ids  # lowest id survives the content group
+    assert len(ids) == 8
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], ["id", "t"])
+    out = df.select(dedup.word_shingles("t", 3).alias("sh")).collect()
+    assert sorted(out[0]["sh"]) == ["a b c", "b c d"]
+    assert out[1]["sh"] == ["a b"]  # shorter than k -> whole text
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.lsh_near_dup_pairs(
+        docs.where(F.col("text") != ""), "doc_id",
+        num_hashes=16, bands=8, shingle_k=2, jaccard_threshold=0.5,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # normalized-identical
+    for r in pairs:
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.where(F.col("doc_id").isin(1, 2, 3)), "doc_id", shingle_k=2
+    ).collect()
+    sims = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert sims[(1, 2)] == 1.0
+    assert 0.0 < sims[(1, 3)] < 1.0
+
+
+def test_simhash_near_dups(docs):
+    hashed = dedup.with_simhash(docs.where(F.col("text") != ""))
+    vals = {r["doc_id"]: r["simhash"] for r in hashed.collect()}
+    assert vals[1] == vals[2]  # identical after normalization
+    assert vals[1] != vals[4]
+    pairs = dedup.simhash_near_dup_pairs(
+        docs.where(F.col("text") != ""), "doc_id", max_hamming=20
+    ).collect()
+    assert any((r["id_a"], r["id_b"]) == (1, 2) and r["hamming"] == 0 for r in pairs)
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = similarity.cosine_topk(df, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert top[0]["cosine_sim"] == 1.0
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert top[1]["cosine_sim"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_lsh_topk_approximates(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = similarity.cosine_topk(emb, query, k=5).collect()
+    approx = similarity.lsh_topk(emb, query, k=5, num_planes=6, probe_hamming=2).collect()
+    assert exact[0]["vec_id"] == 0 and exact[0]["cosine_sim"] == 1.0
+    # the query vector itself must be found by LSH (same bucket trivially)
+    assert approx[0]["vec_id"] == 0
+    # recall against exact top-5 should be non-trivial
+    exact_ids = {r["vec_id"] for r in exact}
+    approx_ids = {r["vec_id"] for r in approx}
+    assert len(exact_ids & approx_ids) >= 2
+
+
+def test_embedding_near_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = similarity.embedding_near_dup_pairs(df, num_planes=4, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_multimodal_features(spark, docs):
+    payloads = multimodal.with_binary_payload(docs.where(F.col("doc_id") <= 3), "text")
+    meta = multimodal.with_media_metadata(payloads)
+    m = meta.select("doc_id", "media_meta.*").collect()[0]
+    assert m["n_bytes"] > 0 and len(m["checksum"]) == 32
+    feats = {r["doc_id"]: r for r in multimodal.extract_byte_features(payloads).collect()}
+    assert feats[1]["n_bytes"] == 43
+    assert feats[1]["entropy"] > 3.0
+    assert len(feats[1]["histogram"]) == 16
+    assert sum(feats[1]["histogram"]) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_multimodal_decode_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"bytes")
+    assert multimodal.decode_image(b"x", decoder=lambda b: len(b)) == 1
+
+
+def test_sample_frames(spark, docs):
+    payloads = multimodal.with_binary_payload(docs.where(F.col("doc_id") == 1), "text")
+    frames = multimodal.sample_frames(payloads, every_n_bytes=16, frame_size=8).collect()
+    assert len(frames) == 3  # 43 bytes -> offsets 0,16,32
+    assert frames[0]["frame_bytes"] == b"The quic"
