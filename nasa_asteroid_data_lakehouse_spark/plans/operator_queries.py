@@ -347,3 +347,37 @@ ORACLES = {
     "calendar_events": CALENDAR_SQL,
     "from_json_events": FROM_JSON_SQL,
 }
+
+# --- I: event-time windowing (streaming mirror, batch-checkable) -------------
+
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows — the same ``window()``
+    expression streaming/events.windowed_counts runs with a watermark;
+    here in batch form so the DuckDB oracle can check it."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+WINDOWED_COUNTS_SQL = """
+SELECT time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES["windowed_event_counts"] = windowed_event_counts
+ORACLES["windowed_event_counts"] = WINDOWED_COUNTS_SQL

@@ -1,0 +1,125 @@
+"""Structured Streaming tests: file-source streams drained with
+availableNow, asserted against the equivalent batch computation."""
+
+
+import pytest
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events fixture re-written as multiple parquet files (so the file
+    stream has several input files to discover)."""
+    out = str(tmp_path_factory.mktemp("events_src"))
+    df = read_table(spark, "/root/testdata/sf0.001", "events")
+    df.repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir, tmp_path):
+    out = str(tmp_path / "counts")
+    se.run_stream_to_table(spark, events_dir, out, se.windowed_counts)
+    stream_result = (
+        spark.read.parquet(out)
+        .groupBy("window_start", "event_type")
+        .agg(F.sum("n_events").alias("n_events"), F.round(F.sum("sum_value"), 6).alias("sum_value"))
+    )
+
+    batch = spark.read.parquet(events_dir)
+    batch_result = se.windowed_counts(batch)
+
+    s = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"]) for r in stream_result.collect()}
+    b = {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"]) for r in batch_result.collect()}
+
+    # Append mode only emits windows finalized by the watermark: the last
+    # watermark-width of windows stays in state at end-of-stream. Every
+    # emitted window must match batch exactly, and all but the trailing
+    # day's windows must have been emitted.
+    assert s, "stream emitted no finalized windows"
+    assert set(s) <= set(b)
+    import datetime
+
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).collect()[0][0]
+    # window emitted iff window_end <= watermark (= max_ts - 1 day),
+    # i.e. window_start <= max_ts - 2 days
+    cutoff = str(max_ts - datetime.timedelta(days=2))
+    finalized = {k for k in b if k[0] <= cutoff}
+    assert finalized <= set(s)
+    for k in s:
+        assert s[k][0] == b[k][0]
+        assert s[k][1] == pytest.approx(b[k][1], abs=1e-4)
+
+
+def test_stream_dedup_bounded(spark, events_dir, tmp_path):
+    out = str(tmp_path / "dedup")
+    se.run_stream_to_table(
+        spark, events_dir, out, lambda s: se.stream_dedup(s, ["user_id"])
+    )
+    result = spark.read.parquet(out)
+    n_users = result.select("user_id").distinct().count()
+    assert result.count() == n_users  # one row per user survived
+
+
+def test_merge_sink_idempotent_upsert(spark, events_dir, tmp_path):
+    table = str(tmp_path / "events_table")
+    stream = se.read_event_stream(spark, events_dir)
+    q = se.merge_sink(
+        spark, stream, table, keys=["event_id"], checkpoint=str(tmp_path / "cp1")
+    ).start()
+    q.awaitTermination()
+    first = spark.read.parquet(table).count()
+    batch_total = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert first == batch_total
+
+    # replay from scratch (new checkpoint): merge keeps keys unique
+    q2 = se.merge_sink(
+        spark, stream, table, keys=["event_id"], checkpoint=str(tmp_path / "cp2")
+    ).start()
+    q2.awaitTermination()
+    assert spark.read.parquet(table).count() == batch_total
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    """Two single-file micro-batches for one user, separated by > gap:
+    batch 2 must flush the batch-1 session."""
+    import datetime
+    import time
+
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sessions")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, 7, "click", 1.0, "{}") for i, ts in rows],
+            schema=se.EVENTS_SCHEMA,
+        )
+
+    early = mk([(1, t0), (2, t0 + datetime.timedelta(minutes=5))])
+    late = mk([(3, t0 + datetime.timedelta(hours=5))])
+    early.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    stream = se.read_event_stream(spark, src, max_files_per_trigger=1)
+    sessions = se.sessionize(stream, gap_minutes=60)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp_sess"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    result = spark.read.parquet(out).collect()
+    assert len(result) == 1  # first session flushed; second still in state
+    row = result[0]
+    assert row["user_id"] == 7
+    assert row["n_events"] == 2
+    assert str(row["session_start"]) == "2024-01-01 10:00:00"
+    assert str(row["session_end"]) == "2024-01-01 10:05:00"
