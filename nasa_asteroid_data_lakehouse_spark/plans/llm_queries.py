@@ -146,14 +146,21 @@ _SHINGLES_SQL = rf"""
   FROM (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents)
 """
 
+_MINHASH_COEFFS = dedup._minhash_coeffs(_MINHASH_N)
+
 MINHASH_SQL = rf"""
-WITH sh AS ({_SHINGLES_SQL})
+WITH sh AS ({_SHINGLES_SQL}),
+bases AS (
+  SELECT doc_id,
+    list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS bh
+  FROM sh
+)
 SELECT doc_id,
   {", ".join(
-      f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS sig_{i}"
-      for i in range(_MINHASH_N)
+      f"list_min(list_transform(bh, h -> ({a} * h + {b}) % {dedup.MINHASH_PRIME})) AS sig_{i}"
+      for i, (a, b) in enumerate(_MINHASH_COEFFS)
   )}
-FROM sh
+FROM bases
 """
 
 
@@ -177,14 +184,22 @@ WITH sh AS (
                             j -> array_to_string(words[j:j+1], ' ')))
          ELSE [array_to_string(words, ' ')] END AS shingles
   FROM (SELECT doc_id, source, string_split({_NORM}, ' ') AS words FROM documents)
-)
-SELECT * FROM (
+),
+sz AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+common AS (
   SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
-    ROUND(len(list_intersect(a.shingles, b.shingles))
-          / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
-  FROM sh a JOIN sh b
-    ON a.source = b.source AND a.doc_id < b.doc_id
-) WHERE jaccard >= 0.05
+         COUNT(*) AS common
+  FROM ex a JOIN ex b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT source, id_a, id_b,
+  ROUND(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE ROUND(common / (sa.sz + sb.sz - common), 6) >= 0.05
 """
 
 
