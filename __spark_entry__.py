@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nasa_asteroid_data_lakehouse_spark.plans import llm_queries, operator_queries
+from nasa_asteroid_data_lakehouse_spark.plans import analytics_queries, llm_queries, operator_queries
 from nasa_asteroid_data_lakehouse_spark.plans import queries as plans
 
 SF0001 = "/root/testdata/sf0.001"
@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(operator_queries.QUERIES)
     out.update(llm_queries.QUERIES)
+    out.update(analytics_queries.QUERIES)
     return out
 
 
@@ -44,4 +45,5 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(operator_queries.ORACLES)
     out.update(llm_queries.ORACLES)
+    out.update(analytics_queries.ORACLES)
     return out

@@ -1,0 +1,294 @@
+"""Extended analytical surface: multi-way star joins, grouping sets,
+statistical aggregates, pivot, outer joins, subqueries, and the
+spark.sql serving path.  All oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: profit by supplier nation and order year.
+
+    6-table join; every dimension (part, supplier, nation) broadcast,
+    orders joined on the fact key.  Profit = revenue - retail cost.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    return (
+        lineitem.join(
+            broadcast(part.where(F.col("p_name").contains("a"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("p_retailprice") * F.col("l_quantity") * 0.6
+                ),
+                4,
+            ).alias("profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity * 0.6), 4) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: revenue at (status, priority), (status), ()."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over (event_type, weekday): all 4 grouping combinations."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "weekday", F.dayofweek("ts")
+    )
+    return (
+        events.cube("event_type", "weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT event_type, weekday, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM (SELECT *, CAST(dayofweek(ts) + 1 AS INTEGER) AS weekday FROM events)
+GROUP BY CUBE (event_type, weekday)
+"""
+
+
+def stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate kit: stddev, variance, exact median,
+    correlation, covariance per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = orders.join(
+        broadcast(cust.select("c_custkey", "c_mktsegment", "c_acctbal")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("o_totalprice"), 2).alias("price_var"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("price_median"),
+            F.round(F.corr("o_totalprice", "c_acctbal"), 6).alias("price_acctbal_corr"),
+            F.round(F.covar_samp("o_totalprice", "c_acctbal"), 2).alias("price_acctbal_covar"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+STATS_SQL = """
+SELECT c_mktsegment,
+       ROUND(stddev_samp(o_totalprice), 4) AS price_stddev,
+       ROUND(var_samp(o_totalprice), 2) AS price_var,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS price_median,
+       ROUND(corr(o_totalprice, c_acctbal), 6) AS price_acctbal_corr,
+       ROUND(covar_samp(o_totalprice, c_acctbal), 2) AS price_acctbal_covar
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily counts per event type as columns."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+
+
+PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+  COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+  COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+  COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: customer count vs supplier count per nation key
+    (nations can have either, both, or neither)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(supp, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+FULL_OUTER_SQL = """
+WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+           FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+           FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+def above_segment_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern: orders above their customer
+    segment's average order value (decorrelated via window avg)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    joined = orders.join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment")
+    return (
+        joined.withColumn("seg_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("seg_avg") * 1.5)
+        .select(
+            "o_orderkey", "c_mktsegment", "o_totalprice",
+            F.round("seg_avg", 4).alias("seg_avg"),
+        )
+    )
+
+
+ABOVE_AVG_SQL = """
+WITH j AS (
+  SELECT o_orderkey, c_mktsegment, o_totalprice,
+         AVG(o_totalprice) OVER (PARTITION BY c_mktsegment) AS seg_avg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT o_orderkey, c_mktsegment, o_totalprice, ROUND(seg_avg, 4) AS seg_avg
+FROM j WHERE o_totalprice > seg_avg * 1.5
+"""
+
+
+def sql_serving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving path: tables registered as temp views, query written
+    in SQL (replaces the reference's Streamlit/DuckDB catalog page —
+    reference ``src/streamlit_app.py:35-53``)."""
+    for name in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+SQL_SERVING_SQL = """
+SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+QUERIES = {
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "rollup_revenue": rollup_revenue,
+    "cube_event_stats": cube_event_stats,
+    "stats_by_segment": stats_by_segment,
+    "pivot_event_types": pivot_event_types,
+    "full_outer_nation_activity": full_outer_nation_activity,
+    "above_segment_average_orders": above_segment_average_orders,
+    "sql_serving_revenue": sql_serving_revenue,
+}
+
+ORACLES = {
+    "q9_profit_by_nation_year": Q9_SQL,
+    "rollup_revenue": ROLLUP_SQL,
+    "cube_event_stats": CUBE_SQL,
+    "stats_by_segment": STATS_SQL,
+    "pivot_event_types": PIVOT_SQL,
+    "full_outer_nation_activity": FULL_OUTER_SQL,
+    "above_segment_average_orders": ABOVE_AVG_SQL,
+    "sql_serving_revenue": SQL_SERVING_SQL,
+}
