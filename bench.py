@@ -4,8 +4,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect count) after a
-warm-up run of the flagship query primes the JVM/codegen caches.
+Each query is timed end-to-end (plan + full execution into a noop sink)
+after a warm-up run of the flagship query primes the JVM/codegen caches.
+The noop sink executes every operator and materializes every output row
+on the executors without paying driver-side py4j row serialization —
+the engine's throughput, not the collect pipe's.
 """
 
 from __future__ import annotations
@@ -32,15 +35,17 @@ def main() -> None:
 
     qs = entrymod.queries()
 
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm-up: prime JVM, codegen, and parquet footer caches.
     first = next(iter(qs))
-    qs[first](spark, sf_dir).collect()
+    run(qs[first](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.collect()
+        run(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

@@ -13,9 +13,10 @@ Two paths:
   bucket (optionally ± Hamming-1 probes).  Turns top-k into an
   equi-join on bucket id: the 1000-executor path.
 
-An IVF variant (k-means coarse quantizer) would slot in the same way —
-assign-to-centroid replaces the bucket id; omitted because the fixture
-is small and hyperplane LSH covers the bucketing pattern.
+* ``ivf_topk`` — IVF with a k-means coarse quantizer (``kmeans_fit``,
+  Lloyd's iterations as DataFrame jobs): assign-to-centroid replaces
+  the bucket id and the search probes the ``nprobe`` nearest cells.
+  Store the table partitioned by cluster to prune instead of filter.
 """
 
 from __future__ import annotations
@@ -166,4 +167,105 @@ def embedding_near_dup_pairs(
             F.round(cosine(F.col("a.v"), F.col("b.v")), round_to).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+# --- IVF (k-means coarse quantizer) ----------------------------------------
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column, fully distributed.
+
+    Each iteration is two DataFrame jobs: (1) assign each vector to its
+    nearest centroid (broadcast centroid literals, argmin over k dots),
+    (2) recompute centroids via posexplode + groupBy(cluster, dim) avg.
+    Only the k×d centroid matrix ever reaches the driver.  Init is the
+    k lowest ids (deterministic across runs/engines).
+    """
+    init_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in init_rows]
+
+    for _ in range(iters):
+        assigned = with_ivf_assignment(df, centroids, vec_col)
+        new = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("v"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["v"]
+        centroids = [
+            [by_cluster[c][d] for d in range(len(centroids[0]))]
+            if c in by_cluster
+            else centroids[c]  # empty cluster keeps its previous centroid
+            for c in range(k)
+        ]
+    return centroids
+
+
+def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_ivf_assignment(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure projection (no shuffle):
+    argmin over k squared distances, centroids inlined as literals."""
+    best_c = F.lit(0)
+    best_d = _sq_dist(F.col(vec_col), centroids[0])
+    for i, cent in enumerate(centroids[1:], start=1):
+        d = _sq_dist(F.col(vec_col), cent)
+        cond = d < best_d
+        best_c = F.when(cond, F.lit(i)).otherwise(best_c)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return df.withColumn(out, best_c)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF search: score only vectors assigned to the query's ``nprobe``
+    nearest centroids.  At scale the table is stored partitioned by
+    ``cluster`` so probing prunes partitions instead of filtering."""
+    dists = [
+        sum((float(q) - c) ** 2 for q, c in zip(query_vec, cent))
+        for cent in centroids
+    ]
+    probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:nprobe]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    assigned = with_ivf_assignment(df, centroids, vec_col)
+    return (
+        assigned.where(F.col("cluster").isin(probe))
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.round(cosine(F.col(vec_col), q), round_to).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
     )

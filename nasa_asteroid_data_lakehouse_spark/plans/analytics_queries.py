@@ -292,3 +292,132 @@ ORACLES = {
     "above_segment_average_orders": ABOVE_AVG_SQL,
     "sql_serving_revenue": SQL_SERVING_SQL,
 }
+
+
+def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch session windows (30-min inactivity gap) via the built-in
+    ``session_window`` expression — the batch twin of
+    ``streaming.events.sessionize``; oracle mirrors it with the
+    lag+cumulative-sum session numbering."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_WINDOWS_SQL = """
+WITH o AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, value,
+    CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP)
+              OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT MIN(ts) AS session_start, user_id,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, sess
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (training-data keyword surface).
+
+    Explode normalized tokens -> TF per (doc, term) -> DF per term ->
+    idf = ln((N+1)/(df+1)) + 1 -> windowed top-3.  Shuffle keys: term
+    for the DF aggregation (broadcast back), doc for the ranking.
+    """
+    from nasa_asteroid_data_lakehouse_spark.llm.text import normalized_text, tokens
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(tokens(normalized_text("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(broadcast(df_counts), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfc USING (term), n
+)
+SELECT doc_id, term, tf, df, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors via posexplode +
+    groupBy — the JVM-side building block the IVF quantizer uses."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+    )
+
+
+CENTROIDS_SQL = """
+SELECT label, i - 1 AS dim, ROUND(AVG(embedding[i]), 6) AS centroid_val
+FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+GROUP BY 1, 2
+"""
+
+QUERIES.update(
+    {
+        "session_windows_events": session_windows_events,
+        "tfidf_top_terms": tfidf_top_terms,
+        "embedding_centroids_by_label": embedding_centroids_by_label,
+    }
+)
+ORACLES.update(
+    {
+        "session_windows_events": SESSION_WINDOWS_SQL,
+        "tfidf_top_terms": TFIDF_SQL,
+        "embedding_centroids_by_label": CENTROIDS_SQL,
+    }
+)

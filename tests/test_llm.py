@@ -161,3 +161,24 @@ def test_sample_frames(spark, docs):
     frames = multimodal.sample_frames(payloads, every_n_bytes=16, frame_size=8).collect()
     assert len(frames) == 3  # 43 bytes -> offsets 0,16,32
     assert frames[0]["frame_bytes"] == b"The quic"
+
+
+def test_kmeans_ivf(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = similarity.kmeans_fit(emb, k=4, iters=3)
+    assert len(centroids) == 4 and len(centroids[0]) == 64
+    # deterministic: same input -> same centroids
+    again = similarity.kmeans_fit(emb, k=4, iters=3)
+    assert centroids == again
+
+    assigned = similarity.with_ivf_assignment(emb, centroids)
+    counts = {r["cluster"]: r["n"] for r in assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == emb.count()
+    assert len(counts) >= 2  # non-degenerate clustering
+
+    query = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = similarity.ivf_topk(emb, query, centroids, k=5, nprobe=2).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine_sim"] == 1.0
+    exact = similarity.cosine_topk(emb, query, k=5).collect()
+    exact_ids = {r["vec_id"] for r in exact}
+    assert len(exact_ids & {r["vec_id"] for r in top}) >= 3  # decent recall
