@@ -18,11 +18,110 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
 from nasa_asteroid_data_lakehouse_spark.operators.normalize import (
     normalize_placeholders,
 )
 from nasa_asteroid_data_lakehouse_spark.sources.readers import read_json_multiline
 from nasa_asteroid_data_lakehouse_spark.sources.writers import write_partitioned
+
+
+def _diameter_struct() -> StructType:
+    return StructType(
+        [
+            StructField("estimated_diameter_min", DoubleType()),
+            StructField("estimated_diameter_max", DoubleType()),
+        ]
+    )
+
+
+def neo_struct() -> StructType:
+    """Explicit schema for one NEO element.  NeoWs numeric leaves under
+    relative_velocity / miss_distance are JSON *strings* (matching the
+    real API), hence StringType there and casts in the flatten."""
+    return StructType(
+        [
+            StructField("id", StringType()),
+            StructField("neo_reference_id", StringType()),
+            StructField("name", StringType()),
+            StructField("absolute_magnitude_h", DoubleType()),
+            StructField("is_potentially_hazardous_asteroid", BooleanType()),
+            StructField("is_sentry_object", BooleanType()),
+            StructField("nasa_jpl_url", StringType()),
+            StructField("links", StructType([StructField("self", StringType())])),
+            StructField(
+                "estimated_diameter",
+                StructType(
+                    [
+                        StructField("kilometers", _diameter_struct()),
+                        StructField("meters", _diameter_struct()),
+                        StructField("miles", _diameter_struct()),
+                        StructField("feet", _diameter_struct()),
+                    ]
+                ),
+            ),
+            StructField(
+                "close_approach_data",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("close_approach_date", StringType()),
+                            StructField("close_approach_date_full", StringType()),
+                            StructField("epoch_date_close_approach", LongType()),
+                            StructField(
+                                "relative_velocity",
+                                StructType(
+                                    [
+                                        StructField("kilometers_per_second", StringType()),
+                                        StructField("kilometers_per_hour", StringType()),
+                                        StructField("miles_per_hour", StringType()),
+                                    ]
+                                ),
+                            ),
+                            StructField(
+                                "miss_distance",
+                                StructType(
+                                    [
+                                        StructField("astronomical", StringType()),
+                                        StructField("lunar", StringType()),
+                                        StructField("kilometers", StringType()),
+                                        StructField("miles", StringType()),
+                                    ]
+                                ),
+                            ),
+                            StructField("orbiting_body", StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+
+def neows_schema(dates: list[str]) -> StructType:
+    """Explicit feed schema for known dates — skips the inference pass
+    (which reads the whole document twice; at scale the difference is a
+    full extra scan).  The near_earth_objects object is logically a map
+    keyed by date; with explicit dates we type it as a struct with one
+    array field per date, matching what inference would produce."""
+    neo = neo_struct()
+    return StructType(
+        [
+            StructField(
+                "near_earth_objects",
+                StructType([StructField(d, ArrayType(neo)) for d in dates]),
+            )
+        ]
+    )
 
 # 27-column silver schema (SURVEY.md §1.3), as (name, source path, type).
 _SCALARS = [
@@ -105,7 +204,11 @@ def build_silver(
     bronze_paths: str | list[str],
     dates: list[str] | None = None,
 ) -> DataFrame:
-    feed = read_json_multiline(spark, bronze_paths)
+    """Bronze JSON -> silver flatten.  With known ``dates`` the read uses
+    the explicit schema (single pass); otherwise schema inference (an
+    extra scan) discovers the date keys."""
+    schema = neows_schema(dates) if dates else None
+    feed = read_json_multiline(spark, bronze_paths, schema=schema)
     return flatten_feed(feed, dates)
 
 

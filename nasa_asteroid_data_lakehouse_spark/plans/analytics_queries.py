@@ -421,3 +421,64 @@ ORACLES.update(
         "embedding_centroids_by_label": CENTROIDS_SQL,
     }
 )
+
+
+def star_build_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gold-layer pattern (reference ``src/etl/silver_to_gold.py``)
+    exercised on the fixture tables: build a date dimension with
+    content-derived sha2 keys from orders, recompute the key on the
+    fact side, join back, and aggregate — proving dims and facts built
+    independently still join (the property the reference's design
+    depends on)."""
+    from nasa_asteroid_data_lakehouse_spark.functions import surrogate_key
+
+    orders = _t(spark, sf_dir, "orders")
+    dim_date = (
+        orders.select(F.to_date("o_orderdate").alias("order_date"))
+        .na.drop()
+        .distinct()
+        .select(
+            "order_date",
+            F.year("order_date").alias("year"),
+            F.month("order_date").alias("month"),
+            F.weekofyear("order_date").alias("week_of_year"),
+            surrogate_key(F.col("order_date").cast("string")).alias("sk_date"),
+        )
+    )
+    fact = orders.select(
+        surrogate_key(F.to_date("o_orderdate").cast("string")).alias("sk_date"),
+        "o_totalprice",
+    )
+    return (
+        fact.join(broadcast(dim_date), "sk_date")
+        .groupBy("year", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+STAR_ROUNDTRIP_SQL = """
+WITH dim_date AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date,
+         CAST(year(o_orderdate) AS INTEGER) AS year,
+         CAST(month(o_orderdate) AS INTEGER) AS month,
+         CAST(weekofyear(o_orderdate) AS INTEGER) AS week_of_year,
+         sha256(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')) AS sk_date
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
+fact AS (
+  SELECT sha256(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')) AS sk_date,
+         o_totalprice
+  FROM orders
+)
+SELECT year, month, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM fact JOIN dim_date USING (sk_date)
+GROUP BY year, month
+ORDER BY year, month
+"""
+
+QUERIES["star_build_roundtrip"] = star_build_roundtrip
+ORACLES["star_build_roundtrip"] = STAR_ROUNDTRIP_SQL

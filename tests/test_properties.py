@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for operator invariants.
+
+Spark round-trips are slow, so examples are capped; the properties are
+the point: merge idempotency/key-uniqueness, normalization idempotency,
+dedup determinism under row order, minhash containment in signature
+space.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark import operators as ops
+from nasa_asteroid_data_lakehouse_spark.llm import dedup as ldedup
+
+KEYS = st.integers(min_value=0, max_value=5)
+VALS = st.text(
+    alphabet="abc NULL", min_size=0, max_size=8
+)
+
+ROWS = st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=12)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+def _df(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "v"]).astype({"k": "int64", "v": "string"})
+    return spark.createDataFrame(pdf, schema="k long, v string")
+
+
+@given(old=ROWS, new=ROWS)
+@SLOW
+def test_merge_key_unique_and_incoming_wins(sp, old, new):
+    old_df, new_df = _df(sp, old), _df(sp, new)
+    merged = ops.merge_dataframes(old_df, new_df, ["k"], order_by=["v"]).collect()
+    ks = [r["k"] for r in merged]
+    # one row per key
+    assert len(ks) == len(set(ks))
+    # every key from either side survives
+    assert set(ks) == {k for k, _ in old} | {k for k, _ in new}
+    # incoming wins: any key present in new maps to a new-side value
+    new_by_key = {}
+    for k, v in new:
+        new_by_key.setdefault(k, set()).add(v)
+    for r in merged:
+        if r["k"] in new_by_key:
+            assert r["v"] in new_by_key[r["k"]]
+
+
+@given(rows=ROWS)
+@SLOW
+def test_normalize_idempotent(sp, rows):
+    df = _df(sp, rows)
+    once = ops.normalize_placeholders(df)
+    twice = ops.normalize_placeholders(once)
+    key = lambda t: tuple(map(repr, t))
+    assert sorted(map(tuple, once.collect()), key=key) == sorted(map(tuple, twice.collect()), key=key)
+
+
+@given(rows=ROWS)
+@SLOW
+def test_dedup_deterministic_order_invariant(sp, rows):
+    df = _df(sp, rows)
+    shuffled = df.orderBy(F.rand(seed=7))
+    key = lambda t: tuple(map(repr, t))
+    a = sorted(map(tuple, ops.dedup_deterministic(df, ["k"], ["v"]).collect()), key=key)
+    b = sorted(map(tuple, ops.dedup_deterministic(shuffled, ["k"], ["v"]).collect()), key=key)
+    assert a == b
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab cd", min_size=1, max_size=30).filter(str.strip),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=TEXTS)
+@SLOW
+def test_minhash_identical_texts_identical_signatures(sp, texts):
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (100 + i, t) for i, t in enumerate(texts)  # duplicate content, new ids
+    ]
+    df = sp.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {
+        r["doc_id"]: tuple(r["minhash"])
+        for r in ldedup.with_minhash_signature(df, num_hashes=4).collect()
+    }
+    for i in range(len(texts)):
+        assert sigs[i] == sigs[100 + i]
