@@ -17,6 +17,12 @@ from nasa_asteroid_data_lakehouse_spark.operators.merge import (
 )
 from nasa_asteroid_data_lakehouse_spark.operators.normalize import normalize_placeholders
 from nasa_asteroid_data_lakehouse_spark.operators.profile import profile
+from nasa_asteroid_data_lakehouse_spark.operators.skew import (
+    salted_agg,
+    salted_broadcast_left,
+    salted_count,
+    with_salt,
+)
 from nasa_asteroid_data_lakehouse_spark.operators.setops import (
     except_rows,
     intersect_rows,
@@ -37,6 +43,10 @@ __all__ = [
     "normalize_placeholders",
     "profile",
     "read_table_if_exists",
+    "salted_agg",
+    "salted_broadcast_left",
+    "salted_count",
+    "with_salt",
     "save_or_update_table",
     "semi_join",
     "star_join",

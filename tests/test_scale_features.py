@@ -1,0 +1,115 @@
+"""Scale-feature tests: salted aggregation, bucketed joins, partition
+pruning, filter pushdown — the behaviors that matter at 100 TB,
+verified on small data via plan inspection + result equality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.operators import skew
+from nasa_asteroid_data_lakehouse_spark.sources import bucketed
+from nasa_asteroid_data_lakehouse_spark.sources.writers import write_partitioned
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return read_table(spark, "/root/testdata/sf0.001", "lineitem")
+
+
+def test_salted_count_matches_plain(spark, lineitem):
+    plain = {
+        r["l_returnflag"]: r["n"]
+        for r in lineitem.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r["l_returnflag"]: r["n"]
+        for r in skew.salted_count(lineitem, ["l_returnflag"], buckets=8).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_matches_plain(spark, lineitem):
+    plain = {
+        r["l_returnflag"]: (round(r["total"], 4), r["mx"])
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("total"), F.max("l_quantity").alias("mx"))
+        .collect()
+    }
+    two_phase = {
+        r["l_returnflag"]: (round(r["total"], 4), r["mx"])
+        for r in skew.salted_agg(
+            lineitem,
+            ["l_returnflag"],
+            {"total": ("l_quantity", F.sum, F.sum), "mx": ("l_quantity", F.max, F.max)},
+            buckets=8,
+        ).collect()
+    }
+    assert plain == two_phase
+
+
+def test_salted_broadcast_left_matches_plain(spark):
+    fact = spark.createDataFrame(
+        [(1, 10.0)] * 50 + [(2, 5.0)] * 3, ["k", "v"]  # key 1 is hot
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], ["k", "name"])
+    plain = fact.join(dim, "k").groupBy("name").count().collect()
+    salted = skew.salted_broadcast_left(fact, dim, "k", buckets=4).groupBy("name").count().collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed_test")
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    lineitem = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    bucketed.write_bucketed(
+        orders, "bucketed_test.orders_b", ["o_orderkey"], 8, sort_by=["o_orderkey"]
+    )
+    bucketed.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bucketed_test.lineitem_b",
+        ["o_orderkey"],
+        8,
+        sort_by=["o_orderkey"],
+    )
+    a = bucketed.read_table(spark, "bucketed_test.orders_b")
+    b = bucketed.read_table(spark, "bucketed_test.lineitem_b")
+    joined = a.join(b, "o_orderkey")
+    # bucketed both sides on the join key, same bucket count -> no exchange
+    assert not bucketed.plan_has_shuffle(joined)
+    assert joined.count() == lineitem.count()
+    # sanity: the same join over plain parquet DOES shuffle (or broadcasts);
+    # disable broadcast to expose the exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = read_table(spark, "/root/testdata/sf0.001", "orders").join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert bucketed.plan_has_shuffle(plain)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_partition_pruning(spark, tmp_path):
+    events = read_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_parted")
+    write_partitioned(events, path, partition_by=["day"], mode="overwrite")
+    pruned = spark.read.parquet(path).where(F.col("day") == "2024-01-05")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:120]
+    # only one partition's rows come back
+    expected = events.where(F.to_date("ts") == "2024-01-05").count()
+    assert pruned.count() == expected
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    lineitem = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    q = lineitem.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:160]
+    assert "l_quantity" in pushed and "GreaterThan" in pushed
+    # column pruning: scan reads only the two projected columns
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in read_schema and "l_tax" not in read_schema
