@@ -59,6 +59,12 @@ def test_salted_broadcast_left_matches_plain(spark):
 
 def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
     spark.sql("CREATE DATABASE IF NOT EXISTS bucketed_test")
+    import shutil
+
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS bucketed_test.{t}")
+        loc = f"spark-warehouse/bucketed_test.db/{t}"
+        shutil.rmtree(loc, ignore_errors=True)
     orders = read_table(spark, "/root/testdata/sf0.001", "orders")
     lineitem = read_table(spark, "/root/testdata/sf0.001", "lineitem")
     bucketed.write_bucketed(
