@@ -1,0 +1,96 @@
+"""Tests for data-quality gates and source readers (JSONL, multiline
+JSON, distributed REST fetch)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.operators import quality
+from nasa_asteroid_data_lakehouse_spark.sources import readers, rest
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "a", "x"), (2, None, "y"), (2, "c", "zz"), (4, "d", None)],
+        ["id", "name", "tag"],
+    )
+
+
+def test_expect_columns(people):
+    quality.expect_columns(people, ["id", "name", "tag"])
+    with pytest.raises(quality.QualityError, match="schema mismatch"):
+        quality.expect_columns(people, ["id", "name"])
+
+
+def test_non_null_violations(people):
+    bad = quality.non_null_violations(people, ["name", "tag"]).collect()
+    assert {r["id"] for r in bad} == {2, 4}
+
+
+def test_unique_key_violations(people):
+    dups = quality.unique_key_violations(people, ["id"]).collect()
+    assert len(dups) == 1 and dups[0]["id"] == 2 and dups[0]["dup_count"] == 2
+
+
+def test_referential_violations(spark, people):
+    parent = spark.createDataFrame([(1,), (2,)], ["id"])
+    orphans = quality.referential_violations(people, parent, "id").collect()
+    assert {r["id"] for r in orphans} == {4}
+
+
+def test_accepted_values_and_enforce(spark, people):
+    bad = quality.accepted_values_violations(people, "tag", ["x", "y"])
+    assert {r["id"] for r in bad.collect()} == {2, 4}
+    with pytest.raises(quality.QualityError, match="tag_domain"):
+        quality.enforce(bad, "tag_domain")
+    quality.enforce(bad.limit(0), "empty_ok")  # no violations -> no raise
+
+
+def test_read_jsonl_with_schema(spark, tmp_path):
+    path = str(tmp_path / "data.jsonl")
+    with open(path, "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({"id": i, "name": f"n{i}", "score": i * 1.5}) + "\n")
+    df = readers.read_jsonl(spark, path, schema="id long, name string, score double")
+    assert df.count() == 5
+    assert dict(df.dtypes) == {"id": "bigint", "name": "string", "score": "double"}
+    # JSONL is splittable: more than one partition possible on bigger files
+    assert df.where(F.col("score") > 4.0).count() == 2
+
+
+def test_read_json_multiline(spark, tmp_path):
+    path = str(tmp_path / "doc.json")
+    with open(path, "w") as fh:
+        json.dump({"outer": {"inner": [1, 2, 3]}}, fh, indent=2)
+    df = readers.read_json_multiline(spark, path)
+    assert df.select(F.size("outer.inner")).collect()[0][0] == 3
+
+
+def _fake_fetch(url, params):
+    return {"echo": params["start_date"], "url": url}
+
+
+def test_distributed_rest_fetch(spark):
+    import datetime
+
+    out = rest.fetch_feed_distributed(
+        spark,
+        datetime.date(2025, 1, 1),
+        datetime.date(2025, 1, 20),
+        fetch_fn=_fake_fetch,
+    ).collect()
+    assert len(out) == 3  # 20 days -> 3 seven-day windows
+    payloads = [json.loads(r["payload"]) for r in out]
+    assert {p["echo"] for p in payloads} == {"2025-01-01", "2025-01-08", "2025-01-15"}
+    assert all(p["url"] == rest.NEOWS_URL for p in payloads)
+
+
+def test_date_chunks_edges():
+    import datetime
+
+    chunks = rest.date_chunks(datetime.date(2025, 1, 1), datetime.date(2025, 1, 7))
+    assert chunks == [("2025-01-01", "2025-01-07")]
+    chunks = rest.date_chunks(datetime.date(2025, 1, 1), datetime.date(2025, 1, 8))
+    assert chunks == [("2025-01-01", "2025-01-07"), ("2025-01-08", "2025-01-08")]
