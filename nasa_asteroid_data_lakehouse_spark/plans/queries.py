@@ -39,19 +39,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
             ).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -62,13 +65,13 @@ Q1_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  SUM(l_quantity)                                           AS sum_qty,
-  SUM(l_extendedprice)                                      AS sum_base_price,
-  SUM(l_extendedprice * (1 - l_discount))                   AS sum_disc_price,
-  SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))     AS sum_charge,
-  AVG(l_quantity)                                           AS avg_qty,
-  AVG(l_extendedprice)                                      AS avg_price,
-  AVG(l_discount)                                           AS avg_disc,
+  ROUND(SUM(l_quantity), 4)                                 AS sum_qty,
+  ROUND(SUM(l_extendedprice), 4)                            AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)         AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+  ROUND(AVG(l_quantity), 6)                                 AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6)                            AS avg_price,
+  ROUND(AVG(l_discount), 6)                                 AS avg_disc,
   COUNT(*)                                                  AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -97,7 +100,9 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -109,7 +114,7 @@ SELECT
   l_orderkey,
   o_orderdate,
   o_orderpriority,
-  SUM(l_extendedprice * (1 - l_discount)) AS revenue
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -145,7 +150,9 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -154,7 +161,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q5_SQL = """
 SELECT
   n_name,
-  SUM(l_extendedprice * (1 - l_discount)) AS revenue
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey  = o_orderkey
 JOIN customer ON o_custkey   = c_custkey
