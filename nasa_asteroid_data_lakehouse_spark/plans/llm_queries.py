@@ -324,3 +324,74 @@ ORACLES = {
     "media_metadata_documents": MEDIA_METADATA_SQL,
     # byte_features_documents: intentionally no oracle (mapInPandas op)
 }
+
+
+def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: stats -> quality floor ->
+    exact dedup -> per-(lang, source) yield report.
+
+    Composes with_text_stats + exact_dedup + aggregation in one plan —
+    Catalyst fuses the stats projection into the dedup shuffle's map
+    side; the report is the only other shuffle.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    scored = text.with_text_stats(docs)
+    kept = scored.where(
+        (F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10)
+    )
+    deduped = dedup.exact_dedup(kept, "doc_id")
+    return (
+        deduped.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            # SUM not AVG: quality scores sit on a 1e-6 decimal lattice,
+            # so their sum stays 5e-7 from any 6dp rounding boundary —
+            # an average lands exactly on boundaries and flips between
+            # engines' accumulation orders.
+            F.round(F.sum("quality_score"), 6).alias("sum_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_STATS_FRAGMENT = rf"""
+  SELECT doc_id, text, lang, source,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{{}}-]', '', 'g')) AS punct,
+    CASE WHEN trim(lower(text)) = '' THEN 0
+         ELSE len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> t IN ({_EN}))) END AS stop_hits
+  FROM documents
+"""
+
+CURATION_SQL = rf"""
+WITH stats AS ({_STATS_FRAGMENT}),
+scored AS (
+  SELECT *,
+    ROUND(least(n_tokens / 100.0, 1.0) * 0.4
+          + (1 - least(punct / greatest(n_chars, 1) * 5, 1.0)) * 0.3
+          + least(stop_hits / greatest(n_tokens, 1) * 5, 1.0) * 0.3, 6) AS quality_score
+  FROM stats
+),
+kept AS (SELECT * FROM scored WHERE quality_score >= 0.5 AND n_tokens >= 10),
+deduped AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (
+    PARTITION BY md5({_NORM}) ORDER BY doc_id) = 1
+)
+SELECT lang, source,
+       COUNT(*) AS docs_kept,
+       ROUND(SUM(quality_score), 6) AS sum_quality,
+       SUM(n_tokens) AS total_tokens
+FROM deduped
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+QUERIES["curation_pipeline_documents"] = curation_pipeline_documents
+ORACLES["curation_pipeline_documents"] = CURATION_SQL
