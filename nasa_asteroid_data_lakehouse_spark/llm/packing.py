@@ -1,0 +1,55 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+bins (the concat-and-chunk packing every LLM data pipeline runs before
+tokenized shards are written).
+
+Contiguous greedy packing in a deterministic document order: bin id =
+how many full budgets precede the document's cumulative token count.
+One window over the ordering key — no shuffle beyond the ordering
+partition.  At 100 TB, run per shard/partition key (pass
+``partition_cols``) so the window never sees a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.llm.text import token_count
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign each document a pack id and offset within its pack.
+
+    Documents longer than ``budget`` get a pack of their own (their
+    offset is 0 and they overflow — callers split oversized docs before
+    packing; kept simple and deterministic here).
+    """
+    parts = list(partition_cols or [])
+    w = (
+        Window.partitionBy(*parts).orderBy(id_col)
+        if parts
+        else Window.orderBy(id_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    toks = token_count(text_col)
+    out = (
+        df.withColumn("n_tokens", toks)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id",
+            ((F.col("cum_tokens") - F.col("n_tokens")) / budget).cast("long"),
+        )
+        .withColumn(
+            "pack_offset",
+            (F.col("cum_tokens") - F.col("n_tokens")) % budget,
+        )
+    )
+    return out.select(
+        *parts, id_col, "n_tokens", "cum_tokens", "pack_id", "pack_offset"
+    )

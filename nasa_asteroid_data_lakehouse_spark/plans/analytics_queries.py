@@ -482,3 +482,110 @@ ORDER BY year, month
 
 QUERIES["star_build_roundtrip"] = star_build_roundtrip
 ORACLES["star_build_roundtrip"] = STAR_ROUNDTRIP_SQL
+
+
+def purchases_after_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (absent from the reference — SURVEY §2 C): purchases
+    within 1 hour after a click by the same user."""
+    from nasa_asteroid_data_lakehouse_spark.operators.temporal import range_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return range_join(
+        clicks, purchases, ["user_id"], "click_ts", "purchase_ts",
+        lower="0 seconds", upper="1 hour",
+    ).select("user_id", "click_id", "purchase_id")
+
+
+RANGE_JOIN_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts::TIMESTAMP >= c.ts::TIMESTAMP
+ AND p.ts::TIMESTAMP <= c.ts::TIMESTAMP + INTERVAL 1 HOUR
+"""
+
+
+def last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: for each purchase, the same user's most
+    recent click at or before the purchase."""
+    from nasa_asteroid_data_lakehouse_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    out = asof_join(purchases, clicks, ["user_id"], "p_ts", "c_ts")
+    return out.select("user_id", "purchase_id", "click_id_right", "c_ts_right")
+
+
+ASOF_SQL = """
+WITH p AS (SELECT user_id, event_id AS purchase_id, ts::TIMESTAMP AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id AS click_id, ts::TIMESTAMP AS c_ts
+           FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.purchase_id,
+       (SELECT c.click_id FROM c
+        WHERE c.user_id = p.user_id AND c.c_ts <= p.p_ts
+        ORDER BY c.c_ts DESC, c.click_id DESC LIMIT 1) AS click_id_right,
+       (SELECT c.c_ts FROM c
+        WHERE c.user_id = p.user_id AND c.c_ts <= p.p_ts
+        ORDER BY c.c_ts DESC, c.click_id DESC LIMIT 1) AS c_ts_right
+FROM p
+"""
+
+
+def pack_documents_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: deterministic 2048-token training bins per lang."""
+    from nasa_asteroid_data_lakehouse_spark.llm.packing import pack_documents
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    return pack_documents(
+        docs, budget=2048, partition_cols=["lang"]
+    )
+
+
+PACKING_SQL = r"""
+WITH toks AS (
+  SELECT lang, doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+SELECT lang, doc_id, n_tokens, cum_tokens,
+       CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS pack_id,
+       (cum_tokens - n_tokens) % 2048 AS pack_offset
+FROM c
+"""
+
+QUERIES.update(
+    {
+        "purchases_after_clicks": purchases_after_clicks,
+        "last_click_before_purchase": last_click_before_purchase,
+        "pack_documents_for_training": pack_documents_for_training,
+    }
+)
+ORACLES.update(
+    {
+        "purchases_after_clicks": RANGE_JOIN_SQL,
+        "last_click_before_purchase": ASOF_SQL,
+        "pack_documents_for_training": PACKING_SQL,
+    }
+)
