@@ -142,3 +142,20 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint64": fingerprint64(text_col),
         }
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (training-mix rebalancing).
+
+    ``sampleBy`` keeps approximately ``fractions[v]`` of rows per
+    stratum value, deterministic for a fixed seed AND a fixed input
+    partitioning (the sampler is per-partition; repartitioning changes
+    which rows survive — persist the sampled output rather than
+    re-deriving it if exact reproducibility across layouts matters).
+    """
+    return df.sampleBy(strata_col, fractions, seed=seed)

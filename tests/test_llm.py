@@ -182,3 +182,16 @@ def test_kmeans_ivf(spark, sf_dir):
     exact = similarity.cosine_topk(emb, query, k=5).collect()
     exact_ids = {r["vec_id"] for r in exact}
     assert len(exact_ids & {r["vec_id"] for r in top}) >= 3  # decent recall
+
+
+def test_stratified_sample(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fractions = {"en": 0.25, "zh": 1.0, "fr": 1.0, "es": 1.0, "de": 1.0}
+    sampled = text.stratified_sample(docs, "lang", fractions)
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    after = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert after["zh"] == before["zh"]  # fraction 1.0 keeps everything
+    assert after["en"] < before["en"] * 0.6  # en meaningfully downsampled
+    # deterministic for fixed seed + layout
+    again = text.stratified_sample(docs, "lang", fractions)
+    assert sorted(r["doc_id"] for r in sampled.collect()) == sorted(r["doc_id"] for r in again.collect())

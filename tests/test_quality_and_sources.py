@@ -94,3 +94,17 @@ def test_date_chunks_edges():
     assert chunks == [("2025-01-01", "2025-01-07")]
     chunks = rest.date_chunks(datetime.date(2025, 1, 1), datetime.date(2025, 1, 8))
     assert chunks == [("2025-01-01", "2025-01-07"), ("2025-01-08", "2025-01-08")]
+
+
+def test_catalog_views_and_sql(spark):
+    from nasa_asteroid_data_lakehouse_spark.catalog import Catalog
+
+    cat = Catalog(spark, "/root/testdata/sf0.001")
+    cat.create_views(("region", "nation"))
+    out = cat.sql(
+        "SELECT r_name, COUNT(*) AS n FROM nation JOIN region "
+        "ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"
+    ).collect()
+    assert len(out) == 5
+    assert sum(r["n"] for r in out) == 25
+    assert cat.table("customer").count() == 150
