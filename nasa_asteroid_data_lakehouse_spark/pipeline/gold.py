@@ -116,11 +116,32 @@ GOLD_TABLES = {
 }
 
 
-def build_gold(spark: SparkSession, silver: DataFrame, lake_root: str) -> dict[str, str]:
-    """Build + upsert all four gold tables; returns name -> path."""
+def build_gold(
+    spark: SparkSession,
+    silver: DataFrame,
+    lake_root: str,
+    table_format: str = "parquet",
+) -> dict[str, str]:
+    """Build + upsert all four gold tables; returns name -> path.
+
+    ``table_format="versioned"`` uses the manifest-based
+    ``lake.VersionedTable`` instead of plain-parquet overwrite: snapshot
+    isolation, time travel, and bucket-pruned upserts (only buckets
+    containing incoming keys are rewritten).
+    """
     out = {}
     for name, (builder, keys) in GOLD_TABLES.items():
         path = f"{lake_root}/gold/{name}"
-        save_or_update_table(spark, builder(silver), path, keys)
+        df = builder(silver)
+        if table_format == "versioned":
+            from nasa_asteroid_data_lakehouse_spark.lake import VersionedTable
+
+            table = VersionedTable(spark, path)
+            if table.latest_version() is None:
+                table.create(df, keys=keys)
+            else:
+                table.upsert(df)
+        else:
+            save_or_update_table(spark, df, path, keys)
         out[name] = path
     return out

@@ -1,0 +1,130 @@
+"""Tests for the manifest-based VersionedTable: snapshot isolation,
+time travel, bucket-pruned upsert, commit conflicts, vacuum."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.lake import VersionedTable
+from nasa_asteroid_data_lakehouse_spark.lake.table import CommitConflict
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"), num_buckets=8)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 1.0) for i in range(100)], ["k", "val", "m"]
+    )
+    t.create(df, keys=["k"])
+    return t
+
+
+def test_create_and_read(table):
+    df = table.read()
+    assert df.count() == 100
+    assert set(df.columns) == {"k", "val", "m"}
+    assert table.latest_version() == 0
+
+
+def test_upsert_and_time_travel(spark, table):
+    incoming = spark.createDataFrame(
+        [(5, "NEW5", 5.5), (200, "v200", 200.0)], ["k", "val", "m"]
+    )
+    v = table.upsert(incoming)
+    assert v == 1
+
+    now = table.read()
+    assert now.count() == 101
+    assert now.where(F.col("k") == 5).collect()[0]["val"] == "NEW5"
+
+    # time travel: version 0 still has the old row and not the new one
+    v0 = table.read(version=0)
+    assert v0.count() == 100
+    assert v0.where(F.col("k") == 5).collect()[0]["val"] == "v5"
+    assert v0.where(F.col("k") == 200).count() == 0
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, table):
+    incoming = spark.createDataFrame([(7, "NEW7", 7.7)], ["k", "val", "m"])
+    table.upsert(incoming)
+    hist = table.history()
+    assert hist[0]["operation"] == "upsert"
+    # a single key touches exactly one bucket of 8
+    assert len(hist[0]["touched_buckets"]) == 1
+    # untouched buckets still reference version-0 files (no rewrite)
+    m0 = table._load_manifest(0)
+    m1 = table._load_manifest(1)
+    untouched = set(m0["buckets"]) - set(hist[0]["touched_buckets"])
+    assert untouched and all(m1["buckets"][b] == m0["buckets"][b] for b in untouched)
+
+
+def test_upsert_is_idempotent_per_key(spark, table):
+    incoming = spark.createDataFrame([(5, "NEW5", 5.5)], ["k", "val", "m"])
+    table.upsert(incoming)
+    table.upsert(incoming)
+    df = table.read()
+    assert df.count() == 100
+    assert df.where(F.col("k") == 5).count() == 1
+
+
+def test_commit_conflict_detection(spark, table):
+    # simulate a racing writer by pre-creating the next manifest
+    next_path = table._manifest_path(table.latest_version() + 1)
+    with open(next_path, "w") as fh:
+        fh.write("{}")
+    incoming = spark.createDataFrame([(1, "x", 0.0)], ["k", "val", "m"])
+    with pytest.raises((CommitConflict, Exception)):
+        # retries land on a corrupt manifest -> surfaced as an error,
+        # never as a silent partial commit
+        table.upsert(incoming, retries=1)
+    os.remove(next_path)
+
+
+def test_snapshot_isolation_under_upsert(spark, table):
+    """A reader that resolved version 0 keeps reading version 0's files
+    even after a new commit (old files are never mutated)."""
+    v0_df = table.read(version=0)
+    incoming = spark.createDataFrame([(5, "NEW5", 5.5)], ["k", "val", "m"])
+    table.upsert(incoming)
+    # the pre-commit snapshot still evaluates against the old files
+    assert v0_df.where(F.col("k") == 5).collect()[0]["val"] == "v5"
+
+
+def test_vacuum_removes_unreferenced_files(spark, table):
+    incoming = spark.createDataFrame([(5, "NEW5", 5.5)], ["k", "val", "m"])
+    table.upsert(incoming)
+    removed = table.vacuum(keep_last=1)
+    assert removed  # version-0 copy of the touched bucket is gone
+    # latest still reads fine
+    assert table.read().count() == 100
+    # time travel to vacuumed version is now (correctly) impossible
+    with pytest.raises(Exception):
+        table.read(version=0).count()
+
+
+def test_gold_pipeline_on_versioned_tables(spark, tmp_path):
+    """The NeoWs gold build runs on VersionedTable: two daily upserts,
+    history recorded, time travel to day 1."""
+    import sys, os as _os
+    sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tests"))
+    from nasa_asteroid_data_lakehouse_spark.pipeline.bronze import ingest_document
+    from nasa_asteroid_data_lakehouse_spark.pipeline.silver import build_silver
+    from nasa_asteroid_data_lakehouse_spark.pipeline.gold import build_gold
+    from tests.fixtures_neows import DAY1, DAY2, DOC_DAY1, DOC_DAY2
+
+    root = str(tmp_path / "lake")
+    p1 = ingest_document(root, DAY1, DOC_DAY1)
+    build_gold(spark, build_silver(spark, p1, dates=[DAY1]), root, table_format="versioned")
+    p2 = ingest_document(root, DAY2, DOC_DAY2)
+    build_gold(spark, build_silver(spark, p2, dates=[DAY2]), root, table_format="versioned")
+
+    fact = VersionedTable(spark, f"{root}/gold/fact_asteroid_approach")
+    assert fact.read().count() == 5
+    assert fact.read(version=0).count() == 3  # day 1 only
+    assert [h["operation"] for h in fact.history()] == ["upsert", "create"]
+
+    dim = VersionedTable(spark, f"{root}/gold/dim_asteroid")
+    assert dim.read().count() == 3
+    pk9 = dim.read().where(F.col("id") == 3542519).collect()[0]
+    assert pk9["absolute_magnitude_h"] == 21.90  # day-2 wins on upsert
