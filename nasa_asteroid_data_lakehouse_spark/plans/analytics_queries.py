@@ -589,3 +589,73 @@ ORACLES.update(
         "pack_documents_for_training": PACKING_SQL,
     }
 )
+
+
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2 G2): nations with customers INTERSECT /
+    EXCEPT nations with suppliers, tagged and unioned."""
+    from nasa_asteroid_data_lakehouse_spark.operators.setops import (
+        except_rows,
+        intersect_rows,
+    )
+
+    cust_nations = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_nations = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = intersect_rows(cust_nations, supp_nations).withColumn(
+        "relation", F.lit("both")
+    )
+    cust_only = except_rows(cust_nations, supp_nations).withColumn(
+        "relation", F.lit("customers_only")
+    )
+    return both.unionByName(cust_only)
+
+
+SET_OPS_SQL = """
+SELECT nationkey, 'both' AS relation FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'customers_only' AS relation FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
+)
+"""
+
+
+def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface subqueries through spark.sql: scalar subquery in a
+    projection, IN-subquery and correlated EXISTS in the predicate —
+    Catalyst decorrelates all three; the oracle runs the same text."""
+    for name in ("orders", "customer"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(SQL_SUBQUERIES_SQL)
+
+
+SQL_SUBQUERIES_SQL = """
+SELECT c_custkey, c_name,
+       ROUND(c_acctbal - (SELECT AVG(c_acctbal) FROM customer), 4) AS bal_vs_avg
+FROM customer
+WHERE c_nationkey IN (SELECT c_nationkey FROM customer GROUP BY 1 HAVING COUNT(*) >= 5)
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+QUERIES.update(
+    {
+        "nation_set_ops": nation_set_ops,
+        "sql_subqueries": sql_subqueries,
+    }
+)
+ORACLES.update(
+    {
+        "nation_set_ops": SET_OPS_SQL,
+        "sql_subqueries": SQL_SUBQUERIES_SQL,
+    }
+)
