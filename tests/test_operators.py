@@ -145,3 +145,22 @@ def test_calendar_parts(spark):
         2025, 12, 31, 23, 59,
     )
     assert row["week_of_year"] == 1  # ISO week: Dec 31 2025 is week 1 of 2026
+
+
+def test_profile_approx_mode(messy):
+    prof = {r["column"]: r for r in ops.profile(messy, exact=False).collect()}
+    # HLL estimates are exact at tiny cardinalities
+    assert prof["id"]["distinct_count"] == 4
+    assert prof["a"]["null_count"] == 1
+
+
+def test_top_k_per_group_rank_methods(spark):
+    df = spark.createDataFrame(
+        [("g", 5), ("g", 5), ("g", 3), ("g", 1)], ["g", "v"]
+    )
+    rn = ops.top_k_per_group(df, ["g"], [F.desc("v")], 2, method="row_number")
+    assert rn.count() == 2  # exactly k
+    rk = ops.top_k_per_group(df, ["g"], [F.desc("v")], 2, method="rank")
+    assert rk.count() == 2  # ties share rank 1; rank 3 (value 3) excluded
+    dr = ops.top_k_per_group(df, ["g"], [F.desc("v")], 2, method="dense_rank")
+    assert dr.count() == 3  # 5,5 (rank1) + 3 (rank2)
