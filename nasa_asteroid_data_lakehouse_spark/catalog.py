@@ -37,7 +37,14 @@ NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table, normalizing nanos-timestamp columns."""
+    """Read one fixture table, normalizing nanos-timestamp columns.
+
+    Sets ``nanosAsLong`` at read time so the engine works under any
+    caller-provided session (the round driver builds its own), not just
+    ones from our session factory.
+    """
+    if name in NS_TIMESTAMP_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NS_TIMESTAMP_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, LongType):
@@ -74,4 +81,4 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:
     """Load the synthetic star-schema tables from an sf directory."""
-    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+    return {n: read_table(spark, sf_dir, n) for n in names}

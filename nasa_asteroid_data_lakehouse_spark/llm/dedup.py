@@ -327,6 +327,43 @@ def with_simhash(
     return df.withColumn(out, F.aggregate(toks, init, step, finish))
 
 
+def simhash_by_key(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    out: str = "simhash",
+    bits: int = 60,
+) -> DataFrame:
+    """``(key, simhash)`` via explode + 60 conditional-count aggregates.
+
+    Equivalent to :func:`with_simhash` (bit i of the fingerprint is set
+    iff more than half the distinct tokens have bit i set in their hash:
+    ±1 votes sum positive ⟺ 2·countᵢ > n) but shaped for scale: no
+    per-token array construction, each token hashed exactly once, and
+    the 60 ``sum((h >> i) & 1)`` aggregates partial-aggregate map-side
+    before the single shuffle on ``key_col``.  Prefer this form whenever
+    a key column exists; ``with_simhash`` remains the zero-shuffle
+    projection form for keyless frames.
+    """
+    toks = F.array_distinct(tokens(normalized_text(text_col)))
+    exploded = df.select(
+        F.col(key_col).alias("__k"), F.explode(toks).alias("__t")
+    ).withColumn("__h", _token_hash60(F.col("__t")))
+    counts = exploded.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright("__h", i).bitwiseAND(F.lit(1))).alias(f"__c{i}")
+            for i in range(bits)
+        ],
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(
+            F.col(f"__c{i}") * 2 > F.col("__n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return counts.select(F.col("__k").alias(key_col), sim.alias(out))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -340,8 +377,14 @@ def simhash_near_dup_pairs(
     Prefix blocking keeps the join an equi-join; for recall across
     prefix boundaries run with rotated fingerprints (standard
     multi-table SimHash — left to callers).
+
+    The (doc, simhash) table is localCheckpoint-ed before the
+    self-join: it is tiny (two columns) and the checkpoint stops Spark
+    recomputing the token-hash aggregation on both join sides.
     """
-    hashed = with_simhash(df.select(F.col(id_col).alias("doc"), text_col))
+    hashed = simhash_by_key(
+        df.select(F.col(id_col).alias("doc"), text_col), "doc", text_col
+    ).localCheckpoint(eager=False)
     shift = 60 - prefix_bits
     blocked = hashed.withColumn("block", F.shiftrightunsigned("simhash", shift))
     a, b = blocked.alias("a"), blocked.alias("b")

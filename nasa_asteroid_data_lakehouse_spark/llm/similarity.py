@@ -152,8 +152,14 @@ def embedding_near_dup_pairs(
     """
     sample = df.select(vec_col).first()
     dim = len(sample[vec_col])
+    # Pre-compute each vector's norm before the self-join: the join
+    # then evaluates one dot product per candidate pair instead of
+    # three array aggregations (dot + two norms).
     bucketed = with_lsh_bucket(df, vec_col, num_planes, dim).select(
-        F.col(id_col).alias("doc"), F.col(vec_col).alias("v"), "bucket"
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+        "bucket",
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
@@ -164,7 +170,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), round_to).alias("cosine_sim"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+                round_to,
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )
@@ -228,15 +237,21 @@ def with_ivf_assignment(
     out: str = "cluster",
 ) -> DataFrame:
     """Nearest-centroid assignment as a pure projection (no shuffle):
-    argmin over k squared distances, centroids inlined as literals."""
-    best_c = F.lit(0)
-    best_d = _sq_dist(F.col(vec_col), centroids[0])
-    for i, cent in enumerate(centroids[1:], start=1):
-        d = _sq_dist(F.col(vec_col), cent)
-        cond = d < best_d
-        best_c = F.when(cond, F.lit(i)).otherwise(best_c)
-        best_d = F.when(cond, d).otherwise(best_d)
-    return df.withColumn(out, best_c)
+    argmin over k squared distances, centroids inlined as literals.
+
+    The k distances are materialized once as an array column and the
+    argmin is ``array_position(dists, array_min(dists)) - 1`` (first
+    occurrence ⇒ lowest index wins ties, same as a strict-< scan).  A
+    when/otherwise chain instead re-nests every distance expression
+    O(k²) times and plan compilation dominates runtime.
+    """
+    dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
+    return df.withColumn("__dists", dists).withColumn(
+        out,
+        (F.array_position(F.col("__dists"), F.array_min(F.col("__dists"))) - 1).cast(
+            "int"
+        ),
+    ).drop("__dists")
 
 
 def ivf_topk(

@@ -395,3 +395,237 @@ ORDER BY lang, source
 
 QUERIES["curation_pipeline_documents"] = curation_pipeline_documents
 ORACLES["curation_pipeline_documents"] = CURATION_SQL
+
+
+# --- SimHash (fingerprints + near-dup pairs) ---------------------------------
+
+_SIMHASH_BITS = 60
+_SIMHASH_PREFIX = 6
+_SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 60-bit SimHash fingerprint (non-blank docs)."""
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    return dedup.simhash_by_key(docs, "doc_id")
+
+
+def _simhash_sql_core() -> str:
+    """CTE chain computing doc_id -> simhash, mirroring
+    llm/dedup.py:with_simhash bit-for-bit (md5-prefix token hash,
+    +/-1 votes per bit, bit set on positive vote sum)."""
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)::BIGINT"
+        for i in range(_SIMHASH_BITS)
+    )
+    return rf"""
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_NORM}, ' '))) AS t
+  FROM documents WHERE trim(text) <> ''
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hashed GROUP BY doc_id
+),
+sim AS (SELECT doc_id, {assemble} AS simhash FROM votes)
+"""
+
+
+SIMHASH_SQL = f"WITH {_simhash_sql_core()} SELECT doc_id, simhash FROM sim"
+
+
+def simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: block on the top prefix bits,
+    verify by Hamming distance."""
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.trim("text") != "")
+    )
+    return dedup.simhash_near_dup_pairs(
+        docs,
+        "doc_id",
+        max_hamming=_SIMHASH_MAX_HAMMING,
+        prefix_bits=_SIMHASH_PREFIX,
+    )
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {_simhash_sql_core()},
+blocked AS (
+  SELECT doc_id, simhash, simhash >> {_SIMHASH_BITS - _SIMHASH_PREFIX} AS block
+  FROM sim
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+# --- embedding-cosine near-duplicates ----------------------------------------
+
+_NEAR_DUP_PLANES = 4
+_NEAR_DUP_THRESHOLD = 0.35
+_EMB_DIM = 64
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH bucket self-join + exact
+    cosine verify (threshold tuned to the synthetic fixture's
+    similarity range)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        emb, num_planes=_NEAR_DUP_PLANES, threshold=_NEAR_DUP_THRESHOLD
+    )
+
+
+def _bucket_sql(num_planes: int, vec_expr: str) -> str:
+    planes = similarity.hyperplane_coefficients(num_planes, _EMB_DIM)
+    terms = []
+    for p, coefs in enumerate(planes):
+        lits = ", ".join(repr(c) for c in coefs)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], [{lits}]::DOUBLE[]) >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+_COS_AB = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_sql(_NEAR_DUP_PLANES, "embedding")} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_COS_AB}, 6) AS cosine_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({_COS_AB}, 6) >= {_NEAR_DUP_THRESHOLD}
+"""
+
+
+# --- LSH-probed approximate top-k --------------------------------------------
+
+_LSH_TOPK_PLANES = 6
+_LSH_TOPK_K = 15
+_LSH_PROBE_HAMMING = 2
+
+
+def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k neighbours of vec_id=0: probe only buckets
+    within Hamming distance 2 of the query's bucket."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.lsh_topk(
+        emb,
+        qvec,
+        k=_LSH_TOPK_K,
+        num_planes=_LSH_TOPK_PLANES,
+        probe_hamming=_LSH_PROBE_HAMMING,
+    )
+
+
+_COS_EQ = (
+    "list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))"
+)
+
+LSH_TOPK_SQL = f"""
+WITH q AS (
+  SELECT embedding AS qv, {_bucket_sql(_LSH_TOPK_PLANES, "embedding")} AS qbucket
+  FROM embeddings WHERE vec_id = 0
+),
+bucketed AS (
+  SELECT vec_id, embedding, {_bucket_sql(_LSH_TOPK_PLANES, "embedding")} AS bucket
+  FROM embeddings
+)
+SELECT e.vec_id, e.bucket, ROUND({_COS_EQ}, 6) AS cosine_sim
+FROM bucketed e, q
+WHERE bit_count(xor(e.bucket, q.qbucket)) <= {_LSH_PROBE_HAMMING}
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT {_LSH_TOPK_K}
+"""
+
+
+# --- IVF (seed coarse quantizer) ---------------------------------------------
+
+_IVF_K_CENTROIDS = 8
+_IVF_NPROBE = 2
+_IVF_TOPK = 15
+
+
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with a seed quantizer (centroids = the 8 lowest-id
+    vectors, i.e. kmeans_fit iters=0): assign every vector to its
+    nearest centroid, probe the query's 2 nearest cells only.
+
+    The Lloyd-iterated quantizer (llm/similarity.py:kmeans_fit) is
+    exercised in tests/test_llm.py; the seed variant keeps the oracle
+    SQL-expressible so the driver hash-checks the IVF plumbing.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = emb.orderBy("vec_id").limit(_IVF_K_CENTROIDS).collect()
+    centroids = [[float(v) for v in r["embedding"]] for r in seeds]
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_topk(
+        emb, qvec, centroids, k=_IVF_TOPK, nprobe=_IVF_NPROBE
+    )
+
+
+IVF_TOPK_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < {_IVF_K_CENTROIDS}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT e.vec_id, e.embedding, s.c,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY list_distance(e.embedding::DOUBLE[], s.cv::DOUBLE[]), s.c
+    ) AS rn
+  FROM embeddings e, seeds s
+),
+probe AS (
+  SELECT s.c FROM seeds s, q
+  ORDER BY list_distance(s.cv::DOUBLE[], q.qv::DOUBLE[]), s.c
+  LIMIT {_IVF_NPROBE}
+)
+SELECT e.vec_id, e.c AS cluster, ROUND({_COS_EQ}, 6) AS cosine_sim
+FROM assign e JOIN probe p ON e.c = p.c, q
+WHERE e.rn = 1
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT {_IVF_TOPK}
+"""
+
+
+QUERIES["simhash_documents"] = simhash_documents
+ORACLES["simhash_documents"] = SIMHASH_SQL
+QUERIES["simhash_pairs_documents"] = simhash_pairs_documents
+ORACLES["simhash_pairs_documents"] = SIMHASH_PAIRS_SQL
+QUERIES["embedding_near_dups"] = embedding_near_dups
+ORACLES["embedding_near_dups"] = EMBEDDING_NEAR_DUP_SQL
+QUERIES["lsh_topk_embeddings"] = lsh_topk_embeddings
+ORACLES["lsh_topk_embeddings"] = LSH_TOPK_SQL
+QUERIES["ivf_topk_embeddings"] = ivf_topk_embeddings
+ORACLES["ivf_topk_embeddings"] = IVF_TOPK_SQL
