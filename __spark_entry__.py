@@ -12,7 +12,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nasa_asteroid_data_lakehouse_spark.plans import analytics_queries, llm_queries, operator_queries
+from nasa_asteroid_data_lakehouse_spark.plans import (
+    analytics_queries,
+    llm_queries,
+    operator_queries,
+    tpch_queries,
+)
 from nasa_asteroid_data_lakehouse_spark.plans import queries as plans
 
 SF0001 = "/root/testdata/sf0.001"
@@ -33,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(operator_queries.QUERIES)
     out.update(llm_queries.QUERIES)
     out.update(analytics_queries.QUERIES)
+    out.update(tpch_queries.QUERIES)
     return out
 
 
@@ -46,4 +52,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(operator_queries.ORACLES)
     out.update(llm_queries.ORACLES)
     out.update(analytics_queries.ORACLES)
+    out.update(tpch_queries.ORACLES)
     return out

@@ -1,0 +1,502 @@
+"""TPC-H breadth suite, adapted to the driver's reduced fixture schema.
+
+The reference implements no analytical queries at all (SURVEY.md §2.D:
+no groupBy/agg, §2.C: no joins); its gold star schema merely *implies*
+them.  This module supplies the canonical decision-support patterns —
+single-scan filtered aggregation, multi-way broadcast star joins,
+EXISTS / NOT-EXISTS correlated subqueries, group-having semi-joins,
+OR-of-conjunction predicate pushdown, and scalar-subquery filters —
+each hash-checked against DuckDB.
+
+Adaptations (the fixtures carry a trimmed TPC-H schema, TESTDATA.md):
+* no l_shipmode/l_commitdate → Q4/Q12 lateness is ``l_shipdate >
+  o_orderdate + 60 days``; Q12 buckets by o_orderpriority urgency.
+* no p_container → Q19 predicates use brand × size × quantity only.
+* no c_phone → Q22 groups idle high-balance customers by nation.
+
+Scale notes: every dimension side is ``broadcast()`` (region, nation,
+part, supplier, customer at sf≤1 scale factors; at 100 TB customer
+joins flip to shuffle joins automatically when they exceed the AQE
+broadcast threshold — the declarative plan does not change).  Filters
+are applied before joins so parquet scans receive pushed predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --- Q4: order priority checking (EXISTS semi-join) --------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in 1997Q1 with at least one line shipped >60 days after
+    the order date, counted by priority.  EXISTS → LEFT SEMI join on
+    the fact key; the lineitem scan receives no filter but the join is
+    key-local after the orders filter prunes the build side."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    late = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- Q6: forecast revenue change (single-scan filtered agg) ------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-filter-aggregate: all three predicates push to the
+    parquet reader; no shuffle beyond the single-row final agg."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- Q7: volume shipping between two nations ---------------------------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flow between NATION_1 and NATION_2 (both directions) by
+    ship year.  Supplier→nation and customer→nation are broadcast; the
+    lineitem↔orders join is the only fact-fact shuffle."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        lineitem.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# --- Q8: market share ---------------------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's share of PROMO-part revenue sold into EUROPE, by
+    order year.  Conditional aggregation over a 6-table star join;
+    every dimension broadcast."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    euro_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    promo = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            _t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(broadcast(euro_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       ROUND(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_type = 'PROMO'
+  AND o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region ON nc.n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --- Q10: returned item reporting --------------------------------------------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by lost revenue from returned ('R') lines in
+    1997H1.  TakeOrderedAndProject caps the sort at k rows."""
+    returned = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- Q12: late-shipping priority mix (conditional counts) --------------------
+
+
+def q12_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For lines shipped >60 days after the order date in 1997, count
+    urgent (1/2) vs other priorities by order status — the Q12
+    pattern with o_orderstatus standing in for l_shipmode."""
+    lineitem = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q12_SQL = """
+SELECT o_orderstatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --- Q14: promotion effect ----------------------------------------------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent of one month's revenue from PROMO-type parts.
+    Broadcast part join + conditional aggregation into one scalar."""
+    lineitem = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+# --- Q18: large-volume customers (group-having semi-join) --------------------
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 250, with their customers.
+    The HAVING pre-aggregation shrinks the fact side before any join —
+    at 100 TB this is the difference between joining 60 B rows and
+    joining the handful of jumbo orders."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(total_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 250
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+# --- Q19: discounted revenue (OR-of-conjunctions pushdown) -------------------
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three brand × size × quantity bands.  The OR of
+    conjunctions is declared once; Catalyst extracts the common
+    p_partkey join and pushes brand/size to the part scan."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    bands = (
+        ((brand == "Brand#11") & size.between(1, 15) & qty.between(1, 21))
+        | ((brand == "Brand#12") & size.between(1, 25) & qty.between(10, 30))
+        | ((brand == "Brand#13") & size.between(1, 35) & qty.between(20, 40))
+    )
+    return (
+        lineitem.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(bands)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# --- Q22: idle high-balance customers (scalar subquery + anti-join) ----------
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and no orders
+    since 2000, by nation.  The average is a broadcast scalar; the
+    NOT-EXISTS is a left-anti join against the filtered orders."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+Q22_SQL = """
+SELECT n_name AS nation, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q10_returned_items": q10_returned_items,
+    "q12_late_shipping": q12_late_shipping,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q22_idle_customers": q22_idle_customers,
+}
+
+ORACLES = {
+    "q4_order_priority": Q4_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q12_late_shipping": Q12_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q18_large_orders": Q18_SQL,
+    "q19_discounted_revenue": Q19_SQL,
+    "q22_idle_customers": Q22_SQL,
+}
