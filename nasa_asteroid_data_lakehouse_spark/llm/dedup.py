@@ -26,6 +26,19 @@ from pyspark.sql import functions as F
 from nasa_asteroid_data_lakehouse_spark.llm.text import normalized_text, tokens
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The hash-heavy operators below (md5 per shingle/token) are
+    CPU-bound projections; when the input arrives as a handful of
+    small parquet splits (one file ⇒ one task), the whole fold runs on
+    one core.  A cheap repartition of the raw text rows spreads it
+    across the cluster; on inputs that are already well-partitioned
+    (files ≫ cores, the 100 TB case) the exchange is noise.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # --- exact ------------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -158,8 +171,15 @@ def lsh_near_dup_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = word_shingles(text_col, shingle_k)
-    base = df.select(F.col(id_col).alias("doc"), sh.alias("sh")).withColumn(
-        "sig", minhash_signature(F.col("sh"), num_hashes)
+    # Checkpoint (doc, shingles, signature): the plan references it three
+    # times (banding, and both sides of the verify join-back) and the
+    # md5-per-shingle signature fold is the expensive part — recomputing
+    # it 3x measured ~3x slower at sf0.1.
+    base = (
+        _fan_out(df.select(F.col(id_col).alias("doc"), text_col))
+        .select("doc", sh.alias("sh"))
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        .localCheckpoint(eager=False)
     )
 
     band_entries = base.select(
@@ -248,7 +268,9 @@ def ngram_jaccard_pairs(
         raise ValueError("threshold must be > 0 (disjoint pairs are never emitted)")
     groups = list(group_cols or [])
     sh = word_shingles(text_col, shingle_k)
-    base = df.select(*groups, F.col(id_col).alias("doc"), sh.alias("sh"))
+    base = _fan_out(df.select(*groups, F.col(id_col).alias("doc"), text_col)).select(
+        *groups, "doc", sh.alias("sh")
+    )
     sizes = base.select(*groups, "doc", F.size("sh").alias("sz"))
     exploded = base.select(*groups, "doc", F.explode("sh").alias("shingle"))
 
@@ -346,9 +368,11 @@ def simhash_by_key(
     projection form for keyless frames.
     """
     toks = F.array_distinct(tokens(normalized_text(text_col)))
-    exploded = df.select(
-        F.col(key_col).alias("__k"), F.explode(toks).alias("__t")
-    ).withColumn("__h", _token_hash60(F.col("__t")))
+    exploded = (
+        _fan_out(df.select(F.col(key_col).alias("__k"), text_col))
+        .select("__k", F.explode(toks).alias("__t"))
+        .withColumn("__h", _token_hash60(F.col("__t")))
+    )
     counts = exploded.groupBy("__k").agg(
         F.count(F.lit(1)).alias("__n"),
         *[

@@ -629,3 +629,83 @@ QUERIES["lsh_topk_embeddings"] = lsh_topk_embeddings
 ORACLES["lsh_topk_embeddings"] = LSH_TOPK_SQL
 QUERIES["ivf_topk_embeddings"] = ivf_topk_embeddings
 ORACLES["ivf_topk_embeddings"] = IVF_TOPK_SQL
+
+
+# --- MinHash-LSH banded near-dup pairs ---------------------------------------
+
+_LSHMH_K = 2        # shingle size (words)
+_LSHMH_N = 8        # minhash signature length
+_LSHMH_BANDS = 4    # bands of N/BANDS rows each
+_LSHMH_THRESHOLD = 0.05
+_LSHMH_MAX_BUCKET = 1000
+
+
+def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical shingle → minhash → band → bucket-join dedup:
+    LSH candidate generation with exact-Jaccard verification
+    (llm/dedup.py:lsh_near_dup_pairs)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.lsh_near_dup_pairs(
+        docs,
+        "doc_id",
+        num_hashes=_LSHMH_N,
+        bands=_LSHMH_BANDS,
+        shingle_k=_LSHMH_K,
+        jaccard_threshold=_LSHMH_THRESHOLD,
+        max_bucket=_LSHMH_MAX_BUCKET,
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    coeffs = dedup._minhash_coeffs(_LSHMH_N)
+    sig = ", ".join(
+        f"list_min(list_transform(bh, h -> ({a} * h + {b}) % {dedup.MINHASH_PRIME}))"
+        for a, b in coeffs
+    )
+    rpb = _LSHMH_N // _LSHMH_BANDS
+    k = _LSHMH_K
+    return rf"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {k}
+         THEN list_distinct(list_transform(range(1, len(words) - {k - 2}),
+                            j -> array_to_string(words[j:j+{k - 1}], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents)
+),
+sig AS (
+  SELECT doc_id, shingles, [{sig}] AS s
+  FROM (SELECT doc_id, shingles,
+          list_transform(shingles, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS bh
+        FROM sh)
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(s[b*{rpb}+1:b*{rpb}+{rpb}], ',')) AS bucket
+  FROM sig, (SELECT unnest(range({_LSHMH_BANDS})) AS b)
+),
+bounded AS (
+  SELECT doc_id, b, bucket FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= {_LSHMH_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bounded a JOIN bounded c
+    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b,
+  ROUND(len(list_intersect(x.shingles, y.shingles))
+        / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+FROM cand
+JOIN sig x ON x.doc_id = id_a
+JOIN sig y ON y.doc_id = id_b
+WHERE ROUND(len(list_intersect(x.shingles, y.shingles))
+            / len(list_distinct(list_concat(x.shingles, y.shingles))), 6)
+      >= {_LSHMH_THRESHOLD}
+"""
+
+
+MINHASH_LSH_SQL = _minhash_lsh_sql()
+
+QUERIES["minhash_lsh_pairs_documents"] = minhash_lsh_pairs_documents
+ORACLES["minhash_lsh_pairs_documents"] = MINHASH_LSH_SQL
