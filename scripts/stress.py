@@ -109,6 +109,53 @@ def main():
         results,
     )
 
+    timed(
+        "simhash_1m",
+        ldedup.simhash_by_key(docs, "doc_id"),
+        results,
+    )
+    # Banded MinHash-LSH near-dup pairs: candidate generation is a
+    # band-hash equi-join, verify is exact Jaccard — the full pipeline
+    # at 1/5 the doc count (pair output is data-dependent).
+    timed(
+        "minhash_lsh_pairs_200k",
+        ldedup.lsh_near_dup_pairs(
+            docs.limit(n_docs // 5),
+            "doc_id",
+            num_hashes=8,
+            bands=4,
+            shingle_k=2,
+            jaccard_threshold=0.5,
+        ),
+        results,
+    )
+
+    # Embedding ops on synthetic 64-dim vectors (distributed generation).
+    from nasa_asteroid_data_lakehouse_spark.llm import similarity as lsim
+
+    n_vecs = max(n_docs // 10, 1000)
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 2000) - 1000) / 1000.0,
+        ).alias("embedding"),
+    )
+    timed(
+        "lsh_bucket_100k_vecs",
+        lsim.with_lsh_bucket(vecs, num_planes=8, dim=64),
+        results,
+    )
+    centroids = [
+        [((h * 2654435761 + d) % 2000 - 1000) / 1000.0 for d in range(64)]
+        for h in range(8)
+    ]
+    timed(
+        "ivf_assign_100k_vecs",
+        lsim.with_ivf_assignment(vecs, centroids),
+        results,
+    )
+
     print(json.dumps({"metric": "stress", "rows_facts": n_facts, "rows_docs": n_docs, "sec": results}))
     spark.stop()
 
