@@ -475,28 +475,451 @@ ORDER BY 1
 """
 
 
+# --- Q2: minimum-cost supplier (correlated MIN subquery) ---------------------
+#
+# The fixtures carry no partsupp table; the (part, supplier) supply
+# relation is derived from lineitem with unit cost
+# MIN(l_extendedprice / l_quantity) — deterministic across engines
+# because MIN (unlike SUM) is aggregation-order-invariant on doubles.
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For STANDARD size-15 parts, the cheapest EUROPE supplier(s).
+    The correlated `= (SELECT MIN ...)` becomes a per-part window MIN
+    over the already-joined eligible rows — one shuffle on l_partkey
+    instead of a second scan + rejoin of the subquery."""
+    from pyspark.sql import Window
+
+    cost = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    parts = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "nation", "p_partkey", "p_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2),
+eligible AS (
+  SELECT c.l_partkey, c.unit_cost, s_name, s_acctbal, n_name
+  FROM cost c
+  JOIN supplier ON c.l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name,
+       ROUND(e.unit_cost, 4) AS unit_cost
+FROM part
+JOIN eligible e ON p_partkey = e.l_partkey
+WHERE p_size = 15 AND p_type = 'STANDARD'
+  AND e.unit_cost = (SELECT MIN(unit_cost) FROM eligible e2
+                     WHERE e2.l_partkey = p_partkey)
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --- Q11: important stock identification (HAVING over scalar subquery) -------
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose NATION_1-supplied value exceeds 0.1% of the total.
+    The filtered fact is computed once and reused for both the per-part
+    sums and the grand-total scalar (broadcast as a 1-row cross join)."""
+    nat1_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            broadcast(
+                _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(nat1_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    total = li.agg((F.sum("l_extendedprice") * 0.001).alias("threshold"))
+    return (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum("l_extendedprice").alias("_raw_value"),
+        )
+        .crossJoin(broadcast(total))
+        .where(F.col("_raw_value") > F.col("threshold"))
+        .select("partkey", F.round("_raw_value", 2).alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+Q11_SQL = """
+SELECT l_partkey AS partkey, ROUND(SUM(l_extendedprice), 2) AS value
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_1')
+GROUP BY 1
+HAVING SUM(l_extendedprice) > (
+  SELECT SUM(l_extendedprice) * 0.001 FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_1'))
+ORDER BY value DESC, partkey
+"""
+
+
+# --- Q13: customer order-count distribution (outer join + double agg) --------
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-customer order counts (zero-order customers
+    included via the left outer join).  The non-equi part of the join
+    condition (priority exclusion) stays in the join, not a post-filter,
+    so null-extension semantics match canonical Q13."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- Q15: top supplier (MAX scalar over a derived view) ----------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum 1997Q1 revenue.  Revenue is rounded
+    to cents *before* the MAX comparison so the equality predicate is
+    FP-stable across engines; the revenue view is computed once and
+    reused for the scalar (Spark reuses the shuffle via AQE)."""
+    revenue = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- Q16: parts/supplier relationship (NOT IN + COUNT DISTINCT) --------------
+
+
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier counts per (brand, type, size) over the
+    lineitem-derived supply relation, excluding one brand, one type
+    band, and negative-balance suppliers (the fixtures' stand-in for
+    the 'customer complaints' comment filter).  NOT IN → left anti."""
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#15")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#15'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- Q17: small-quantity-order revenue (correlated AVG subquery) -------------
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if Brand#13 orders below 20% of the
+    part's mean quantity were not taken.  The per-part correlated AVG
+    becomes one grouped aggregate on the brand-restricted lineitem
+    (semi-joined first, so the threshold pass scans only brand parts);
+    the threshold is rounded in both engines for FP-stable comparison."""
+    brand_parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.round(F.avg("l_quantity") * 0.2, 4).alias("qty_threshold")
+    )
+    return (
+        li.join(broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT ROUND(0.2 * AVG(l_quantity), 4)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+# --- Q20: potential part promotion (nested semi-join chain) ------------------
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_2 suppliers that moved >50 units of any 'red' part in
+    1997.  The grouped HAVING subquery reduces to a (suppkey, partkey)
+    aggregate; the IN becomes a left-semi join — no row multiplication
+    at any step."""
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    movers = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    nat2 = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(broadcast(nat2), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(l_quantity) > 50)
+ORDER BY s_name
+"""
+
+
+# --- Q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS) ------------
+#
+# The fixtures carry no l_commitdate/l_receiptdate; "late" is
+# l_shipdate > o_orderdate + 90 days (same adaptation as Q4/Q12).
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers that were the *sole* late shipper on a multi-supplier
+    finished order.  The EXISTS/NOT-EXISTS pair over lineitem self-joins
+    is computed as one per-order aggregate (distinct suppliers, distinct
+    late suppliers) — one shuffle replaces two correlated self-joins,
+    which at 100 TB is the difference between 1 and 3 fact shuffles."""
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        )
+    )
+    ostats = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.where(F.col("is_late"))
+        .join(
+            ostats.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            F.col("l_orderkey") == F.col("g_orderkey"),
+        )
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
+    "q11_important_stock": q11_important_stock,
     "q12_late_shipping": q12_late_shipping,
+    "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_parts_supplier": q16_parts_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_discounted_revenue": q19_discounted_revenue,
+    "q20_potential_promotion": q20_potential_promotion,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_idle_customers": q22_idle_customers,
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": Q2_SQL,
     "q4_order_priority": Q4_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
     "q10_returned_items": Q10_SQL,
+    "q11_important_stock": Q11_SQL,
     "q12_late_shipping": Q12_SQL,
+    "q13_customer_distribution": Q13_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_parts_supplier": Q16_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
     "q18_large_orders": Q18_SQL,
     "q19_discounted_revenue": Q19_SQL,
+    "q20_potential_promotion": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
     "q22_idle_customers": Q22_SQL,
 }
