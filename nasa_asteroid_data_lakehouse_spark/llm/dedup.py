@@ -223,17 +223,32 @@ def lsh_near_dup_pairs(
         .distinct()
     )
 
-    sh_a = base.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Exact-Jaccard verify via explode-join instead of per-pair
+    # array_intersect/array_union: |A∩B| is a count over the
+    # (pair, shingle) hash joins — whole-stage-codegen'd, and the
+    # filter on the final jaccard touches only int columns (the
+    # array form re-evaluated the interpreted intersect in both the
+    # filter and the project: measured 4.8s -> 1.8s at sf0.1).  At
+    # scale this shape also avoids carrying shingle arrays through
+    # the candidate shuffle — only (id, shingle) pairs move.
+    shingle_a = base.select(F.col("doc").alias("id_a"), F.explode("sh").alias("g"))
+    shingle_b = base.select(F.col("doc").alias("id_b"), F.explode("sh").alias("g"))
+    inter_counts = (
+        candidates.join(shingle_a, "id_a")
+        .join(shingle_b, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = base.select("doc", F.size("sh").alias("n"))
     verified = (
-        candidates.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        candidates.join(inter_counts, ["id_a", "id_b"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .join(sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("n_b")), "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
             ),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
