@@ -118,6 +118,54 @@ def extract_byte_features(
     return df.select(id_col, payload_col).mapInPandas(feature_batches, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, height int, width int, pixels binary"
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    height: int = 8,
+    width: int = 8,
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+) -> DataFrame:
+    """Decode + nearest-neighbor resize to (height, width), Arrow-batched.
+
+    The resize math (index-space nearest-neighbor sampling, vectorized
+    numpy) is real; the codec is injected like :func:`decode_image`.
+    With no decoder, payload bytes are interpreted as a square grayscale
+    image (deterministic fake) so the full Spark path — schema, batch
+    shape, output binary — is exercised in tests without PIL/cv2.
+    """
+
+    def fake_decode(payload: bytes) -> np.ndarray:
+        arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+        side = max(int(np.sqrt(arr.size)), 1)
+        return arr[: side * side].reshape(side, side)
+
+    dec = decoder or fake_decode
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, out = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = np.asarray(dec(payload))
+                if img.ndim == 3:  # HxWxC -> grayscale mean for the fake path
+                    img = img.mean(axis=2).astype(np.uint8)
+                rows = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
+                cols = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)
+                small = img[np.ix_(rows, cols)].astype(np.uint8)
+                ids.append(doc_id)
+                hs.append(height)
+                ws.append(width)
+                out.append(small.tobytes())
+            yield pd.DataFrame(
+                {"doc_id": ids, "height": hs, "width": ws, "pixels": out}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",

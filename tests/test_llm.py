@@ -163,6 +163,26 @@ def test_sample_frames(spark, docs):
     assert frames[0]["frame_bytes"] == b"The quic"
 
 
+def test_resize_images(spark, docs):
+    payloads = multimodal.with_binary_payload(docs.where(F.col("doc_id") <= 2), "text")
+    out = {r["doc_id"]: r for r in multimodal.resize_images(payloads, height=4, width=4).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert (r["height"], r["width"]) == (4, 4)
+        assert len(r["pixels"]) == 16
+    # deterministic fake decode: same input -> same pixels
+    again = {r["doc_id"]: r["pixels"] for r in multimodal.resize_images(payloads, height=4, width=4).collect()}
+    assert {k: v["pixels"] for k, v in out.items()} == again
+    # injected decoder wins over the fake path
+    import numpy as np
+
+    custom = multimodal.resize_images(
+        payloads, height=2, width=2,
+        decoder=lambda b: np.full((10, 10), 7, dtype=np.uint8),
+    ).collect()
+    assert all(r["pixels"] == bytes([7] * 4) for r in custom)
+
+
 def test_kmeans_ivf(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids = similarity.kmeans_fit(emb, k=4, iters=3)
