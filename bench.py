@@ -44,6 +44,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        # Release block-manager memory held by earlier queries'
+        # localCheckpoints before timing (ContextCleaner only frees
+        # them on JVM GC, and mid-run GC pauses otherwise land on
+        # whichever query happens to trigger them).
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         run(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
