@@ -174,8 +174,17 @@ def embedding_near_dup_pairs(
                 dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
                 round_to,
             ).alias("cosine_sim"),
+            # Pushdown barrier: predicate pushdown only crosses fully
+            # deterministic projections, so this column pins the
+            # threshold filter ABOVE the projection — the dot-product
+            # fold evaluates once per pair instead of once in the
+            # pushed filter and again in the project (Catalyst has no
+            # CSE across a pushed predicate and a project; measured
+            # 1.5x on the verify at sf0.1).
+            F.monotonically_increasing_id().alias("__barrier"),
         )
         .where(F.col("cosine_sim") >= threshold)
+        .drop("__barrier")
     )
 
 
