@@ -108,3 +108,46 @@ def test_catalog_views_and_sql(spark):
     assert len(out) == 5
     assert sum(r["n"] for r in out) == 25
     assert cat.table("customer").count() == 150
+
+
+# --- incremental file-listing source -----------------------------------------
+
+
+def test_incremental_source(spark, tmp_path):
+    from nasa_asteroid_data_lakehouse_spark.sources import incremental
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    manifest = str(tmp_path / "manifest.json")
+
+    spark.range(0, 5).write.mode("overwrite").parquet(str(raw / "batch1"))
+
+    # first run sees everything
+    df, files = incremental.read_incremental(spark, str(raw), manifest)
+    assert df is not None and df.count() == 5
+    assert len(files) >= 1
+
+    # not committed -> same batch again (at-least-once across crashes)
+    df2, files2 = incremental.read_incremental(spark, str(raw), manifest)
+    assert files2 == files
+
+    incremental.commit_files(manifest, files)
+    df3, files3 = incremental.read_incremental(spark, str(raw), manifest)
+    assert df3 is None and files3 == []
+
+    # new files arrive -> only they are read
+    spark.range(100, 103).write.mode("overwrite").parquet(str(raw / "batch2"))
+    df4, files4 = incremental.read_incremental(spark, str(raw), manifest)
+    assert df4 is not None
+    assert sorted(r["id"] for r in df4.collect()) == [100, 101, 102]
+    assert all("batch2" in f for f in files4)
+    incremental.commit_files(manifest, files4)
+
+    # immutability contract: mutating a committed file raises
+    committed = files4[0]
+    with open(committed, "ab") as f:
+        f.write(b"junk")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutated"):
+        incremental.discover_new_files(str(raw), manifest)
