@@ -151,3 +151,40 @@ def test_incremental_source(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="mutated"):
         incremental.discover_new_files(str(raw), manifest)
+
+
+def test_write_clustered_enables_skipping(spark, tmp_path):
+    from nasa_asteroid_data_lakehouse_spark.sources.writers import write_clustered
+
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    path = str(tmp_path / "li_clustered")
+    write_clustered(lineitem, path, ["l_shipdate"], num_files=8)
+
+    out = spark.read.parquet(path)
+    assert out.count() == lineitem.count()
+
+    # footer stats: each file covers a narrow range; a selective
+    # predicate overlaps few of them
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.read_metadata(f)
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    # near-disjoint: sorted by min, each file's min >= previous file's max
+    # (range partitioning may split a boundary value across two files)
+    ranges.sort()
+    overlaps = sum(1 for (a, b) in zip(ranges, ranges[1:]) if b[0] < a[1])
+    assert overlaps <= 1, f"files overlap too much: {ranges}"
