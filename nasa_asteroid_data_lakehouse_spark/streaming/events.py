@@ -201,6 +201,59 @@ def sessionize(
     )
 
 
+def running_totals(events: DataFrame) -> DataFrame:
+    """Per-user lifetime running totals via ``transformWithStateInPandas``
+    (the Spark 4 arbitrary-state API — typed state handles + timers —
+    successor to ``applyInPandasWithState``, which :func:`sessionize`
+    demonstrates).  A ``ValueState`` of (n_events, total_value) survives
+    across micro-batches; Update mode emits the refreshed totals for
+    every user seen in the batch.
+
+    State is per-key and O(1) per user — at 100 TB the state store
+    shards by the groupBy key across executors (RocksDB-backed in
+    production configs), so lifetime aggregates never rescan history,
+    which is the entire point vs. a batch groupBy over the full log.
+
+    Runtime requirements (enforced by Spark at stream start, not here):
+    the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package for the Python<->JVM state protocol.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events bigint, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            total = round(total, 6)
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_stream_to_table(
     spark: SparkSession,
     source_dir: str,

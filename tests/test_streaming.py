@@ -123,3 +123,55 @@ def test_sessionize_stateful(spark, tmp_path):
     assert row["n_events"] == 2
     assert str(row["session_start"]) == "2024-01-01 10:00:00"
     assert str(row["session_end"]) == "2024-01-01 10:05:00"
+
+
+def test_running_totals_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas: ValueState accumulates across
+    micro-batches; the last Update-mode emission per user equals the
+    batch groupBy over the whole log.
+
+    Skipped where protobuf is absent: Spark's transformWithState state
+    protocol imports google.protobuf in the Python driver worker at
+    stream start (pyspark/sql/streaming/proto/StateMessage_pb2.py).
+    """
+    pytest.importorskip("google.protobuf")
+    import datetime
+    import time
+
+    src = str(tmp_path / "tws_src")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t0, uid, "click", v, "{}") for i, uid, v in rows],
+            schema=se.EVENTS_SCHEMA,
+        )
+
+    mk([(1, 7, 1.0), (2, 7, 2.0), (3, 8, 5.0)]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    mk([(4, 7, 3.0)]).coalesce(1).write.mode("append").parquet(src)
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = se.read_event_stream(spark, src, max_files_per_trigger=1)
+    totals = se.running_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("tws_totals")
+        .option("checkpointLocation", str(tmp_path / "cp_tws"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.sql("select * from tws_totals").collect()
+    # Update mode emits one row per (batch, user); keep each user's last
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[7] == (3, 6.0)
+    assert final[8] == (1, 5.0)
