@@ -21,6 +21,8 @@ Two paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -49,17 +51,43 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    backend: str = "sql",
 ) -> DataFrame:
     """Exact top-k by cosine similarity against a constant query vector.
 
     Plans as scan -> projection -> TakeOrderedAndProject: each partition
     keeps its local k, the driver merges — no global sort, no shuffle.
+
+    ``backend="sql"`` scores with JVM array algebra — fully portable,
+    bit-identical to the DuckDB oracle (sequential fold, HALF_UP round).
+    ``backend="arrow"`` scores in a vectorized pandas UDF — one BLAS
+    matrix-vector product per Arrow batch: ~2x the throughput at
+    100k vectors of dim 64 (scripts/stress.py), widening with
+    dimension since the JVM fold is O(d) interpreted per row while the
+    matvec is one BLAS call per batch.  Rounding is numpy's
+    half-to-even, so use it for serving, not oracle diffs.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = df.select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), round_to).alias("cosine_sim"),
-    )
+    if backend == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        qv = np.asarray(query_vec, dtype=np.float64)
+        qn = float(np.sqrt((qv * qv).sum()))
+
+        @pandas_udf("double")
+        def cos_arrow(v: pd.Series) -> pd.Series:
+            m = np.stack(v.to_numpy()).astype(np.float64)
+            sims = (m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            return pd.Series(np.round(sims, round_to))
+
+        scored = df.select(
+            F.col(id_col), cos_arrow(F.col(vec_col)).alias("cosine_sim")
+        )
+    else:
+        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        scored = df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), round_to).alias("cosine_sim"),
+        )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 

@@ -155,6 +155,17 @@ def main():
         lsim.with_ivf_assignment(vecs, centroids),
         results,
     )
+    qvec = [((7 * 2654435761 + d) % 2000 - 1000) / 1000.0 for d in range(64)]
+    timed(
+        "cosine_topk_100k_vecs_sql",
+        lsim.cosine_topk(vecs, qvec, k=10, backend="sql"),
+        results,
+    )
+    timed(
+        "cosine_topk_100k_vecs_arrow",
+        lsim.cosine_topk(vecs, qvec, k=10, backend="arrow"),
+        results,
+    )
 
     print(json.dumps({"metric": "stress", "rows_facts": n_facts, "rows_docs": n_docs, "sec": results}))
     spark.stop()

@@ -215,3 +215,14 @@ def test_stratified_sample(spark, sf_dir):
     # deterministic for fixed seed + layout
     again = text.stratified_sample(docs, "lang", fractions)
     assert sorted(r["doc_id"] for r in sampled.collect()) == sorted(r["doc_id"] for r in again.collect())
+
+
+def test_cosine_topk_arrow_backend_agrees(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    sql_rows = similarity.cosine_topk(emb, query, k=10, backend="sql").collect()
+    arw_rows = similarity.cosine_topk(emb, query, k=10, backend="arrow").collect()
+    assert [r["vec_id"] for r in sql_rows] == [r["vec_id"] for r in arw_rows]
+    for a, b in zip(sql_rows, arw_rows):
+        # same math, different round-half rule (HALF_UP vs half-to-even)
+        assert abs(a["cosine_sim"] - b["cosine_sim"]) < 1e-6
