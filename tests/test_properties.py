@@ -99,3 +99,31 @@ def test_minhash_identical_texts_identical_signatures(sp, texts):
     }
     for i in range(len(texts)):
         assert sigs[i] == sigs[100 + i]
+
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=1,
+    max_size=10,
+)
+DOCSETS = st.lists(WORDS, min_size=2, max_size=8)
+
+
+@given(docsets=DOCSETS)
+@SLOW
+def test_lsh_pairs_subset_of_exact_jaccard(sp, docsets):
+    """Soundness of LSH candidate generation: every (id_a, id_b,
+    jaccard) the banded-MinHash pipeline emits must appear in the
+    brute-force n-gram Jaccard pairs with the SAME score (LSH may miss
+    pairs — that's recall — but must never invent or mis-score one)."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docsets)]
+    df = sp.createDataFrame(rows, ["doc_id", "text"])
+    lsh = ldedup.lsh_near_dup_pairs(
+        df, "doc_id", num_hashes=8, bands=4, shingle_k=2, jaccard_threshold=0.1
+    ).collect()
+    exact = ldedup.ngram_jaccard_pairs(df, "doc_id", shingle_k=2, threshold=1e-9).collect()
+    exact_scores = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact}
+    for r in lsh:
+        key = (r["id_a"], r["id_b"])
+        assert key in exact_scores, f"LSH invented pair {key}"
+        assert r["jaccard"] == pytest.approx(exact_scores[key], abs=1e-9)
