@@ -514,7 +514,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("unit_cost") == F.col("min_cost"))
         .select(
             "s_acctbal", "s_name", "nation", "p_partkey", "p_name",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            # raw double, deliberately un-rounded: the quotient and MIN
+            # are single IEEE operations, bit-identical across engines,
+            # while ROUND-of-a-quotient is not (Spark rounds the
+            # shortest-decimal form HALF_UP, DuckDB scales-and-rounds —
+            # they disagree on ties like 26.24125; seen at sf0.001)
+            "unit_cost",
         )
         .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
         .limit(100)
@@ -533,7 +538,7 @@ eligible AS (
   JOIN region ON n_regionkey = r_regionkey
   WHERE r_name = 'EUROPE')
 SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name,
-       ROUND(e.unit_cost, 4) AS unit_cost
+       e.unit_cost
 FROM part
 JOIN eligible e ON p_partkey = e.l_partkey
 WHERE p_size = 15 AND p_type = 'STANDARD'
