@@ -1,0 +1,80 @@
+"""Time-series resample + gap-fill (net-new surface; the reference's
+only time axis is the daily batch partition, SURVEY.md §2.I).
+
+``resample``: truncate event time to a fixed interval and aggregate —
+one shuffle on (keys, bucket), partial aggregation map-side.
+
+``fill_gaps``: materialize the complete per-key time grid with
+``sequence`` + ``explode``, left-join the resampled actuals, and
+forward-fill missing buckets with a running ``last(ignorenulls)``
+window.  Row count becomes keys × buckets regardless of sparsity —
+which is the point: downstream consumers (charting, change detection,
+training windows) need a dense axis.
+
+At 100 TB: the grid explode is O(keys × buckets) rows but only 3
+columns wide; the forward-fill window shuffles once on the key.  For
+very long ranges, bound the grid (``max_buckets`` guard) — a runaway
+``sequence`` from a corrupt min/max is the classic OOM here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TRUNC = {"1 hour": "hour", "1 day": "day", "1 week": "week", "1 month": "month"}
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    aggs: list[Column],
+    interval: str = "1 hour",
+) -> DataFrame:
+    """Aggregate into fixed time buckets: one row per (keys, bucket)."""
+    bucket = F.date_trunc(_TRUNC[interval], F.col(ts_col)).alias("bucket_ts")
+    return df.groupBy(*keys, bucket).agg(*aggs)
+
+
+def fill_gaps(
+    resampled: DataFrame,
+    keys: list[str],
+    value_col: str,
+    interval: str = "1 hour",
+    bucket_col: str = "bucket_ts",
+    max_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Dense per-key grid with forward-filled values.
+
+    Output: keys + ``bucket_col`` + ``<value_col>`` (null on gap rows),
+    ``<value_col>_filled`` (last non-null carried forward) and
+    ``is_gap``.  The grid spans each key's own [min, max] bucket range.
+    """
+    bounds = resampled.groupBy(*keys).agg(
+        F.min(bucket_col).alias("__mn"),
+        # clip the range so a corrupt max timestamp cannot explode the
+        # grid into an OOM-sized sequence
+        F.expr(
+            f"least(max({bucket_col}), "
+            f"min({bucket_col}) + INTERVAL {interval.upper()} * {max_buckets})"
+        ).alias("__mx"),
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("__mn", "__mx", F.expr(f"INTERVAL {interval.upper()}"))
+        ).alias(bucket_col),
+    )
+    joined = grid.join(resampled, [*keys, bucket_col], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn(
+            f"{value_col}_filled", F.last(value_col, ignorenulls=True).over(w)
+        )
+        .withColumn("is_gap", F.col(value_col).isNull())
+    )

@@ -381,3 +381,52 @@ GROUP BY 1, 2
 
 QUERIES["windowed_event_counts"] = windowed_event_counts
 ORACLES["windowed_event_counts"] = WINDOWED_COUNTS_SQL
+
+
+def gap_filled_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type event totals on a dense, forward-filled time
+    grid (operators/timeseries.py): resample -> per-key sequence/
+    explode grid -> left join -> running last(ignorenulls).  Row count
+    is types x hours regardless of event sparsity; gap hours carry the
+    previous hour's value in ``sum_value_filled`` and is_gap=true."""
+    from nasa_asteroid_data_lakehouse_spark.operators import timeseries
+
+    events = _t(spark, sf_dir, "events")
+    hourly = timeseries.resample(
+        events,
+        "ts",
+        ["event_type"],
+        [F.round(F.sum("value"), 6).alias("sum_value")],
+        interval="1 hour",
+    )
+    return timeseries.fill_gaps(
+        hourly, ["event_type"], "sum_value", interval="1 hour"
+    ).orderBy("event_type", "bucket_ts")
+
+
+GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         ROUND(SUM(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx
+  FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM bounds
+)
+SELECT g.event_type, g.bucket_ts, h.sum_value,
+       last_value(h.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_filled,
+       h.sum_value IS NULL AS is_gap
+FROM grid g
+LEFT JOIN hourly h USING (event_type, bucket_ts)
+ORDER BY 1, 2
+"""
+
+QUERIES["gap_filled_hourly_events"] = gap_filled_hourly_events
+ORACLES["gap_filled_hourly_events"] = GAP_FILL_SQL

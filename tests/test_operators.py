@@ -164,3 +164,39 @@ def test_top_k_per_group_rank_methods(spark):
     assert rk.count() == 2  # ties share rank 1; rank 3 (value 3) excluded
     dr = ops.top_k_per_group(df, ["g"], [F.desc("v")], 2, method="dense_rank")
     assert dr.count() == 3  # 5,5 (rank1) + 3 (rank2)
+
+
+def test_timeseries_fill_gaps(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators import timeseries
+
+    import datetime
+
+    t = lambda h: datetime.datetime(2024, 1, 1, h, 0, 0)
+    rows = [("a", t(0), 1.0), ("a", t(0), 2.0), ("a", t(3), 4.0), ("b", t(1), 9.0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    hourly = timeseries.resample(
+        df, "ts", ["k"], [F.round(F.sum("v"), 6).alias("sum_v")], interval="1 hour"
+    )
+    out = timeseries.fill_gaps(hourly, ["k"], "sum_v", interval="1 hour").collect()
+    by_key = {(r["k"], r["bucket_ts"].hour): r for r in out}
+    # key a spans hours 0..3 -> 4 rows; key b has a single bucket
+    assert len([r for r in out if r["k"] == "a"]) == 4
+    assert by_key[("a", 0)]["sum_v"] == 3.0 and not by_key[("a", 0)]["is_gap"]
+    assert by_key[("a", 1)]["sum_v"] is None and by_key[("a", 1)]["is_gap"]
+    assert by_key[("a", 1)]["sum_v_filled"] == 3.0  # forward-filled
+    assert by_key[("a", 2)]["sum_v_filled"] == 3.0
+    assert by_key[("a", 3)]["sum_v"] == 4.0 and by_key[("a", 3)]["sum_v_filled"] == 4.0
+    assert len([r for r in out if r["k"] == "b"]) == 1
+
+
+def test_timeseries_grid_clip(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators import timeseries
+
+    import datetime
+
+    rows = [("a", datetime.datetime(2024, 1, 1), 1.0),
+            ("a", datetime.datetime(2030, 1, 1), 2.0)]  # corrupt far-future max
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    hourly = timeseries.resample(df, "ts", ["k"], [F.sum("v").alias("s")], "1 hour")
+    out = timeseries.fill_gaps(hourly, ["k"], "s", "1 hour", max_buckets=48)
+    assert out.count() == 49  # clipped to max_buckets intervals, not 6 years
