@@ -63,3 +63,27 @@ def read_partition(
     """One Hive partition via predicate (Catalyst prunes to the same
     files the reference selects by path surgery)."""
     return spark.read.parquet(table_root).where(F.col(partition_col) == value)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV scan.  Schema is strongly preferred: inference reads the
+    data twice, and at scale an all-string fallback silently recreates
+    the reference's silver-layer type-erasure bug (SURVEY.md §1.3).
+    ``mode=PERMISSIVE`` + ``columnNameOfCorruptRecord`` keeps bad rows
+    inspectable instead of failing the scan."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)

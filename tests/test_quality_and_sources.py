@@ -188,3 +188,13 @@ def test_write_clustered_enables_skipping(spark, tmp_path):
     ranges.sort()
     overlaps = sum(1 for (a, b) in zip(ranges, ranges[1:]) if b[0] < a[1])
     assert overlaps <= 1, f"files overlap too much: {ranges}"
+
+
+def test_read_csv(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id,name,score\n1,a,1.5\n2,b,\n3,c,9.25\n")
+    out = readers.read_csv(spark, str(p), schema="id int, name string, score double")
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["score"] == 1.5
+    assert rows[2]["score"] is None  # empty cell -> typed null, not ""
+    assert out.schema["score"].dataType.typeName() == "double"
