@@ -119,3 +119,22 @@ def test_filter_pushdown_reaches_scan(spark):
     # column pruning: scan reads only the two projected columns
     read_schema = plan.split("ReadSchema")[1][:200]
     assert "l_orderkey" in read_schema and "l_tax" not in read_schema
+
+@pytest.mark.parametrize("name", sorted(__import__("nasa_asteroid_data_lakehouse_spark.plans.tpch_queries", fromlist=["QUERIES"]).QUERIES))
+def test_tpch_plan_shape(spark, name):
+    """Every TPC-H plan must push at least one non-trivial filter into
+    a parquet scan and must not degenerate into a cartesian product
+    (scalar-subquery 1-row cross joins are the allowed exception —
+    they plan as BroadcastNestedLoopJoin over a single-row side)."""
+    from nasa_asteroid_data_lakehouse_spark.plans import tpch_queries
+
+    df = tpch_queries.QUERIES[name](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # plan toString truncates long filter lists ("...") so inspect the
+    # first character after each "PushedFilters: [" instead of parsing
+    # to the closing bracket
+    pushed = plan.split("PushedFilters: [")[1:]
+    assert any(seg and seg[0] != "]" for seg in pushed), (
+        f"{name}: no pushed filters\n{plan[:2000]}"
+    )
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
