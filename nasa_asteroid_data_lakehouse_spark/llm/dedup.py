@@ -281,8 +281,13 @@ def ngram_jaccard_pairs(
         raise ValueError("threshold must be > 0 (disjoint pairs are never emitted)")
     groups = list(group_cols or [])
     sh = word_shingles(text_col, shingle_k)
-    base = _fan_out(df.select(*groups, F.col(id_col).alias("doc"), text_col)).select(
-        *groups, "doc", sh.alias("sh")
+    # Checkpoint the shingle sets: the plan references them four times
+    # (both self-join sides + both size joins) and the shingle build is
+    # the expensive projection — 2.3x at sf0.1.
+    base = (
+        _fan_out(df.select(*groups, F.col(id_col).alias("doc"), text_col))
+        .select(*groups, "doc", sh.alias("sh"))
+        .localCheckpoint(eager=False)
     )
     sizes = base.select(*groups, "doc", F.size("sh").alias("sz"))
     exploded = base.select(*groups, "doc", F.explode("sh").alias("shingle"))
