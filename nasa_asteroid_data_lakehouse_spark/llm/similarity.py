@@ -183,11 +183,17 @@ def embedding_near_dup_pairs(
     # Pre-compute each vector's norm before the self-join: the join
     # then evaluates one dot product per candidate pair instead of
     # three array aggregations (dot + two norms).
-    bucketed = with_lsh_bucket(df, vec_col, num_planes, dim).select(
-        F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm"),
-        "bucket",
+    # Checkpoint before the self-join: both sides otherwise recompute
+    # the 8 hyperplane dots + the norm fold (3.5x at sf0.1).
+    bucketed = (
+        with_lsh_bucket(df, vec_col, num_planes, dim)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+            "bucket",
+        )
+        .localCheckpoint(eager=False)
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
