@@ -448,3 +448,87 @@ def simhash_near_dup_pairs(
             F.col("hamming"),
         )
     )
+
+
+# --- near-dup clustering ------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: ``(node,
+    component)`` with component = the minimum node id reachable.
+
+    Iterative min-label propagation as DataFrame jobs (the same
+    driver-loop pattern as ``similarity.kmeans_fit``): each round every
+    node takes the min of its own label and its neighbors' labels;
+    convergence in O(graph diameter) rounds — near-dup clusters are
+    shallow, so typically 2-4.  Each round is one join + one groupBy
+    (shuffles on node id); ``localCheckpoint`` cuts the lineage so the
+    plan doesn't grow with iterations.  Converged state is detected by
+    counting changed labels (a driver-side scalar, not a collect of
+    rows) — the algorithm is fully distributed.
+
+    Only nodes that appear in ``pairs`` are returned; singleton
+    documents are their own trivial component by construction and
+    don't need rows.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, F.col("dst") == F.col("node"))
+            .groupBy("src")
+            .agg(F.min("component").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, F.col("node") == F.col("src"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nb_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "__old"), "node"
+            )
+            .where(F.col("component") != F.col("__old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Drop every near-duplicate except each cluster's minimum-id
+    survivor: pairs -> connected components -> anti-join the losers.
+    Composes with any pair generator (MinHash-LSH, SimHash, embedding
+    cosine)."""
+    components = connected_components(pairs)
+    losers = components.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("__loser")
+    )
+    return df.join(
+        losers, F.col(id_col) == F.col("__loser"), "left_anti"
+    )

@@ -656,7 +656,7 @@ def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_lsh_sql(threshold: float = _LSHMH_THRESHOLD) -> str:
     coeffs = dedup._minhash_coeffs(_LSHMH_N)
     sig = ", ".join(
         f"list_min(list_transform(bh, h -> ({a} * h + {b}) % {dedup.MINHASH_PRIME}))"
@@ -701,7 +701,7 @@ JOIN sig x ON x.doc_id = id_a
 JOIN sig y ON y.doc_id = id_b
 WHERE ROUND(len(list_intersect(x.shingles, y.shingles))
             / len(list_distinct(list_concat(x.shingles, y.shingles))), 6)
-      >= {_LSHMH_THRESHOLD}
+      >= {threshold}
 """
 
 
@@ -709,3 +709,55 @@ MINHASH_LSH_SQL = _minhash_lsh_sql()
 
 QUERIES["minhash_lsh_pairs_documents"] = minhash_lsh_pairs_documents
 ORACLES["minhash_lsh_pairs_documents"] = MINHASH_LSH_SQL
+
+
+# --- near-dup clusters (connected components over LSH pairs) -----------------
+
+_CLUSTER_THRESHOLD = 0.5
+
+
+def near_dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: MinHash-LSH pairs at jaccard >= 0.5 ->
+    connected components (iterative min-label propagation,
+    llm/dedup.connected_components) -> (doc_id, component).
+
+    The oracle expresses the same transitive closure as a DuckDB
+    recursive CTE — safe here because verified near-dup clusters are
+    small and shallow; the Spark side never materializes the closure,
+    only O(V) labels per round."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.lsh_near_dup_pairs(
+        docs,
+        "doc_id",
+        num_hashes=_LSHMH_N,
+        bands=_LSHMH_BANDS,
+        shingle_k=_LSHMH_K,
+        jaccard_threshold=_CLUSTER_THRESHOLD,
+        max_bucket=_LSHMH_MAX_BUCKET,
+    )
+    return (
+        dedup.connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+base_pairs AS ({_minhash_lsh_sql(_CLUSTER_THRESHOLD)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM base_pairs
+  UNION
+  SELECT id_b, id_a FROM base_pairs
+),
+reach AS (
+  SELECT a AS node, a AS root FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(root) AS component
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+QUERIES["near_dup_clusters_documents"] = near_dup_clusters_documents
+ORACLES["near_dup_clusters_documents"] = NEAR_DUP_CLUSTERS_SQL

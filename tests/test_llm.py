@@ -226,3 +226,21 @@ def test_cosine_topk_arrow_backend_agrees(spark, sf_dir):
     for a, b in zip(sql_rows, arw_rows):
         # same math, different round-half rule (HALF_UP vs half-to-even)
         assert abs(a["cosine_sim"] - b["cosine_sim"]) < 1e-6
+
+
+def test_connected_components(spark):
+    # two chains + an isolated pair: {1-2-3}, {10-11}, {20-21-22-23}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["id_a", "id_b"],
+    )
+    comp = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dedup_by_clusters(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = dedup.dedup_by_clusters(docs, pairs, "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # cluster {1,2,3} keeps only 1; everything else untouched
+    assert ids == [1, 4, 5, 6, 7, 8, 9]
