@@ -33,3 +33,17 @@ def test_query_matches_oracle(spark, sf_dir, name):
     fn = spark_entry.queries()[name]
     sql = spark_entry.oracle_sql()[name]
     assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
+
+
+def test_entry_twice_same_session(spark):
+    a = spark_entry.entry(spark).collect()
+    b = spark_entry.entry(spark).collect()
+    assert a == b
+
+
+def test_queries_fail_cleanly_on_missing_sf_dir(spark):
+    from pyspark.errors import AnalysisException
+
+    fn = spark_entry.queries()["q1_pricing_summary"]
+    with pytest.raises(AnalysisException):
+        fn(spark, "/root/testdata/does-not-exist").collect()
