@@ -659,3 +659,94 @@ ORACLES.update(
         "sql_subqueries": SQL_SUBQUERIES_SQL,
     }
 )
+
+
+# --- histogram + unpivot ------------------------------------------------------
+
+
+def price_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equal-width histogram of order prices: the bucket id
+    is pure integer arithmetic (floor((x-lo)/step), clamped) so both
+    engines bin identically — width_bucket exists in Spark but not
+    DuckDB, and a portable expression beats two dialects.  One
+    partial-aggregated shuffle regardless of row count."""
+    lo, hi, nb = 0.0, 500_000.0, 20
+    step = (hi - lo) / nb
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor((F.col("o_totalprice") - lo) / step), F.lit(0)),
+        F.lit(nb - 1),
+    ).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .withColumn("bucket_lo", F.round(F.col("bucket") * step, 2))
+        .orderBy("bucket")
+    )
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT CAST(least(greatest(floor(o_totalprice / 25000.0), 0), 19) AS INTEGER) AS bucket,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       ROUND(CAST(least(greatest(floor(o_totalprice / 25000.0), 0), 19) AS INTEGER) * 25000.0, 2) AS bucket_lo
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def unpivot_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape: per-type event aggregates unpivoted into
+    (event_type, metric, value) rows via DataFrame.unpivot (Spark's
+    melt; plans as a Generate/Expand — no shuffle beyond the agg)."""
+    events = read_table(spark, sf_dir, "events")
+    wide = events.groupBy("event_type").agg(
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+    )
+    return (
+        wide.unpivot(
+            ["event_type"],
+            ["sum_value", "avg_value", "n_events"],
+            "metric",
+            "value",
+        )
+        .orderBy("event_type", "metric")
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT event_type,
+         ROUND(SUM(value), 6) AS sum_value,
+         ROUND(AVG(value), 6) AS avg_value,
+         CAST(COUNT(*) AS DOUBLE) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT event_type, metric, value FROM (
+  SELECT event_type, 'sum_value' AS metric, sum_value AS value FROM wide
+  UNION ALL
+  SELECT event_type, 'avg_value', avg_value FROM wide
+  UNION ALL
+  SELECT event_type, 'n_events', n_events FROM wide
+)
+ORDER BY 1, 2
+"""
+
+QUERIES.update(
+    {
+        "price_histogram_orders": price_histogram_orders,
+        "unpivot_event_stats": unpivot_event_stats,
+    }
+)
+ORACLES.update(
+    {
+        "price_histogram_orders": PRICE_HISTOGRAM_SQL,
+        "unpivot_event_stats": UNPIVOT_SQL,
+    }
+)
