@@ -180,3 +180,32 @@ def stratified_sample(
     re-deriving it if exact reproducibility across layouts matters).
     """
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def deterministic_sample_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "holdout-v1",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank rows inside
+    each stratum by ``md5(seed || id)`` and keep the first ``k``.
+
+    Unlike ``sampleBy`` (Bernoulli — approximate counts, engine-
+    specific RNG), this is bit-reproducible across runs, engines, and
+    partitionings: the hash order is a pure function of (seed, id).
+    That's the property a training-data holdout needs — re-running the
+    pipeline a year later selects the same documents.  One shuffle on
+    the stratum for the ranking window; at scale prefer a salted
+    two-phase top-k if a stratum is pathologically hot.
+    """
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(rank_key, id_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -761,3 +761,32 @@ FROM reach GROUP BY node ORDER BY doc_id
 
 QUERIES["near_dup_clusters_documents"] = near_dup_clusters_documents
 ORACLES["near_dup_clusters_documents"] = NEAR_DUP_CLUSTERS_SQL
+
+
+# --- deterministic per-stratum sample ----------------------------------------
+
+
+def holdout_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 documents per source, selected by md5(seed||doc_id) order —
+    the bit-reproducible holdout sampler (llm/text.py:
+    deterministic_sample_per_stratum)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return text.deterministic_sample_per_stratum(
+        docs, "source", "doc_id", k=5
+    ).orderBy("source", "doc_id")
+
+
+HOLDOUT_SAMPLE_SQL = """
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('holdout-v1' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents)
+WHERE rk <= 5
+ORDER BY source, doc_id
+"""
+
+QUERIES["holdout_sample_documents"] = holdout_sample_documents
+ORACLES["holdout_sample_documents"] = HOLDOUT_SAMPLE_SQL

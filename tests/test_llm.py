@@ -244,3 +244,21 @@ def test_dedup_by_clusters(spark, docs):
     ids = sorted(r["doc_id"] for r in kept.collect())
     # cluster {1,2,3} keeps only 1; everything else untouched
     assert ids == [1, 4, 5, 6, 7, 8, 9]
+
+
+def test_deterministic_sample_per_stratum(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    s1 = text.deterministic_sample_per_stratum(docs, "source", "doc_id", k=3)
+    s2 = text.deterministic_sample_per_stratum(
+        docs.repartition(7), "source", "doc_id", k=3
+    )
+    a = sorted(r["doc_id"] for r in s1.collect())
+    b = sorted(r["doc_id"] for r in s2.collect())
+    assert a == b  # partitioning-independent selection
+    per = {r["source"]: 0 for r in s1.collect()}
+    for r in s1.collect():
+        per[r["source"]] += 1
+    assert all(v == 3 for v in per.values())
+    # different seed -> (almost surely) different selection
+    s3 = text.deterministic_sample_per_stratum(docs, "source", "doc_id", k=3, seed="v2")
+    assert sorted(r["doc_id"] for r in s3.collect()) != a
