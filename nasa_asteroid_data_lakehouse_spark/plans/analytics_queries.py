@@ -750,3 +750,36 @@ ORACLES.update(
         "unpivot_event_stats": UNPIVOT_SQL,
     }
 )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube special-
+    case: exactly (status), (priority), and grand-total groups, plus
+    GROUPING_ID to disambiguate which set produced each row (a real
+    NULL value vs a superaggregate NULL).  Spark plans one Expand +
+    one aggregate — the sets share a single scan and shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+QUERIES["grouping_sets_revenue"] = grouping_sets_revenue
+ORACLES["grouping_sets_revenue"] = GROUPING_SETS_SQL
