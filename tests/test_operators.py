@@ -200,3 +200,15 @@ def test_timeseries_grid_clip(spark):
     hourly = timeseries.resample(df, "ts", ["k"], [F.sum("v").alias("s")], "1 hour")
     out = timeseries.fill_gaps(hourly, ["k"], "s", "1 hour", max_buckets=48)
     assert out.count() == 49  # clipped to max_buckets intervals, not 6 years
+
+
+def test_top_k_per_group_salted_equals_plain(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators import topk
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    order_by = [F.desc("o_totalprice"), F.asc("o_orderkey")]  # total order
+    plain = topk.top_k_per_group(orders, ["o_orderstatus"], order_by, 7)
+    salted = topk.top_k_per_group_salted(orders, ["o_orderstatus"], order_by, 7, buckets=8)
+    a = sorted((r["o_orderstatus"], r["rank"], r["o_orderkey"]) for r in plain.collect())
+    b = sorted((r["o_orderstatus"], r["rank"], r["o_orderkey"]) for r in salted.collect())
+    assert a == b
