@@ -790,3 +790,44 @@ ORDER BY source, doc_id
 
 QUERIES["holdout_sample_documents"] = holdout_sample_documents
 ORACLES["holdout_sample_documents"] = HOLDOUT_SAMPLE_SQL
+
+
+# --- per-vector array analytics ----------------------------------------------
+
+
+def vector_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector component analytics entirely in JVM array algebra:
+    L2 norm (sequential fold — portable accumulation order), component
+    mean/min/max, and argmax via array_position — the array-function
+    kit (SURVEY.md §2 H11: net-new surface) as an oracle-checked
+    query.  Pure projection: no shuffle, no UDF."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    dv = F.transform(v, lambda x: x.cast("double"))
+    sq = F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x)
+    total = F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x)
+    mx = F.array_max(dv)
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(total / F.size(v), 6).alias("mean_component"),
+        F.round(F.array_min(dv), 6).alias("min_component"),
+        F.round(mx, 6).alias("max_component"),
+        F.array_position(dv, mx).cast("int").alias("argmax_1based"),
+    ).orderBy("vec_id")
+
+
+VECTOR_STATS_SQL = """
+SELECT vec_id,
+  ROUND(sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')), 6) AS l2_norm,
+  ROUND(list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'sum') / len(embedding), 6) AS mean_component,
+  ROUND(list_min(list_transform(embedding, x -> x::DOUBLE)), 6) AS min_component,
+  ROUND(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS max_component,
+  CAST(list_position(list_transform(embedding, x -> x::DOUBLE),
+                     list_max(list_transform(embedding, x -> x::DOUBLE))) AS INTEGER) AS argmax_1based
+FROM embeddings
+ORDER BY vec_id
+"""
+
+QUERIES["vector_stats_embeddings"] = vector_stats_embeddings
+ORACLES["vector_stats_embeddings"] = VECTOR_STATS_SQL
