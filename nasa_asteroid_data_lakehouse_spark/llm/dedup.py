@@ -326,6 +326,54 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- benchmark decontamination ------------------------------------------------
+
+def decontamination_hits(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Train/eval overlap scrub: corpus docs sharing any word k-gram
+    with a benchmark/eval set, with the count of distinct shared
+    k-grams per doc.
+
+    The eval side (benchmarks are small — thousands of docs vs billions
+    in the corpus) collapses to a distinct-shingle set and is broadcast,
+    so the 100 TB corpus side never shuffles: scan → explode → broadcast
+    hash join → partial-agg count per doc.  Pair with
+    :func:`decontaminate` to drop the hits.
+    """
+    ev = (
+        eval_docs.select(
+            F.explode(word_shingles(text_col, shingle_k)).alias("shingle")
+        )
+        .distinct()
+    )
+    sh = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("shingle")
+    )
+    return (
+        sh.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Corpus minus every doc flagged by :func:`decontamination_hits`
+    (left_anti on the hit ids)."""
+    hits = decontamination_hits(corpus, eval_docs, id_col, text_col, shingle_k)
+    return corpus.join(hits.select(id_col), id_col, "left_anti")
+
+
 # --- SimHash -------------------------------------------------------------------
 
 def _token_hash60(tok: Column) -> Column:

@@ -792,6 +792,42 @@ QUERIES["holdout_sample_documents"] = holdout_sample_documents
 ORACLES["holdout_sample_documents"] = HOLDOUT_SAMPLE_SQL
 
 
+# --- benchmark decontamination -----------------------------------------------
+
+
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id % 97 != 0)
+    sharing any word 3-gram with the held-out eval slice
+    (doc_id % 97 == 0), with distinct-overlap counts.  The eval
+    shingle set is broadcast so the corpus side never shuffles
+    (llm/dedup.py: decontamination_hits)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.decontamination_hits(corpus, eval_docs, "doc_id").orderBy("doc_id")
+
+
+DECONTAMINATE_SQL = rf"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+         THEN list_distinct(list_transform(range(1, len(words) - 1),
+                            j -> array_to_string(words[j:j+2], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents)
+),
+ev AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0)
+SELECT c.doc_id, COUNT(*) AS n_overlap
+FROM corpus c JOIN ev USING (shingle)
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["decontaminate_documents"] = decontaminate_documents
+ORACLES["decontaminate_documents"] = DECONTAMINATE_SQL
+
+
 # --- per-vector array analytics ----------------------------------------------
 
 

@@ -87,6 +87,18 @@ def test_ngram_jaccard_pairs(docs):
     assert 0.0 < sims[(1, 3)] < 1.0
 
 
+def test_decontaminate(docs):
+    corpus = docs.where(F.col("doc_id").isin(1, 3, 4, 5, 8))
+    eval_docs = docs.where(F.col("doc_id").isin(2, 6))  # 2 ~ 1 and 3; 6 disjoint
+    hits = dedup.decontamination_hits(corpus, eval_docs, "doc_id", shingle_k=3)
+    got = {r["doc_id"]: r["n_overlap"] for r in hits.collect()}
+    assert 1 in got and got[1] == 7  # all 7 3-grams of doc 1 appear in doc 2
+    assert 3 in got  # shares a prefix with doc 1/2
+    assert 4 not in got and 5 not in got and 8 not in got
+    clean = dedup.decontaminate(corpus, eval_docs, "doc_id", shingle_k=3)
+    assert {r["doc_id"] for r in clean.collect()} == {4, 5, 8}
+
+
 def test_simhash_near_dups(docs):
     hashed = dedup.with_simhash(docs.where(F.col("text") != ""))
     vals = {r["doc_id"]: r["simhash"] for r in hashed.collect()}
