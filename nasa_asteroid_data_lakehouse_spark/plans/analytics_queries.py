@@ -783,3 +783,66 @@ ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 
 QUERIES["grouping_sets_revenue"] = grouping_sets_revenue
 ORACLES["grouping_sets_revenue"] = GROUPING_SETS_SQL
+
+
+def quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile vector (p25/p50/p90/p99) of extended price per
+    return flag.  Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share linear-interpolation semantics, so the exact form is
+    oracle-checkable; at 100 TB swap in the mergeable one-pass sketch
+    (``approx_quantiles_lineitem`` below) — exact percentile must
+    collect each group's values, the sketch is a fixed-size partial
+    aggregate."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9, 0.99))")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(pct[0], 4).alias("p25"),
+            F.round(pct[1], 4).alias("p50"),
+            F.round(pct[2], 4).alias("p90"),
+            F.round(pct[3], 4).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUANTILES_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+QUERIES["quantiles_by_returnflag"] = quantiles_by_returnflag
+ORACLES["quantiles_by_returnflag"] = QUANTILES_SQL
+
+
+def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via ``percentile_approx`` (Greenwald-Khanna
+    sketch): fixed-size mergeable partials, one pass, no per-group value
+    collection — the form that scales to 100 TB.  Sketch results are
+    deterministic within Spark but not reproducible by DuckDB's exact
+    interpolation, so this entry is registered rows-only (no oracle);
+    ``quantiles_by_returnflag`` carries the value-checked exact
+    semantics."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    acc = 10000
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, acc).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", 0.99, acc).alias("p99_approx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES["approx_quantiles_lineitem"] = approx_quantiles_lineitem
