@@ -430,3 +430,50 @@ ORDER BY 1, 2
 
 QUERIES["gap_filled_hourly_events"] = gap_filled_hourly_events
 ORACLES["gap_filled_hourly_events"] = GAP_FILL_SQL
+
+
+def zorder_keys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve (Z-order) key computation over orders: interleave
+    8-bit bucket ranks of o_custkey and o_totalprice, then profile the
+    curve (row count + revenue per z-value).  Deterministic modulo /
+    width buckets here so DuckDB can mirror the bit arithmetic; the
+    production writer (lake/zorder.py: write_zordered) buckets by
+    approxQuantile rank instead.  Pure projection + one hash agg —
+    no UDF, no extra shuffle."""
+    from nasa_asteroid_data_lakehouse_spark.lake.zorder import morton_interleave
+
+    orders = _t(spark, sf_dir, "orders")
+    b1 = (F.col("o_custkey") % 256).cast("long")
+    b2 = F.least(F.floor(F.col("o_totalprice") / 2500), F.lit(255)).cast("long")
+    return (
+        orders.select(morton_interleave([b1, b2], 8).alias("zkey"), "o_totalprice")
+        .groupBy("zkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("zkey")
+    )
+
+
+_Z_TERMS = " + ".join(
+    f"(((b{j + 1} >> {i}) & 1) << {i * 2 + j})" for j in range(2) for i in range(8)
+)
+
+ZORDER_SQL = f"""
+WITH b AS (
+  SELECT o_totalprice,
+         o_custkey % 256 AS b1,
+         least(CAST(floor(o_totalprice / 2500) AS BIGINT), 255) AS b2
+  FROM orders
+)
+SELECT {_Z_TERMS} AS zkey,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM b
+GROUP BY 1
+ORDER BY zkey
+"""
+
+QUERIES["zorder_keys_orders"] = zorder_keys_orders
+ORACLES["zorder_keys_orders"] = ZORDER_SQL

@@ -138,3 +138,67 @@ def test_tpch_plan_shape(spark, name):
         f"{name}: no pushed filters\n{plan[:2000]}"
     )
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_morton_interleave_matches_python(spark):
+    from nasa_asteroid_data_lakehouse_spark.lake.zorder import morton_interleave
+
+    df = spark.range(512).select(
+        (F.col("id") % 256).alias("a"), ((F.col("id") * 7) % 256).alias("b")
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn("z", morton_interleave([F.col("a"), F.col("b")], 8)).collect()
+    }
+
+    def py_z(a, b):
+        return sum(((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1) for i in range(8))
+
+    assert got == {(a, b): py_z(a, b) for (a, b) in got}
+
+
+def test_equi_depth_bucket_temporal(spark):
+    from nasa_asteroid_data_lakehouse_spark.lake.zorder import equi_depth_bucket
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    b = orders.select(equi_depth_bucket(orders, "o_orderdate", bits=4).alias("b"))
+    stats = b.agg(F.min("b"), F.max("b"), F.countDistinct("b")).first()
+    assert stats[0] >= 0 and stats[1] <= 15 and stats[2] >= 12
+
+
+def test_write_zordered_clusters_both_keys(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nasa_asteroid_data_lakehouse_spark.lake.zorder import write_zordered
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_z")
+    write_zordered(orders, path, ["o_custkey", "o_totalprice"], bits=8, num_files=16)
+
+    out = spark.read.parquet(path)
+    assert out.count() == orders.count()
+    assert sorted(out.columns) == sorted(orders.columns)
+
+    # Each file should cover a narrow rectangle of (custkey, price)
+    # space: with 16 range partitions the top 4 z-bits fix 2 bits of
+    # each key, so per-file spans ~25% of each key's range.  Assert the
+    # average span is well below a random layout's ~100%.
+    for key in ("o_custkey", "o_totalprice"):
+        spans, gmin, gmax = [], None, None
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.read_metadata(f)
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == key
+            )
+            mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+            spans.append((min(mins), max(maxs)))
+            gmin = min(mins) if gmin is None else min(gmin, min(mins))
+            gmax = max(maxs) if gmax is None else max(gmax, max(maxs))
+        assert len(spans) >= 8
+        width = gmax - gmin
+        avg_frac = sum((b - a) / width for a, b in spans) / len(spans)
+        assert avg_frac < 0.6, f"{key}: files too wide on average ({avg_frac:.2f})"
