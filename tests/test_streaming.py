@@ -175,3 +175,52 @@ def test_running_totals_transform_with_state(spark, tmp_path):
         final[r["user_id"]] = (r["n_events"], r["total_value"])
     assert final[7] == (3, 6.0)
     assert final[8] == (1, 5.0)
+
+
+def test_kafka_shaped_roundtrip_and_stream(spark, tmp_path):
+    from nasa_asteroid_data_lakehouse_spark.streaming import kafka_shape as ks
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    wire_dir = str(tmp_path / "wire")
+    ks.write_kafka_wire(events, wire_dir, num_partitions=4)
+
+    wire = spark.read.parquet(wire_dir)
+    assert [f.name for f in wire.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp", "timestampType",
+    ]
+    assert wire.count() == events.count()
+    # offsets are dense per partition: max(offset) + 1 == rows in partition
+    per_part = wire.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n"), (F.max("offset") + 1).alias("next_off")
+    )
+    assert all(r["n"] == r["next_off"] for r in per_part.collect())
+
+    # batch decode inverts the encode
+    decoded = ks.decode_events(wire)
+    assert decoded.count() == events.count()
+    a = {r["event_id"]: (r["user_id"], r["event_type"], str(r["ts"])) for r in decoded.collect()}
+    b = {r["event_id"]: (r["user_id"], r["event_type"], str(r["ts"])) for r in events.collect()}
+    assert a == b
+
+    # streamed decode + windowed agg drains and matches the batch agg
+    out = str(tmp_path / "counts")
+    from nasa_asteroid_data_lakehouse_spark.streaming.events import windowed_counts
+
+    stream = ks.read_kafka_shaped_stream(spark, wire_dir, max_files_per_trigger=2)
+    q = (
+        windowed_counts(ks.decode_events(stream))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "__ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out)
+    batch = windowed_counts(events)
+    s = {(str(r["window_start"]), r["event_type"]): r["n_events"] for r in emitted.collect()}
+    b2 = {(str(r["window_start"]), r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert s and set(s) <= set(b2)
+    for k in s:
+        assert s[k] == b2[k]
