@@ -137,6 +137,44 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") 
     return df.withColumn(out, pred)
 
 
+def with_repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document:
+    word count, distinct-word ratio, most-frequent-word fraction, and
+    duplicate-bigram fraction.  High top-word or duplicate-bigram
+    fractions flag boilerplate/spam for corpus filtering.
+
+    Distinct ratios are pure array algebra (no shuffle); the top-word
+    fraction needs a per-(doc, word) count — explode + two hash aggs,
+    both map-side-combinable, keyed by doc so 100 TB fans out cleanly.
+    Blank documents are excluded (no words, ratios undefined).
+    """
+    toks = tokens(normalized_text(text_col))
+    base = df.select(F.col(id_col), toks.alias("w")).where(F.size("w") > 0)
+    n = F.size("w")
+    m = n - 1  # bigram count
+    grams = F.zip_with(
+        F.slice("w", 1, m), F.slice("w", 2, m), lambda a, b: F.concat(a, F.lit(" "), b)
+    )
+    arr_stats = base.select(
+        id_col,
+        n.alias("n_words"),
+        F.round(F.size(F.array_distinct("w")) / n, 6).alias("distinct_word_ratio"),
+        F.when(m > 0, F.round(1 - F.size(F.array_distinct(grams)) / m, 6))
+        .otherwise(0.0)
+        .alias("dup_bigram_frac"),
+    )
+    top = (
+        base.select(id_col, F.explode("w").alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"))
+    )
+    return arr_stats.join(top, id_col)
+
+
 def normalized_text(col: Column | str) -> Column:
     """Canonical form for content hashing: lowercase, whitespace
     collapsed to single spaces, trimmed."""

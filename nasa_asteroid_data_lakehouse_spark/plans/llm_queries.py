@@ -867,3 +867,86 @@ ORDER BY vec_id
 
 QUERIES["vector_stats_embeddings"] = vector_stats_embeddings
 ORACLES["vector_stats_embeddings"] = VECTOR_STATS_SQL
+
+
+# --- repetition quality filters ----------------------------------------------
+
+
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filters: distinct-word ratio,
+    top-word fraction, duplicate-bigram fraction per document
+    (llm/text.py: with_repetition_stats)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.with_repetition_stats(docs).orderBy("doc_id")
+
+
+REPETITION_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS words
+  FROM documents WHERE {_NORM} <> ''
+),
+arr AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         ROUND(len(list_distinct(words)) / len(words), 6) AS distinct_word_ratio,
+         CASE WHEN len(words) >= 2
+              THEN ROUND(1 - len(list_distinct(list_transform(range(1, len(words)),
+                         j -> words[j] || ' ' || words[j + 1]))) / (len(words) - 1), 6)
+              ELSE 0.0 END AS dup_bigram_frac
+  FROM w
+),
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(words) AS word FROM w)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, ROUND(MAX(c) / SUM(c), 6) AS top_word_frac
+  FROM wc GROUP BY 1
+)
+SELECT arr.doc_id, n_words, distinct_word_ratio, dup_bigram_frac, top_word_frac
+FROM arr JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+QUERIES["repetition_stats_documents"] = repetition_stats_documents
+ORACLES["repetition_stats_documents"] = REPETITION_SQL
+
+
+# --- deterministic training shards -------------------------------------------
+
+
+def training_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment profile for the training export: per-shard doc
+    count, char volume, and id range under the md5-bucket assignment
+    (llm/sharding.py).  Balanced counts here mean the 100 TB export
+    produces even file groups."""
+    from nasa_asteroid_data_lakehouse_spark.llm import sharding
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(sharding.shard_id("doc_id", 16).alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+TRAINING_SHARDS_SQL = """
+SELECT CAST(('0x' || substr(md5('shards-v1' || '||' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY shard
+"""
+
+QUERIES["training_shards_documents"] = training_shards_documents
+ORACLES["training_shards_documents"] = TRAINING_SHARDS_SQL

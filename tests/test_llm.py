@@ -274,3 +274,58 @@ def test_deterministic_sample_per_stratum(spark, sf_dir):
     # different seed -> (almost surely) different selection
     s3 = text.deterministic_sample_per_stratum(docs, "source", "doc_id", k=3, seed="v2")
     assert sorted(r["doc_id"] for r in s3.collect()) != a
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z"), (3, "  "), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.with_repetition_stats(docs).collect()}
+    assert set(rows) == {1, 2, 4}  # blank doc excluded
+    r1 = rows[1]
+    assert r1["n_words"] == 4
+    assert r1["distinct_word_ratio"] == 0.25
+    assert r1["top_word_frac"] == 1.0
+    assert r1["dup_bigram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)
+    r2 = rows[2]
+    assert r2["distinct_word_ratio"] == 1.0
+    assert r2["top_word_frac"] == 0.25
+    assert r2["dup_bigram_frac"] == 0.0
+    assert rows[4]["n_words"] == 1 and rows[4]["dup_bigram_frac"] == 0.0
+
+
+def test_export_training_shards(spark, tmp_path):
+    import glob
+
+    import pandas as pd
+
+    from nasa_asteroid_data_lakehouse_spark.llm import sharding
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "shards")
+    sharding.export_training_shards(docs, path, num_shards=8)
+
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    # assignment is the pure function shard_id(doc_id)
+    expected = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", sharding.shard_id("doc_id", 8).alias("s")).collect()
+    }
+    got = {r["doc_id"]: r["shard"] for r in back.collect()}
+    assert got == expected
+    # balanced: no shard more than 3x the smallest
+    sizes = back.groupBy("shard").count().collect()
+    ns = [r["count"] for r in sizes]
+    assert len(ns) == 8 and max(ns) <= 3 * min(ns)
+    # within-file order is the deterministic md5 shuffle order
+    f = sorted(glob.glob(f"{path}/shard=*/*.parquet"))[0]
+    pdf = pd.read_parquet(f)
+    keys = [
+        r["o"]
+        for r in spark.createDataFrame(pdf[["doc_id"]])
+        .select(sharding.shuffle_order("doc_id").alias("o"))
+        .collect()
+    ]
+    assert keys == sorted(keys)
