@@ -14,7 +14,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from nasa_asteroid_data_lakehouse_spark.llm.text import token_count
+from nasa_asteroid_data_lakehouse_spark.llm.text import token_count, tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping fixed-token windows
+    (context-window chunking: ``chunk_size`` tokens every ``stride``
+    tokens, so consecutive chunks overlap by ``chunk_size - stride``).
+
+    Pure array algebra + ``posexplode`` — a narrow per-row transform
+    with no shuffle and no UDF, so it fans out linearly at 100 TB.
+    The trailing chunk keeps whatever tokens remain (shorter than
+    ``chunk_size``); oversized-doc handling for :func:`pack_documents`
+    is exactly this split.  Blank documents produce no chunks.
+    """
+    if stride <= 0 or chunk_size <= 0 or stride > chunk_size:
+        raise ValueError("need 0 < stride <= chunk_size")
+    w = tokens(text_col)
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(w, s, chunk_size))
+    return (
+        df.where(F.size(w) > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "chunk").alias("chunk_text"),
+        )
+    )
 
 
 def pack_documents(

@@ -846,3 +846,59 @@ def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["approx_quantiles_lineitem"] = approx_quantiles_lineitem
+
+
+def winsorized_prices_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization applied per market segment (operators/robust.py,
+    exact bounds so DuckDB reproduces them): clip order prices to the
+    [p01, p99] band, report raw vs clipped means and clip counts.  The
+    bounds table is segment-cardinality sized and broadcast — the
+    orders side never shuffles for the join."""
+    from nasa_asteroid_data_lakehouse_spark.operators.robust import winsorize
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = orders.join(
+        broadcast(cust.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("c_mktsegment", "o_totalprice")
+    w = winsorize(joined, "o_totalprice", ["c_mktsegment"], 0.01, 0.99, exact=True)
+    return (
+        w.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.min("o_totalprice_lo"), 4).alias("p01"),
+            F.round(F.max("o_totalprice_hi"), 4).alias("p99"),
+            F.sum((F.col("o_totalprice") < F.col("o_totalprice_lo")).cast("int")).alias("n_clipped_low"),
+            F.sum((F.col("o_totalprice") > F.col("o_totalprice_hi")).cast("int")).alias("n_clipped_high"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_raw"),
+            F.round(F.avg("o_totalprice_winsorized"), 4).alias("avg_winsorized"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+WINSORIZE_SQL = """
+WITH joined AS (
+  SELECT c_mktsegment, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+bounds AS (
+  SELECT c_mktsegment,
+         quantile_cont(o_totalprice, 0.01) AS lo,
+         quantile_cont(o_totalprice, 0.99) AS hi
+  FROM joined GROUP BY 1
+)
+SELECT j.c_mktsegment,
+       ROUND(MIN(lo), 4) AS p01,
+       ROUND(MAX(hi), 4) AS p99,
+       SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS n_clipped_low,
+       SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS n_clipped_high,
+       ROUND(AVG(o_totalprice), 4) AS avg_raw,
+       ROUND(AVG(least(greatest(o_totalprice, lo), hi)), 4) AS avg_winsorized
+FROM joined j JOIN bounds b USING (c_mktsegment)
+GROUP BY 1
+ORDER BY c_mktsegment
+"""
+
+QUERIES["winsorized_prices_by_segment"] = winsorized_prices_by_segment
+ORACLES["winsorized_prices_by_segment"] = WINSORIZE_SQL

@@ -950,3 +950,53 @@ ORDER BY shard
 
 QUERIES["training_shards_documents"] = training_shards_documents
 ORACLES["training_shards_documents"] = TRAINING_SHARDS_SQL
+
+
+# --- context-window chunking --------------------------------------------------
+
+
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token windows every 24 tokens per document
+    (llm/packing.py: chunk_documents) — chunk text fingerprinted so the
+    result stays compact.  Narrow transform: sequence + slice +
+    posexplode, no shuffle."""
+    from nasa_asteroid_data_lakehouse_spark.llm.packing import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        chunk_documents(docs, chunk_size=32, stride=24)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_chunk_tokens",
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS words
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         list_transform(range(1, len(words) + 1, 24),
+                        s -> struct_pack(idx := CAST((s - 1) // 24 AS INTEGER),
+                                         n := len(words[s:s+31]),
+                                         h := md5(array_to_string(words[s:s+31], ' ')))) AS cs
+  FROM w WHERE len(words) > 0
+)
+SELECT doc_id,
+       u.idx AS chunk_idx,
+       u.n AS n_chunk_tokens,
+       u.h AS chunk_md5
+FROM (SELECT doc_id, unnest(cs) AS u FROM ch)
+ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES["chunk_documents_windows"] = chunk_documents_windows
+ORACLES["chunk_documents_windows"] = CHUNK_SQL

@@ -329,3 +329,26 @@ def test_export_training_shards(spark, tmp_path):
         .collect()
     ]
     assert keys == sorted(keys)
+
+
+def test_chunk_documents(spark):
+    from nasa_asteroid_data_lakehouse_spark.llm.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 1,4,7,10 -> windows of 4,4,4,1 tokens
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4, 1]
+    assert c1[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c1[1]["chunk_text"] == "t3 t4 t5 t6"  # overlap of 1 token
+    assert c1[3]["chunk_text"] == "t9"
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc  # blank doc -> no chunks
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=4, stride=5)

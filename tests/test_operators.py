@@ -212,3 +212,23 @@ def test_top_k_per_group_salted_equals_plain(spark):
     a = sorted((r["o_orderstatus"], r["rank"], r["o_orderkey"]) for r in plain.collect())
     b = sorted((r["o_orderstatus"], r["rank"], r["o_orderkey"]) for r in salted.collect())
     assert a == b
+
+
+def test_winsorize_clips_outliers(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators.robust import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 100)] + [("a", 10000.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = winsorize(df, "v", ["g"], lower=0.05, upper=0.95, exact=True)
+    got = out.where(F.col("g") == "a")
+    mx = got.agg(F.max("v_winsorized")).first()[0]
+    hi = got.agg(F.max("v_hi")).first()[0]
+    assert mx == hi < 10000.0  # the outlier got clipped to p95
+    assert got.agg(F.min("v_winsorized")).first()[0] >= got.agg(F.min("v_lo")).first()[0]
+    # approx path: same shape, bounds within a few ranks of exact
+    approx = winsorize(df, "v", ["g"], lower=0.05, upper=0.95, exact=False)
+    hi_a = approx.where(F.col("g") == "a").agg(F.max("v_hi")).first()[0]
+    assert abs(hi_a - hi) <= 5.0
+    # single-member group is untouched
+    b = out.where(F.col("g") == "b").first()
+    assert b["v_winsorized"] == 5.0
