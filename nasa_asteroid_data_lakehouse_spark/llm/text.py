@@ -247,3 +247,70 @@ def deterministic_sample_per_stratum(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+# PII scrubbing: patterns applied in order (URLs first — they can embed
+# '@' and digit runs that the later patterns would otherwise mangle).
+# The regex subset is chosen to mean the same thing under Java regex
+# (Spark) and RE2 (DuckDB/Go) so oracles can reproduce the scrub.
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("long_number", r"\b\d{7,}\b", "<NUMBER>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Mask URLs, email addresses, and long digit runs (phone/account
+    numbers) with typed placeholders; count each replacement.
+
+    Pure ``regexp_replace``/``regexp_count`` column algebra — a narrow
+    per-row projection with no shuffle, so it runs as one
+    whole-stage-codegen pass at any scale.  Counts are taken on the
+    text as each pattern sees it (post prior replacements), so
+    ``n_email`` never double-counts an address that lived inside a
+    masked URL.  Adds ``<out_col>`` (default ``<text_col>_scrubbed``)
+    and ``n_url``/``n_email``/``n_long_number`` columns.
+    """
+    out = out_col or f"{text_col}_scrubbed"
+    cur = F.col(text_col)
+    cols: dict[str, Column] = {}
+    for name, pat, repl in PII_PATTERNS:
+        cols[f"n_{name}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    cols[out] = cur
+    return df.withColumns(cols)
+
+
+def rebalance_to_min_stratum(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Downsample every stratum to the size of the smallest one
+    (uniform training-mixture rebalancing), deterministically.
+
+    Rows are ranked inside each stratum by ``md5(seed || id)`` (same
+    bit-reproducible order as
+    :func:`deterministic_sample_per_stratum`); the cutoff is the
+    smallest stratum's row count, computed in the same plan and
+    broadcast (one scalar row — no second scan shuffle).  Re-running
+    on the same input always keeps the same rows, on any engine.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    rank_key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(rank_key, id_col)
+    min_size = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .agg(F.min("__cnt").alias("__min_stratum"))
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .join(broadcast(min_size))
+        .where(F.col("__rk") <= F.col("__min_stratum"))
+        .drop("__rk", "__min_stratum")
+    )

@@ -1,0 +1,83 @@
+"""Mergeable-sketch profiling (Apache DataSketches via Spark 4 built-ins).
+
+The 100 TB profiling pattern: compute a fixed-size sketch per segment
+(one map-side-combinable aggregate), persist the *sketch* column, and
+answer global questions later by merging sketches — no rescan of the
+fact table.  `hll_sketch_agg`/`hll_union_agg` give distinct counts,
+`kll_sketch_agg_double` gives rank/quantile estimates; both are
+order-insensitive, mergeable partial aggregates, so they parallelize
+perfectly and survive incremental maintenance (union yesterday's
+sketch with today's delta sketch instead of recounting).
+
+Net-new surface relative to the reference, which profiles with one
+exact job per metric per column (``src/etl/bronze_to_silver.py:127-143``,
+~80 Spark jobs/run); see also ``operators/profile.py`` for the exact
+single-pass variant.  Not DuckDB-reproducible (DataSketches estimates
+are implementation-defined), so queries built on this are rows-only
+checked — accuracy is asserted in unit tests against exact answers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def segment_sketches(
+    df: DataFrame,
+    segment_col: str,
+    distinct_col: str,
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-segment HLL (distinct ``distinct_col``) + KLL (quantiles of
+    ``value_col``) sketches, kept as binary columns so callers can
+    roll them up with :func:`rollup_sketches` without touching the
+    source again."""
+    return df.groupBy(segment_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("hll"),
+        F.kll_sketch_agg_double(value_col).alias("kll"),
+    )
+
+
+def estimate_segments(sketches: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.95)) -> DataFrame:
+    """Materialize the human-readable estimates from a sketch table."""
+    cols = [
+        F.col(sketches.columns[0]),
+        F.col("n_rows"),
+        F.hll_sketch_estimate("hll").alias("distinct_est"),
+    ]
+    for q in quantiles:
+        cols.append(
+            F.kll_sketch_get_quantile_double("kll", F.lit(q)).alias(f"p{int(q * 100)}_est")
+        )
+    return sketches.select(*cols)
+
+
+def rollup_sketches(
+    sketches: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.95)
+) -> DataFrame:
+    """Global estimates from per-segment sketches alone (the rollup a
+    pre-aggregated sketch table answers without rescanning the fact):
+    HLL sketches merge via ``hll_union_agg``; KLL sketches are folded
+    pairwise with ``kll_sketch_merge_double`` (a binary scalar, so the
+    collected per-segment sketch list — segment-cardinality sized —
+    reduces driver-free inside one expression)."""
+    merged_kll = (
+        "reduce(slice(__ks, 2, size(__ks) - 1), __ks[0],"
+        " (a, x) -> kll_sketch_merge_double(a, x))"
+    )
+    agg = sketches.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("distinct_est"),
+        F.collect_list("kll").alias("__ks"),
+    )
+    cols = [F.col("n_rows"), F.col("distinct_est")]
+    for q in quantiles:
+        cols.append(
+            F.expr(f"kll_sketch_get_quantile_double({merged_kll}, {q})").alias(
+                f"p{int(q * 100)}_est"
+            )
+        )
+    return agg.select(*cols)

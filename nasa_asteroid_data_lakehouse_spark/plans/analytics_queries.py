@@ -902,3 +902,121 @@ ORDER BY c_mktsegment
 
 QUERIES["winsorized_prices_by_segment"] = winsorized_prices_by_segment
 ORACLES["winsorized_prices_by_segment"] = WINSORIZE_SQL
+
+
+def decile_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking kit: ntile(10) deciles of order price within each
+    priority class, plus percent_rank / cume_dist at each decile's top
+    edge.  The window's order is total (price, then key) so both
+    engines assign identical deciles; percent_rank and cume_dist are
+    single integer-quotient IEEE ops, bit-identical across engines, so
+    they ship unrounded.  Sums are rounded on the cent lattice; the avg
+    ships raw (see ROUND_NOTES on quotient rounding portability).
+
+    Scale note: ntile partitions here are the 5 priority classes — at
+    100 TB a global decile should come from percentile_approx bounds
+    (operators/robust.py) instead of a 5-partition sort; this query is
+    the within-group ranking surface."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("price_min"),
+            F.max("o_totalprice").alias("price_max"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            F.avg("o_totalprice").alias("price_avg"),
+            F.max("pr").alias("max_percent_rank"),
+            F.max("cd").alias("max_cume_dist"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )
+
+
+DECILE_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS decile,
+         percent_rank() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS pr,
+         cume_dist() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS cd
+  FROM orders
+)
+SELECT o_orderpriority, decile,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS price_min,
+       MAX(o_totalprice) AS price_max,
+       ROUND(SUM(o_totalprice), 2) AS price_sum,
+       AVG(o_totalprice) AS price_avg,
+       MAX(pr) AS max_percent_rank,
+       MAX(cd) AS max_cume_dist
+FROM ranked
+GROUP BY o_orderpriority, decile
+ORDER BY o_orderpriority, decile
+"""
+
+QUERIES["decile_stats_orders"] = decile_stats_orders
+ORACLES["decile_stats_orders"] = DECILE_SQL
+
+
+def sketch_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch segment profile (operators/sketches.py): per
+    order-priority HLL distinct-customer and KLL price-quantile
+    estimates, plus an ALL row computed by MERGING the per-segment
+    sketches — never rescanning orders.  Exact values ride along so
+    the output exposes the sketch error directly.  Rows-only check:
+    DataSketches estimates are not reproducible in DuckDB (accuracy
+    is unit-tested against exact answers instead)."""
+    from nasa_asteroid_data_lakehouse_spark.operators import sketches as sk
+
+    orders = _t(spark, sf_dir, "orders")
+    per = sk.segment_sketches(orders, "o_orderpriority", "o_custkey", "o_totalprice")
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("distinct_exact"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50_exact"),
+    )
+    seg = (
+        sk.estimate_segments(per)
+        .join(broadcast(exact), "o_orderpriority")
+        .select(
+            F.col("o_orderpriority").alias("segment"),
+            "n_rows",
+            "distinct_est",
+            "distinct_exact",
+            F.round("p50_est", 2).alias("p50_est"),
+            "p50_exact",
+        )
+    )
+    exact_all = orders.agg(
+        F.count_distinct("o_custkey").alias("distinct_exact"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50_exact"),
+    )
+    rolled = (
+        sk.rollup_sketches(per)
+        .join(broadcast(exact_all))
+        .select(
+            F.lit("ALL").alias("segment"),
+            "n_rows",
+            "distinct_est",
+            "distinct_exact",
+            F.round("p50_est", 2).alias("p50_est"),
+            "p50_exact",
+        )
+    )
+    return seg.unionByName(rolled).orderBy("segment")
+
+
+QUERIES["sketch_rollup_orders"] = sketch_rollup_orders
+# no ORACLES entry: DataSketches estimates are engine-specific (rows-only)

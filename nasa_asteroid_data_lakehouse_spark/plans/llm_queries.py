@@ -1000,3 +1000,124 @@ ORDER BY doc_id, chunk_idx
 
 QUERIES["chunk_documents_windows"] = chunk_documents_windows
 ORACLES["chunk_documents_windows"] = CHUNK_SQL
+
+
+# --- PII scrubbing ------------------------------------------------------------
+
+
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (llm/text.py: scrub_pii) demonstrated on a
+    deterministically PII-augmented view of the corpus (the synthetic
+    fixture text contains no URLs/emails, so the query first appends a
+    derived contact line — both engines build the identical string).
+    Output keeps the replacement counts and an md5 of the scrubbed
+    text; the whole thing is one narrow codegen projection."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    augmented = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555"),
+            F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+            F.lit(" via https://ex.com/d/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return (
+        text.scrub_pii(augmented)
+        .select(
+            "doc_id",
+            "n_url",
+            "n_email",
+            "n_long_number",
+            F.md5("text_scrubbed").alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_SCRUB_SQL = r"""
+WITH augmented AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or call 555'
+              || lpad(CAST(doc_id AS VARCHAR), 7, '0') || ' via https://ex.com/d/'
+              || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+         regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t
+  FROM augmented
+),
+s2 AS (
+  SELECT doc_id, n_url,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_url, n_email,
+         len(regexp_extract_all(t, '\b\d{7,}\b')) AS n_long_number,
+         regexp_replace(t, '\b\d{7,}\b', '<NUMBER>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_url, n_email, n_long_number, md5(t) AS scrubbed_md5
+FROM s3
+ORDER BY doc_id
+"""
+
+QUERIES["pii_scrub_documents"] = pii_scrub_documents
+ORACLES["pii_scrub_documents"] = PII_SCRUB_SQL
+
+
+# --- uniform-mixture rebalancing ----------------------------------------------
+
+
+def balanced_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform source-mixture rebalancing (llm/text.py:
+    rebalance_to_min_stratum): every source downsampled to the
+    smallest source's size by deterministic md5 rank.  Result reports
+    per-source totals, kept counts (all equal the min), and the exact
+    sum of kept doc ids as a selection fingerprint."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = (
+        text.rebalance_to_min_stratum(docs, "source", "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+        )
+    )
+    from pyspark.sql.functions import broadcast
+
+    return totals.join(broadcast(kept), "source").orderBy("source")
+
+
+BALANCED_MIXTURE_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('mix-v1' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+),
+m AS (
+  SELECT MIN(cnt) AS min_stratum
+  FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY source)
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN rn <= min_stratum THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN rn <= min_stratum THEN doc_id ELSE 0 END) AS kept_id_sum
+FROM ranked, m
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["balanced_mixture_documents"] = balanced_mixture_documents
+ORACLES["balanced_mixture_documents"] = BALANCED_MIXTURE_SQL

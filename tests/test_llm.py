@@ -352,3 +352,40 @@ def test_chunk_documents(spark):
     assert 3 not in by_doc  # blank doc -> no chunks
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_size=4, stride=5)
+
+
+def test_scrub_pii(spark):
+    from nasa_asteroid_data_lakehouse_spark.llm.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.co.uk or https://a.b/c?d=e@f now"),
+            (2, "acct 12345678 and 123456 short"),
+            (3, "clean text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    # the URL is masked first, so the e@f inside it never counts as email
+    assert out[1]["n_url"] == 1 and out[1]["n_email"] == 1
+    assert out[1]["text_scrubbed"] == "mail me at <EMAIL> or <URL> now"
+    # 8-digit run masked, 6-digit run kept
+    assert out[2]["n_long_number"] == 1
+    assert out[2]["text_scrubbed"] == "acct <NUMBER> and 123456 short"
+    assert out[3]["text_scrubbed"] == "clean text"
+    assert out[3]["n_url"] == out[3]["n_email"] == out[3]["n_long_number"] == 0
+
+
+def test_rebalance_to_min_stratum(spark):
+    from nasa_asteroid_data_lakehouse_spark.llm.text import rebalance_to_min_stratum
+
+    rows = [(f"s{i % 3}", i) for i in range(30)] + [("s3", 100), ("s3", 101)]
+    df = spark.createDataFrame(rows, ["source", "doc_id"])
+    out = rebalance_to_min_stratum(df, "source", "doc_id")
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # every stratum downsampled to the smallest stratum's size (2)
+    assert counts == {"s0": 2, "s1": 2, "s2": 2, "s3": 2}
+    # deterministic: same selection on re-run
+    a = sorted((r["source"], r["doc_id"]) for r in out.collect())
+    b = sorted((r["source"], r["doc_id"]) for r in rebalance_to_min_stratum(df, "source", "doc_id").collect())
+    assert a == b

@@ -232,3 +232,34 @@ def test_winsorize_clips_outliers(spark):
     # single-member group is untouched
     b = out.where(F.col("g") == "b").first()
     assert b["v_winsorized"] == 5.0
+
+
+def test_sketch_rollup_accuracy(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators import sketches as sk
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    per = sk.segment_sketches(orders, "o_orderpriority", "o_custkey", "o_totalprice")
+    seg = {r["o_orderpriority"]: r for r in sk.estimate_segments(per).collect()}
+    exact = {
+        r["o_orderpriority"]: r
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("d"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for g, r in seg.items():
+        assert abs(r["distinct_est"] - exact[g]["d"]) / exact[g]["d"] < 0.05
+        assert abs(r["p50_est"] - exact[g]["p50"]) / exact[g]["p50"] < 0.05
+        assert abs(r["p95_est"] - exact[g]["p95"]) / exact[g]["p95"] < 0.05
+    # the rollup answers global questions from per-segment sketches alone
+    rolled = sk.rollup_sketches(per).first()
+    g_exact = orders.agg(
+        F.count_distinct("o_custkey").alias("d"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+    ).first()
+    assert rolled["n_rows"] == orders.count()
+    assert abs(rolled["distinct_est"] - g_exact["d"]) / g_exact["d"] < 0.05
+    assert abs(rolled["p50_est"] - g_exact["p50"]) / g_exact["p50"] < 0.05
