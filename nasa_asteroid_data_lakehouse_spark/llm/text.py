@@ -294,9 +294,13 @@ def rebalance_to_min_stratum(
     Rows are ranked inside each stratum by ``md5(seed || id)`` (same
     bit-reproducible order as
     :func:`deterministic_sample_per_stratum`); the cutoff is the
-    smallest stratum's row count, computed in the same plan and
-    broadcast (one scalar row — no second scan shuffle).  Re-running
-    on the same input always keeps the same rows, on any engine.
+    smallest stratum's row count, reduced to one scalar row and
+    broadcast.  The cutoff branch re-scans the input (Catalyst doesn't
+    CSE across plan branches), but its count-per-stratum aggregate is
+    map-side-combined down to ~#strata rows per task before its
+    shuffle — the window's full-data shuffle is the only real data
+    mover.  Re-running on the same input always keeps the same rows,
+    on any engine.
     """
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast

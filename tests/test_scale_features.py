@@ -202,3 +202,46 @@ def test_write_zordered_clusters_both_keys(spark, tmp_path):
         width = gmax - gmin
         avg_frac = sum((b - a) / width for a, b in spans) / len(spans)
         assert avg_frac < 0.6, f"{key}: files too wide on average ({avg_frac:.2f})"
+
+
+def test_winsorize_plan_broadcasts_bounds(spark):
+    """The per-group bounds join must broadcast (bounds are
+    group-cardinality sized) — the orders side never shuffles for it."""
+    from nasa_asteroid_data_lakehouse_spark.plans.analytics_queries import (
+        winsorized_prices_by_segment,
+    )
+
+    df = winsorized_prices_by_segment(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_balanced_mixture_plan_reuses_window_partitioning(spark):
+    """The post-window groupBy('source') must reuse the window's hash
+    partitioning (no fourth exchange).  Three hash exchanges total:
+    the window (the only full-data shuffle) plus the totals and
+    min-stratum aggregates, both map-side-combined to ~#sources rows
+    per task before shuffling."""
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        balanced_mixture_documents,
+    )
+
+    df = balanced_mixture_documents(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan[:3000]
+
+
+def test_pii_scrub_plan_prunes_columns(spark):
+    """scrub over (doc_id, text) must not read the other document
+    columns, and must stay shuffle-free up to the final presentation
+    sort."""
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import pii_scrub_documents
+
+    df = pii_scrub_documents(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+    assert "Exchange hashpartitioning" not in plan  # only the orderBy range exchange
