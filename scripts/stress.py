@@ -167,6 +167,49 @@ def main():
         results,
     )
 
+    # Robust-stats / sketch / curation operators (round-1 late additions).
+    from nasa_asteroid_data_lakehouse_spark.llm.packing import chunk_documents
+    from nasa_asteroid_data_lakehouse_spark.operators import sketches as osk
+    from nasa_asteroid_data_lakehouse_spark.operators.robust import winsorize
+
+    timed(
+        "winsorize_20m",
+        winsorize(facts, "price", ["flag"], exact=False),
+        results,
+    )
+    timed(
+        "sketch_rollup_20m",
+        osk.rollup_sketches(osk.segment_sketches(facts, "flag", "orderkey", "price")),
+        results,
+    )
+    pii_docs = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com 555"),
+            F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+            F.lit(" https://ex.com/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    timed("scrub_pii_1m", ltext.scrub_pii(pii_docs).drop("text", "text_scrubbed"), results)
+    timed(
+        "chunk_docs_1m",
+        chunk_documents(docs, chunk_size=16, stride=12),
+        results,
+    )
+    timed(
+        "rebalance_1m",
+        ltext.rebalance_to_min_stratum(
+            docs.withColumn("source", (F.col("doc_id") % 20).cast("string")),
+            "source",
+            "doc_id",
+        ),
+        results,
+    )
+
     print(json.dumps({"metric": "stress", "rows_facts": n_facts, "rows_docs": n_docs, "sec": results}))
     spark.stop()
 
