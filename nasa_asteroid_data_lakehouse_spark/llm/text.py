@@ -318,3 +318,46 @@ def rebalance_to_min_stratum(
         .where(F.col("__rk") <= F.col("__min_stratum"))
         .drop("__rk", "__min_stratum")
     )
+
+def weighted_sample_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted reservoir sample (Efraimidis–Spirakis
+    A-ES): keep the top ``k`` rows per stratum ranked by
+    ``ln(u) / w`` descending, where ``u ∈ (0, 1]`` is a uniform
+    derived from ``md5(seed || id)`` and ``w`` is the row weight —
+    each row survives with probability proportional to its weight,
+    exactly the "sample documents proportional to token count"
+    pattern for mixture construction.
+
+    Like :func:`deterministic_sample_per_stratum`, the selection is a
+    pure function of (seed, id, weight): bit-reproducible across runs,
+    engines, and partitionings (md5 → first-8-hex uniform is the same
+    integer everywhere; ln/divide are IEEE).  Rows with null or
+    non-positive weight are excluded.  One ranking-window shuffle on
+    the stratum; A-ES keys are mergeable, so at scale this can run as
+    a salted two-phase top-k (operators/topk.py).
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("||", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(strata_col).orderBy(F.desc(key), F.col(id_col))
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

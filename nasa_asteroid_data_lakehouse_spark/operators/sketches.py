@@ -81,3 +81,44 @@ def rollup_sketches(
             )
         )
     return agg.select(*cols)
+
+def segment_theta_sketches(
+    df: DataFrame, segment_col: str, key_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-segment Theta sketch over ``key_col`` — the set-expression
+    counterpart of :func:`segment_sketches`.  Unlike HLL, Theta
+    sketches support intersection and difference, so a persisted
+    per-segment sketch table can answer "how many keys do segments A
+    and B share?" without rescanning the fact table — the 100 TB
+    audience-overlap pattern."""
+    return df.groupBy(segment_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.theta_sketch_agg(key_col, F.lit(lg_k)).alias("theta"),
+    )
+
+
+def theta_overlap_matrix(sketches: DataFrame, segment_col: str) -> DataFrame:
+    """All-pairs segment overlap from sketches alone: for each segment
+    pair (a < b), estimated |A|, |B|, |A ∩ B|, |A ∪ B|, |A \\ B| and
+    Jaccard.  The input is segment-cardinality sized (tiny after the
+    sketch aggregation), so the self-join is a broadcast nested loop
+    over k² rows — no fact-table shuffle."""
+    a = sketches.select(
+        F.col(segment_col).alias("seg_a"), F.col("theta").alias("theta_a")
+    )
+    b = sketches.select(
+        F.col(segment_col).alias("seg_b"), F.col("theta").alias("theta_b")
+    )
+    pairs = a.join(b, F.col("seg_a") < F.col("seg_b"))
+    inter = F.theta_sketch_estimate(F.theta_intersection("theta_a", "theta_b"))
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        F.theta_sketch_estimate("theta_a").alias("size_a_est"),
+        F.theta_sketch_estimate("theta_b").alias("size_b_est"),
+        inter.alias("intersection_est"),
+        F.theta_sketch_estimate(F.theta_union("theta_a", "theta_b")).alias("union_est"),
+        F.theta_sketch_estimate(F.theta_difference("theta_a", "theta_b")).alias(
+            "a_minus_b_est"
+        ),
+    )

@@ -1020,3 +1020,49 @@ def sketch_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sketch_rollup_orders"] = sketch_rollup_orders
 # no ORACLES entry: DataSketches estimates are engine-specific (rows-only)
+
+def theta_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch segment overlap (operators/sketches.py): which
+    customers are shared between order priorities, estimated from
+    per-segment Theta sketches alone — intersection / union /
+    difference are sketch-algebra, so a persisted sketch table answers
+    audience-overlap questions without rescanning orders.  Exact
+    intersection counts ride along (cheap at fixture scale) so the
+    output exposes sketch error directly.  Rows-only check:
+    DataSketches estimates are engine-specific; relative error is
+    unit-tested."""
+    from nasa_asteroid_data_lakehouse_spark.operators import sketches as sk
+
+    orders = _t(spark, sf_dir, "orders")
+    per = sk.segment_theta_sketches(orders, "o_orderpriority", "o_custkey")
+    est = sk.theta_overlap_matrix(per, "o_orderpriority")
+
+    seg = orders.select(F.col("o_orderpriority").alias("seg"), "o_custkey").distinct()
+    a = seg.select(F.col("seg").alias("seg_a"), "o_custkey")
+    b = seg.select(F.col("seg").alias("seg_b"), "o_custkey")
+    exact = (
+        a.join(b, "o_custkey")
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("intersection_exact"))
+    )
+    return (
+        est.join(broadcast(exact), ["seg_a", "seg_b"], "left")
+        .na.fill({"intersection_exact": 0})
+        .select(
+            "seg_a",
+            "seg_b",
+            F.round("intersection_est", 1).alias("intersection_est"),
+            "intersection_exact",
+            F.round("union_est", 1).alias("union_est"),
+            F.round("a_minus_b_est", 1).alias("a_minus_b_est"),
+            F.round(F.col("intersection_est") / F.col("union_est"), 4).alias(
+                "jaccard_est"
+            ),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+QUERIES["theta_overlap_orders"] = theta_overlap_orders
+# no ORACLES entry: DataSketches Theta estimates are engine-specific (rows-only)

@@ -1121,3 +1121,35 @@ ORDER BY source
 
 QUERIES["balanced_mixture_documents"] = balanced_mixture_documents
 ORACLES["balanced_mixture_documents"] = BALANCED_MIXTURE_SQL
+
+
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 documents per source sampled with probability proportional to
+    n_chars (llm/text.py: weighted_sample_per_stratum, deterministic
+    Efraimidis–Spirakis) — the length-proportional mixture-sampling
+    pattern, bit-reproducible across engines."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return text.weighted_sample_per_stratum(
+        docs, "source", "doc_id", "n_chars", k=8
+    ).orderBy("source", "doc_id")
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, source, lang, n_chars FROM (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ln((('0x' || substr(md5('wsample-v1' || '||' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                       / 4294967296.0) / CAST(n_chars AS DOUBLE) DESC,
+                    doc_id
+         ) AS rk
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0)
+WHERE rk <= 8
+ORDER BY source, doc_id
+"""
+
+QUERIES["weighted_sample_documents"] = weighted_sample_documents
+ORACLES["weighted_sample_documents"] = WEIGHTED_SAMPLE_SQL

@@ -389,3 +389,33 @@ def test_rebalance_to_min_stratum(spark):
     a = sorted((r["source"], r["doc_id"]) for r in out.collect())
     b = sorted((r["source"], r["doc_id"]) for r in rebalance_to_min_stratum(df, "source", "doc_id").collect())
     assert a == b
+
+
+def test_weighted_sample_per_stratum(spark):
+    # 3 strata x 200 rows; one row per stratum carries ~1000x the weight
+    # of the rest -> it must be selected; zero/null weights never are.
+    rows = []
+    for s in ("a", "b", "c"):
+        for i in range(200):
+            w = 50_000 if i == 7 else 50
+            rows.append((f"{s}-{i}", s, w))
+    rows.append(("a-zero", "a", 0))
+    rows.append(("a-null", "a", None))
+    df = spark.createDataFrame(rows, "id string, stratum string, w int")
+
+    out = text.weighted_sample_per_stratum(df, "stratum", "id", "w", k=10)
+    got = {r["stratum"]: set() for r in out.collect()}
+    for r in out.collect():
+        got[r["stratum"]].add(r["id"])
+    for s in ("a", "b", "c"):
+        assert len(got[s]) == 10
+        assert f"{s}-7" in got[s]  # heavy row always survives
+    assert "a-zero" not in got["a"] and "a-null" not in got["a"]
+
+    # deterministic under repartitioning
+    again = text.weighted_sample_per_stratum(
+        df.repartition(13), "stratum", "id", "w", k=10
+    )
+    assert {(r["stratum"], r["id"]) for r in again.collect()} == {
+        (s, i) for s, ids in got.items() for i in ids
+    }

@@ -263,3 +263,39 @@ def test_sketch_rollup_accuracy(spark):
     assert rolled["n_rows"] == orders.count()
     assert abs(rolled["distinct_est"] - g_exact["d"]) / g_exact["d"] < 0.05
     assert abs(rolled["p50_est"] - g_exact["p50"]) / g_exact["p50"] < 0.05
+
+
+def test_theta_overlap_accuracy(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators import sketches as sk
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    per = sk.segment_theta_sketches(orders, "o_orderpriority", "o_custkey")
+    est = {
+        (r["seg_a"], r["seg_b"]): r
+        for r in sk.theta_overlap_matrix(per, "o_orderpriority").collect()
+    }
+    seg = orders.select(
+        F.col("o_orderpriority").alias("seg"), "o_custkey"
+    ).distinct()
+    a = seg.select(F.col("seg").alias("seg_a"), "o_custkey")
+    b = seg.select(F.col("seg").alias("seg_b"), "o_custkey")
+    exact = {
+        (r["seg_a"], r["seg_b"]): r["n"]
+        for r in a.join(b, "o_custkey")
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sizes = {
+        r["seg"]: r["n"]
+        for r in seg.groupBy("seg").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert len(est) == 10  # 5 priorities -> C(5,2) pairs
+    for (sa, sb), r in est.items():
+        n_exact = exact[(sa, sb)]
+        assert abs(r["intersection_est"] - n_exact) / n_exact < 0.05
+        union_exact = sizes[sa] + sizes[sb] - n_exact
+        assert abs(r["union_est"] - union_exact) / union_exact < 0.05
+        diff_exact = sizes[sa] - n_exact
+        assert abs(r["a_minus_b_est"] - diff_exact) / max(diff_exact, 1) < 0.10
