@@ -327,3 +327,63 @@ def ivf_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+# --- SemDeDup (cluster-then-prune semantic dedup) ---------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest centroid,
+    then inside each cluster drop any vector that has a lower-id
+    neighbor with cosine ≥ ``threshold``; the lowest id in each
+    near-duplicate neighborhood survives.
+
+    Clustering is what makes the pairwise step tractable at 100 TB:
+    the quadratic compare runs per-cluster (O(n²/k) pairs, executed as
+    an equi-join on ``cluster``), never corpus-wide.  The drop rule is
+    a pure function of (ids, vectors, centroids) — deterministic
+    across runs, partitionings, and engines.  Returns the surviving
+    rows as (id, cluster).
+    """
+    assigned = (
+        with_ivf_assignment(df, centroids, vec_col)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+            "cluster",
+        )
+        .localCheckpoint(eager=False)  # referenced 3x: pair sides + survivor base
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("__dup_id"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+                round_to,
+            ).alias("__cos"),
+            # pushdown barrier: keep the threshold filter above the
+            # projection so the dot-product fold evaluates once per
+            # pair (same Catalyst CSE gap as embedding_near_dup_pairs)
+            F.monotonically_increasing_id().alias("__barrier"),
+        )
+        .where(F.col("__cos") >= threshold)
+        .select("__dup_id")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, F.col(id_col) == F.col("__dup_id"), "left_anti")
+        .select(F.col(id_col), F.col("cluster"))
+    )

@@ -1153,3 +1153,59 @@ ORDER BY source, doc_id
 
 QUERIES["weighted_sample_documents"] = weighted_sample_documents
 ORACLES["weighted_sample_documents"] = WEIGHTED_SAMPLE_SQL
+
+
+# --- SemDeDup semantic dedup -------------------------------------------------
+
+_SEMDEDUP_K = 16
+_SEMDEDUP_THRESHOLD = 0.35
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (llm/similarity.py: semantic_dedup): cluster embeddings
+    to a 16-seed quantizer, then drop any vector whose cluster holds a
+    lower-id neighbor with cosine >= 0.35 — cluster-then-prune keeps
+    the pairwise compare at O(n^2/k).  Seed centroids (16 lowest ids,
+    kmeans iters=0) keep the oracle SQL-expressible; the Lloyd-iterated
+    quantizer is exercised in tests."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = emb.orderBy("vec_id").limit(_SEMDEDUP_K).collect()
+    centroids = [[float(v) for v in r["embedding"]] for r in seeds]
+    return similarity.semantic_dedup(
+        emb, centroids, _SEMDEDUP_THRESHOLD
+    ).orderBy("vec_id")
+
+
+_COS_AB = (
+    "list_dot_product(x.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+SEMDEDUP_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, s.c,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY list_distance(e.embedding::DOUBLE[], s.cv::DOUBLE[]), s.c
+    ) AS rn
+  FROM embeddings e, seeds s
+),
+a AS (SELECT vec_id, embedding, c FROM assign WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM a x, a b
+  WHERE x.c = b.c AND x.vec_id < b.vec_id
+    AND ROUND({_COS_AB}, 6) >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.c AS cluster
+FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+ORDER BY a.vec_id
+"""
+
+QUERIES["semantic_dedup_embeddings"] = semantic_dedup_embeddings
+ORACLES["semantic_dedup_embeddings"] = SEMDEDUP_SQL

@@ -419,3 +419,39 @@ def test_weighted_sample_per_stratum(spark):
     assert {(r["stratum"], r["id"]) for r in again.collect()} == {
         (s, i) for s, ids in got.items() for i in ids
     }
+
+
+def test_semantic_dedup_planted_dups(spark):
+    # 3 well-separated base vectors + near-copies of base 0; the
+    # near-copies must be dropped, the lowest-id copy survives.
+    import random
+
+    rnd = random.Random(7)
+    dim = 8
+    bases = [[rnd.uniform(-1, 1) for _ in range(dim)] for _ in range(3)]
+    rows = []
+    for i, b in enumerate(bases):
+        rows.append((i, [float(v) for v in b]))
+    # ids 10..13: tiny perturbations of base 0 (cosine ~ 1)
+    for j in range(4):
+        rows.append((10 + j, [float(v + 0.001 * (j + 1)) for v in bases[0]]))
+    # ids 20..24: unique directions, far from everything
+    for j in range(5):
+        vec = [0.0] * dim
+        vec[j] = 1.0
+        vec[(j + 3) % dim] = -1.0 if j % 2 else 1.0
+        rows.append((20 + j, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = similarity.kmeans_fit(df, k=3, iters=3)
+    out = similarity.semantic_dedup(df, cents, threshold=0.98)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    # copies of base 0 collapse to the lowest id in that neighborhood
+    assert 0 in kept
+    assert not {10, 11, 12, 13} & set(kept)
+    # distinct vectors all survive
+    assert {1, 2, 20, 21, 22, 23, 24} <= set(kept)
+
+    # deterministic under repartitioning
+    again = similarity.semantic_dedup(df.repartition(5), cents, threshold=0.98)
+    assert sorted(r["vec_id"] for r in again.collect()) == kept
