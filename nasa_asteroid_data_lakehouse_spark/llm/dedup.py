@@ -580,3 +580,111 @@ def dedup_by_clusters(
     return df.join(
         losers, F.col(id_col) == F.col("__loser"), "left_anti"
     )
+
+# --- incremental corpus dedup ------------------------------------------------
+
+def incremental_admit(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Admit only the ``batch`` rows that are NOT near-duplicates of the
+    accepted ``corpus`` nor of a lower-id row in the same batch — the
+    continuous-ingest dedup pattern: each day's crawl is screened
+    against everything already admitted without re-pairing the corpus
+    with itself.
+
+    Candidate generation is the same shingle → minhash → band →
+    bucket-join as :func:`lsh_near_dup_pairs`, but the self-join is
+    side-constrained: corpus×corpus pairs are never formed (the corpus
+    is already deduplicated), so the quadratic term is |batch|-driven.
+    At scale the corpus band-bucket table is persisted (computed once
+    per admitted doc, bucketed by (band, bucket)), making each
+    incremental run a shuffle of the new batch only.  Verification is
+    exact Jaccard on the candidates; a corpus match rejects the batch
+    doc regardless of id order.  Returns the admitted ``batch`` rows
+    with their original columns.
+    """
+    rows_per_band = num_hashes // bands
+    tagged = (
+        corpus.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__txt"))
+        .withColumn("side", F.lit("corpus"))
+        .unionByName(
+            batch.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__txt"))
+            .withColumn("side", F.lit("batch"))
+        )
+    )
+    base = (
+        _fan_out(tagged)
+        .select("doc", "side", word_shingles("__txt", shingle_k).alias("sh"))
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        .localCheckpoint(eager=False)
+    )
+    band_entries = base.select(
+        "doc",
+        "side",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "side", "bb.band", "bb.bucket")
+
+    bucket_sizes = band_entries.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounded = band_entries.join(
+        bucket_sizes.where(F.col("n") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+
+    a, b = bounded.alias("a"), bounded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.side") == "batch")
+            & ((F.col("a.side") == "corpus") | (F.col("a.doc") < F.col("b.doc"))),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+    sh_a = base.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    dropped = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_b",
+            F.round(
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
+            ).alias("__jac"),
+            # pushdown barrier (same Catalyst CSE gap as lsh_near_dup_pairs)
+            F.monotonically_increasing_id().alias("__barrier"),
+        )
+        .where(F.col("__jac") >= jaccard_threshold)
+        .select("id_b")
+        .distinct()
+    )
+    return batch.join(
+        dropped, F.col(id_col) == F.col("id_b"), "left_anti"
+    )

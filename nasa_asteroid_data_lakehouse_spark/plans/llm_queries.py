@@ -1209,3 +1209,92 @@ ORDER BY a.vec_id
 
 QUERIES["semantic_dedup_embeddings"] = semantic_dedup_embeddings
 ORACLES["semantic_dedup_embeddings"] = SEMDEDUP_SQL
+
+
+# --- incremental corpus dedup ------------------------------------------------
+
+
+def incremental_admit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup (llm/dedup.py: incremental_admit): the
+    20% of documents with doc_id % 10 < 2 arrive as a new batch and
+    are screened against the other 80% (the accepted corpus) plus
+    lower-id batchmates via MinHash-LSH banding + exact-Jaccard
+    verify.  Corpus-corpus pairs are never formed."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    batch = docs.where(F.pmod("doc_id", F.lit(10)) < 2)
+    corpus = docs.where(F.pmod("doc_id", F.lit(10)) >= 2)
+    return (
+        dedup.incremental_admit(
+            corpus,
+            batch,
+            "doc_id",
+            num_hashes=_LSHMH_N,
+            bands=_LSHMH_BANDS,
+            shingle_k=_LSHMH_K,
+            jaccard_threshold=_LSHMH_THRESHOLD,
+            max_bucket=_LSHMH_MAX_BUCKET,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_admit_sql() -> str:
+    coeffs = dedup._minhash_coeffs(_LSHMH_N)
+    sig = ", ".join(
+        f"list_min(list_transform(bh, h -> ({a} * h + {b}) % {dedup.MINHASH_PRIME}))"
+        for a, b in coeffs
+    )
+    rpb = _LSHMH_N // _LSHMH_BANDS
+    k = _LSHMH_K
+    return rf"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 < 2 THEN 'batch' ELSE 'corpus' END AS side,
+    CASE WHEN len(words) >= {k}
+         THEN list_distinct(list_transform(range(1, len(words) - {k - 2}),
+                            j -> array_to_string(words[j:j+{k - 1}], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents)
+),
+sig AS (
+  SELECT doc_id, side, shingles, [{sig}] AS s
+  FROM (SELECT doc_id, side, shingles,
+          list_transform(shingles, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS bh
+        FROM sh)
+),
+bands AS (
+  SELECT doc_id, side, b,
+         md5(array_to_string(s[b*{rpb}+1:b*{rpb}+{rpb}], ',')) AS bucket
+  FROM sig, (SELECT unnest(range({_LSHMH_BANDS})) AS b)
+),
+bounded AS (
+  SELECT doc_id, side, b, bucket FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= {_LSHMH_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bounded a JOIN bounded c
+    ON a.b = c.b AND a.bucket = c.bucket
+   AND c.side = 'batch'
+   AND (a.side = 'corpus' OR a.doc_id < c.doc_id)
+),
+dropped AS (
+  SELECT DISTINCT id_b FROM cand
+  JOIN sig x ON x.doc_id = id_a
+  JOIN sig y ON y.doc_id = id_b
+  WHERE ROUND(len(list_intersect(x.shingles, y.shingles))
+              / len(list_distinct(list_concat(x.shingles, y.shingles))), 6)
+        >= {_LSHMH_THRESHOLD}
+)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id % 10 < 2 AND d.doc_id NOT IN (SELECT id_b FROM dropped)
+ORDER BY d.doc_id
+"""
+
+
+INCREMENTAL_ADMIT_SQL = _incremental_admit_sql()
+
+QUERIES["incremental_admit_documents"] = incremental_admit_documents
+ORACLES["incremental_admit_documents"] = INCREMENTAL_ADMIT_SQL

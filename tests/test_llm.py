@@ -455,3 +455,33 @@ def test_semantic_dedup_planted_dups(spark):
     # deterministic under repartitioning
     again = similarity.semantic_dedup(df.repartition(5), cents, threshold=0.98)
     assert sorted(r["vec_id"] for r in again.collect()) == kept
+
+
+def test_incremental_admit(spark):
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (101, "completely unrelated corpus text about astronomy and orbital mechanics"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-copy of corpus doc 100 -> rejected (corpus precedence,
+            # even though 1 < 100)
+            (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+            # unique -> admitted
+            (2, "a totally fresh document with novel content about deep sea creatures"),
+            # identical twins inside the batch -> lower id admitted only
+            (3, "duplicate twin text shared by two batch documents exactly"),
+            (4, "duplicate twin text shared by two batch documents exactly"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_admit(
+        corpus, batch, "doc_id", jaccard_threshold=0.5
+    )
+    admitted = sorted(r["doc_id"] for r in out.collect())
+    assert admitted == [2, 3]
+    # admitted rows keep their original columns
+    assert set(out.columns) == {"doc_id", "text"}
