@@ -122,3 +122,97 @@ def theta_overlap_matrix(sketches: DataFrame, segment_col: str) -> DataFrame:
             "a_minus_b_est"
         ),
     )
+
+def count_min_counters(
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """Count-min sketch as a DataFrame: ``depth`` md5-derived hash rows
+    of ``width`` buckets, one count per (row, bucket).  The counter
+    table is depth×width rows REGARDLESS of corpus size — a
+    map-side-combinable aggregate that merges across batches by
+    summing matching cells, so per-shard counters roll up without
+    rescanning (same maintenance story as the HLL/KLL/Theta profiles
+    above).  Unlike those, every cell is plain integer arithmetic on
+    portable md5 hashes, so estimates reproduce bit-for-bit in any
+    engine."""
+    rows = items.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws("|", F.lit(f"{seed}-{j}"), F.col(item_col))
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("hb"),
+    ).select("item", "hb.j", "hb.bucket")
+    return rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_min_estimate(
+    counters: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """Point-frequency estimates for the ``queries`` items: min over the
+    ``depth`` cells each item hashes to (CMS guarantees estimate >=
+    true count; collisions only inflate).  The counter table is tiny
+    (depth×width), so the lookup join broadcasts — no shuffle of the
+    query side."""
+    from pyspark.sql.functions import broadcast
+
+    probes = queries.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws("|", F.lit(f"{seed}-{j}"), F.col(item_col))
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("hb"),
+    ).select("item", "hb.j", "hb.bucket")
+    return (
+        probes.join(broadcast(counters), ["j", "bucket"])
+        .groupBy("item")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

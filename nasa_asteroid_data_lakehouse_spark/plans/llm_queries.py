@@ -1298,3 +1298,78 @@ INCREMENTAL_ADMIT_SQL = _incremental_admit_sql()
 
 QUERIES["incremental_admit_documents"] = incremental_admit_documents
 ORACLES["incremental_admit_documents"] = INCREMENTAL_ADMIT_SQL
+
+
+# --- count-min sketch token frequencies --------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+def cms_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/sketches.py):
+    build depth=4 x width=1024 counters over all document tokens — a
+    fixed-size, merge-by-sum table however large the corpus — then
+    estimate the 20 most frequent tokens and expose exact counts
+    alongside (CMS overestimates only; collisions inflate).  The md5
+    bucket hashing is engine-portable, so unlike the DataSketches
+    profiles this sketch is DuckDB-oracle-checked bit-for-bit."""
+    from nasa_asteroid_data_lakehouse_spark.operators import sketches as sk
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = docs.select(F.explode(F.split(norm, " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    counters = sk.count_min_counters(toks, "token", _CMS_DEPTH, _CMS_WIDTH)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(20)
+    )
+    est = sk.count_min_estimate(
+        counters, top.select("token"), "token", _CMS_DEPTH, _CMS_WIDTH
+    ).withColumnRenamed("item", "token")
+    return (
+        top.join(F.broadcast(est), "token")
+        .select("token", "exact_cnt", "cms_est")
+        .orderBy(F.desc("exact_cnt"), "token")
+    )
+
+
+CMS_TOKEN_SQL = rf"""
+WITH t AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+tok AS (SELECT token FROM t WHERE token <> ''),
+js AS (SELECT unnest(range({_CMS_DEPTH})) AS j),
+cells AS (
+  SELECT js.j,
+         ('0x' || substr(md5('cms-v1-' || CAST(js.j AS VARCHAR) || '|' || token), 1, 8))::BIGINT
+           % {_CMS_WIDTH} AS bucket,
+         COUNT(*) AS cnt
+  FROM tok, js
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT token, COUNT(*) AS exact_cnt FROM tok
+  GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 20
+),
+est AS (
+  SELECT token, MIN(cnt) AS cms_est FROM (
+    SELECT top.token, c.cnt
+    FROM top, js
+    JOIN cells c
+      ON c.j = js.j
+     AND c.bucket = ('0x' || substr(md5('cms-v1-' || CAST(js.j AS VARCHAR) || '|' || top.token), 1, 8))::BIGINT
+                    % {_CMS_WIDTH}
+  ) GROUP BY token
+)
+SELECT top.token, top.exact_cnt, est.cms_est
+FROM top JOIN est USING (token)
+ORDER BY exact_cnt DESC, token
+"""
+
+QUERIES["cms_token_counts_documents"] = cms_token_counts_documents
+ORACLES["cms_token_counts_documents"] = CMS_TOKEN_SQL

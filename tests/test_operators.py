@@ -299,3 +299,36 @@ def test_theta_overlap_accuracy(spark):
         assert abs(r["union_est"] - union_exact) / union_exact < 0.05
         diff_exact = sizes[sa] - n_exact
         assert abs(r["a_minus_b_est"] - diff_exact) / max(diff_exact, 1) < 0.10
+
+
+def test_count_min_overestimates_and_merges(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators import sketches as sk
+
+    # skewed items: item-i appears i+1 times; tiny width forces collisions
+    rows = [(f"item-{i}",) for i in range(60) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "item string")
+    counters = sk.count_min_counters(df, "item", depth=3, width=16)
+    assert counters.count() <= 3 * 16
+    items = df.distinct()
+    est = {
+        r["item"]: r["cms_est"]
+        for r in sk.count_min_estimate(counters, items, "item", depth=3, width=16).collect()
+    }
+    exact = {f"item-{i}": i + 1 for i in range(60)}
+    # CMS never underestimates; with 60 items in 16 buckets some cells collide
+    assert all(est[k] >= exact[k] for k in exact)
+    assert any(est[k] > exact[k] for k in exact)
+
+    # counters merge by summing matching cells: two halves == whole
+    h1 = sk.count_min_counters(df.limit(800), "item", depth=3, width=16)
+    h2 = sk.count_min_counters(
+        df.exceptAll(df.limit(800)), "item", depth=3, width=16
+    )
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["j"], r["bucket"]): r["cnt"] for r in counters.collect()}
+    got = {(r["j"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole

@@ -245,3 +245,77 @@ def test_pii_scrub_plan_prunes_columns(spark):
     assert "doc_id" in read_schema and "text" in read_schema
     assert "lang" not in read_schema and "n_chars" not in read_schema
     assert "Exchange hashpartitioning" not in plan  # only the orderBy range exchange
+
+
+def test_weighted_sample_plan_single_shuffle_pruned(spark):
+    """A-ES weighted sampling is one ranking-window shuffle, and the
+    scan must not read the text column (weight/id/stratum only)."""
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        weighted_sample_documents,
+    )
+
+    df = weighted_sample_documents(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "n_chars" in read_schema and "text" not in read_schema
+
+
+def test_theta_overlap_plan_broadcasts_and_prunes(spark):
+    """The k^2 sketch pair join is a broadcast nested loop over
+    segment-cardinality rows; the exact-count ride-along joins
+    broadcast; orders is scanned with 2 columns only."""
+    from nasa_asteroid_data_lakehouse_spark.plans.analytics_queries import (
+        theta_overlap_orders,
+    )
+
+    df = theta_overlap_orders(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "o_custkey" in read_schema and "o_totalprice" not in read_schema
+
+
+def test_semantic_dedup_plan_no_cartesian(spark):
+    """The within-cluster pair compare must be an equi-join on the
+    cluster id (SMJ/broadcast), never a cartesian product, and the
+    survivor filter a broadcast anti-join."""
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        semantic_dedup_embeddings,
+    )
+
+    df = semantic_dedup_embeddings(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_incremental_admit_plan_no_cartesian(spark):
+    """Banded candidate generation must stay equi-join shaped
+    (band+bucket keys) with the side constraint applied as a filter,
+    and the admitted output is an anti-join."""
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        incremental_admit_documents,
+    )
+
+    df = incremental_admit_documents(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_cms_plan_broadcasts_counters(spark):
+    """The CMS lookup joins must broadcast (counter table is
+    depth x width however large the corpus); only text is scanned."""
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        cms_token_counts_documents,
+    )
+
+    df = cms_token_counts_documents(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema")[1][:120]
+    assert "text" in read_schema and "doc_id" not in read_schema
