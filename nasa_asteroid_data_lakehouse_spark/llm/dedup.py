@@ -688,3 +688,35 @@ def incremental_admit(
     return batch.join(
         dropped, F.col(id_col) == F.col("id_b"), "left_anti"
     )
+
+def dedup_by_clusters_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_by: list,
+) -> DataFrame:
+    """Like :func:`dedup_by_clusters`, but each cluster's survivor is
+    chosen by an explicit ordering (e.g. highest quality score or
+    longest text) instead of minimum id — the curation pattern where
+    near-duplicate groups keep their best exemplar.  ``order_by``
+    must be deterministic (include an id tie-break).
+
+    The ranking runs on the component table (only clustered docs, a
+    tiny fraction of the corpus), so the quality-column join-back and
+    the window both touch O(|clustered|) rows, never the full corpus.
+    """
+    from pyspark.sql import Window
+
+    components = connected_components(pairs)
+    attrs = df.select(F.col(id_col).alias("__node"), *[
+        c for c in df.columns if c != id_col
+    ])
+    ranked = (
+        components.join(attrs, F.col("node") == F.col("__node"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(Window.partitionBy("component").orderBy(*order_by)),
+        )
+    )
+    losers = ranked.where(F.col("__rk") > 1).select(F.col("node").alias("__loser"))
+    return df.join(losers, F.col(id_col) == F.col("__loser"), "left_anti")

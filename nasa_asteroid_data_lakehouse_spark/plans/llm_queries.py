@@ -1373,3 +1373,65 @@ ORDER BY exact_cnt DESC, token
 
 QUERIES["cms_token_counts_documents"] = cms_token_counts_documents
 ORACLES["cms_token_counts_documents"] = CMS_TOKEN_SQL
+
+
+def best_of_near_dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster curation (llm/dedup.py:
+    dedup_by_clusters_best): near-dup clusters at jaccard >= 0.5 keep
+    their LONGEST member (n_chars desc, doc_id tie-break) instead of
+    the minimum id — the keep-best-exemplar curation pattern.
+    Unclustered documents pass through untouched."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    pairs = dedup.lsh_near_dup_pairs(
+        docs.select("doc_id", "text"),
+        "doc_id",
+        num_hashes=_LSHMH_N,
+        bands=_LSHMH_BANDS,
+        shingle_k=_LSHMH_K,
+        jaccard_threshold=_CLUSTER_THRESHOLD,
+        max_bucket=_LSHMH_MAX_BUCKET,
+    )
+    return (
+        dedup.dedup_by_clusters_best(
+            docs, pairs, "doc_id", [F.desc("n_chars"), F.asc("node")]
+        )
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+BEST_OF_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+base_pairs AS ({_minhash_lsh_sql(_CLUSTER_THRESHOLD)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM base_pairs
+  UNION
+  SELECT id_b, id_a FROM base_pairs
+),
+reach AS (
+  SELECT a AS node, a AS root FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (
+  SELECT node, MIN(root) AS component FROM reach GROUP BY node
+),
+ranked AS (
+  SELECT c.node,
+         row_number() OVER (
+           PARTITION BY c.component
+           ORDER BY d.n_chars DESC, c.node
+         ) AS rk
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+losers AS (SELECT node FROM ranked WHERE rk > 1)
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM losers)
+ORDER BY doc_id
+"""
+
+QUERIES["best_of_near_dup_clusters_documents"] = best_of_near_dup_clusters_documents
+ORACLES["best_of_near_dup_clusters_documents"] = BEST_OF_CLUSTERS_SQL

@@ -485,3 +485,22 @@ def test_incremental_admit(spark):
     assert admitted == [2, 3]
     # admitted rows keep their original columns
     assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_dedup_by_clusters_best(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "short", 5),
+            (2, "the longest exemplar", 20),
+            (3, "medium one", 10),
+            (10, "unclustered", 11),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = dedup.dedup_by_clusters_best(
+        df, pairs, "doc_id", [F.desc("n_chars"), F.asc("node")]
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # cluster {1,2,3} keeps longest member (2); unclustered 10 passes through
+    assert kept == [2, 10]
