@@ -4,6 +4,12 @@ from nasa_asteroid_data_lakehouse_spark.operators.dedup import (
     dedup_deterministic,
     duplicate_groups,
 )
+from nasa_asteroid_data_lakehouse_spark.operators.entity import blocked_fuzzy_pairs
+from nasa_asteroid_data_lakehouse_spark.operators.expectations import (
+    check,
+    check_ref_integrity,
+    check_unique,
+)
 from nasa_asteroid_data_lakehouse_spark.operators.joins import (
     anti_join,
     key_integrity,
@@ -16,6 +22,7 @@ from nasa_asteroid_data_lakehouse_spark.operators.merge import (
     save_or_update_table,
 )
 from nasa_asteroid_data_lakehouse_spark.operators.normalize import normalize_placeholders
+from nasa_asteroid_data_lakehouse_spark.operators.scd import scd2_compress
 from nasa_asteroid_data_lakehouse_spark.operators.profile import profile
 from nasa_asteroid_data_lakehouse_spark.operators.skew import (
     salted_agg,
@@ -32,6 +39,10 @@ from nasa_asteroid_data_lakehouse_spark.operators.topk import top_k, top_k_per_g
 
 __all__ = [
     "anti_join",
+    "blocked_fuzzy_pairs",
+    "check",
+    "check_ref_integrity",
+    "check_unique",
     "dedup_all_columns",
     "dedup_by_keys",
     "dedup_deterministic",
@@ -46,6 +57,7 @@ __all__ = [
     "salted_agg",
     "salted_broadcast_left",
     "salted_count",
+    "scd2_compress",
     "with_salt",
     "save_or_update_table",
     "semi_join",

@@ -1,0 +1,73 @@
+"""SCD Type-2 history compression (net-new surface; the reference's
+gold dims are Type-1 overwrite-on-merge, `src/utils/bucket.py:63-89` —
+the merge keeps ONE row per key and discards history).
+
+``scd2_compress`` turns an event/snapshot stream of ``(key, attribute,
+ts)`` observations into a compact validity-interval history: one row
+per *run* of consecutive identical attribute values per key, with
+``valid_from`` / ``valid_to`` / ``version`` / ``is_current``.  This is
+the classic gaps-and-islands rewrite:
+
+1. per-key ordered ``lag`` marks rows where the attribute changed,
+2. a running sum of change-markers assigns a run id,
+3. one hash aggregate collapses each run to its start timestamp,
+4. ``lead`` over run starts closes each interval.
+
+Execution shape: ONE shuffle on the key (steps 1-2 and 4 reuse the
+same ``partitionBy(key)`` ordering; the aggregate in step 3 is
+partial-aggregated map-side within already-key-partitioned data).
+At 100 TB the cost is a single hash exchange on ``keys`` plus a
+per-key sort — the same lower bound any per-key ordered pass has.
+Skewed keys (one entity with millions of observations) sort within
+one task; if that bites, pre-aggregate observations to (key, attr,
+min ts per attr-run-day) buckets first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_compress(
+    df: DataFrame,
+    keys: list[str],
+    attr_col: str,
+    ts_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Compress an observation stream into SCD2 validity intervals.
+
+    Output: ``keys + [attr_col, valid_from, valid_to, version,
+    is_current]``.  ``valid_to`` is the start of the next run (open
+    interval, null for the current run); ``version`` numbers runs per
+    key from 1 in time order.  ``tiebreak`` columns make the ordering
+    total when ``ts_col`` can collide (determinism — the reference's
+    dedup keeps an arbitrary survivor, SURVEY.md §4 anti-pattern 4).
+    """
+    order = [ts_col, *(tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+
+    marked = df.select(*keys, attr_col, *order).withColumn(
+        "__chg",
+        F.when(
+            F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col)), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    runs = marked.withColumn(
+        "__run",
+        F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    collapsed = runs.groupBy(*keys, "__run").agg(
+        F.first(attr_col).alias(attr_col),  # constant within a run
+        F.min(ts_col).alias("valid_from"),
+    )
+    w_runs = Window.partitionBy(*keys).orderBy("__run")
+    return collapsed.select(
+        *keys,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(w_runs).alias("valid_to"),
+        F.col("__run").cast("int").alias("version"),
+        F.lead("valid_from").over(w_runs).isNull().alias("is_current"),
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,3 +85,40 @@ def salted_broadcast_left(
         F.explode(F.array(*[F.lit(i) for i in range(buckets)])),
     )
     return salted_fact.join(replicated_dim, [on, "__salt"]).drop("__salt")
+
+
+def heavy_hitters(
+    df: DataFrame, keys: list[str], top_n: int = 20
+) -> DataFrame:
+    """Skew diagnostic: the ``top_n`` heaviest key groups with each
+    group's share of total rows and the running cumulative share.
+
+    This is the measurement that justifies (or rules out) salting: a
+    top key holding >20-30% of rows will dominate one shuffle
+    partition in any keyed join/agg on it.  One hash aggregate on the
+    key + a driver-size top-n (TakeOrderedAndProject) — the count
+    table is |distinct keys| rows, never row-scale.  The cumulative
+    window runs over only top_n rows.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n",
+            (F.col("n") / F.col("__total")).alias("share"),
+        )
+        .orderBy(F.desc("n"), *keys)
+        .limit(top_n)
+    )
+    w = (
+        Window.orderBy(F.desc("n"), *keys)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return top.select(
+        *keys,
+        "n",
+        F.round("share", 6).alias("share"),
+        F.round(F.sum("share").over(w), 6).alias("cumulative_share"),
+    )

@@ -78,3 +78,42 @@ def fill_gaps(
         )
         .withColumn("is_gap", F.col(value_col).isNull())
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    lookback: int = 7,
+) -> DataFrame:
+    """Trailing-window anomaly score: how far the current value sits
+    from the mean of the previous ``lookback`` observations, in units
+    of their sample standard deviation.
+
+    The window is ``ROWS BETWEEN lookback PRECEDING AND 1 PRECEDING``
+    — strictly historical, so the current value never contaminates its
+    own baseline (the standard leakage bug in rolling anomaly checks).
+    ``zscore`` is null until 2+ history rows exist or when the history
+    is constant (std = 0).
+
+    One shuffle on ``keys`` + per-key sort; the frame is bounded so
+    Spark keeps O(lookback) rows of state per partition — this is the
+    plan shape that survives 100 TB (contrast an unbounded frame,
+    which buffers each key's full history).
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-lookback, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    return df.select(
+        *keys,
+        order_col,
+        value_col,
+        mean.alias("baseline_mean"),
+        std.alias("baseline_std"),
+        F.when(std > 0, (F.col(value_col) - mean) / std).alias("zscore"),
+    )

@@ -1066,3 +1066,443 @@ def theta_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["theta_overlap_orders"] = theta_overlap_orders
 # no ORACLES entry: DataSketches Theta estimates are engine-specific (rows-only)
+
+
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history (operators/scd.py): compress each user's
+    event-type stream into validity intervals — one row per run of
+    consecutive identical event types, with valid_from/valid_to/
+    version/is_current.  The reference's gold merge is Type-1
+    (`src/utils/bucket.py:63-89`, one surviving row per key); this is
+    the history-preserving upgrade a dimensional model needs.
+    Ordering tie-broken on event_id for determinism.
+    """
+    from nasa_asteroid_data_lakehouse_spark.operators.scd import scd2_compress
+
+    events = _t(spark, sf_dir, "events")
+    return scd2_compress(
+        events,
+        keys=["user_id"],
+        attr_col="event_type",
+        ts_col="ts",
+        tiebreak=["event_id"],
+    ).orderBy("user_id", "version")
+
+
+SCD2_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+), collapsed AS (
+  SELECT user_id, run, any_value(event_type) AS event_type,
+         MIN(ts) AS valid_from
+  FROM runs GROUP BY user_id, run
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       CAST(run AS INTEGER) AS version,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM collapsed
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+ORDER BY user_id, version
+"""
+
+
+def anomaly_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (operators/timeseries.py):
+    daily event counts per type scored against the trailing-7-day
+    baseline (strictly historical frame — no self-contamination).
+    Net-new: the reference's only quality checks are static null/
+    distinct profiles (`src/etl/bronze_to_silver.py:127-143`).
+    """
+    from nasa_asteroid_data_lakehouse_spark.operators.timeseries import (
+        resample,
+        rolling_zscore,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    daily = resample(
+        events, "ts", ["event_type"], [F.count(F.lit(1)).alias("n")], "1 day"
+    )
+    scored = rolling_zscore(
+        daily, ["event_type"], "bucket_ts", "n", lookback=7
+    )
+    return scored.select(
+        "event_type",
+        F.col("bucket_ts").alias("day"),
+        "n",
+        F.round("baseline_mean", 4).alias("baseline_mean"),
+        F.round("baseline_std", 4).alias("baseline_std"),
+        F.round("zscore", 3).alias("zscore"),
+        F.coalesce(F.abs(F.col("zscore")) > 2, F.lit(False)).alias("is_anomaly"),
+    ).orderBy("event_type", "day")
+
+
+ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day, n,
+         AVG(n) OVER w AS m,
+         STDDEV_SAMP(n) OVER w AS s
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n,
+       ROUND(m, 4) AS baseline_mean,
+       ROUND(s, 4) AS baseline_std,
+       ROUND(CASE WHEN s > 0 THEN (n - m) / s END, 3) AS zscore,
+       COALESCE(ABS(CASE WHEN s > 0 THEN (n - m) / s END) > 2, FALSE)
+         AS is_anomaly
+FROM scored
+ORDER BY event_type, day
+"""
+
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel: signup -> view -> click ->
+    purchase, each step within 24h of the previous.  Classic product-
+    analytics shape the reference's star schema is meant to serve but
+    never implements (zero joins, SURVEY.md §2.C).
+
+    Plan: each step's frontier is min-per-user aggregated then
+    broadcast into the next step's filter — at scale the frontier is
+    |users| rows (tiny vs events), so every step is a broadcast hash
+    join; the events table is scanned once per step with the
+    event_type filter pushed to parquet.
+    """
+    events = _t(spark, sf_dir, "events")
+
+    def step(prev: DataFrame, etype: str, prev_ts: str, out_ts: str) -> DataFrame:
+        return (
+            events.where(F.col("event_type") == etype)
+            .join(broadcast(prev), "user_id")
+            .where(
+                (F.col("ts") > F.col(prev_ts))
+                & (F.col("ts") <= F.col(prev_ts) + F.expr("INTERVAL 24 HOURS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s1 = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = step(s1, "view", "t1", "t2")
+    s3 = step(s2, "click", "t2", "t3")
+    s4 = step(s3, "purchase", "t3", "t4")
+
+    def count_step(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("step_no"),
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return (
+        count_step(s1, 1, "signup")
+        .unionByName(count_step(s2, 2, "view_24h"))
+        .unionByName(count_step(s3, 3, "click_24h"))
+        .unionByName(count_step(s4, 4, "purchase_24h"))
+        .orderBy("step_no")
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE event_type = 'view' AND ts > t1 AND ts <= t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE event_type = 'click' AND ts > t2 AND ts <= t2 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+), s4 AS (
+  SELECT e.user_id, MIN(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t3 AND ts <= t3 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT 1 AS step_no, 'signup' AS step, (SELECT COUNT(*) FROM s1) AS users
+UNION ALL
+SELECT 2, 'view_24h', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT 3, 'click_24h', (SELECT COUNT(*) FROM s3)
+UNION ALL
+SELECT 4, 'purchase_24h', (SELECT COUNT(*) FROM s4)
+ORDER BY step_no
+"""
+
+
+def regression_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics kit per return flag: Pearson correlation,
+    OLS slope/intercept/R², and sample covariance of extendedprice on
+    quantity — the SQL-standard REGR_* family (net-new; the
+    reference's aggregate surface is count/distinct only, SURVEY.md
+    §2.D).  Single hash-aggregate pass: all six moments come from one
+    shuffle on the group key with map-side partial aggregation.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+            F.round(
+                F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            ).alias("slope"),
+            F.round(
+                F.regr_intercept(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            ).alias("intercept"),
+            F.round(
+                F.regr_r2(F.col("l_extendedprice"), F.col("l_quantity")), 6
+            ).alias("r2"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+                "covar_pq"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+REGRESSION_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_pq,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+       ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS covar_pq
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (operators/entity.py): near-identical part
+    names found by canonicalize-to-vocabulary + block-on-noun +
+    levenshtein.  The quadratic step runs on the distinct-name
+    vocabulary (64 names here; always ≪ rows), never on raw rows —
+    the shape that survives 100 TB.
+    """
+    from nasa_asteroid_data_lakehouse_spark.operators.entity import (
+        blocked_fuzzy_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        part,
+        name_col="p_name",
+        block=F.split(F.col("p_name"), " ").getItem(1),
+        min_dist=1,
+        max_dist=3,
+    ).orderBy("name_a", "name_b")
+
+
+FUZZY_SQL = """
+WITH names AS (
+  SELECT p_name AS name, split_part(p_name, ' ', 2) AS block,
+         COUNT(*) AS n
+  FROM part GROUP BY 1, 2
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS distance,
+       a.n AS n_a, b.n AS n_b
+FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 3
+ORDER BY name_a, name_b
+"""
+
+
+QUERIES["scd2_user_status"] = scd2_user_status
+ORACLES["scd2_user_status"] = SCD2_SQL
+QUERIES["anomaly_daily_events"] = anomaly_daily_events
+ORACLES["anomaly_daily_events"] = ANOMALY_SQL
+QUERIES["funnel_events"] = funnel_events
+ORACLES["funnel_events"] = FUNNEL_SQL
+QUERIES["regression_stats_lineitem"] = regression_stats_lineitem
+ORACLES["regression_stats_lineitem"] = REGRESSION_SQL
+QUERIES["fuzzy_part_name_pairs"] = fuzzy_part_name_pairs
+ORACLES["fuzzy_part_name_pairs"] = FUZZY_SQL
+
+
+def file_skipping_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping manifest stats (lake/stats.py) validated end to
+    end: write orders Hive-partitioned by priority, collect per-file
+    min/max/null envelopes from the ``_metadata`` hidden column in one
+    distributed pass, roll files up to partition level, and check the
+    envelopes against ground truth computed straight from the table.
+    This is the metadata a 100 TB table's manifest keeps so range
+    predicates prune files without opening them (file count stays out
+    of the output — it depends on the writer's parallelism, not the
+    data).
+    """
+    import tempfile
+
+    from nasa_asteroid_data_lakehouse_spark.lake.stats import collect_file_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ndl_filestats_")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(tmp)
+
+    back = spark.read.parquet(tmp)
+    stats = collect_file_stats(
+        back, ["o_totalprice"], group_cols=["o_orderpriority"]
+    )
+    return (
+        stats.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("o_totalprice_min").alias("price_min"),
+            F.max("o_totalprice_max").alias("price_max"),
+            F.sum("o_totalprice_nulls").alias("price_nulls"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+FILE_SKIPPING_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS price_min,
+       MAX(o_totalprice) AS price_max,
+       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS price_nulls
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+QUERIES["file_skipping_stats_orders"] = file_skipping_stats_orders
+ORACLES["file_skipping_stats_orders"] = FILE_SKIPPING_SQL
+
+
+def dq_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/expectations.py): a
+    rule suite over orders — row-level constraints compiled into ONE
+    scan, plus key-uniqueness (one hash aggregate) and referential
+    integrity into customer (broadcast anti-join).  The assertion-
+    grade replacement for the reference's 80-job print-only profiling
+    (SURVEY.md §4 anti-pattern 1).
+    """
+    from nasa_asteroid_data_lakehouse_spark.operators import expectations as ex
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+
+    row_rules = {
+        "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+        "totalprice_positive": F.col("o_totalprice") > 0,
+        "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        "orderdate_in_range": F.col("o_orderdate").between(
+            "1990-01-01", "2005-12-31"
+        ),
+    }
+    report = (
+        ex.check(orders, row_rules)
+        .unionByName(ex.check_unique(orders, ["o_orderkey"]))
+        .unionByName(
+            ex.check_ref_integrity(orders, "o_custkey", customer, "c_custkey")
+        )
+    )
+    return report.orderBy("rule")
+
+
+DQ_REPORT_SQL = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+row_rules AS (
+  SELECT * FROM (
+    SELECT 'orderkey_not_null' AS rule, n_rows,
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT COALESCE(o_orderkey IS NOT NULL, FALSE)) AS violations
+    FROM n
+    UNION ALL
+    SELECT 'totalprice_positive', n_rows,
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT COALESCE(o_totalprice > 0, FALSE))
+    FROM n
+    UNION ALL
+    SELECT 'status_in_domain', n_rows,
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE))
+    FROM n
+    UNION ALL
+    SELECT 'orderdate_in_range', n_rows,
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT COALESCE(o_orderdate BETWEEN '1990-01-01' AND '2005-12-31',
+                               FALSE))
+    FROM n
+  )
+),
+uniq AS (
+  SELECT 'unique(o_orderkey)' AS rule,
+         (SELECT n_rows FROM n) AS n_rows,
+         COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS violations
+  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+),
+ref AS (
+  SELECT 'ref(o_custkey->c_custkey)' AS rule,
+         (SELECT n_rows FROM n) AS n_rows,
+         (SELECT COUNT(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                  WHERE c_custkey IS NOT NULL)) AS violations
+)
+SELECT rule, n_rows, violations,
+       ROUND(CASE WHEN n_rows > 0
+                  THEN 1 - violations / CAST(n_rows AS DOUBLE)
+                  ELSE 1.0 END, 6) AS pass_rate,
+       violations = 0 AS passed
+FROM (SELECT * FROM row_rules UNION ALL SELECT * FROM uniq
+      UNION ALL SELECT * FROM ref)
+ORDER BY rule
+"""
+
+QUERIES["dq_report_orders"] = dq_report_orders
+ORACLES["dq_report_orders"] = DQ_REPORT_SQL
+
+
+def heavy_hitters_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic (operators/skew.py): the 20 heaviest customers
+    by order count with per-key share and cumulative share — the
+    measurement that decides whether a keyed join/agg needs salting
+    (ROUND_NOTES: salting helps only non-combinable aggs and skewed
+    joins; this query is how you find out which keys are hot).
+    """
+    from nasa_asteroid_data_lakehouse_spark.operators.skew import heavy_hitters
+
+    orders = _t(spark, sf_dir, "orders")
+    return heavy_hitters(orders, ["o_custkey"], top_n=20)
+
+
+HEAVY_HITTERS_SQL = """
+WITH counts AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+), tot AS (SELECT SUM(n) AS t FROM counts),
+top AS (
+  SELECT o_custkey, n, n / CAST(t AS DOUBLE) AS share
+  FROM counts, tot
+  ORDER BY n DESC, o_custkey
+  LIMIT 20
+)
+SELECT o_custkey, n, ROUND(share, 6) AS share,
+       ROUND(SUM(share) OVER (ORDER BY n DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING), 6)
+         AS cumulative_share
+FROM top
+"""
+
+QUERIES["heavy_hitters_orders"] = heavy_hitters_orders
+ORACLES["heavy_hitters_orders"] = HEAVY_HITTERS_SQL

@@ -274,3 +274,43 @@ def run_stream_to_table(
         .start()
     )
     query.awaitTermination()
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_gap: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: each right-side event
+    matches left-side events of the same key that happened within
+    ``max_gap`` BEFORE it (click → purchase attribution, the streaming
+    twin of the batch ``purchases_after_clicks`` range join).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions — that pair of constraints is what lets
+    Spark evict join state: without them a stream-stream join buffers
+    forever (the canonical unbounded-state bug).  State per key is
+    O(events within the gap window), independent of stream length.
+
+    Output columns are prefixed ``l_`` / ``r_`` (a self-join on the
+    events schema would otherwise collide).
+    """
+    l = left.withWatermark(ts_col, watermark).select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns]
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    )
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col(f"r_{ts_col}") > F.col(f"l_{ts_col}"))
+        & (
+            F.col(f"r_{ts_col}")
+            <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {max_gap.upper()}")
+        )
+    )
+    return l.join(r, cond, how)

@@ -34,8 +34,13 @@ from pyspark.sql.types import (
 from nasa_asteroid_data_lakehouse_spark.streaming.events import EVENTS_SCHEMA
 
 # to_json/from_json default to millisecond precision; events carry
-# microseconds, so pin the format on both sides of the wire.
-_TS_FMT = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+# microseconds, so pin the format on both sides of the wire.  The NTZ
+# variant must be pinned separately: parquet fixtures read back as
+# TIMESTAMP_NTZ, and to_json ignores `timestampFormat` for NTZ columns
+# (it would otherwise emit ISO millis that the decoder's 6-digit
+# pattern rejects into nulls).
+_TS_PATTERN = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT = {"timestampFormat": _TS_PATTERN, "timestampNTZFormat": _TS_PATTERN}
 
 KAFKA_WIRE_SCHEMA = StructType(
     [

@@ -224,3 +224,46 @@ def test_kafka_shaped_roundtrip_and_stream(spark, tmp_path):
     assert s and set(s) <= set(b2)
     for k in s:
         assert s[k] == b2[k]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from nasa_asteroid_data_lakehouse_spark.streaming.events import (
+        interval_join_streams,
+        read_event_stream,
+    )
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    clicks_dir = str(tmp_path / "clicks")
+    purch_dir = str(tmp_path / "purchases")
+    events.where("event_type = 'click'").write.parquet(clicks_dir)
+    events.where("event_type = 'purchase'").write.parquet(purch_dir)
+
+    joined = interval_join_streams(
+        read_event_stream(spark, clicks_dir, max_files_per_trigger=4),
+        read_event_stream(spark, purch_dir, max_files_per_trigger=4),
+        max_gap="1 hour",
+    )
+    out = str(tmp_path / "joined")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "__ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out).count()
+
+    clicks = events.where("event_type = 'click'").alias("c")
+    purchases = events.where("event_type = 'purchase'").alias("p")
+    expected = clicks.join(
+        purchases,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") > F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).count()
+
+    assert got == expected
+    assert got > 0
