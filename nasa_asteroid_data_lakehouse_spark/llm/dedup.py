@@ -505,25 +505,73 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 30,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph: ``(node,
     component)`` with component = the minimum node id reachable.
 
-    Iterative min-label propagation as DataFrame jobs (the same
-    driver-loop pattern as ``similarity.kmeans_fit``): each round every
-    node takes the min of its own label and its neighbors' labels;
-    convergence in O(graph diameter) rounds — near-dup clusters are
-    shallow, so typically 2-4.  Each round is one join + one groupBy
-    (shuffles on node id); ``localCheckpoint`` cuts the lineage so the
-    plan doesn't grow with iterations.  Converged state is detected by
-    counting changed labels (a driver-side scalar, not a collect of
-    rows) — the algorithm is fully distributed.
+    **Adaptive execution** (same philosophy as Spark's own
+    broadcast-join selection): the edge list a near-dup pair generator
+    emits is a verified, thresholded graph — orders of magnitude
+    smaller than the corpus — so when it fits comfortably on the
+    driver (≤ ``small_graph_edges`` edges, ~32 MB at the default) a
+    driver-side union-find answers in one collect instead of paying
+    2-4 rounds of join+groupBy shuffles whose fixed cost dominates at
+    small |E|.  Larger graphs take the distributed path unchanged.
+    Both paths return identical (node, min-reachable-id) labels.
+
+    Distributed path: iterative min-label propagation as DataFrame
+    jobs (the same driver-loop pattern as ``similarity.kmeans_fit``):
+    each round every node takes the min of its own label and its
+    neighbors' labels; convergence in O(graph diameter) rounds —
+    near-dup clusters are shallow, so typically 2-4.  Each round is
+    one join + one groupBy (shuffles on node id); ``localCheckpoint``
+    cuts the lineage so the plan doesn't grow with iterations.
+    Converged state is detected by counting changed labels (a
+    driver-side scalar, not a collect of rows).
 
     Only nodes that appear in ``pairs`` are returned; singleton
     documents are their own trivial component by construction and
     don't need rows.
     """
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Materialize the edge projection ONCE: the pair generator's plan
+    # ends in an (often expensive, un-checkpointed) verify stage, and
+    # every action below — size probe, collect, or the iterative
+    # loop's first join — would otherwise re-run it.
+    fwd = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
+    n_edges = fwd.limit(small_graph_edges + 1).count()
+    if n_edges <= small_graph_edges:
+        edge_rows = fwd.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edge_rows:
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        # component label = min member id (matches the iterative path)
+        comp_min: dict = {}
+        for node in parent:
+            root = find(node)
+            if root not in comp_min or node < comp_min[root]:
+                comp_min[root] = node
+        out = [(node, comp_min[find(node)]) for node in parent]
+        id_type = dict(pairs.dtypes)[id_a]  # labels keep the id's type
+        return pairs.sparkSession.createDataFrame(
+            out, schema=f"node {id_type}, component {id_type}"
+        )
     edges = (
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

@@ -250,6 +250,26 @@ def test_connected_components(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_connected_components_paths_agree(spark):
+    """The driver-side union-find fast path and the distributed
+    min-label-propagation path must label identically (component =
+    min reachable id), including on merge-heavy graphs where naive
+    union-find root choice would diverge from min-label."""
+    edges = [(5, 4), (4, 3), (9, 8), (8, 7), (3, 9), (100, 5), (50, 50)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs, small_graph_edges=0).collect()
+    }
+    assert fast == dist
+    # one big component rooted at its min id, plus the self-loop node
+    assert {(100, 3), (5, 3), (3, 3), (7, 3), (50, 50)} <= fast
+
+
 def test_dedup_by_clusters(spark, docs):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
     kept = dedup.dedup_by_clusters(docs, pairs, "doc_id")
