@@ -1506,3 +1506,46 @@ FROM top
 
 QUERIES["heavy_hitters_orders"] = heavy_hitters_orders
 ORACLES["heavy_hitters_orders"] = HEAVY_HITTERS_SQL
+
+
+def trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic window: 7-calendar-day trailing revenue per
+    order day.  A ROWS frame would be wrong here — days can be missing,
+    and a physical-row frame silently widens its time span; the RANGE
+    frame is value-based, so gaps shorten the window as they should.
+    Ordering key is integer epoch-days (portable across engines).
+    One shuffle for the daily aggregate; the window runs over the
+    2.4k-row daily table.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .withColumn("day_n", F.datediff("day", F.lit("1970-01-01")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day_n").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round("rev", 2).alias("rev"),
+        F.round(F.sum("rev").over(w), 2).alias("rev_7d"),
+    ).orderBy("day")
+
+
+TRAILING_WEEK_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS rev,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_n
+  FROM orders GROUP BY 1, 3
+)
+SELECT day, ROUND(rev, 2) AS rev,
+       ROUND(SUM(rev) OVER (ORDER BY day_n
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+         AS rev_7d
+FROM daily
+ORDER BY day
+"""
+
+QUERIES["trailing_week_revenue"] = trailing_week_revenue
+ORACLES["trailing_week_revenue"] = TRAILING_WEEK_SQL

@@ -1435,3 +1435,70 @@ ORDER BY doc_id
 
 QUERIES["best_of_near_dup_clusters_documents"] = best_of_near_dup_clusters_documents
 ORACLES["best_of_near_dup_clusters_documents"] = BEST_OF_CLUSTERS_SQL
+
+
+def cross_source_dup_matrix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation analytics on top of the near-dup pair generator: which
+    SOURCES duplicate each other, and how strongly.  Near-dup pairs
+    (MinHash-LSH + exact-Jaccard verify) are joined to each side's
+    source label and rolled up to an unordered source-pair matrix —
+    the report that tells a corpus owner where crawl overlap lives
+    (intra-source boilerplate vs cross-source mirroring).  The rollup
+    input is |pairs| rows — negligible next to the pair generation it
+    reuses unchanged."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_near_dup_pairs(
+        docs.select("doc_id", "text"),
+        "doc_id",
+        num_hashes=_LSHMH_N,
+        bands=_LSHMH_BANDS,
+        shingle_k=_LSHMH_K,
+        jaccard_threshold=_LSHMH_THRESHOLD,
+        max_bucket=_LSHMH_MAX_BUCKET,
+    )
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))),
+            "id_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+            "jaccard",
+        )
+        .groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            # min/max are order-free selections of per-pair doubles the
+            # two engines compute identically; AVG would re-order FP
+            # summation and break round() on ties (ROUND_NOTES)
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("source_x", "source_y")
+    )
+
+
+CROSS_SOURCE_DUP_SQL = f"""
+WITH pairs AS ({_minhash_lsh_sql()})
+SELECT LEAST(da.source, db.source) AS source_x,
+       GREATEST(da.source, db.source) AS source_y,
+       COUNT(*) AS n_pairs,
+       MIN(jaccard) AS min_jaccard,
+       MAX(jaccard) AS max_jaccard
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.id_a
+JOIN documents db ON db.doc_id = pairs.id_b
+GROUP BY 1, 2
+ORDER BY source_x, source_y
+"""
+
+QUERIES["cross_source_dup_matrix_documents"] = cross_source_dup_matrix_documents
+ORACLES["cross_source_dup_matrix_documents"] = CROSS_SOURCE_DUP_SQL

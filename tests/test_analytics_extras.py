@@ -222,3 +222,19 @@ def test_schema_drift_detection():
 
     same = diff_schemas(old, old)
     assert not same.has_drift and same.is_compatible
+
+
+def test_trailing_week_revenue_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        aq.trailing_week_revenue(spark, sf_dir), aq.TRAILING_WEEK_SQL, sf_dir
+    )
+
+
+def test_cross_source_dup_matrix_matches_oracle(spark, sf_dir):
+    from nasa_asteroid_data_lakehouse_spark.plans import llm_queries as lq
+
+    assert_matches_oracle(
+        lq.cross_source_dup_matrix_documents(spark, sf_dir),
+        lq.CROSS_SOURCE_DUP_SQL,
+        sf_dir,
+    )
