@@ -202,6 +202,10 @@ def lsh_near_dup_pairs(
     ).select("doc", "bb.band", "bb.bucket")
 
     # Cap pathological buckets before the self-join (quadratic guard).
+    # Shape note (measured at sf0.1): aggregate + join-back beats a
+    # count-over-window rewrite here — the filtered bucket list is
+    # tiny, so AQE broadcasts the join-back, while WindowExec pays a
+    # per-partition sort on the full band_entries.
     bucket_sizes = band_entries.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
