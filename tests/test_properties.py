@@ -127,3 +127,53 @@ def test_lsh_pairs_subset_of_exact_jaccard(sp, docsets):
         key = (r["id_a"], r["id_b"])
         assert key in exact_scores, f"LSH invented pair {key}"
         assert r["jaccard"] == pytest.approx(exact_scores[key], abs=1e-9)
+
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key
+        st.integers(min_value=0, max_value=50),  # ts (int seconds)
+        st.sampled_from(["a", "b", "c"]),        # attr
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(rows=EVENTS)
+@SLOW
+def test_scd2_tiles_the_timeline(sp, rows):
+    """SCD2 invariants for any observation stream: per key, intervals
+    are ordered and contiguous (valid_to == next valid_from), exactly
+    one open interval, versions are 1..n, adjacent runs differ in
+    attribute, and interval count == run count of the (ts, seq)-sorted
+    attribute sequence."""
+    import itertools
+
+    pdf = pd.DataFrame(rows, columns=["k", "t", "attr"])
+    pdf["seq"] = range(len(pdf))  # unique tiebreak like event_id
+    df = sp.createDataFrame(pdf, schema="k long, t long, attr string, seq long")
+    hist = (
+        ops.scd2_compress(df, ["k"], "attr", "t", tiebreak=["seq"])
+        .orderBy("k", "version")
+        .collect()
+    )
+
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    # expected run counts from a plain python reference
+    expected_runs = {}
+    for k, grp in pdf.sort_values(["k", "t", "seq"]).groupby("k"):
+        expected_runs[int(k)] = len(
+            [1 for _, _g in itertools.groupby(grp["attr"])]
+        )
+    assert {k: len(v) for k, v in by_key.items()} == expected_runs
+
+    for k, ivs in by_key.items():
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+        for cur, nxt in zip(ivs, ivs[1:]):
+            assert cur["valid_to"] == nxt["valid_from"]  # contiguous
+            assert cur["attr"] != nxt["attr"]
