@@ -33,12 +33,17 @@ def blocked_fuzzy_pairs(
     block: Column,
     min_dist: int = 1,
     max_dist: int = 3,
+    broadcast_names: bool = True,
 ) -> DataFrame:
     """All within-block name pairs with edit distance in [min, max].
 
     Output: ``name_a, name_b, distance, n_a, n_b`` where ``n_*`` are
     the raw-row occurrence counts of each name (``name_a < name_b``
     canonical ordering — each pair reported once).
+
+    ``broadcast_names=False`` drops the broadcast hint when the
+    vocabulary itself is too large to ship to every executor; the
+    self-join then plans as a sort-merge join on the block key.
     """
     names = df.groupBy(F.col(name_col).alias("name"), block.alias("block")).agg(
         F.count(F.lit(1)).alias("n")
@@ -50,7 +55,7 @@ def blocked_fuzzy_pairs(
         F.col("name").alias("name_b"), "block", F.col("n").alias("n_b")
     )
     return (
-        a.join(broadcast(b), "block")
+        a.join(broadcast(b) if broadcast_names else b, "block")
         .where(F.col("name_a") < F.col("name_b"))
         .withColumn("distance", F.levenshtein("name_a", "name_b"))
         .where(F.col("distance").between(min_dist, max_dist))

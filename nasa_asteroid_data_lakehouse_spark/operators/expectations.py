@@ -31,6 +31,8 @@ def check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     with ``rule``, ``n_rows``, ``violations``, ``pass_rate``,
     ``passed``.
     """
+    if not rules:
+        raise ValueError("check() needs at least one rule")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, cond in rules.items():
         aggs.append(

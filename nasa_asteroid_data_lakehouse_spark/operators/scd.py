@@ -48,11 +48,17 @@ def scd2_compress(
     order = [ts_col, *(tiebreak or [])]
     w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
 
+    # The first row per key must ALWAYS open a run: detecting it via
+    # lag-is-null alone would merge a leading null-attribute run into
+    # "no change" (lag NULL eqNullSafe attr NULL) and silently drop it.
+    # row_number shares the window's sort — no extra exchange.
     marked = df.select(*keys, attr_col, *order).withColumn(
         "__chg",
-        F.when(
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .when(
             F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col)), F.lit(0)
-        ).otherwise(F.lit(1)),
+        )
+        .otherwise(F.lit(1)),
     )
     runs = marked.withColumn(
         "__run",

@@ -1092,7 +1092,8 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_SQL = """
 WITH marked AS (
   SELECT user_id, event_type, ts, event_id,
-         CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+         CASE WHEN row_number() OVER w = 1 THEN 1
+              WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
               THEN 0 ELSE 1 END AS chg
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -238,3 +238,46 @@ def test_cross_source_dup_matrix_matches_oracle(spark, sf_dir):
         lq.CROSS_SOURCE_DUP_SQL,
         sf_dir,
     )
+
+
+def test_scd2_keeps_leading_null_attribute_run(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators.scd import scd2_compress
+
+    df = spark.createDataFrame(
+        [(1, 10, None), (1, 20, None), (1, 30, "a"), (2, 5, "b")],
+        "k long, t long, attr string",
+    )
+    hist = {
+        (r["k"], r["version"]): (r["attr"], r["valid_from"], r["is_current"])
+        for r in scd2_compress(df, ["k"], "attr", "t").collect()
+    }
+    # the leading null-attr run must survive as version 1
+    assert hist[(1, 1)] == (None, 10, False)
+    assert hist[(1, 2)] == ("a", 30, True)
+    assert hist[(2, 1)] == ("b", 5, True)
+    assert len(hist) == 3
+
+
+def test_blocked_fuzzy_pairs_no_broadcast_matches(spark, sf_smoke):
+    part = read_table(spark, sf_smoke, "part")
+    blk = F.split(F.col("p_name"), " ").getItem(1)
+    with_bc = {
+        (r["name_a"], r["name_b"], r["distance"])
+        for r in blocked_fuzzy_pairs(part, "p_name", blk, 1, 3).collect()
+    }
+    without_bc = {
+        (r["name_a"], r["name_b"], r["distance"])
+        for r in blocked_fuzzy_pairs(
+            part, "p_name", blk, 1, 3, broadcast_names=False
+        ).collect()
+    }
+    assert with_bc == without_bc and with_bc
+
+
+def test_expectations_empty_rules_rejected(spark):
+    import pytest as _pytest
+
+    from nasa_asteroid_data_lakehouse_spark.operators import expectations as ex
+
+    with _pytest.raises(ValueError):
+        ex.check(spark.range(1), {})
