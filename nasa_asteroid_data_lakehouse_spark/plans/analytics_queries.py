@@ -1183,6 +1183,10 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = _t(spark, sf_dir, "events")
 
+    # Each step frontier is localCheckpoint-ed: the count-union below
+    # replans every branch's full lineage, so without the cut a k-step
+    # funnel scans the fact table O(k²) times (step j recomputed by
+    # every later branch).  Frontiers are ≤ |users| rows — cheap to pin.
     def step(prev: DataFrame, etype: str, prev_ts: str, out_ts: str) -> DataFrame:
         return (
             events.where(F.col("event_type") == etype)
@@ -1193,12 +1197,14 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("user_id")
             .agg(F.min("ts").alias(out_ts))
+            .localCheckpoint(eager=False)
         )
 
     s1 = (
         events.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     s2 = step(s1, "view", "t1", "t2")
     s3 = step(s2, "click", "t2", "t3")

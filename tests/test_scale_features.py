@@ -319,3 +319,59 @@ def test_cms_plan_broadcasts_counters(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     read_schema = plan.split("ReadSchema")[1][:120]
     assert "text" in read_schema and "doc_id" not in read_schema
+
+
+def test_funnel_plan_steps_computed_once(spark):
+    """Each step frontier is localCheckpoint-ed, so the count-union's
+    top plan holds four checkpoint scans and NO joins — without the
+    cut, every branch replans its full lineage and a k-step funnel
+    scans the fact table O(k²) times (measured: the pre-fix plan
+    carried 6 BroadcastHashJoins for 3 join steps).  The joins run
+    exactly once, inside the checkpointed step plans."""
+    from nasa_asteroid_data_lakehouse_spark.plans.analytics_queries import (
+        funnel_events,
+    )
+
+    df = funnel_events(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Scan ExistingRDD") == 4
+
+
+def test_fuzzy_pairs_plan_broadcast_vocabulary(spark):
+    """The vocabulary self-join must be a broadcast hash join with the
+    levenshtein filter evaluated inside codegen (no cartesian)."""
+    from nasa_asteroid_data_lakehouse_spark.plans.analytics_queries import (
+        fuzzy_part_name_pairs,
+    )
+
+    df = fuzzy_part_name_pairs(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_scd2_plan_single_data_exchange(spark):
+    """SCD2 must shuffle the observation stream exactly once (on the
+    entity key); everything downstream reuses that partitioning.  The
+    display orderBy adds one range exchange at the very top."""
+    from nasa_asteroid_data_lakehouse_spark.plans.analytics_queries import (
+        scd2_user_status,
+    )
+
+    df = scd2_user_status(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_heavy_hitters_plan_takeordered(spark):
+    """Top-n over the counts table must be TakeOrderedAndProject (no
+    global sort of the counts)."""
+    from nasa_asteroid_data_lakehouse_spark.plans.analytics_queries import (
+        heavy_hitters_orders,
+    )
+
+    df = heavy_hitters_orders(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
