@@ -66,12 +66,25 @@ def frames_match(a: pd.DataFrame, e: pd.DataFrame) -> str | None:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     mod = load_entry()
 
-    from nasa_asteroid_data_lakehouse_spark.session import get_spark
+    if plain:
+        # The real driver builds an UNTUNED session (no AQE/UTC/shuffle
+        # tuning from session.get_spark) — verify under that shape too.
+        from pyspark.sql import SparkSession
 
-    spark = get_spark(app_name="driver-sim", master="local[8]")
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from nasa_asteroid_data_lakehouse_spark.session import get_spark
+
+        spark = get_spark(app_name="driver-sim", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = mod.entry(spark).collect()
