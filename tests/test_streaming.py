@@ -267,3 +267,46 @@ def test_stream_stream_interval_join(spark, tmp_path):
 
     assert got == expected
     assert got > 0
+
+
+def test_restart_resume_exactly_once(spark, tmp_path):
+    """Exactly-once across query restarts: run availableNow over the
+    first batch of files, stop, land more files, restart with the SAME
+    checkpoint — the sink must equal one batch pass over everything
+    (no reprocessing of already-committed files, no gaps)."""
+    from nasa_asteroid_data_lakehouse_spark.streaming.events import (
+        read_event_stream,
+    )
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = out + "__ckpt"
+
+    first = events.where("event_id % 2 = 0")
+    second = events.where("event_id % 2 = 1")
+    first.write.parquet(src)
+
+    def drain():
+        q = (
+            read_event_stream(spark, src, max_files_per_trigger=2)
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count()
+
+    second.write.mode("append").parquet(src)
+    drain()
+
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()  # no gaps, no duplicates
+    assert got.select("event_id").distinct().count() == events.count()
