@@ -28,6 +28,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return plans.q1_pricing_summary(spark, SF0001)
 
 
+# The round driver checks only ~50 queries per round, in queries()
+# iteration order.  Round 1 (CORRECTNESS_r01.json) covered the 50 names
+# below; to get every operator a driver-green row we rotate the frontier:
+# first the 4 red rows from round 1 (re-check the fixes), then everything
+# the driver has never seen, then the 46 already-green names last.
+_ROUND1_GREEN = [
+    "q1_pricing_summary", "q3_top_unshipped_orders", "q5_revenue_by_nation",
+    "dedup_exact_documents", "dedup_all_columns_documents",
+    "duplicate_groups_documents", "profile_documents", "normalize_documents",
+    "union_by_name_parties", "topk_orders", "topk_orders_per_customer",
+    "running_customer_revenue", "customers_without_orders",
+    "merge_upsert_orders", "surrogate_keys_nation", "calendar_events",
+    "from_json_events", "windowed_event_counts", "gap_filled_hourly_events",
+    "zorder_keys_orders", "text_stats_documents", "lang_id_documents",
+    "fingerprint_documents", "exact_dedup_documents", "minhash_documents",
+    "ngram_jaccard_documents", "cosine_topk_embeddings",
+    "lsh_buckets_embeddings", "media_metadata_documents", "simhash_documents",
+    "simhash_pairs_documents", "embedding_near_dups", "lsh_topk_embeddings",
+    "ivf_topk_embeddings", "minhash_lsh_pairs_documents",
+    "near_dup_clusters_documents", "holdout_sample_documents",
+    "decontaminate_documents", "vector_stats_embeddings",
+    "repetition_stats_documents", "chunk_documents_windows",
+    "pii_scrub_documents", "weighted_sample_documents",
+    "semantic_dedup_embeddings", "incremental_admit_documents",
+    "cms_token_counts_documents",
+]
+_ROUND1_RED = [
+    "byte_features_documents", "curation_pipeline_documents",
+    "training_shards_documents", "balanced_mixture_documents",
+]
+
+
+def _rotate(full: dict) -> dict:
+    """Red fixes first, then driver-unchecked names, greens last."""
+    seen = set(_ROUND1_RED) | set(_ROUND1_GREEN)
+    ordered = [k for k in _ROUND1_RED if k in full]
+    ordered += [k for k in full if k not in seen]
+    ordered += [k for k in _ROUND1_GREEN if k in full]
+    return {k: full[k] for k in ordered}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out = {
@@ -39,7 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(llm_queries.QUERIES)
     out.update(analytics_queries.QUERIES)
     out.update(tpch_queries.QUERIES)
-    return out
+    return _rotate(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -53,4 +94,4 @@ def oracle_sql() -> dict[str, str]:
     out.update(llm_queries.ORACLES)
     out.update(analytics_queries.ORACLES)
     out.update(tpch_queries.ORACLES)
-    return out
+    return _rotate(out)

@@ -65,6 +65,23 @@ def main() -> None:
             }
         )
     )
+    # The driver captures only the tail of stdout (~2000 chars), so the
+    # detailed line above gets truncated at 105 queries.  Emit a compact
+    # summary LAST (<200 chars) so the driver always parses a valid line;
+    # the slowest-5 detail lives in the long line and in BASELINE.md.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": slowest,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -33,10 +33,14 @@ def collect_file_stats(
     """Per-file skipping stats for ``cols`` over a parquet-backed frame.
 
     ``df`` must come straight from a file source (``_metadata`` is
-    only defined there).  Output: one row per file with ``file``
-    (basename), any ``group_cols`` (e.g. the Hive partition columns
-    the file lives under — constant per file), ``n_rows``, and per
-    column ``<c>_min``, ``<c>_max``, ``<c>_nulls``.
+    only defined there).  Output: one row per file keyed by
+    ``file_path`` (the FULL path — basenames are only unique within
+    one write job's UUID, so a table assembled from several writers
+    or directories could collide on basename and silently merge two
+    files' envelopes), plus ``file`` (basename, display only), any
+    ``group_cols`` (e.g. the Hive partition columns the file lives
+    under — constant per file), ``n_rows``, and per column
+    ``<c>_min``, ``<c>_max``, ``<c>_nulls``.
     """
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
@@ -47,14 +51,15 @@ def collect_file_stats(
         ]
     return (
         df.select(
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
-                "file"
-            ),
+            F.col("_metadata.file_path").alias("file_path"),
             *(group_cols or []),
             *cols,
         )
-        .groupBy("file", *(group_cols or []))
+        .groupBy("file_path", *(group_cols or []))
         .agg(*aggs)
+        .withColumn(
+            "file", F.element_at(F.split(F.col("file_path"), "/"), -1)
+        )
     )
 
 

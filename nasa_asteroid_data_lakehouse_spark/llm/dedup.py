@@ -20,6 +20,7 @@ quadratic pair explosion — the cap drops only pathological buckets
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -509,7 +510,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 30,
-    small_graph_edges: int = 2_000_000,
+    small_graph_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph: ``(node,
     component)`` with component = the minimum node id reachable.
@@ -518,8 +519,10 @@ def connected_components(
     broadcast-join selection): the edge list a near-dup pair generator
     emits is a verified, thresholded graph — orders of magnitude
     smaller than the corpus — so when it fits comfortably on the
-    driver (≤ ``small_graph_edges`` edges, ~32 MB at the default) a
-    driver-side union-find answers in one collect instead of paying
+    driver (≤ ``small_graph_edges`` edges; collect() materializes
+    Row objects at ~10× the raw-byte estimate, hence the conservative
+    500k default ≈ low hundreds of MB worst case) a driver-side
+    union-find answers in one collect instead of paying
     2-4 rounds of join+groupBy shuffles whose fixed cost dominates at
     small |E|.  Larger graphs take the distributed path unchanged.
     Both paths return identical (node, min-reachable-id) labels.
@@ -571,8 +574,17 @@ def connected_components(
             root = find(node)
             if root not in comp_min or node < comp_min[root]:
                 comp_min[root] = node
-        out = [(node, comp_min[find(node)]) for node in parent]
         id_type = dict(pairs.dtypes)[id_a]  # labels keep the id's type
+        # Ship the result back through Arrow (one pandas frame), not a
+        # local list of tuples — createDataFrame over Python tuples
+        # pickles per-row and is the slow path at hundreds of
+        # thousands of labels.
+        out = pd.DataFrame(
+            {
+                "node": list(parent),
+                "component": [comp_min[find(node)] for node in parent],
+            }
+        )
         return pairs.sparkSession.createDataFrame(
             out, schema=f"node {id_type}, component {id_type}"
         )

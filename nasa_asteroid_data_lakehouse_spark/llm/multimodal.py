@@ -118,6 +118,39 @@ def extract_byte_features(
     return df.select(id_col, payload_col).mapInPandas(feature_batches, FEATURE_SCHEMA)
 
 
+PROFILE_SCHEMA = "doc_id bigint, n_bytes bigint, n_spaces bigint, sha256_hex string"
+
+
+def byte_feature_profile(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched byte profile whose every output column is
+    independently recomputable in ANSI SQL (``octet_length``, space
+    count, ``sha256``) — the oracle-checkable face of the
+    ``mapInPandas`` path.  Same batch shape and schema discipline as
+    :func:`extract_byte_features`, which keeps the richer
+    entropy/histogram features (accuracy unit-tested, not
+    SQL-expressible)."""
+    import hashlib
+
+    def profile_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [(p or b"") for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(p) for p in payloads],
+                    # 0x20 never occurs inside a multi-byte UTF-8
+                    # sequence, so the byte count equals the SQL
+                    # character count of ' '.
+                    "n_spaces": [p.count(b" ") for p in payloads],
+                    "sha256_hex": [hashlib.sha256(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(profile_batches, PROFILE_SCHEMA)
+
+
 RESIZE_SCHEMA = "doc_id bigint, height int, width int, pixels binary"
 
 

@@ -44,10 +44,15 @@ def blocked_fuzzy_pairs(
     ``broadcast_names=False`` drops the broadcast hint when the
     vocabulary itself is too large to ship to every executor; the
     self-join then plans as a sort-merge join on the block key.
+
+    A NULL block expression is coalesced to ``''`` so those names still
+    pair with each other (NULL join keys never match and would silently
+    drop them) — this also mirrors SQL ``split_part``, which returns
+    ``''`` rather than NULL when the separator is absent.
     """
-    names = df.groupBy(F.col(name_col).alias("name"), block.alias("block")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    names = df.groupBy(
+        F.col(name_col).alias("name"), F.coalesce(block, F.lit("")).alias("block")
+    ).agg(F.count(F.lit(1)).alias("n"))
     a = names.select(
         F.col("name").alias("name_a"), "block", F.col("n").alias("n_a")
     )

@@ -96,7 +96,13 @@ def check_ref_integrity(
     the dim key set is still the broadcastable side.  Fully lazy: the
     total and the orphan count are two single-row aggregates joined
     together, so the check composes into report unions without any
-    driver-side action."""
+    driver-side action.
+
+    NULL fact keys count as violations (they reference nothing): the
+    anti-join keeps them because a NULL key never matches.  The DuckDB
+    oracle (DQ_REPORT_SQL) mirrors this with an explicit
+    ``key IS NULL OR key NOT IN (...)`` — plain ``NOT IN`` would
+    silently drop NULL-keyed rows and diverge."""
     tot = fact.agg(F.count(F.lit(1)).alias("n_rows"))
     orph = (
         fact.select(F.col(fact_key))

@@ -569,9 +569,10 @@ c AS (
                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
   FROM toks
 )
-SELECT lang, doc_id, n_tokens, cum_tokens,
+SELECT lang, doc_id, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
        CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS pack_id,
-       (cum_tokens - n_tokens) % 2048 AS pack_offset
+       CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS pack_offset
 FROM c
 """
 
@@ -827,25 +828,61 @@ ORACLES["quantiles_by_returnflag"] = QUANTILES_SQL
 def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles via ``percentile_approx`` (Greenwald-Khanna
     sketch): fixed-size mergeable partials, one pass, no per-group value
-    collection — the form that scales to 100 TB.  Sketch results are
-    deterministic within Spark but not reproducible by DuckDB's exact
-    interpolation, so this entry is registered rows-only (no oracle);
-    ``quantiles_by_returnflag`` carries the value-checked exact
-    semantics."""
+    collection — the form that scales to 100 TB.  The sketch VALUES are
+    engine-specific, so the query emits a rank validation instead: it
+    re-ranks each returned quantile against the data (one extra
+    broadcast-probe pass over lineitem) and outputs booleans asserting
+    the GK guarantee (rank error <= n/accuracy, plus slack for value
+    duplicates).  DuckDB recomputes group keys + counts exactly and
+    expects TRUE flags, so the driver value-hashes the whole result;
+    ``quantiles_by_returnflag`` carries the exact-value semantics."""
     lineitem = _t(spark, sf_dir, "lineitem")
     acc = 10000
-    return (
-        lineitem.groupBy("l_returnflag")
+    tol = 1.0 / acc + 0.01
+    est = lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, acc).alias("p99_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    probe = (
+        lineitem.select("l_returnflag", "l_extendedprice")
+        .join(broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", 0.5, acc).alias("p50_approx"),
-            F.percentile_approx("l_extendedprice", 0.99, acc).alias("p99_approx"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_extendedprice") <= F.col("p50_approx")).cast("long")).alias(
+                "le50"
+            ),
+            F.sum((F.col("l_extendedprice") <= F.col("p99_approx")).cast("long")).alias(
+                "le99"
+            ),
+        )
+    )
+    frac50 = F.col("le50") / F.col("n")
+    frac99 = F.col("le99") / F.col("n")
+    return (
+        est.join(probe, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            ((frac50 >= 0.5 - tol) & (frac50 <= 0.5 + tol)).alias("p50_rank_ok"),
+            ((frac99 >= 0.99 - tol) & (frac99 <= 1.0)).alias("p99_rank_ok"),
         )
         .orderBy("l_returnflag")
     )
 
 
+APPROX_QUANTILES_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       TRUE AS p50_rank_ok,
+       TRUE AS p99_rank_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
 QUERIES["approx_quantiles_lineitem"] = approx_quantiles_lineitem
+ORACLES["approx_quantiles_lineitem"] = APPROX_QUANTILES_SQL
 
 
 def winsorized_prices_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,8 +928,10 @@ bounds AS (
 SELECT j.c_mktsegment,
        ROUND(MIN(lo), 4) AS p01,
        ROUND(MAX(hi), 4) AS p99,
-       SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS n_clipped_low,
-       SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS n_clipped_high,
+       CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
        ROUND(AVG(o_totalprice), 4) AS avg_raw,
        ROUND(AVG(least(greatest(o_totalprice, lo), hi)), 4) AS avg_winsorized
 FROM joined j JOIN bounds b USING (c_mktsegment)
@@ -975,62 +1014,101 @@ def sketch_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch segment profile (operators/sketches.py): per
     order-priority HLL distinct-customer and KLL price-quantile
     estimates, plus an ALL row computed by MERGING the per-segment
-    sketches — never rescanning orders.  Exact values ride along so
-    the output exposes the sketch error directly.  Rows-only check:
-    DataSketches estimates are not reproducible in DuckDB (accuracy
-    is unit-tested against exact answers instead)."""
+    sketches — never rescanning orders.  DataSketches estimate VALUES
+    are engine-specific, so the query emits the driver-checkable
+    derivation instead: exact keys/counts (which DuckDB recomputes)
+    plus booleans asserting each estimate sits inside its published
+    error band — HLL lg_k=12 (~1.6% rse, 3-sigma band used) and the
+    KLL p50 re-ranked against the data.  Tight bands are unit-tested
+    in tests/test_scale_features.py."""
     from nasa_asteroid_data_lakehouse_spark.operators import sketches as sk
 
     orders = _t(spark, sf_dir, "orders")
     per = sk.segment_sketches(orders, "o_orderpriority", "o_custkey", "o_totalprice")
-    exact = orders.groupBy("o_orderpriority").agg(
-        F.count_distinct("o_custkey").alias("distinct_exact"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50_exact"),
+    est_seg = sk.estimate_segments(per).select(
+        F.col("o_orderpriority").alias("segment"), "n_rows", "distinct_est", "p50_est"
     )
-    seg = (
-        sk.estimate_segments(per)
-        .join(broadcast(exact), "o_orderpriority")
-        .select(
-            F.col("o_orderpriority").alias("segment"),
-            "n_rows",
-            "distinct_est",
-            "distinct_exact",
-            F.round("p50_est", 2).alias("p50_est"),
-            "p50_exact",
-        )
+    est_all = sk.rollup_sketches(per).select(
+        F.lit("ALL").alias("segment"), "n_rows", "distinct_est", "p50_est"
     )
-    exact_all = orders.agg(
-        F.count_distinct("o_custkey").alias("distinct_exact"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50_exact"),
-    )
-    rolled = (
-        sk.rollup_sketches(per)
-        .join(broadcast(exact_all))
-        .select(
-            F.lit("ALL").alias("segment"),
-            "n_rows",
-            "distinct_est",
-            "distinct_exact",
-            F.round("p50_est", 2).alias("p50_est"),
-            "p50_exact",
-        )
-    )
-    return seg.unionByName(rolled).orderBy("segment")
+    est = est_seg.unionByName(est_all)
 
+    # Exact per-segment + grand-total distinct counts in ONE pass
+    # (rollup grouping set), the values DuckDB re-derives.
+    exact = (
+        orders.rollup("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("distinct_exact"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("segment"),
+            "distinct_exact",
+        )
+    )
+    # Rank-validate the KLL p50: count how many prices fall at or below
+    # each segment's estimate (ALL probes every row).  est is
+    # segment-cardinality sized, so the probe join broadcasts.
+    probe = (
+        orders.select("o_orderpriority", "o_totalprice")
+        .join(
+            broadcast(est.select("segment", "p50_est")),
+            (F.col("segment") == F.col("o_orderpriority"))
+            | (F.col("segment") == F.lit("ALL")),
+        )
+        .groupBy("segment")
+        .agg(
+            F.sum((F.col("o_totalprice") <= F.col("p50_est")).cast("long")).alias(
+                "le50"
+            ),
+            F.count(F.lit(1)).alias("n_probe"),
+        )
+    )
+    # KLL default k=200 -> ~1.65% single-sided rank error at 99% conf.
+    frac = F.col("le50") / F.col("n_probe")
+    rel = F.abs(F.col("distinct_est") - F.col("distinct_exact")) / F.col(
+        "distinct_exact"
+    )
+    return (
+        est.join(broadcast(exact), "segment")
+        .join(broadcast(probe), "segment")
+        .select(
+            "segment",
+            "n_rows",
+            "distinct_exact",
+            (rel <= 0.05).alias("distinct_est_ok"),
+            ((frac >= 0.45) & (frac <= 0.55)).alias("p50_rank_ok"),
+        )
+        .orderBy("segment")
+    )
+
+
+SKETCH_ROLLUP_SQL = """
+SELECT o_orderpriority AS segment,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_custkey) AS distinct_exact,
+       TRUE AS distinct_est_ok,
+       TRUE AS p50_rank_ok
+FROM orders
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'ALL', COUNT(*), COUNT(DISTINCT o_custkey), TRUE, TRUE
+FROM orders
+ORDER BY segment
+"""
 
 QUERIES["sketch_rollup_orders"] = sketch_rollup_orders
-# no ORACLES entry: DataSketches estimates are engine-specific (rows-only)
+ORACLES["sketch_rollup_orders"] = SKETCH_ROLLUP_SQL
 
 def theta_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch segment overlap (operators/sketches.py): which
     customers are shared between order priorities, estimated from
     per-segment Theta sketches alone — intersection / union /
     difference are sketch-algebra, so a persisted sketch table answers
-    audience-overlap questions without rescanning orders.  Exact
-    intersection counts ride along (cheap at fixture scale) so the
-    output exposes sketch error directly.  Rows-only check:
-    DataSketches estimates are engine-specific; relative error is
-    unit-tested."""
+    audience-overlap questions without rescanning orders.  Sketch
+    estimate VALUES are engine-specific, so the query emits exact
+    overlap counts (which DuckDB re-derives) plus booleans asserting
+    each estimate sits inside its error band (lg_k=12 -> ~1.6% rse;
+     5%-of-union + 5 absolute slack covers intersection error
+    amplification at 3 sigma).  Below ~4096 distinct keys the sketch
+    is in exact mode and the estimates are exact."""
     from nasa_asteroid_data_lakehouse_spark.operators import sketches as sk
 
     orders = _t(spark, sf_dir, "orders")
@@ -1038,6 +1116,7 @@ def theta_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sk.theta_overlap_matrix(per, "o_orderpriority")
 
     seg = orders.select(F.col("o_orderpriority").alias("seg"), "o_custkey").distinct()
+    sizes = seg.groupBy("seg").agg(F.count(F.lit(1)).alias("n_keys"))
     a = seg.select(F.col("seg").alias("seg_a"), "o_custkey")
     b = seg.select(F.col("seg").alias("seg_b"), "o_custkey")
     exact = (
@@ -1046,26 +1125,62 @@ def theta_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_a", "seg_b")
         .agg(F.count(F.lit(1)).alias("intersection_exact"))
     )
-    return (
+    joined = (
         est.join(broadcast(exact), ["seg_a", "seg_b"], "left")
         .na.fill({"intersection_exact": 0})
-        .select(
+        .join(
+            broadcast(sizes.select(F.col("seg").alias("seg_a"), F.col("n_keys").alias("n_a"))),
             "seg_a",
-            "seg_b",
-            F.round("intersection_est", 1).alias("intersection_est"),
-            "intersection_exact",
-            F.round("union_est", 1).alias("union_est"),
-            F.round("a_minus_b_est", 1).alias("a_minus_b_est"),
-            F.round(F.col("intersection_est") / F.col("union_est"), 4).alias(
-                "jaccard_est"
-            ),
         )
-        .orderBy("seg_a", "seg_b")
+        .join(
+            broadcast(sizes.select(F.col("seg").alias("seg_b"), F.col("n_keys").alias("n_b"))),
+            "seg_b",
+        )
+        .withColumn(
+            "union_exact", F.col("n_a") + F.col("n_b") - F.col("intersection_exact")
+        )
+        .withColumn("band", F.lit(5.0) + 0.05 * F.col("union_exact"))
     )
 
+    def ok(est_col: str, exact_col) -> F.Column:
+        return F.abs(F.col(est_col) - exact_col) <= F.col("band")
+
+    return joined.select(
+        "seg_a",
+        "seg_b",
+        "intersection_exact",
+        "union_exact",
+        ok("intersection_est", F.col("intersection_exact")).alias("inter_est_ok"),
+        ok("union_est", F.col("union_exact")).alias("union_est_ok"),
+        ok("a_minus_b_est", F.col("n_a") - F.col("intersection_exact")).alias(
+            "diff_est_ok"
+        ),
+    ).orderBy("seg_a", "seg_b")
+
+
+THETA_OVERLAP_SQL = """
+WITH seg AS (SELECT DISTINCT o_orderpriority AS s, o_custkey FROM orders),
+sizes AS (SELECT s, COUNT(*) AS n FROM seg GROUP BY s),
+inter AS (
+  SELECT a.s AS seg_a, b.s AS seg_b, COUNT(*) AS intersection_exact
+  FROM seg a JOIN seg b USING (o_custkey)
+  WHERE a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT sa.s AS seg_a, sb.s AS seg_b,
+       COALESCE(i.intersection_exact, 0) AS intersection_exact,
+       sa.n + sb.n - COALESCE(i.intersection_exact, 0) AS union_exact,
+       TRUE AS inter_est_ok,
+       TRUE AS union_est_ok,
+       TRUE AS diff_est_ok
+FROM sizes sa
+JOIN sizes sb ON sa.s < sb.s
+LEFT JOIN inter i ON i.seg_a = sa.s AND i.seg_b = sb.s
+ORDER BY seg_a, seg_b
+"""
 
 QUERIES["theta_overlap_orders"] = theta_overlap_orders
-# no ORACLES entry: DataSketches Theta estimates are engine-specific (rows-only)
+ORACLES["theta_overlap_orders"] = THETA_OVERLAP_SQL
 
 
 def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1358,28 +1473,37 @@ def file_skipping_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the output — it depends on the writer's parallelism, not the
     data).
     """
+    import shutil
     import tempfile
 
     from nasa_asteroid_data_lakehouse_spark.lake.stats import collect_file_stats
 
     orders = _t(spark, sf_dir, "orders")
     tmp = tempfile.mkdtemp(prefix="ndl_filestats_")
-    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(tmp)
+    try:
+        orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(tmp)
 
-    back = spark.read.parquet(tmp)
-    stats = collect_file_stats(
-        back, ["o_totalprice"], group_cols=["o_orderpriority"]
-    )
-    return (
-        stats.groupBy("o_orderpriority")
-        .agg(
-            F.sum("n_rows").alias("n_rows"),
-            F.min("o_totalprice_min").alias("price_min"),
-            F.max("o_totalprice_max").alias("price_max"),
-            F.sum("o_totalprice_nulls").alias("price_nulls"),
+        back = spark.read.parquet(tmp)
+        stats = collect_file_stats(
+            back, ["o_totalprice"], group_cols=["o_orderpriority"]
         )
-        .orderBy("o_orderpriority")
-    )
+        # Materialize the (partition-cardinality sized) result before
+        # deleting the scratch directory the lazy plan reads from —
+        # otherwise every bench/driver invocation leaks a /tmp copy of
+        # orders.
+        return (
+            stats.groupBy("o_orderpriority")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.min("o_totalprice_min").alias("price_min"),
+                F.max("o_totalprice_max").alias("price_max"),
+                F.sum("o_totalprice_nulls").alias("price_nulls"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 FILE_SKIPPING_SQL = """
@@ -1387,7 +1511,8 @@ SELECT o_orderpriority,
        COUNT(*) AS n_rows,
        MIN(o_totalprice) AS price_min,
        MAX(o_totalprice) AS price_max,
-       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS price_nulls
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS price_nulls
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -1457,14 +1582,15 @@ row_rules AS (
 uniq AS (
   SELECT 'unique(o_orderkey)' AS rule,
          (SELECT n_rows FROM n) AS n_rows,
-         COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS violations
+         CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS violations
   FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
 ),
 ref AS (
   SELECT 'ref(o_custkey->c_custkey)' AS rule,
          (SELECT n_rows FROM n) AS n_rows,
          (SELECT COUNT(*) FROM orders
-          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+          WHERE o_custkey IS NULL
+             OR o_custkey NOT IN (SELECT c_custkey FROM customer
                                   WHERE c_custkey IS NOT NULL)) AS violations
 )
 SELECT rule, n_rows, violations,

@@ -290,13 +290,25 @@ FROM documents
 def byte_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched binary feature extraction (mapInPandas path).
 
-    No SQL oracle: entropy/histogram aren't reasonably expressible in
-    portable SQL — driver records the rows-only check.
+    Emits the oracle-checkable byte profile (``byte_feature_profile``):
+    every column is recomputed by DuckDB from the source text
+    (octet_length / space count / sha256), so the driver value-hashes
+    the whole Arrow round trip.  The non-SQL-expressible features
+    (entropy, histogram) stay in ``extract_byte_features``, accuracy-
+    asserted in tests/test_multimodal.py.
     """
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     payloads = multimodal.with_binary_payload(docs, "text")
-    feats = multimodal.extract_byte_features(payloads)
-    return feats.select("doc_id", "n_bytes", "entropy", "mean_byte")
+    return multimodal.byte_feature_profile(payloads)
+
+
+BYTE_FEATURES_SQL = """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  length(text) - length(replace(text, ' ', '')) AS n_spaces,
+  sha256(text) AS sha256_hex
+FROM documents
+"""
 
 
 QUERIES = {
@@ -322,7 +334,7 @@ ORACLES = {
     "cosine_topk_embeddings": COSINE_TOPK_SQL,
     "lsh_buckets_embeddings": LSH_BUCKETS_SQL,
     "media_metadata_documents": MEDIA_METADATA_SQL,
-    # byte_features_documents: intentionally no oracle (mapInPandas op)
+    "byte_features_documents": BYTE_FEATURES_SQL,
 }
 
 
@@ -387,7 +399,7 @@ deduped AS (
 SELECT lang, source,
        COUNT(*) AS docs_kept,
        ROUND(SUM(quality_score), 6) AS sum_quality,
-       SUM(n_tokens) AS total_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM deduped
 GROUP BY lang, source
 ORDER BY lang, source
@@ -940,7 +952,7 @@ def training_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAINING_SHARDS_SQL = """
 SELECT CAST(('0x' || substr(md5('shards-v1' || '||' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS INTEGER) AS shard,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc_id,
        MAX(doc_id) AS max_doc_id
 FROM documents
@@ -1112,8 +1124,8 @@ m AS (
 )
 SELECT source,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN rn <= min_stratum THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN rn <= min_stratum THEN doc_id ELSE 0 END) AS kept_id_sum
+       CAST(SUM(CASE WHEN rn <= min_stratum THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn <= min_stratum THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
 FROM ranked, m
 GROUP BY source
 ORDER BY source
