@@ -477,3 +477,115 @@ ORDER BY zkey
 
 QUERIES["zorder_keys_orders"] = zorder_keys_orders
 ORACLES["zorder_keys_orders"] = ZORDER_SQL
+
+
+# --- C: temporal joins (operators/temporal.py) -----------------------------
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks the latest view at-or-before its
+    timestamp per user (operators/temporal.py:asof_join — union-and-
+    window formulation, ONE shuffle on user_id, no join node at all).
+
+    DuckDB's native ASOF JOIN breaks timestamp ties arbitrarily, so the
+    oracle uses an explicit rank formulation that mirrors the engine's
+    deterministic tiebreak (max ts, then max carried (value, event_id));
+    ``value IS NOT NULL`` guards both sides against the per-column
+    fill's tearing hazard on null carried values."""
+    from nasa_asteroid_data_lakehouse_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("user_id", "ts", "event_id", F.col("value").alias("purchase_value"))
+    views = events.where(
+        (F.col("event_type") == "view") & F.col("value").isNotNull()
+    ).select("user_id", "ts", F.col("value").alias("view_value"), F.col("event_id").alias("view_id"))
+    joined = asof_join(
+        purchases, views, ["user_id"], "ts", "ts", direction="backward"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.col("ts_right").alias("view_ts"),
+        F.round("view_value_right", 6).alias("view_value"),
+    ).orderBy("event_id")
+
+
+ASOF_JOIN_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+v AS (
+  SELECT user_id, ts, value AS view_value, event_id AS view_id
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+         v.ts AS view_ts, v.view_value,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY v.ts DESC, v.view_value DESC, v.view_id DESC
+         ) AS rn
+  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+)
+SELECT event_id, user_id, ts,
+       ROUND(purchase_value, 6) AS purchase_value,
+       view_ts,
+       ROUND(view_value, 6) AS view_value
+FROM j
+WHERE rn = 1
+ORDER BY event_id
+"""
+
+QUERIES["asof_join_events"] = asof_join_events
+ORACLES["asof_join_events"] = ASOF_JOIN_SQL
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks within one hour AFTER each
+    purchase, same user (operators/temporal.py:range_join — equi part
+    drives the shuffle, the interval predicate rides the join
+    condition; no cross product).  Aggregated per purchase so the
+    output is compact and order-free."""
+    from nasa_asteroid_data_lakehouse_spark.operators.temporal import range_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("click_value")
+    )
+    joined = range_join(
+        purchases, clicks, ["user_id"], "p_ts", "c_ts",
+        lower="0 seconds", upper="1 hour",
+    )
+    return (
+        joined.groupBy("purchase_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.sum("click_value"), 6).alias("click_value_sum"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       COUNT(*) AS n_clicks,
+       ROUND(SUM(c.value), 6) AS click_value_sum
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts
+ AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY 1, 2
+ORDER BY purchase_id
+"""
+
+QUERIES["range_join_events"] = range_join_events
+ORACLES["range_join_events"] = RANGE_JOIN_SQL
