@@ -151,7 +151,19 @@ def with_repetition_stats(
     Blank documents are excluded (no words, ratios undefined).
     """
     toks = tokens(normalized_text(text_col))
-    base = df.select(F.col(id_col), toks.alias("w")).where(F.size("w") > 0)
+    # __barrier pins the blank-doc filter ABOVE this projection —
+    # pushed below, Catalyst re-instantiates the tokenize pipeline
+    # inside the filter (no CSE between a pushed predicate and its
+    # project; same hazard as the jaccard verify stage).
+    base = (
+        df.select(
+            F.col(id_col),
+            toks.alias("w"),
+            F.monotonically_increasing_id().alias("__barrier"),
+        )
+        .where(F.size("w") > 0)
+        .drop("__barrier")
+    )
     n = F.size("w")
     m = n - 1  # bigram count
     grams = F.zip_with(

@@ -349,10 +349,17 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    scored = text.with_text_stats(docs)
+    # Pushdown barrier (same trick as the jaccard verify stage): without
+    # it Catalyst pushes the quality/n_tokens predicates below the stats
+    # projection and re-instantiates the token fold per predicate — the
+    # fold appeared 5x in the optimized plan, and the whole query ran
+    # ~2.4x slower (measured at sf0.1: 5.6 s -> 2.3 s).
+    scored = text.with_text_stats(docs).withColumn(
+        "__barrier", F.monotonically_increasing_id()
+    )
     kept = scored.where(
         (F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10)
-    )
+    ).drop("__barrier")
     deduped = dedup.exact_dedup(kept, "doc_id")
     return (
         deduped.groupBy("lang", "source")
