@@ -109,9 +109,17 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
 
     filled_cols = [f"{c}{suffix}" for c in rcols] + [f"{right_ts}{suffix}"]
-    out = unioned
-    for c in filled_cols:
-        out = out.withColumn(c, fill(c, ignorenulls=True).over(w))
+    # Fill every carried column in ONE select: sequential withColumn
+    # calls interleave Projects between the Window ops, defeating the
+    # CollapseWindow rule — the plan then carries one Sort+Window PER
+    # carried column (3x the sort cost at 3 columns).  A single
+    # projection with a shared window spec plans as one Sort + one
+    # Window regardless of column count.
+    passthrough = [c for c in unioned.columns if c not in filled_cols]
+    out = unioned.select(
+        *passthrough,
+        *[fill(c, ignorenulls=True).over(w).alias(c) for c in filled_cols],
+    )
     return (
         out.where(F.col("__is_left") == 1)
         .drop("__is_left")

@@ -141,6 +141,38 @@ def main():
     s3 = step(s2, "click", "t2", "t3")
     timed(f"funnel_3steps {rows_events:,} events / 200k users", s3, results)
 
+    # temporal joins (operators/temporal.py) at full event volume
+    from nasa_asteroid_data_lakehouse_spark.operators.temporal import (
+        asof_join,
+        range_join,
+    )
+
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("p_value")
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("v_value")
+    )
+    timed(
+        f"asof_join {rows_events:,} events (purchase<-view, 1 window shuffle)",
+        asof_join(purchases, views, ["user_id"], "ts", "ts"),
+        results,
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    timed(
+        f"range_join {rows_events:,} events (purchase->click 1h, equi-driven)",
+        range_join(
+            purchases.withColumnRenamed("ts", "p_ts"),
+            clicks,
+            ["user_id"],
+            "p_ts",
+            "c_ts",
+        ),
+        results,
+    )
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"probe": "TOTAL", "sec": total}))
 
