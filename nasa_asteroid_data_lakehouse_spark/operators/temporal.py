@@ -64,7 +64,16 @@ def asof_join(
     next one backward) with ``last_value IGNORE NULLS``.  One shuffle
     on the key — the same cost as a groupBy, regardless of how many
     right rows precede each left row.
+
+    NULL keys follow JOIN semantics, not window-partition semantics: a
+    right row with a NULL key never matches anything (dropped up
+    front), and a left row with a NULL key gets NULL fills.  Without
+    the drop, the window's PARTITION BY groups the NULL keys of both
+    sides together and they match each other — the adversarial gate
+    (scripts/adversarial_sim.py) caught exactly that divergence vs the
+    SQL-join oracle.
     """
+    right = right.na.drop(subset=keys)
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
     rcols = [c for c in right.columns if c not in keys and c != right_ts]
 

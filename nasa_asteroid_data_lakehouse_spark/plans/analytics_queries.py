@@ -373,6 +373,8 @@ WITH toks AS (
   SELECT doc_id,
          unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
   FROM documents
+  WHERE trim(text) <> ''  -- blank docs tokenize to NO terms (engine
+                          -- returns []; string_split('') would give [''])
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
@@ -955,10 +957,15 @@ def decile_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: ntile partitions here are the 5 priority classes — at
     100 TB a global decile should come from percentile_approx bounds
     (operators/robust.py) instead of a 5-partition sort; this query is
-    the within-group ranking surface."""
+    the within-group ranking surface.
+
+    NULL prices are excluded on BOTH sides before ranking: deciles of a
+    NULL metric are undefined, and the engines disagree on where NULLs
+    sort by default (Spark NULLS FIRST, DuckDB NULLS LAST) — the
+    adversarial gate caught the shifted decile assignment."""
     from pyspark.sql import Window
 
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     ranked = orders.select(
         "o_orderpriority",
@@ -992,6 +999,7 @@ WITH ranked AS (
          cume_dist() OVER (PARTITION BY o_orderpriority
                            ORDER BY o_totalprice, o_orderkey) AS cd
   FROM orders
+  WHERE o_totalprice IS NOT NULL
 )
 SELECT o_orderpriority, decile,
        COUNT(*) AS n,

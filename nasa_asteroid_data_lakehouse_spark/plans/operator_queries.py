@@ -589,3 +589,48 @@ ORDER BY purchase_id
 
 QUERIES["range_join_events"] = range_join_events
 ORACLES["range_join_events"] = RANGE_JOIN_SQL
+
+
+# --- skew: salted two-phase aggregation (operators/skew.py) ----------------
+
+def salted_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py:salted_agg):
+    phase 1 aggregates per (key, salt-bucket), phase 2 recombines the
+    partials — the skew-survival shape for a hot grouping key, where a
+    plain groupBy would funnel the hot key through one reducer.
+    Algebraic aggregates recombine exactly, so the result is identical
+    to the direct groupBy the oracle runs (sums rounded identically on
+    both sides)."""
+    from nasa_asteroid_data_lakehouse_spark.operators.skew import salted_agg
+
+    orders = _t(spark, sf_dir, "orders")
+    out = salted_agg(
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        ["o_orderpriority"],
+        {
+            "n_orders": ("o_orderkey", F.count, F.sum),
+            "revenue_raw": ("o_totalprice", F.sum, F.sum),
+            "max_price": ("o_totalprice", F.max, F.max),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round("revenue_raw", 2).alias("revenue"),
+        "max_price",
+    ).orderBy("o_orderpriority")
+
+
+SALTED_AGG_SQL = """
+SELECT o_orderpriority,
+       COUNT(o_orderkey) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+QUERIES["salted_agg_orders"] = salted_agg_orders
+ORACLES["salted_agg_orders"] = SALTED_AGG_SQL

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Adversarial oracle gate: rerun every queries()/oracle_sql() pair on a
+MUTATED copy of the fixture tables — NULL join/fact keys, empty and
+whitespace-only documents, NULL metric values, duplicated timestamps —
+the data shapes where engine-vs-oracle semantics silently diverge
+(NULL never matching a join key, NOT IN dropping NULL rows, ties broken
+by different NULL orderings).  ADVICE r1 found two such latent
+divergences by reading code; this finds them by execution.
+
+A mismatch here is NOT automatically a bug: it is a semantics decision
+to make explicitly (and then either fix a side or document why the
+divergence is out of contract).  Clean-fixture behavior is the driver's
+gate (scripts/driver_sim.py) and must stay green regardless.
+
+Usage: python scripts/adversarial_sim.py [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from scripts.driver_sim import TABLES, frames_match, load_entry, norm  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+
+
+def build_mutated(dst: str) -> None:
+    """Copy sf0.001 with targeted corruptions, preserving schemas."""
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    mutations = {
+        # ~3% NULL fact keys + a few NULL prices: ref-integrity, joins,
+        # aggregates over NULL metrics.
+        "orders": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 37 = 0 THEN NULL ELSE o_custkey END
+                     AS o_custkey,
+                   o_orderstatus,
+                   CASE WHEN o_orderkey % 41 = 0 THEN NULL ELSE o_totalprice END
+                     AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM read_parquet('{src}/orders.parquet')
+        """,
+        # empty, whitespace-only, and duplicated texts: tokenizers,
+        # shingles, dedup, quality scores.
+        "documents": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 23 = 0 THEN ''
+                        WHEN doc_id % 29 = 0 THEN '   '
+                        WHEN doc_id % 31 = 0 THEN text || ' '
+                        ELSE text END AS text,
+                   lang, source, n_chars
+            FROM read_parquet('{src}/documents.parquet')
+        """,
+        # NULL values + duplicated (user_id, ts): as-of ties, windows,
+        # sessionization.
+        "events": """
+            SELECT event_id, ts,
+                   CASE WHEN event_id % 43 = 0 THEN NULL ELSE user_id END
+                     AS user_id,
+                   event_type,
+                   CASE WHEN event_id % 47 = 0 THEN NULL ELSE value END
+                     AS value,
+                   props
+            FROM read_parquet('{src}/events.parquet')
+            UNION ALL
+            SELECT event_id + 1000000, ts, user_id, event_type, value, props
+            FROM read_parquet('{src}/events.parquet')
+            WHERE event_id % 53 = 0
+        """,
+    }
+    for t in TABLES:
+        src_path = os.path.join(SRC, f"{t}.parquet")
+        if not os.path.exists(src_path):
+            continue
+        out = os.path.join(dst, f"{t}.parquet")
+        if t in mutations:
+            sql = mutations[t].format(src=SRC)
+            con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        else:
+            shutil.copyfile(src_path, out)
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+
+    dst = tempfile.mkdtemp(prefix="ndl_adversarial_")
+    try:
+        build_mutated(dst)
+        mod = load_entry()
+
+        from nasa_asteroid_data_lakehouse_spark.session import get_spark
+
+        spark = get_spark(app_name="adversarial-sim", master="local[8]")
+        spark.sparkContext.setLogLevel("ERROR")
+
+        con = duckdb.connect()
+        for t in TABLES:
+            p = os.path.join(dst, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+
+        qs, oracles = mod.queries(), mod.oracle_sql()
+        failures = []
+        for name, fn in qs.items():
+            if only is not None and name not in only:
+                continue
+            if name not in oracles:
+                continue
+            try:
+                actual = norm(fn(spark, dst).toPandas())
+            except Exception as exc:  # noqa: BLE001 — survey, keep going
+                print(f"  {name}: SPARK ERROR {type(exc).__name__}: {exc}")
+                failures.append(name)
+                continue
+            try:
+                expected = norm(con.execute(oracles[name]).df())
+            except Exception as exc:  # noqa: BLE001
+                print(f"  {name}: ORACLE ERROR {type(exc).__name__}: {exc}")
+                failures.append(name)
+                continue
+            diff = frames_match(actual, expected)
+            if diff:
+                print(f"  {name}: MISMATCH {diff}")
+                failures.append(name)
+            else:
+                print(f"  {name}: rows={len(actual)} MATCH")
+        spark.stop()
+        print(f"ADVERSARIAL FAILURES: {len(failures)}")
+        if failures:
+            print("  " + "\n  ".join(failures))
+        return 1 if failures else 0
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
