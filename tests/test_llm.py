@@ -162,6 +162,27 @@ def test_multimodal_features(spark, docs):
     assert sum(feats[1]["histogram"]) == pytest.approx(1.0, abs=1e-4)
 
 
+def test_byte_feature_profile_edges(spark):
+    """Oracle-checkable byte profile: unicode (multi-byte vs char
+    counts), empty payloads, and sha256 against hashlib ground truth."""
+    import hashlib
+
+    rows = [(1, "a b  c"), (2, ""), (3, "naïve café"), (4, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    payloads = multimodal.with_binary_payload(df, "text")
+    out = {r["doc_id"]: r for r in multimodal.byte_feature_profile(payloads).collect()}
+    assert out[1]["n_bytes"] == 6 and out[1]["n_spaces"] == 3
+    assert out[2]["n_bytes"] == 0 and out[2]["n_spaces"] == 0
+    assert out[2]["sha256_hex"] == hashlib.sha256(b"").hexdigest()
+    # ï and é are 2 UTF-8 bytes each; the space byte count still equals
+    # the character count of ' '
+    assert out[3]["n_bytes"] == len("naïve café".encode()) == 12
+    assert out[3]["n_spaces"] == 1
+    assert out[3]["sha256_hex"] == hashlib.sha256("naïve café".encode()).hexdigest()
+    # NULL text -> encode() yields NULL payload -> treated as empty
+    assert out[4]["n_bytes"] == 0
+
+
 def test_multimodal_decode_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"bytes")

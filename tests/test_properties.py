@@ -177,3 +177,60 @@ def test_scd2_tiles_the_timeline(sp, rows):
         for cur, nxt in zip(ivs, ivs[1:]):
             assert cur["valid_to"] == nxt["valid_from"]  # contiguous
             assert cur["attr"] != nxt["attr"]
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(KEYS, st.integers(min_value=0, max_value=1000)),
+    min_size=0,
+    max_size=12,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(
+        KEYS,
+        st.integers(min_value=0, max_value=1000),
+        st.integers(min_value=0, max_value=99),
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1]),  # no (key, ts) dupes: tie
+    # semantics differ between engine (max carried value) and
+    # pandas merge_asof (positionally last) — out of contract here
+)
+
+
+@given(left=ASOF_LEFT, right=ASOF_RIGHT)
+@SLOW
+def test_asof_join_matches_pandas_merge_asof(sp, left, right):
+    """Backward as-of join == pandas.merge_asof on unique (key, ts)
+    right sides (the reference semantics: latest right at-or-before
+    each left row, per key; NULL-free keys here — NULL-key behavior is
+    pinned by the adversarial gate instead)."""
+    from nasa_asteroid_data_lakehouse_spark.operators.temporal import asof_join
+
+    lpdf = pd.DataFrame(left, columns=["k", "ts"]).astype("int64")
+    rpdf = pd.DataFrame(right, columns=["k", "ts", "rv"]).astype("int64")
+    ldf = sp.createDataFrame(lpdf, schema="k long, ts long")
+    rdf = sp.createDataFrame(rpdf, schema="k long, ts long, rv long")
+
+    got = (
+        asof_join(ldf, rdf, ["k"], "ts", "ts")
+        .select("k", "ts", "rv_right")
+        .toPandas()
+        .sort_values(["k", "ts", "rv_right"])
+        .reset_index(drop=True)
+    )
+
+    expected = pd.merge_asof(
+        lpdf.sort_values("ts", kind="mergesort"),
+        rpdf.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="k",
+        direction="backward",
+    )[["k", "ts", "rv"]].rename(columns={"rv": "rv_right"})
+    expected = expected.sort_values(["k", "ts", "rv_right"]).reset_index(drop=True)
+
+    assert len(got) == len(expected)
+    for col in ("k", "ts"):
+        assert got[col].tolist() == expected[col].tolist()
+    ga, ea = got["rv_right"].fillna(-1).tolist(), expected["rv_right"].fillna(-1).tolist()
+    assert ga == ea
