@@ -465,6 +465,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     prefix_bits: int = 12,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dups: block on the top ``prefix_bits`` of the
     fingerprint, verify pairs by Hamming distance <= max_hamming.
@@ -475,11 +476,15 @@ def simhash_near_dup_pairs(
 
     The (doc, simhash) table is localCheckpoint-ed before the
     self-join: it is tiny (two columns) and the checkpoint stops Spark
-    recomputing the token-hash aggregation on both join sides.
+    recomputing the token-hash aggregation on both join sides.  Pass a
+    precomputed ``hashed`` (doc, simhash) table to share the signature
+    computation across callers (e.g. a fingerprint query and this pair
+    generator over the same corpus).
     """
-    hashed = simhash_by_key(
-        df.select(F.col(id_col).alias("doc"), text_col), "doc", text_col
-    ).localCheckpoint(eager=False)
+    if hashed is None:
+        hashed = simhash_by_key(
+            df.select(F.col(id_col).alias("doc"), text_col), "doc", text_col
+        ).localCheckpoint(eager=False)
     shift = 60 - prefix_bits
     blocked = hashed.withColumn("block", F.shiftrightunsigned("simhash", shift))
     a, b = blocked.alias("a"), blocked.alias("b")

@@ -423,14 +423,36 @@ _SIMHASH_PREFIX = 6
 _SIMHASH_MAX_HAMMING = 3
 
 
+_SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, simhash) table computed ONCE per (session, sf_dir) — the
+    token-hash vote fold is the whole cost of both simhash queries
+    (fingerprints and pairs), so they share one lazy checkpoint; same
+    keying and bounds rationale as ``_lsh_pairs_cached``."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIMHASH_CACHE.get(key)
+    if cached is None:
+        docs = (
+            read_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .where(F.trim("text") != "")
+        )
+        cached = dedup.simhash_by_key(
+            docs.select(F.col("doc_id").alias("doc"), "text"), "doc"
+        ).localCheckpoint(eager=False)
+        while len(_SIMHASH_CACHE) >= 2:
+            _SIMHASH_CACHE.pop(next(iter(_SIMHASH_CACHE)))
+        _SIMHASH_CACHE[key] = cached
+    return cached
+
+
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 60-bit SimHash fingerprint (non-blank docs)."""
-    docs = (
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .where(F.trim("text") != "")
+    return _simhash_cached(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"), "simhash"
     )
-    return dedup.simhash_by_key(docs, "doc_id")
 
 
 def _simhash_sql_core() -> str:
@@ -478,6 +500,7 @@ def simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         max_hamming=_SIMHASH_MAX_HAMMING,
         prefix_bits=_SIMHASH_PREFIX,
+        hashed=_simhash_cached(spark, sf_dir),
     )
 
 
