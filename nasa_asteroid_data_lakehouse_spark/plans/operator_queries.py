@@ -634,3 +634,67 @@ ORDER BY o_orderpriority
 
 QUERIES["salted_agg_orders"] = salted_agg_orders
 ORACLES["salted_agg_orders"] = SALTED_AGG_SQL
+
+
+# --- K2: bucketed co-located join (pay the shuffle at write time) ----------
+
+def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free join via bucketing: orders and customer are written
+    ``bucketBy(8, custkey)`` + ``sortBy`` into the session catalog, and
+    the join then reads co-bucketed files directly — NO Exchange on
+    either join side (asserted in tests/test_scale_features.py).  This
+    is the 100 TB co-location pattern: one shuffle at write time,
+    amortized over every downstream join on the key.  Result equals the
+    plain join the oracle runs; unique table names + DROP in finally
+    keep the catalog clean across invocations."""
+    import uuid
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_c = f"ndl_b_orders_{tag}", f"ndl_b_cust_{tag}"
+    (
+        orders.select("o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable(t_o)
+    )
+    (
+        customer.select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable(t_c)
+    )
+    try:
+        joined = spark.table(t_o).join(
+            spark.table(t_c),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        return (
+            joined.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint(eager=True)  # materialize before DROP
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
+BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["bucketed_join_orders"] = bucketed_join_orders
+ORACLES["bucketed_join_orders"] = BUCKETED_JOIN_SQL

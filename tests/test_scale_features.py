@@ -375,3 +375,43 @@ def test_heavy_hitters_plan_takeordered(spark):
     df = heavy_hitters_orders(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Joining two tables bucketed on the join key reads co-bucketed
+    files directly: the join subtree must contain NO shuffle Exchange
+    (the whole point of paying the bucket shuffle at write time)."""
+    from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    customer = read_table(spark, "/root/testdata/sf0.001", "customer")
+    t_o, t_c = "ndl_test_b_orders", "ndl_test_b_cust"
+    (
+        orders.select("o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(t_o)
+    )
+    (
+        customer.select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(t_c)
+    )
+    try:
+        # merge hint: at fixture scale AQE would broadcast the tiny dim
+        # (also shuffle-free, but then nothing would prove bucketing);
+        # at production scale both sides are too big to broadcast and
+        # SMJ-over-buckets is the plan this test pins down.
+        joined = spark.table(t_o).hint("merge").join(
+            spark.table(t_c), F.col("o_custkey") == F.col("c_custkey")
+        )
+        joined.count()  # force final (adaptive) plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffleExchange" not in plan.replace("Exchange hashpartitioning", "ShuffleExchange")
+        assert "SortMergeJoin" in plan
+        # and the result is the plain join's result
+        assert joined.count() == orders.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
