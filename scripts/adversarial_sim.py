@@ -60,6 +60,29 @@ def build_mutated(dst: str) -> None:
                    lang, source, n_chars
             FROM read_parquet('{src}/documents.parquet')
         """,
+        # NULL grouping attributes + NULL metrics: GROUP BY NULL keys,
+        # left-join fan-out to NULL dims.
+        "customer": """
+            SELECT c_custkey, c_name, c_nationkey,
+                   CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_acctbal END
+                     AS c_acctbal,
+                   CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE c_mktsegment END
+                     AS c_mktsegment
+            FROM read_parquet('{src}/customer.parquet')
+        """,
+        # NULL discounts + zero/negative prices: SUM-over-NULL parity,
+        # revenue expressions, winsorize boundary behavior.
+        "lineitem": """
+            SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                   l_quantity,
+                   CASE WHEN l_orderkey % 59 = 0 THEN 0.0
+                        WHEN l_orderkey % 61 = 0 THEN -l_extendedprice
+                        ELSE l_extendedprice END AS l_extendedprice,
+                   CASE WHEN l_orderkey % 67 = 0 THEN NULL ELSE l_discount END
+                     AS l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM read_parquet('{src}/lineitem.parquet')
+        """,
         # NULL values + duplicated (user_id, ts): as-of ties, windows,
         # sessionization.
         "events": """
