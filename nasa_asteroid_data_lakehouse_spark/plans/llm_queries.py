@@ -10,6 +10,7 @@ programmatically (simhash bit votes, LSH hyperplane literals).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as SparkWindow
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
@@ -414,6 +415,74 @@ ORDER BY lang, source
 
 QUERIES["curation_pipeline_documents"] = curation_pipeline_documents
 ORACLES["curation_pipeline_documents"] = CURATION_SQL
+
+
+_BUDGET_TOKENS = 10_000
+
+
+def budget_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget dataset selection: greedily admit documents in
+    quality order (quality_score desc, doc_id tiebreak) until the
+    running token total reaches the budget — the "best N tokens"
+    curation primitive for sizing a training mix.
+
+    NOT a global window cumsum (a single-reducer sort of the whole
+    corpus — the shape that dies at 100 TB).  Instead: bucket docs by a
+    coarse quality quantization, aggregate token mass per bucket (one
+    map-side-combinable hash agg), window the ~1000-row bucket table
+    for per-bucket base offsets (broadcast back), and cumsum WITHIN
+    each bucket (window partitioned by bucket — parallel).  Bucketing
+    by floor(q*1000) is order-monotone and ordering within a bucket is
+    exact (quality desc, doc_id), so base + within-bucket cumsum equals
+    the global cumsum value for value, at corpus-parallel cost."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = text.with_text_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        F.floor(F.col("quality_score") * 1000).cast("long").alias("__qb"),
+    )
+    mass = scored.groupBy("__qb").agg(F.sum("n_tokens").alias("__tok"))
+    wb = SparkWindow.orderBy(F.desc("__qb")).rowsBetween(
+        SparkWindow.unboundedPreceding, SparkWindow.currentRow
+    )
+    offsets = mass.select(
+        "__qb", (F.sum("__tok").over(wb) - F.col("__tok")).alias("__base")
+    )
+    wi = (
+        SparkWindow.partitionBy("__qb")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(SparkWindow.unboundedPreceding, SparkWindow.currentRow)
+    )
+    return (
+        scored.join(F.broadcast(offsets), "__qb")
+        .withColumn("cum_tokens", F.col("__base") + F.sum("n_tokens").over(wi))
+        .where(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
+BUDGET_SELECT_SQL = rf"""
+WITH stats AS ({_STATS_FRAGMENT}),
+scored AS (
+  SELECT *,
+    ROUND(least(n_tokens / 100.0, 1.0) * 0.4
+          + (1 - least(punct / greatest(n_chars, 1) * 5, 1.0)) * 0.3
+          + least(stop_hits / greatest(n_tokens, 1) * 5, 1.0) * 0.3, 6) AS quality_score
+  FROM stats
+)
+SELECT doc_id, n_tokens, quality_score,
+       CAST(SUM(n_tokens) OVER (
+         ORDER BY quality_score DESC, doc_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+FROM scored
+QUALIFY cum_tokens <= {_BUDGET_TOKENS}
+ORDER BY doc_id
+"""
+
+QUERIES["budget_select_documents"] = budget_select_documents
+ORACLES["budget_select_documents"] = BUDGET_SELECT_SQL
 
 
 # --- SimHash (fingerprints + near-dup pairs) ---------------------------------
