@@ -63,6 +63,13 @@ def pack_documents(
     Documents longer than ``budget`` get a pack of their own (their
     offset is 0 and they overflow — callers split oversized docs before
     packing; kept simple and deterministic here).
+
+    Scale note: ALWAYS pass ``partition_cols`` (lang/shard/source) at
+    corpus scale — the no-partition fallback is a single-reducer global
+    cumsum kept only for small inputs and tests.  For a budget-capped
+    GLOBAL ordering without the global sort, see the bucketed
+    base-offset decomposition in
+    ``plans/llm_queries.budget_select_documents``.
     """
     parts = list(partition_cols or [])
     w = (

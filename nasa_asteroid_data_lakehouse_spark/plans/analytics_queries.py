@@ -1666,6 +1666,9 @@ def trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # Unpartitioned RANGE window over the DAILY rollup only — one row
+    # per calendar day regardless of fact volume, so the single-reducer
+    # window is O(days), not O(orders).
     w = Window.orderBy("day_n").rangeBetween(-6, 0)
     return daily.select(
         "day",
