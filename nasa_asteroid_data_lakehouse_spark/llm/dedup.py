@@ -267,8 +267,14 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     group_cols: list[str] | None = None,
     threshold: float = 1e-9,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via the explode-join formulation.
+
+    ``metric="containment"`` emits ``common / min(|A|, |B|)`` instead —
+    the asymmetric doc-contained-in-doc signal (a short document fully
+    embedded in a long one scores 1.0 where its jaccard is tiny), the
+    right metric for quote/boilerplate/subset dedup.
 
     Instead of materializing pairs and intersecting sets per pair
     (quadratic in set size per pair), explode (doc, shingle) rows and
@@ -319,15 +325,16 @@ def ngram_jaccard_pairs(
     joined = common.join(sz_a.drop(*[f"__ga_{g}" for g in groups]), "id_a").join(
         sz_b.drop(*[f"__gb_{g}" for g in groups]), "id_b"
     )
+    if metric == "jaccard":
+        score = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    elif metric == "containment":
+        score = F.col("common") / F.least(F.col("sz_a"), F.col("sz_b"))
+    else:
+        raise ValueError("metric must be 'jaccard' or 'containment'")
     return (
-        joined.withColumn(
-            "jaccard",
-            F.round(
-                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select(*groups, "id_a", "id_b", "jaccard")
+        joined.withColumn(metric, F.round(score, 6))
+        .where(F.col(metric) >= threshold)
+        .select(*groups, "id_a", "id_b", metric)
     )
 
 

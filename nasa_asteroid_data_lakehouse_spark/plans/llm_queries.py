@@ -204,6 +204,50 @@ WHERE ROUND(common / (sa.sz + sb.sz - common), 6) >= 0.05
 """
 
 
+def ngram_containment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment within each source block: a short
+    document fully embedded in a longer one scores 1.0 where its
+    jaccard is tiny — the quote/boilerplate/subset dedup signal.  Same
+    explode-join machinery (shuffle key = shingle), different
+    denominator (min set size)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return dedup.ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        shingle_k=2,
+        group_cols=["source"],
+        threshold=0.2,
+        metric="containment",
+    )
+
+
+NGRAM_CONTAINMENT_SQL = rf"""
+WITH sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(words) >= 2
+         THEN list_distinct(list_transform(range(1, len(words)),
+                            j -> array_to_string(words[j:j+1], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM (SELECT doc_id, source, string_split({_NORM}, ' ') AS words FROM documents)
+),
+sz AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+common AS (
+  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS common
+  FROM ex a JOIN ex b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT source, id_a, id_b,
+  ROUND(common / least(sa.sz, sb.sz), 6) AS containment
+FROM common
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE ROUND(common / least(sa.sz, sb.sz), 6) >= 0.2
+"""
+
+
 # --- cosine similarity --------------------------------------------------------
 
 
@@ -319,6 +363,7 @@ QUERIES = {
     "exact_dedup_documents": exact_dedup_documents,
     "minhash_documents": minhash_documents,
     "ngram_jaccard_documents": ngram_jaccard_documents,
+    "ngram_containment_documents": ngram_containment_documents,
     "cosine_topk_embeddings": cosine_topk_embeddings,
     "lsh_buckets_embeddings": lsh_buckets_embeddings,
     "media_metadata_documents": media_metadata_documents,
@@ -332,6 +377,7 @@ ORACLES = {
     "exact_dedup_documents": EXACT_DEDUP_SQL,
     "minhash_documents": MINHASH_SQL,
     "ngram_jaccard_documents": NGRAM_JACCARD_SQL,
+    "ngram_containment_documents": NGRAM_CONTAINMENT_SQL,
     "cosine_topk_embeddings": COSINE_TOPK_SQL,
     "lsh_buckets_embeddings": LSH_BUCKETS_SQL,
     "media_metadata_documents": MEDIA_METADATA_SQL,
