@@ -95,12 +95,39 @@ def _driver_history() -> tuple[list[str], list[str]]:
     return red, green
 
 
+def _presumed_exposed() -> list[str]:
+    """Names we put at the head of queries() in past rounds (recorded in
+    ROTATION_STATE.json at each round close).  The driver checks only the
+    first ~50 names per round but does not always leave a
+    CORRECTNESS_r{N}.json behind; without this file the order would
+    repeat and the tail would never be checked.  Oldest-round heads
+    first; real CORRECTNESS data, when present, supersedes this."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "ROTATION_STATE.json")) as fh:
+            state = json.load(fh)
+    except (OSError, ValueError):
+        return []
+    out: list[str] = []
+    for entry in state.get("rounds", []):
+        for name in entry.get("head", []):
+            if name not in out:
+                out.append(name)
+    return out
+
+
 def _rotate(full: dict) -> dict:
-    """Red fixes first, then driver-unchecked names, greens last."""
+    """Red fixes first, then names no round has ever surfaced to the
+    driver, then presumed-exposed-but-unconfirmed names, greens last."""
     red, green = _driver_history()
     seen = set(red) | set(green)
+    presumed = [n for n in _presumed_exposed() if n not in seen]
     ordered = [k for k in red if k in full]
-    ordered += [k for k in full if k not in seen]
+    ordered += [k for k in full if k not in seen and k not in set(presumed)]
+    ordered += [k for k in presumed if k in full]
     ordered += [k for k in green if k in full]
     return {k: full[k] for k in ordered}
 
