@@ -338,6 +338,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Sequence-level duplication profile: how much of each document is
+    made of word k-gram spans that also occur in other documents.
+
+    The span-level complement to whole-document dedup (exact/MinHash):
+    a document can be globally unique while 90% of its n-grams are
+    boilerplate shared with the rest of the corpus — exactly the
+    duplicated-text signal sequence-level training-data dedup targets
+    (cf. "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022 — here at n-gram granularity, not suffix-array).
+
+    Per document: ``n_shingles`` (distinct k-grams), ``n_dup_shingles``
+    (those appearing in >= ``min_docs`` documents), ``dup_fraction``.
+
+    Scale shape: explode distinct shingles, count docs per shingle
+    (map-side partial agg collapses the frequency count before the
+    exchange), join the per-shingle doc-frequency back to the exploded
+    rows on the shingle key, re-aggregate per doc.  Two exchanges
+    (shingle, doc); no pair materialization anywhere — cost is linear
+    in corpus shingle volume, unlike pairwise jaccard.
+    """
+    base = (
+        _fan_out(df.select(F.col(id_col).alias("doc"), text_col))
+        .select("doc", word_shingles(text_col, shingle_k).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    ex = base.select("doc", F.explode("sh").alias("shingle"))
+    # shingles are distinct per doc, so count(*) per shingle == doc
+    # frequency.  Filter to the duplicated ones BEFORE the join-back:
+    # in a mostly-unique corpus that shrinks the join's build relation
+    # from |vocabulary| to |duplicated shingles| — the totals never
+    # needed the join (size(sh) is a narrow projection).
+    dup_shingles = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("shingle")
+    )
+    dup_counts = (
+        ex.join(dup_shingles, "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_dup_shingles"))
+    )
+    totals = base.select("doc", F.size("sh").alias("n_shingles"))
+    return (
+        totals.join(dup_counts, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_dup_shingles"), F.lit(0)).cast("long").alias(
+                "n_dup_shingles"
+            ),
+            F.round(
+                F.coalesce(F.col("n_dup_shingles"), F.lit(0))
+                / F.col("n_shingles"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 # --- benchmark decontamination ------------------------------------------------
 
 def decontamination_hits(

@@ -387,3 +387,56 @@ def semantic_dedup(
         assigned.join(dropped, F.col(id_col) == F.col("__dup_id"), "left_anti")
         .select(F.col(id_col), F.col("cluster"))
     )
+
+
+def knn_label_agreement(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Leave-one-out exact k-NN majority-vote label confusion matrix.
+
+    For every vector: its k nearest neighbors (cosine, self excluded,
+    ties broken by neighbor id), the majority label among them (count
+    desc, label asc), aggregated to (label, pred_label, n) — the
+    label-coherence diagnostic for an embedding space (how often does a
+    vector's neighborhood agree with its own label).
+
+    This is the EXACT brute-force baseline: an O(N^2) blocked self-join
+    kept deliberately — it is the ground truth the approximate paths
+    (:func:`lsh_topk`, :func:`ivf_topk`) are measured against, and the
+    right tool up to ~10^5 vectors per block.  At corpus scale run the
+    same vote over LSH/IVF candidate sets instead (swap the self-join
+    for the bucketed probe join); the vote/confusion stages are
+    identical.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("lbl"),
+    ).where(F.col(id_col).isNotNull())
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b, F.col("a.id") != F.col("b.id")).select(
+        F.col("a.id").alias("id"),
+        F.col("a.lbl").alias("lbl"),
+        F.col("b.id").alias("nbr"),
+        F.col("b.lbl").alias("nbr_lbl"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+    )
+    wk = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("nbr"))
+    topk = pairs.withColumn("__rk", F.row_number().over(wk)).where(F.col("__rk") <= k)
+    votes = topk.groupBy("id", "lbl", "nbr_lbl").agg(F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("id").orderBy(F.desc("n_votes"), F.asc("nbr_lbl"))
+    pred = (
+        votes.withColumn("__rv", F.row_number().over(wv))
+        .where(F.col("__rv") == 1)
+        .select("id", "lbl", F.col("nbr_lbl").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("lbl").alias(label_col), "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

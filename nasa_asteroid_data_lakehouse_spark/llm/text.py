@@ -261,6 +261,179 @@ def deterministic_sample_per_stratum(
     )
 
 
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str],
+    train_pct: int = 80,
+    val_pct: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment with EXACT
+    per-stratum proportions.
+
+    Rows are ranked inside each stratum by ``md5(id)`` (a pure function
+    of the id — reproducible across runs, engines, partitionings) and
+    cut at ceil(n*train_pct/100) / ceil(n*(train+val)/100).  Rank-based
+    cuts give exact counts per stratum, unlike hash-mod bucketing whose
+    proportions only hold in expectation; the thresholds use integer
+    arithmetic (``(n*p + 99) div 100``) so every engine agrees on the
+    boundary row.
+
+    Rows with a NULL id are dropped (a split keyed on identity is
+    undefined without one).  One shuffle (the per-stratum window); at
+    100 TB the stratum count is small (languages, sources) so windows
+    are wide — if a single stratum exceeds one executor's sort budget,
+    pre-aggregate stratum sizes and assign by hash-rank ranges instead.
+    """
+    if not (0 < train_pct and train_pct + val_pct <= 100):
+        raise ValueError("percents must satisfy 0 < train, train+val <= 100")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(*strata_cols))
+    t1 = F.expr(f"(__n * {train_pct} + 99) div 100")
+    t2 = F.expr(f"(__n * {train_pct + val_pct} + 99) div 100")
+    return (
+        df.where(F.col(id_col).isNotNull())
+        .select(id_col, *strata_cols)
+        .withColumn("__n", n)
+        .withColumn("__r", F.row_number().over(w))
+        .withColumn(
+            out_col,
+            F.when(F.col("__r") <= t1, F.lit("train"))
+            .when(F.col("__r") <= t2, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("__n", "__r")
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_df: int = 2,
+    top_terms: int = 50,
+    postings_cap: int = 20,
+) -> DataFrame:
+    """Corpus inverted index: per term, the document frequency and the
+    first ``postings_cap`` doc ids (ascending) as a CSV string.
+
+    Distinct tokens per doc explode to (term, doc) rows; one shuffle on
+    the term groups them into posting lists.  The postings string is
+    capped so the result stays bounded even for stopword-frequency
+    terms — the full posting list at scale would be written as an
+    array<long> column partitioned by term-hash instead of collected
+    into a row; the cap keeps the driver-checkable projection small
+    (df still counts ALL postings).  Blank/NULL docs contribute no
+    terms.
+    """
+    terms = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens(normalized_text(text_col)))).alias("term"),
+    )
+    agg = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc")), 1, postings_cap),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return (
+        agg.where(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top_terms)
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document for a fixed term set.
+
+    All-JVM column algebra: token counts per (doc, term) pivot to one
+    column per query term; document frequencies and avgdl are scalar
+    aggregates broadcast back (single-row cross join, the same shape
+    the TPC-H scalar subqueries plan to).  Per-term scores round to 6
+    decimals and the total adds them in FIXED textual order — float
+    addition is not associative, so a SUM() over term rows would be
+    run-order-dependent; column-wise addition is deterministic and
+    oracle-reproducible.
+
+    Only documents containing at least one query term are returned
+    (BM25 of a no-hit document is 0 and at corpus scale emitting them
+    all would be a full-table write).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(normalized_text(text_col)).alias("__toks")
+    ).select("doc", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+    tf = (
+        toks.where(F.col("term").isin(*query_terms))
+        .groupBy("doc", "dl")
+        .pivot("term", query_terms)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        # referenced twice (df scalars + the scored projection) and
+        # Catalyst does not CSE across them — without the checkpoint
+        # the explode+pivot pipeline runs twice (see ROUND_NOTES)
+        .localCheckpoint(eager=False)
+    )
+    # scalar stats over the WHOLE corpus (not just hit docs)
+    stats = df.select(
+        F.col(id_col).alias("doc"), tokens(normalized_text(text_col)).alias("__toks")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__toks")).alias("sum_dl"),
+    )
+    dfs = tf.select(
+        *[
+            F.sum(F.when(F.col(t) > 0, F.lit(1)).otherwise(F.lit(0))).alias(f"df_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    scored = tf.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    score_cols = []
+    for i, t in enumerate(query_terms):
+        tf_c = F.col(t).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        s = idf * (
+            (tf_c * (k1 + 1.0))
+            / (tf_c + k1 * ((1.0 - b) + b * (F.col("dl") / avgdl)))
+        )
+        score_cols.append(
+            F.when(tf_c > 0, F.round(s, 6)).otherwise(F.lit(0.0)).alias(f"s_{i}")
+        )
+    total = None
+    for i in range(len(query_terms)):
+        c = F.col(f"s_{i}")
+        total = c if total is None else total + c
+    return (
+        scored.select(
+            F.col("doc").alias(id_col),
+            "dl",
+            *[F.col(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+            *score_cols,
+        )
+        .withColumn("bm25", F.round(total, 6))
+        .drop(*[f"s_{i}" for i in range(len(query_terms))])
+    )
+
+
 # PII scrubbing: patterns applied in order (URLs first — they can embed
 # '@' and digit runs that the later patterns would otherwise mangle).
 # The regex subset is chosen to mean the same thing under Java regex

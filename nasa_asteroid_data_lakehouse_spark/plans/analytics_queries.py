@@ -1693,3 +1693,63 @@ ORDER BY day
 
 QUERIES["trailing_week_revenue"] = trailing_week_revenue
 ORACLES["trailing_week_revenue"] = TRAILING_WEEK_SQL
+
+
+# --- CDC snapshot diff --------------------------------------------------------
+
+
+def cdc_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the change feed between two deterministic snapshots of
+    orders (membership shifts on key mod 10; price/status mutations on
+    key mod 3 / mod 5).  Exercises operators/cdc.snapshot_diff: one
+    key-shuffle full-outer join over pruned (key + compared cols) rows,
+    null-safe column comparison."""
+    from nasa_asteroid_data_lakehouse_spark.operators import cdc
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.where(k % 10 < 7).select("o_orderkey", "o_totalprice",
+                                          "o_orderstatus")
+    new = orders.where(k % 10 >= 3).select(
+        "o_orderkey",
+        F.when(k % 3 == 0, F.col("o_totalprice") + 100.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(k % 5 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    return cdc.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+CDC_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 10 < 7
+),
+new AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+         ELSE o_totalprice END AS o_totalprice,
+    CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 10 >= 3
+)
+SELECT * FROM (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+         WHEN n.o_orderkey IS NULL THEN 'delete'
+         WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+           OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) THEN 'update'
+         ELSE 'unchanged' END AS change_type,
+    o.o_totalprice AS old_o_totalprice,
+    o.o_orderstatus AS old_o_orderstatus,
+    n.o_totalprice AS new_o_totalprice,
+    n.o_orderstatus AS new_o_orderstatus
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+) t WHERE change_type <> 'unchanged'
+"""
+
+QUERIES["cdc_snapshot_diff_orders"] = cdc_snapshot_diff_orders
+ORACLES["cdc_snapshot_diff_orders"] = CDC_DIFF_SQL

@@ -1661,3 +1661,203 @@ ORDER BY source_x, source_y
 
 QUERIES["cross_source_dup_matrix_documents"] = cross_source_dup_matrix_documents
 ORACLES["cross_source_dup_matrix_documents"] = CROSS_SOURCE_DUP_SQL
+
+
+# --- sequence-level duplication profile --------------------------------------
+
+
+def dup_span_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of word 3-grams shared with other documents —
+    the span-level dedup signal (boilerplate detection)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.dup_span_coverage(docs, "doc_id", shingle_k=3)
+
+
+DUP_SPAN_SQL = rf"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+freq AS (SELECT shingle, COUNT(*) AS n_docs FROM ex GROUP BY 1)
+SELECT ex.doc_id AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+  ROUND(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_fraction
+FROM ex JOIN freq USING (shingle)
+GROUP BY ex.doc_id
+"""
+
+QUERIES["dup_span_coverage_documents"] = dup_span_coverage_documents
+ORACLES["dup_span_coverage_documents"] = DUP_SPAN_SQL
+
+
+# --- stratified train/val/test split -----------------------------------------
+
+
+def train_val_test_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split, exact proportions per language."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.train_val_test_split(docs, "doc_id", ["lang"])
+
+
+TRAIN_SPLIT_SQL = r"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+    COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT doc_id, lang,
+  CASE WHEN r <= (n * 80 + 99) // 100 THEN 'train'
+       WHEN r <= (n * 90 + 99) // 100 THEN 'val'
+       ELSE 'test' END AS split
+FROM ranked
+"""
+
+QUERIES["train_val_test_split_documents"] = train_val_test_split_documents
+ORACLES["train_val_test_split_documents"] = TRAIN_SPLIT_SQL
+
+
+# --- inverted index ----------------------------------------------------------
+
+
+def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 terms by document frequency with capped posting lists."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.inverted_index(docs, "doc_id", min_df=2, top_terms=50,
+                               postings_cap=20)
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_NORM}, ' '))) AS term
+  FROM documents
+  WHERE trim(text) <> ''  -- blank docs tokenize to no terms (engine [])
+)
+SELECT term, COUNT(*) AS df,
+  array_to_string(list_sort(array_agg(doc_id))[1:20], ',') AS postings
+FROM toks GROUP BY term
+HAVING COUNT(*) >= 2
+ORDER BY df DESC, term
+LIMIT 50
+"""
+
+QUERIES["inverted_index_documents"] = inverted_index_documents
+ORACLES["inverted_index_documents"] = INVERTED_INDEX_SQL
+
+
+# --- BM25 --------------------------------------------------------------------
+
+_BM25_TERMS = ["window", "merge", "query", "join"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of every document against a fixed 4-term query."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bm25_scores(docs, "doc_id", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+
+
+def _bm25_sql() -> str:
+    """Oracle generated from the SAME constants as the engine: float
+    literals embedded via repr() so DuckDB parses the exact doubles
+    Python computed, and the per-term scores add in fixed textual
+    order (float addition is not associative)."""
+    k1, b = _BM25_K1, _BM25_B
+    k1p1 = repr(k1 + 1.0)
+    one_minus_b = repr(1.0 - b)
+    tf_cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    s_cols = ",\n    ".join(
+        f"CASE WHEN tf_{i} > 0 THEN ROUND(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * ((tf_{i} * {k1p1}) / (tf_{i} + {k1!r} * ({one_minus_b} + {b!r} * (dl / (sum_dl / n_docs))))), 6)"
+        f" ELSE 0.0 END AS s_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    total = " + ".join(f"s_{i}" for i in range(len(_BM25_TERMS)))
+    in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    tf_out = ", ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text,
+    CASE WHEN text IS NULL THEN NULL
+         WHEN trim(text) = '' THEN 0
+         ELSE len(string_split({_NORM}, ' ')) END AS dl
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base),
+toks AS (
+  SELECT doc_id, dl, unnest(string_split({_NORM}, ' ')) AS term
+  FROM base WHERE trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, dl,
+    {tf_cols}
+  FROM toks
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, dl
+),
+dfs AS (SELECT {df_cols} FROM tf),
+scored AS (
+  SELECT doc_id, dl, {tf_out},
+    {s_cols}
+  FROM tf, stats, dfs
+)
+SELECT doc_id, dl, {tf_out}, ROUND({total}, 6) AS bm25 FROM scored
+"""
+
+
+BM25_SQL = _bm25_sql()
+
+QUERIES["bm25_scores_documents"] = bm25_scores_documents
+ORACLES["bm25_scores_documents"] = BM25_SQL
+
+
+# --- exact kNN label agreement -----------------------------------------------
+
+
+def knn_label_agreement_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out exact 3-NN majority-vote confusion matrix — the
+    embedding-space label-coherence diagnostic (and the exact baseline
+    the LSH/IVF approximate paths are measured against)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.knn_label_agreement(emb, k=3)
+
+
+KNN_LABEL_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS id, a.label AS lbl, b.vec_id AS nbr, b.label AS nbr_lbl,
+    ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+          6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id IS NOT NULL AND b.vec_id IS NOT NULL
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY cos DESC NULLS LAST, nbr ASC) AS rk
+    FROM pairs) t
+  WHERE rk <= 3
+),
+votes AS (SELECT id, lbl, nbr_lbl, COUNT(*) AS nv FROM topk GROUP BY 1, 2, 3),
+pred AS (
+  SELECT id, lbl, nbr_lbl AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY nv DESC, nbr_lbl ASC NULLS FIRST) AS rv
+    FROM votes) t
+  WHERE rv = 1
+)
+SELECT lbl AS label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM pred GROUP BY lbl, pred_label
+"""
+
+QUERIES["knn_label_agreement_embeddings"] = knn_label_agreement_embeddings
+ORACLES["knn_label_agreement_embeddings"] = KNN_LABEL_SQL
