@@ -1753,3 +1753,47 @@ SELECT * FROM (
 
 QUERIES["cdc_snapshot_diff_orders"] = cdc_snapshot_diff_orders
 ORACLES["cdc_snapshot_diff_orders"] = CDC_DIFF_SQL
+
+
+# --- VARIANT (semi-structured) extraction ------------------------------------
+
+
+def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path over the semi-structured props column:
+    try_parse_json -> variant_get typed extraction -> aggregate.
+
+    VARIANT keeps the parse tree in a binary columnar encoding, so at
+    scale the parse happens once per row and every downstream
+    extraction is a cheap offset lookup — the right way to query JSON
+    event payloads without a fixed schema (vs from_json, which needs
+    the schema up front: see from_json_events)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+VARIANT_PROPS_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+  COUNT(*) AS n_events,
+  COUNT(k) AS n_with_k,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  MIN(k) AS min_k,
+  MAX(k) AS max_k
+FROM x GROUP BY event_type
+"""
+
+QUERIES["variant_props_events"] = variant_props_events
+ORACLES["variant_props_events"] = VARIANT_PROPS_SQL
