@@ -1797,3 +1797,92 @@ FROM x GROUP BY event_type
 
 QUERIES["variant_props_events"] = variant_props_events
 ORACLES["variant_props_events"] = VARIANT_PROPS_SQL
+
+
+# --- point-in-time SCD2 dimension join ---------------------------------------
+
+
+def pit_scd2_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension lookup: each purchase event gets
+    the SCD2 status (last non-purchase event type) valid AT ITS
+    TIMESTAMP — the composition of operators/scd.scd2_compress (history
+    build) and operators/temporal.asof_join (PIT probe) every
+    leakage-free ML feature pipeline needs.  Because SCD2 intervals
+    tile each key's timeline, the interval join collapses to a backward
+    as-of join on valid_from: union-and-window, ONE shuffle on user_id,
+    no join node, no interval explosion.
+
+    History rows with a NULL attribute are excluded on both sides (the
+    per-column fill would otherwise tear: status from one run,
+    valid_from from another — same guard as asof_join_events)."""
+    from nasa_asteroid_data_lakehouse_spark.operators.scd import scd2_compress
+    from nasa_asteroid_data_lakehouse_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    history = (
+        scd2_compress(
+            events.where(F.col("event_type") != "purchase"),
+            keys=["user_id"],
+            attr_col="event_type",
+            ts_col="ts",
+            tiebreak=["event_id"],
+        )
+        .where(F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            "valid_from",
+            "version",
+        )
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, history, ["user_id"], "ts", "valid_from", direction="backward"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("status_right").alias("status"),
+        F.col("valid_from_right").alias("status_since"),
+        F.col("version_right").alias("status_version"),
+    )
+
+
+PIT_SCD2_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN row_number() OVER w = 1 THEN 1
+              WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+              THEN 0 ELSE 1 END AS chg
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+), history AS (
+  SELECT user_id, any_value(event_type) AS status, MIN(ts) AS valid_from,
+         CAST(run AS INTEGER) AS version
+  FROM runs GROUP BY user_id, run
+  HAVING any_value(event_type) IS NOT NULL
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         h.status, h.valid_from AS status_since, h.version AS status_version,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY h.valid_from DESC, h.status DESC, h.version DESC
+         ) AS rn
+  FROM p LEFT JOIN history h
+    ON p.user_id = h.user_id AND h.valid_from <= p.ts
+)
+SELECT event_id, user_id, ts, status, status_since, status_version
+FROM j WHERE rn = 1
+"""
+
+QUERIES["pit_scd2_join_events"] = pit_scd2_join_events
+ORACLES["pit_scd2_join_events"] = PIT_SCD2_SQL
