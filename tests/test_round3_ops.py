@@ -178,3 +178,35 @@ def test_snapshot_diff_null_transitions_and_include_unchanged(spark):
     assert out[1]["change_type"] == "update"  # NULL -> value IS a change
     assert out[2]["change_type"] == "update"
     assert out[1]["old_v"] is None and out[1]["new_v"] == 1.0
+
+
+# --- observed_check (in-flight DQ metrics) ------------------------------------
+
+
+def test_observed_check_piggybacks_on_action(spark, tmp_path):
+    from nasa_asteroid_data_lakehouse_spark.operators import expectations as ex
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 2.0)], "k long, v double"
+    )
+    rules = {"v_positive": F.col("v") > 0, "k_not_null": F.col("k").isNotNull()}
+    observed, obs = ex.observed_check(df, rules)
+    # the metrics ride along with the caller's own action (a write)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["v_positive"] == 2  # -5.0 and NULL both violate
+    assert got["k_not_null"] == 0
+
+
+def test_observed_check_matches_check(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators import expectations as ex
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    rules = {"v_small": F.col("v") < 5}
+    observed, obs = ex.observed_check(df, rules)
+    observed.count()
+    report = {r["rule"]: r for r in ex.check(df, rules).collect()}
+    assert obs.get["v_small"] == report["v_small"]["violations"]
