@@ -227,3 +227,53 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(
         frame_batches, "doc_id bigint, frame_idx int, frame_bytes binary"
     )
+
+
+def byte_feature_profile_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """``mapInArrow`` twin of :func:`byte_feature_profile`: operates on
+    pyarrow RecordBatches directly, skipping the Arrow<->pandas
+    materialization both ways.
+
+    For wide binary payloads that conversion is the dominant cost of
+    the Python boundary — pandas boxes every payload into a Python
+    bytes object per row even when the UDF only needs lengths and
+    hashes; Arrow buffers expose them zero-copy.  Output is
+    byte-identical to the pandas path (equivalence is pinned in
+    tests/test_round3_ops.py), so callers choose per workload: pandas
+    for ergonomic row logic, Arrow for throughput.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_bytes", pa.int64()),
+            pa.field("n_spaces", pa.int64()),
+            pa.field("sha256_hex", pa.string()),
+        ]
+    )
+
+    def profile_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column(0)
+            payloads = [(p.as_py() or b"") for p in batch.column(1)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array([len(p) for p in payloads], pa.int64()),
+                    pa.array([p.count(b" ") for p in payloads], pa.int64()),
+                    pa.array(
+                        [hashlib.sha256(p).hexdigest() for p in payloads],
+                        pa.string(),
+                    ),
+                ],
+                schema=schema,
+            )
+
+    return df.select(id_col, payload_col).mapInArrow(
+        profile_batches, "doc_id bigint, n_bytes bigint, n_spaces bigint, sha256_hex string"
+    )

@@ -210,3 +210,26 @@ def test_observed_check_matches_check(spark):
     observed.count()
     report = {r["rule"]: r for r in ex.check(df, rules).collect()}
     assert obs.get["v_small"] == report["v_small"]["violations"]
+
+
+# --- mapInArrow twin of the byte profile --------------------------------------
+
+
+def test_byte_profile_arrow_matches_pandas_path(spark):
+    from nasa_asteroid_data_lakehouse_spark.llm import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "a  b   c"), (4, None)],
+        ["doc_id", "text"],
+    )
+    payloads = mm.with_binary_payload(docs, "text").select("doc_id", "payload")
+    pandas_rows = sorted(
+        map(tuple, mm.byte_feature_profile(payloads).collect())
+    )
+    arrow_rows = sorted(
+        map(tuple, mm.byte_feature_profile_arrow(payloads).collect())
+    )
+    assert arrow_rows == pandas_rows
+    by_id = {r[0]: r for r in arrow_rows}
+    assert by_id[1][1] == 11 and by_id[1][2] == 1  # n_bytes, n_spaces
+    assert by_id[3][2] == 5

@@ -415,3 +415,20 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
+def test_topk_per_group_plans_window_group_limit(spark):
+    """The rank<=k filter must trigger WindowGroupLimit with a PARTIAL
+    (map-side) phase: each input partition keeps only its local top-k
+    per group BEFORE the exchange, so the shuffle moves O(k*groups) per
+    partition instead of the whole table — the property that makes
+    windowed top-k survive 100 TB."""
+    from nasa_asteroid_data_lakehouse_spark.operators.topk import top_k_per_group
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 10).alias("g"), F.col("id").alias("v")
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v")], 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
