@@ -314,3 +314,31 @@ def interval_join_streams(
         )
     )
     return l.join(r, cond, how)
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a static
+    dimension table — the most common streaming join in practice
+    (events -> user/product attributes).
+
+    The static side needs NO watermark and holds NO join state: Spark
+    re-plans it per micro-batch, so a broadcast dim costs one broadcast
+    per batch and zero shuffle on the stream side — the stream's
+    partitioning is untouched.  ``broadcast_dim=False`` for dims too
+    big to broadcast (the stream then shuffles on the key each batch;
+    prefer pre-bucketing the dim in that regime).  Left join keeps
+    events whose key is missing from the dim (late dim arrival) rather
+    than silently dropping them — flag them downstream with
+    ``dim_matched``.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    joined = stream.join(d.withColumn("__dim_hit", F.lit(1)), keys, how)
+    return joined.withColumn(
+        "dim_matched", F.col("__dim_hit").isNotNull()
+    ).drop("__dim_hit")

@@ -103,3 +103,53 @@ def test_parquet_aggregate_pushdown(v2_spark, tmp_path):
     assert "PushedAggregation: [COUNT(*), MIN(v), MAX(v)]" in plan
     row = df.first()
     assert (row["n"], row["lo"], row["hi"]) == (100_000, 0, 199_998)
+
+
+@pytest.fixture(scope="module")
+def bloom_spark():
+    """Session where broadcast is off (forcing shuffle joins) and the
+    runtime bloom-filter thresholds are lowered so injection triggers
+    at test scale."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("runtime-bloom")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        .getOrCreate()
+    )
+    yield spark
+    spark.stop()
+
+
+def test_runtime_bloom_filter_injected_on_shuffle_join(bloom_spark, tmp_path):
+    """When a selective filter sits on one join side, Catalyst builds a
+    bloom filter from it at runtime and pushes might_contain() into the
+    other side's scan — rows that can't match die before the exchange.
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~1% that survives the dim filter; the
+    engine gets it for free BECAUSE the plans here stay declarative
+    (no collect-and-filter driver loops)."""
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    bloom_spark.range(1_000_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(fact_path)
+    bloom_spark.range(10_000).select(
+        F.col("id").alias("k"), F.lit("x").alias("attr")
+    ).write.parquet(dim_path)
+
+    fact = bloom_spark.read.parquet(fact_path)
+    dim = bloom_spark.read.parquet(dim_path).where(F.col("k") % 100 == 0)
+    joined = fact.join(dim, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+    assert joined.count() == 100  # semantics unchanged by the filter

@@ -310,3 +310,34 @@ def test_restart_resume_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == events.count()  # no gaps, no duplicates
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: per-batch broadcast of the dim, no state, and
+    left-join semantics keep dim-missing events flagged not dropped."""
+    from nasa_asteroid_data_lakehouse_spark.streaming.events import enrich_with_dim
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 99, "c")],
+        "event_id long, user_id long, payload string",
+    ).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, payload string"
+    ).parquet(src)
+    enriched = enrich_with_dim(stream, dim, ["user_id"])
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["event_id"]: r for r in spark.sql("SELECT * FROM enriched_sink").collect()}
+    assert rows[1]["tier"] == "gold" and rows[1]["dim_matched"] is True
+    assert rows[2]["tier"] == "silver"
+    assert rows[3]["tier"] is None and rows[3]["dim_matched"] is False
