@@ -1861,3 +1861,62 @@ FROM pred GROUP BY lbl, pred_label
 
 QUERIES["knn_label_agreement_embeddings"] = knn_label_agreement_embeddings
 ORACLES["knn_label_agreement_embeddings"] = KNN_LABEL_SQL
+
+
+# --- PageRank over the similarity graph --------------------------------------
+
+
+def pagerank_similarity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority scores over the verified near-dup pair graph
+    (operators/graph.pagerank, 5 fixed iterations): the most-connected
+    exemplar of a boilerplate family is its canonical copy — a
+    graph-aware alternative to min-id / quality-score survivor picks.
+    Reuses the session-cached LSH pair table; each iteration is one
+    shuffle on the node key with per-round lattice rounding for
+    engine-portable determinism."""
+    from nasa_asteroid_data_lakehouse_spark.operators.graph import pagerank
+
+    pairs = _lsh_pairs_cached(spark, sf_dir, _LSHMH_THRESHOLD)
+    ranks = pagerank(pairs, src="id_a", dst="id_b", iterations=5)
+    return ranks.select(F.col("node").alias("doc_id"), F.col("rank").alias("pagerank"))
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    pairs_sql = _minhash_lsh_sql(_LSHMH_THRESHOLD)
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    its = []
+    prev = "it0"
+    for i in range(1, iterations + 1):
+        its.append(
+            f"""it{i} AS (
+  SELECT n.node, ROUND({base} + {d} * COALESCE(c.s, CAST(0.0 AS DOUBLE)), 9) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.rank / e.deg) AS s
+    FROM edges_deg e JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)"""
+        )
+        prev = f"it{i}"
+    its_sql = ",\n".join(its)
+    return f"""
+WITH pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+edges_deg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+it0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+{its_sql}
+SELECT node AS doc_id, rank AS pagerank FROM it{iterations}
+"""
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+QUERIES["pagerank_similarity_documents"] = pagerank_similarity_documents
+ORACLES["pagerank_similarity_documents"] = PAGERANK_SQL

@@ -233,3 +233,36 @@ def test_byte_profile_arrow_matches_pandas_path(spark):
     by_id = {r[0]: r for r in arrow_rows}
     assert by_id[1][1] == 11 and by_id[1][2] == 1  # n_bytes, n_spaces
     assert by_id[3][2] == 5
+
+
+# --- pagerank -----------------------------------------------------------------
+
+
+def test_pagerank_star_center_dominates(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators.graph import pagerank
+
+    # star: node 0 connected to 1..4; plus an isolated pair 10-11
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(10, 11)], ["src", "dst"]
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    center, leaf = out[0], out[1]
+    assert center > leaf  # hub accumulates authority
+    assert out[1] == out[2] == out[3] == out[4]  # symmetry
+    assert out[10] == out[11]
+    # pair nodes have deg-1 neighbors passing full rank: converge to 1.0
+    assert abs(out[10] - 1.0) < 1e-6
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators.graph import pagerank
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(50), rnd.randrange(50)) for _ in range(200)]
+    rows = [(a, b) for a, b in rows if a != b]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    r1 = sorted(map(tuple, pagerank(edges, iterations=5).collect()))
+    r2 = sorted(map(tuple, pagerank(edges.repartition(13), iterations=5).collect()))
+    assert r1 == r2  # lattice rounding kills reduction-order noise
