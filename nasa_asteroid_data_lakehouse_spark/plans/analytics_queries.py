@@ -1886,3 +1886,57 @@ FROM j WHERE rn = 1
 
 QUERIES["pit_scd2_join_events"] = pit_scd2_join_events
 ORACLES["pit_scd2_join_events"] = PIT_SCD2_SQL
+
+
+# --- native session windows ---------------------------------------------------
+
+
+def native_session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE session_window aggregation —
+    the idiomatic (and streaming-compatible) twin of the hand-rolled
+    gaps-and-islands form in session_windows_events.  Semantics pinned:
+    sessions split when the gap is >= 30 minutes (windows [t, t+gap)
+    merge only while they OVERLAP — an event exactly at the previous
+    window's end starts a new session; the islands formulation's `>`
+    break differs on that boundary).  NULL timestamps carry no session
+    and are excluded on both sides."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+NATIVE_SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, value,
+    CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP)
+              OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events WHERE ts IS NOT NULL
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, sess
+"""
+
+QUERIES["native_session_windows_events"] = native_session_windows_events
+ORACLES["native_session_windows_events"] = NATIVE_SESSION_SQL
