@@ -117,3 +117,46 @@ def rolling_zscore(
         std.alias("baseline_std"),
         F.when(std > 0, (F.col(value_col) - mean) / std).alias("zscore"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    lags: int = 7,
+    out_col: str = "ewma",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponentially-weighted moving average as a FIXED-LAG linear
+    filter: ewma_t = Σ_{i=0..lags-1} w_i·x_{t-i} / Σ w_i over the lags
+    that exist, with w_i = α·(1-α)^i.
+
+    True EWMA is an infinite recursion no SQL window expresses; at
+    α=0.5 the truncated tail past 7 lags carries <1% of the weight, and
+    truncation buys what the recursion can't give: a deterministic,
+    engine-portable, single-window formulation.  All ``lags`` lag()
+    calls share one window spec, so CollapseWindow plans ONE Sort +
+    Window regardless of lag count (the as-of join lesson); the
+    weighted sum adds terms in fixed textual order (float addition is
+    not associative).  Series boundaries renormalize by the weights of
+    the PRESENT lags — the first row's ewma equals its own value, not a
+    zero-padded underestimate.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    weights = [alpha * (1.0 - alpha) ** i for i in range(lags)]
+    lag_cols = [F.lag(value_col, i).over(w) for i in range(lags)]
+    num = None
+    den = None
+    for wi, lc in zip(weights, lag_cols):
+        term = F.when(lc.isNotNull(), F.lit(wi) * lc).otherwise(F.lit(0.0))
+        mass = F.when(lc.isNotNull(), F.lit(wi)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mass if den is None else den + mass
+    return df.withColumn(
+        out_col,
+        F.when(den > 0, F.round(num / den, round_to)),
+    )

@@ -1940,3 +1940,145 @@ FROM s GROUP BY user_id, sess
 
 QUERIES["native_session_windows_events"] = native_session_windows_events
 ORACLES["native_session_windows_events"] = NATIVE_SESSION_SQL
+
+
+# --- EWMA, transitions, retention --------------------------------------------
+
+_EWMA_ALPHA = 0.5
+_EWMA_LAGS = 7
+
+
+def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily event-count smoothing per type
+    (operators/timeseries.ewma — fixed-lag linear filter, one collapsed
+    Sort+Window, fixed-order weighted sum)."""
+    from nasa_asteroid_data_lakehouse_spark.operators.timeseries import ewma, resample
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = resample(ev, "ts", ["event_type"], [F.count(F.lit(1)).alias("n")], "1 day")
+    return ewma(daily, ["event_type"], "bucket_ts", "n", alpha=_EWMA_ALPHA,
+                lags=_EWMA_LAGS)
+
+
+def _ewma_sql() -> str:
+    weights = [_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** i for i in range(_EWMA_LAGS)]
+    terms = " + ".join(
+        f"CASE WHEN lag(n, {i}) OVER w IS NOT NULL THEN {w!r} * lag(n, {i}) OVER w ELSE 0.0 END"
+        for i, w in enumerate(weights)
+    )
+    mass = " + ".join(
+        f"CASE WHEN lag(n, {i}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END"
+        for i, w in enumerate(weights)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_ts, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, bucket_ts, n,
+  CASE WHEN ({mass}) > 0 THEN ROUND(({terms}) / ({mass}), 6) END AS ewma
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+"""
+
+
+EWMA_SQL = _ewma_sql()
+
+QUERIES["ewma_daily_events"] = ewma_daily_events
+ORACLES["ewma_daily_events"] = EWMA_SQL
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix: P(next | current) per
+    user-ordered event stream — the sequential-pattern surface funnels
+    sample one path of.  One window (lead) + one aggregate; rows with
+    NULL timestamps are excluded (sequence position undefined — and
+    Spark sorts NULLs first where DuckDB sorts them last)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("n_from"), 6).alias("p_transition"),
+    )
+
+
+TRANSITION_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events WHERE ts IS NOT NULL
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+  FROM counts GROUP BY 1
+)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       ROUND(c.n_transitions / t.n_from, 6) AS p_transition
+FROM counts c JOIN totals t ON c.from_type = t.from_type
+"""
+
+QUERIES["event_transition_matrix"] = event_transition_matrix
+ORACLES["event_transition_matrix"] = TRANSITION_SQL
+
+
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, the
+    active-user count at each week offset — two aggregation levels
+    (per-user first-seen, then cohort x offset distinct counts), both
+    shuffling on keys that shrink as they go."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            F.date_trunc("week", "first_day").cast("date").alias("cohort_week"),
+            F.floor(F.datediff("day", "first_day") / 7).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+first_seen AS (
+  SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY 1
+)
+SELECT CAST(date_trunc('week', first_day) AS DATE) AS cohort_week,
+       CAST(floor((day - first_day) / 7) AS BIGINT) AS week_offset,
+       COUNT(DISTINCT ev.user_id) AS n_active
+FROM ev JOIN first_seen ON ev.user_id = first_seen.user_id
+GROUP BY 1, 2
+"""
+
+QUERIES["retention_cohorts_events"] = retention_cohorts_events
+ORACLES["retention_cohorts_events"] = RETENTION_SQL

@@ -266,3 +266,35 @@ def test_pagerank_deterministic_across_runs(spark):
     r1 = sorted(map(tuple, pagerank(edges, iterations=5).collect()))
     r2 = sorted(map(tuple, pagerank(edges.repartition(13), iterations=5).collect()))
     assert r1 == r2  # lattice rounding kills reduction-order noise
+
+
+# --- ewma ---------------------------------------------------------------------
+
+
+def test_ewma_boundary_renormalizes(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0)],
+        "k string, t int, v double",
+    )
+    out = {r["t"]: r["ewma"] for r in ewma(df, ["k"], "t", "v", alpha=0.5,
+                                           lags=3).collect()}
+    assert out[1] == 10.0  # first row: only its own weight -> itself
+    # second row: (0.5*20 + 0.25*10) / 0.75
+    assert abs(out[2] - round((0.5 * 20 + 0.25 * 10) / 0.75, 6)) < 1e-9
+    # third row: full window
+    assert abs(out[3] - round((0.5 * 30 + 0.25 * 20 + 0.125 * 10) / 0.875, 6)) < 1e-9
+
+
+def test_ewma_single_window_in_plan(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators.timeseries import ewma
+
+    df = spark.range(100).select(
+        F.lit("k").alias("k"), F.col("id").alias("t"),
+        F.col("id").cast("double").alias("v")
+    )
+    plan = ewma(df, ["k"], "t", "v", lags=7)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # all 7 lags share one window spec -> exactly one Window node
+    assert plan.count("Window [") == 1
