@@ -19,9 +19,6 @@ this is net-new surface a production lakehouse needs.
 from __future__ import annotations
 
 import math
-import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,8 +83,11 @@ def compact(
     those columns (restores clustering that incremental appends
     destroyed, so min/max pruning works again — pair with
     ``lake/zorder`` for multi-column locality).  The rewrite is staged
-    to a sibling directory and renamed in, so concurrent readers see
-    either the old or the new layout, never a partial one.
+    to a sibling directory and swapped in via
+    ``operators/merge.staged_swap`` (failed writes are cleaned up, a
+    failed swap restores the backup; see that helper's docstring for
+    the POSIX-rename atomicity caveat — readers in the rename window
+    can miss the path, and the real fix is a manifest pointer).
     """
     plan = compaction_plan(spark, path, target_file_bytes)
     if plan["n_small"] < min_small_files:
@@ -100,10 +100,7 @@ def compact(
     else:
         out = df.repartition(n)
 
-    staging = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(staging)
-    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    from nasa_asteroid_data_lakehouse_spark.operators.merge import staged_swap
+
+    staged_swap(path, lambda staging: out.write.mode("overwrite").parquet(staging))
     return {**plan, "compacted": True}

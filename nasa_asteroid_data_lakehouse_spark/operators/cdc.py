@@ -36,6 +36,8 @@ def snapshot_diff(
     across snapshots by definition; they surface as delete+insert,
     which is the honest reading of an unkeyed row.
     """
+    if not key_cols:
+        raise ValueError("snapshot_diff needs at least one key column")
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
@@ -52,10 +54,12 @@ def snapshot_diff(
         cond = eq if cond is None else cond & eq
     joined = o.join(n, cond, "full_outer")
 
-    changed = None
+    # no compare columns = membership-only diff: keys classify as
+    # insert/delete, present-in-both rows are unchanged
+    changed = F.lit(False)
     for c in compare_cols:
         neq = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-        changed = neq if changed is None else changed | neq
+        changed = changed | neq
     change_type = (
         F.when(F.col("__in_old").isNull(), F.lit("insert"))
         .when(F.col("__in_new").isNull(), F.lit("delete"))

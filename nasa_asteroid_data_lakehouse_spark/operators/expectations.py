@@ -146,6 +146,8 @@ def observed_check(
 
     if not rules:
         raise ValueError("observed_check() needs at least one rule")
+    if "n_rows" in rules:
+        raise ValueError("rule name 'n_rows' is reserved for the row counter")
     obs = Observation(name)
     metrics = [F.count(F.lit(1)).alias("n_rows")]
     for rule_name, cond in rules.items():

@@ -99,13 +99,41 @@ def save_or_update_table(
         return
 
     merged = merge_dataframes(existing, df, keys, order_by)
-    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
-    writer = merged.write.format(fmt).mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.save(staging)
 
+    def write_to(staging: str) -> None:
+        writer = merged.write.format(fmt).mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(staging)
+
+    staged_swap(path, write_to)
+
+
+def staged_swap(path: str, write_fn) -> None:
+    """Write a table rewrite to a sibling staging dir, then swap it in.
+
+    Shared by merge upserts and ``lake/compact.py``.  Failure handling:
+    a failed staging write is cleaned up (no orphaned ``__staging_*``
+    dirs); if the second rename fails the backup is restored, so the
+    table is never lost.  POSIX rename gives per-rename atomicity only —
+    there is a microsecond window between the two renames where ``path``
+    is absent and a concurrent open can miss it.  True reader atomicity
+    needs a pointer indirection (metastore / manifest — see
+    ``lake/table.VersionedTable``); on object stores the swap IS a
+    manifest pointer update and this staging protocol is bypassed.
+    """
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    try:
+        write_fn(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, backup)
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(backup, path)  # restore — never leave the table missing
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     shutil.rmtree(backup)

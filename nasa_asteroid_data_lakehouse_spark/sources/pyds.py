@@ -60,6 +60,8 @@ def _fetch(url: str, params: dict[str, str]) -> str:
 
 
 def _windows(start: str, end: str, days: int) -> list[tuple[str, str]]:
+    if days < 1:
+        raise ValueError(f"days_per_page must be >= 1, got {days}")
     out = []
     cur = date.fromisoformat(start)
     stop = date.fromisoformat(end)
@@ -141,6 +143,11 @@ class _RestFeedStreamReader(SimpleDataSourceStreamReader):
         while date.fromisoformat(cur) < date.fromisoformat(stop):
             rows, nxt = self.read({"next_start": cur})
             yield from rows
+            if nxt["next_start"] == cur:
+                # committed offset lies beyond the currently configured
+                # end_date (range narrowed between runs): nothing left
+                # to replay — stop instead of spinning forever
+                break
             cur = nxt["next_start"]
 
 

@@ -65,23 +65,17 @@ def test_compact_sorted_restores_clustering(spark, tmp_path):
         assert hi_prev <= lo_next
 
 
-@pytest.fixture(scope="module")
-def v2_spark():
-    """A session whose parquet reads go through DSv2 (required for
-    aggregate pushdown; the default useV1SourceList includes parquet)."""
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .appName("v2-pushdown")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.sources.useV1SourceList", "")
-        .config("spark.sql.parquet.aggregatePushdown", "true")
-        .getOrCreate()
-    )
-    yield spark
-    spark.stop()
+@pytest.fixture()
+def v2_spark(spark):
+    """A sibling session whose parquet reads go through DSv2 (required
+    for aggregate pushdown; the default useV1SourceList includes
+    parquet).  newSession() shares the SparkContext but isolates the
+    SQL conf — builder.getOrCreate() would return the SHARED session
+    and stopping it would kill the context for every later test."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    return s
 
 
 def test_parquet_aggregate_pushdown(v2_spark, tmp_path):
@@ -105,28 +99,19 @@ def test_parquet_aggregate_pushdown(v2_spark, tmp_path):
     assert (row["n"], row["lo"], row["hi"]) == (100_000, 0, 199_998)
 
 
-@pytest.fixture(scope="module")
-def bloom_spark():
-    """Session where broadcast is off (forcing shuffle joins) and the
-    runtime bloom-filter thresholds are lowered so injection triggers
-    at test scale."""
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .appName("runtime-bloom")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
-        .config(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            "0",
-        )
-        .getOrCreate()
+@pytest.fixture()
+def bloom_spark(spark):
+    """Sibling session (shared context, isolated SQL conf) where
+    broadcast is off (forcing shuffle joins) and the runtime
+    bloom-filter thresholds are lowered so injection triggers at test
+    scale."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
     )
-    yield spark
-    spark.stop()
+    return s
 
 
 def test_runtime_bloom_filter_injected_on_shuffle_join(bloom_spark, tmp_path):

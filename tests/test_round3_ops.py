@@ -298,3 +298,48 @@ def test_ewma_single_window_in_plan(spark):
         .executedPlan().toString()
     # all 7 lags share one window spec -> exactly one Window node
     assert plan.count("Window [") == 1
+
+
+# --- review-fix regressions ---------------------------------------------------
+
+
+def test_snapshot_diff_membership_only_and_validation(spark):
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    out = {r["k"]: r["change_type"]
+           for r in cdc.snapshot_diff(old, new, ["k"], []).collect()}
+    assert out == {1: "delete", 3: "insert"}  # keys-only diff works
+    with pytest.raises(ValueError):
+        cdc.snapshot_diff(old, new, [], ["k"])
+
+
+def test_observed_check_reserved_rule_name(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators import expectations as ex
+
+    with pytest.raises(ValueError):
+        ex.observed_check(spark.range(1), {"n_rows": F.col("id") > 0})
+
+
+def test_datasource_windows_validation():
+    from nasa_asteroid_data_lakehouse_spark.sources import pyds
+
+    with pytest.raises(ValueError):
+        pyds._windows("2024-01-01", "2024-01-10", 0)
+
+
+def test_staged_swap_failure_keeps_table(spark, tmp_path):
+    from nasa_asteroid_data_lakehouse_spark.operators.merge import staged_swap
+
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+
+    def bad_write(staging):
+        raise RuntimeError("disk full")
+
+    with pytest.raises(RuntimeError):
+        staged_swap(path, bad_write)
+    # table untouched, no staging orphans
+    assert spark.read.parquet(path).count() == 10
+    import glob
+
+    assert not glob.glob(f"{path}__*")
