@@ -1822,22 +1822,36 @@ ORACLES["bm25_scores_documents"] = BM25_SQL
 # --- exact kNN label agreement -----------------------------------------------
 
 
+_KNN_BLOCK = 1000  # exact kNN is O(N^2) BY DESIGN; the registered
+# query bounds its block so the benchmark exercises the operator
+# without letting one quadratic baseline dominate the suite.  At the
+# driver's correctness scale (sf0.01, 500 vecs) the cap is inactive.
+
+
 def knn_label_agreement_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out exact 3-NN majority-vote confusion matrix — the
     embedding-space label-coherence diagnostic (and the exact baseline
-    the LSH/IVF approximate paths are measured against)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    the LSH/IVF approximate paths are measured against).  Blocked to
+    the first _KNN_BLOCK vectors: the exact form is quadratic by
+    design; run the same vote over LSH/IVF candidates at corpus
+    scale."""
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _KNN_BLOCK
+    )
     return similarity.knn_label_agreement(emb, k=3)
 
 
-KNN_LABEL_SQL = """
-WITH pairs AS (
+KNN_LABEL_SQL = f"""
+WITH blocked AS (
+  SELECT * FROM embeddings WHERE vec_id < {_KNN_BLOCK}
+),
+pairs AS (
   SELECT a.vec_id AS id, a.label AS lbl, b.vec_id AS nbr, b.label AS nbr_lbl,
     ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
           6) AS cos
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  FROM blocked a JOIN blocked b ON a.vec_id <> b.vec_id
   WHERE a.vec_id IS NOT NULL AND b.vec_id IS NOT NULL
 ),
 topk AS (
