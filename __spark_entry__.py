@@ -95,40 +95,56 @@ def _driver_history() -> tuple[list[str], list[str]]:
     return red, green
 
 
-def _presumed_exposed() -> list[str]:
-    """Names we put at the head of queries() in past rounds (recorded in
-    ROTATION_STATE.json at each round close).  The driver checks only the
-    first ~50 names per round but does not always leave a
-    CORRECTNESS_r{N}.json behind; without this file the order would
-    repeat and the tail would never be checked.  Oldest-round heads
-    first; real CORRECTNESS data, when present, supersedes this."""
+def _rotation_state() -> tuple[list[str], list[str]]:
+    """(pinned, demoted) from ROTATION_STATE.json.
+
+    The driver checks only the first ~50 queries() names per round and
+    does not always leave a CORRECTNESS_r{N}.json behind; without state
+    the order would repeat and the tail would never be checked.  The
+    LAST recorded round's head is PINNED verbatim to the front (it was
+    computed for the upcoming driver run; re-deriving it after
+    recording would demote its own entries — circular).  Heads of
+    EARLIER rounds are presumed already exposed and demote behind
+    never-exposed names.  Real CORRECTNESS data, when present,
+    supersedes both."""
     import json
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "ROTATION_STATE.json")) as fh:
-            state = json.load(fh)
+            rounds = json.load(fh).get("rounds", [])
     except (OSError, ValueError):
-        return []
-    out: list[str] = []
-    for entry in state.get("rounds", []):
+        return [], []
+    if not rounds:
+        return [], []
+    pinned = list(rounds[-1].get("head", []))
+    demoted: list[str] = []
+    for entry in rounds[:-1]:
         for name in entry.get("head", []):
-            if name not in out:
-                out.append(name)
-    return out
+            if name not in demoted and name not in pinned:
+                demoted.append(name)
+    return pinned, demoted
 
 
 def _rotate(full: dict) -> dict:
-    """Red fixes first, then names no round has ever surfaced to the
-    driver, then presumed-exposed-but-unconfirmed names, greens last."""
+    """Pinned head (this round's planned driver window) first, then red
+    fixes, then names no round has surfaced, then presumed-exposed
+    names from earlier rounds, greens last."""
     red, green = _driver_history()
+    pinned, demoted = _rotation_state()
     seen = set(red) | set(green)
-    presumed = [n for n in _presumed_exposed() if n not in seen]
-    ordered = [k for k in red if k in full]
-    ordered += [k for k in full if k not in seen and k not in set(presumed)]
-    ordered += [k for k in presumed if k in full]
-    ordered += [k for k in green if k in full]
+    ordered = [k for k in pinned if k in full]
+    taken = set(ordered)
+    ordered += [k for k in red if k in full and k not in taken]
+    taken.update(ordered)
+    ordered += [
+        k for k in full if k not in taken and k not in seen and k not in set(demoted)
+    ]
+    taken.update(ordered)
+    ordered += [k for k in demoted if k in full and k not in taken and k not in seen]
+    taken.update(ordered)
+    ordered += [k for k in green if k in full and k not in taken]
     return {k: full[k] for k in ordered}
 
 
