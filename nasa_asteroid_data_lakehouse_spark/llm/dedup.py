@@ -73,6 +73,14 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     Documents shorter than k words contribute their full token string
     as a single shingle so they still participate in hashing.
     """
+    return F.array_distinct(word_shingle_sequence(col, k))
+
+
+def word_shingle_sequence(col: Column | str, k: int = 3) -> Column:
+    """Word k-grams IN DOCUMENT ORDER, duplicates preserved — the
+    positional form :func:`longest_common_spans` needs (element i is
+    the k-gram starting at token i).  :func:`word_shingles` is the
+    distinct-set view of the same array."""
     toks = tokens(normalized_text(col))
     n = F.size(toks)
     m = F.greatest(n - (k - 1), F.lit(0))  # shingle count when n >= k
@@ -80,9 +88,7 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     grams = parts[0]
     for p in parts[1:]:
         grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(
-        F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
@@ -401,6 +407,78 @@ def dup_span_coverage(
                 / F.col("n_shingles"),
                 6,
             ).alias("dup_fraction"),
+        )
+    )
+
+
+def longest_common_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    group_cols: list[str] | None = None,
+    min_span_words: int = 4,
+) -> DataFrame:
+    """Longest common word span per document pair — the exact-substring
+    dedup signal ("Deduplicating Training Data Makes Language Models
+    Better" finds duplicated 50-token spans with a suffix array; this
+    is the same signal at k-gram resolution, as pure relational
+    algebra).
+
+    The diagonal trick: explode k-grams WITH their positions, equi-join
+    on the k-gram across documents, and note that matches belonging to
+    one contiguous common substring all share the same diagonal
+    ``pos_a - pos_b`` at CONSECUTIVE ``pos_a`` — so a gaps-and-islands
+    pass per (pair, diagonal) turns match runs into spans:
+    ``span_words = run_length + k - 1``.  Shuffle keys: the shingle
+    (join), then (pair, diagonal) for the window — no quadratic
+    per-pair set intersection anywhere.
+
+    Output: group cols, id_a, id_b, ``span_words`` (longest), and
+    ``n_spans`` (count of maximal spans of at least ``min_span_words``),
+    for pairs whose longest span reaches ``min_span_words``.
+    ``group_cols`` block the pair space exactly like
+    :func:`ngram_jaccard_pairs`; at corpus scale feed LSH candidates.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    base = (
+        _fan_out(df.select(*groups, F.col(id_col).alias("doc"), text_col))
+        .select(
+            *groups, "doc",
+            F.posexplode(word_shingle_sequence(text_col, shingle_k)).alias(
+                "pos", "shingle"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc") < F.col("b.doc")
+    )
+    for g in groups:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    matches = a.join(b, cond).select(
+        *[F.col(f"a.{g}").alias(g) for g in groups],
+        F.col("a.doc").alias("id_a"),
+        F.col("b.doc").alias("id_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy(*groups, "id_a", "id_b", "diag").orderBy("pos_a")
+    runs = matches.withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(w)
+    )
+    spans = runs.groupBy(*groups, "id_a", "id_b", "diag", "grp").agg(
+        (F.count(F.lit(1)) + F.lit(shingle_k - 1)).alias("span_words")
+    )
+    return (
+        spans.where(F.col("span_words") >= min_span_words)
+        .groupBy(*groups, "id_a", "id_b")
+        .agg(
+            F.max("span_words").alias("span_words"),
+            F.count(F.lit(1)).alias("n_spans"),
         )
     )
 

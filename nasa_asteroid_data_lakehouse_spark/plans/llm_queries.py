@@ -1934,3 +1934,57 @@ PAGERANK_SQL = _pagerank_sql()
 
 QUERIES["pagerank_similarity_documents"] = pagerank_similarity_documents
 ORACLES["pagerank_similarity_documents"] = PAGERANK_SQL
+
+
+# --- longest common spans (exact-substring dedup signal) ---------------------
+
+
+def longest_common_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest common word span per doc pair within each source block
+    (llm/dedup.longest_common_spans — the positional diagonal trick:
+    shingle equi-join + gaps-and-islands per (pair, pos_a - pos_b))."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return dedup.longest_common_spans(
+        docs, "doc_id", shingle_k=3, group_cols=["source"], min_span_words=4
+    )
+
+
+LONGEST_SPAN_SQL = rf"""
+WITH sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(words) >= 3
+         THEN list_transform(range(1, len(words) - 1),
+                             j -> array_to_string(words[j:j+2], ' '))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM (SELECT doc_id, source, string_split({_NORM}, ' ') AS words FROM documents)
+),
+ex AS (
+  SELECT doc_id, source, pos, shingles[pos] AS shingle
+  FROM (SELECT doc_id, source, shingles,
+               unnest(range(1, len(shingles) + 1)) AS pos
+        FROM sh)
+),
+m AS (
+  SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS pos_a, a.pos - b.pos AS diag
+  FROM ex a JOIN ex b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT *, pos_a - row_number() OVER (PARTITION BY source, id_a, id_b, diag
+                                       ORDER BY pos_a) AS grp
+  FROM m
+),
+spans AS (
+  SELECT source, id_a, id_b, CAST(COUNT(*) + 2 AS BIGINT) AS span_words
+  FROM runs GROUP BY source, id_a, id_b, diag, grp
+)
+SELECT source, id_a, id_b,
+       MAX(span_words) AS span_words,
+       CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM spans WHERE span_words >= 4
+GROUP BY source, id_a, id_b
+"""
+
+QUERIES["longest_common_spans_documents"] = longest_common_spans_documents
+ORACLES["longest_common_spans_documents"] = LONGEST_SPAN_SQL

@@ -343,3 +343,49 @@ def test_staged_swap_failure_keeps_table(spark, tmp_path):
     import glob
 
     assert not glob.glob(f"{path}__*")
+
+
+# --- longest_common_spans -----------------------------------------------------
+
+
+def test_longest_common_spans_diagonal_runs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta unique1 tail1"),
+            (2, "prefix2 alpha beta gamma delta epsilon zeta other2"),
+            (3, "totally different words in this document here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in dedup.longest_common_spans(
+        docs, "doc_id", shingle_k=3, min_span_words=4).collect()}
+    # docs 1,2 share the 6-word run "alpha beta gamma delta epsilon zeta"
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)]["span_words"] == 6
+    assert out[(1, 2)]["n_spans"] == 1
+
+
+def test_longest_common_spans_two_separate_spans(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four gap1 gap2 five six seven eight"),
+            (2, "one two three four xdiv ydiv five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.longest_common_spans(
+        docs, "doc_id", shingle_k=3, min_span_words=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["span_words"] == 4 and r["n_spans"] == 2  # two disjoint 4-word spans
+
+
+def test_longest_common_spans_below_threshold_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "shared pair here plus other stuff"),
+         (2, "shared pair gone with different ending")],
+        ["doc_id", "text"],
+    )
+    # only a 2-word overlap -> longest trigram run < 4 words
+    assert dedup.longest_common_spans(
+        docs, "doc_id", shingle_k=3, min_span_words=4).count() == 0
