@@ -2082,3 +2082,43 @@ GROUP BY 1, 2
 
 QUERIES["retention_cohorts_events"] = retention_cohorts_events
 ORACLES["retention_cohorts_events"] = RETENTION_SQL
+
+
+def cumulative_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user counts and the cumulative registered-user curve:
+    per-user first-seen day, aggregated per day, running-summed.  The
+    running sum's window is a single ordered partition by design — it
+    runs over the DAY-level aggregate (tiny), never the event table."""
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn("n_cumulative", F.sum("n_new_users").over(w))
+
+
+CUMULATIVE_USERS_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+),
+daily AS (
+  SELECT first_day AS day, COUNT(*) AS n_new_users FROM firsts GROUP BY 1
+)
+SELECT day, n_new_users,
+       CAST(SUM(n_new_users) OVER (ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_cumulative
+FROM daily
+"""
+
+QUERIES["cumulative_users_events"] = cumulative_users_events
+ORACLES["cumulative_users_events"] = CUMULATIVE_USERS_SQL

@@ -1988,3 +1988,156 @@ GROUP BY source, id_a, id_b
 
 QUERIES["longest_common_spans_documents"] = longest_common_spans_documents
 ORACLES["longest_common_spans_documents"] = LONGEST_SPAN_SQL
+
+
+# --- PMI co-occurrence --------------------------------------------------------
+
+_PMI_MIN_DF = 25
+_PMI_MIN_BOTH = 5
+
+
+def pmi_cooccurrence_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token pairs by document-level pointwise mutual
+    information: ln(P(a,b) / (P(a)P(b))) over distinct-per-doc token
+    occurrence — the collocation/phrase-mining signal.  Tokens pruned
+    to df >= 25 BEFORE pairing (the per-doc pair blowup is quadratic in
+    distinct tokens; frequency pruning is what bounds it at corpus
+    scale), pairs to n_both >= 5."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(text.tokens(text.normalized_text("text")))).alias(
+            "term"
+        ),
+    )
+    dfc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = toks.join(
+        F.broadcast(dfc.where(F.col("df") >= _PMI_MIN_DF)), "term"
+    ).select("doc_id", "term", "df")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= _PMI_MIN_BOTH)
+    )
+    pmi = pairs.select(
+        "term_a",
+        "term_b",
+        "n_both",
+        F.round(
+            F.log(
+                (F.col("n_both") * F.lit(float(n_docs)))
+                / (F.col("df_a") * F.col("df_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    return pmi.orderBy(F.desc("pmi"), "term_a", "term_b").limit(50)
+
+
+PMI_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_NORM}, ' '))) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+dfc AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY 1),
+kept AS (
+  SELECT t.doc_id, t.term, d.df FROM toks t JOIN dfc d ON t.term = d.term
+  WHERE d.df >= {_PMI_MIN_DF}
+),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+         COUNT(*) AS n_both
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= {_PMI_MIN_BOTH}
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term_a, term_b, n_both,
+       ROUND(ln((n_both * CAST(n_docs AS DOUBLE)) / (df_a * df_b)), 6) AS pmi
+FROM pairs, n
+ORDER BY pmi DESC, term_a, term_b
+LIMIT 50
+"""
+
+QUERIES["pmi_cooccurrence_documents"] = pmi_cooccurrence_documents
+ORACLES["pmi_cooccurrence_documents"] = PMI_SQL
+
+
+# --- source vocabulary overlap ------------------------------------------------
+
+
+def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mix
+    diagnostic (how lexically distinct are the mixture components).
+    Same explode-join shape as ngram_jaccard, one level up: the set
+    element is the token, the 'document' is the whole source."""
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    vocab = docs.select(
+        "source",
+        F.explode(F.array_distinct(text.tokens(text.normalized_text("text")))).alias(
+            "term"
+        ),
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sz_a = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sz_a, "source_a")
+        .join(sz_b, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "common",
+            "sz_a",
+            "sz_b",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+VOCAB_OVERLAP_SQL = rf"""
+WITH vocab AS (
+  SELECT DISTINCT source, unnest(list_distinct(string_split({_NORM}, ' '))) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+sizes AS (SELECT source, COUNT(*) AS sz FROM vocab GROUP BY 1),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common
+  FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+       ROUND(common / (sa.sz + sb.sz - common), 6) AS vocab_jaccard
+FROM common
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+QUERIES["vocab_overlap_sources"] = vocab_overlap_sources
+ORACLES["vocab_overlap_sources"] = VOCAB_OVERLAP_SQL
