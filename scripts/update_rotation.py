@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Recompute and pin the current round's planned driver window.
+
+Run at round close (after the query surface is final).  Derives the
+optimal head ignoring any existing pin — known-red fixes first, then
+names never exposed in any round, then earlier-round presumed-exposed
+names — and REPLACES the last ROTATION_STATE round entry (or appends if
+this round has none), so `__spark_entry__.queries()` serves exactly
+this head to the driver.
+
+Usage: python scripts/update_rotation.py <round_number>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+
+
+def main() -> None:
+    round_no = int(sys.argv[1])
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    state_path = os.path.join(here, "ROTATION_STATE.json")
+    try:
+        with open(state_path) as fh:
+            state = json.load(fh)
+    except (OSError, ValueError):
+        state = {"rounds": []}
+
+    # the full registry, unrotated
+    full: dict = {}
+    from nasa_asteroid_data_lakehouse_spark.plans import (
+        analytics_queries,
+        llm_queries,
+        operator_queries,
+        tpch_queries,
+    )
+    from nasa_asteroid_data_lakehouse_spark.plans import queries as plans
+
+    full["q1_pricing_summary"] = plans.q1_pricing_summary
+    full["q3_top_unshipped_orders"] = plans.q3_top_unshipped_orders
+    full["q5_revenue_by_nation"] = plans.q5_revenue_by_nation
+    full.update(operator_queries.QUERIES)
+    full.update(llm_queries.QUERIES)
+    full.update(analytics_queries.QUERIES)
+    full.update(tpch_queries.QUERIES)
+
+    red, green = entry._driver_history()
+    seen = set(red) | set(green)
+    prior = [e for e in state["rounds"] if e.get("round") != round_no]
+    exposed: set = set()
+    for e in prior:
+        exposed.update(e.get("head", []))
+
+    ordered = [k for k in red if k in full]
+    taken = set(ordered)
+    ordered += [k for k in full if k not in taken and k not in seen and k not in exposed]
+    taken.update(ordered)
+    ordered += [
+        k
+        for e in prior
+        for k in e.get("head", [])
+        if k in full and k not in taken and k not in seen
+    ]
+    taken.update(ordered)
+    ordered += [k for k in green if k in full and k not in taken]
+
+    head = ordered[:50]
+    state["rounds"] = prior + [{"round": round_no, "head": head}]
+    with open(state_path, "w") as fh:
+        json.dump(state, fh, indent=1)
+    print(f"pinned round-{round_no} head ({len(head)} names); "
+          f"{len(full)} queries total")
+    print("first 12:", head[:12])
+
+
+if __name__ == "__main__":
+    main()

@@ -234,3 +234,50 @@ def test_asof_join_matches_pandas_merge_asof(sp, left, right):
         assert got[col].tolist() == expected[col].tolist()
     ga, ea = got["rv_right"].fillna(-1).tolist(), expected["rv_right"].fillna(-1).tolist()
     assert ga == ea
+
+
+# --- longest_common_spans vs brute-force word-level LCS -----------------------
+
+WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+DOCPAIR = st.tuples(
+    st.lists(WORDS, min_size=1, max_size=14),
+    st.lists(WORDS, min_size=1, max_size=14),
+)
+
+
+def _lcs_words(xs: list, ys: list) -> int:
+    """O(n*m) longest common contiguous subsequence length in words."""
+    best = 0
+    for i in range(len(xs)):
+        for j in range(len(ys)):
+            length = 0
+            while (
+                i + length < len(xs)
+                and j + length < len(ys)
+                and xs[i + length] == ys[j + length]
+            ):
+                length += 1
+            best = max(best, length)
+    return best
+
+
+@SLOW
+@given(pair=DOCPAIR)
+def test_longest_common_span_equals_bruteforce_lcs(sp, pair):
+    from nasa_asteroid_data_lakehouse_spark.llm import dedup
+
+    xs, ys = pair
+    k, min_span = 3, 4
+    docs = sp.createDataFrame(
+        [(1, " ".join(xs)), (2, " ".join(ys))], ["doc_id", "text"]
+    )
+    rows = dedup.longest_common_spans(
+        docs, "doc_id", shingle_k=k, min_span_words=min_span
+    ).collect()
+    truth = _lcs_words(xs, ys)
+    if truth >= min_span:
+        assert len(rows) == 1
+        assert rows[0]["span_words"] == truth
+    else:
+        # below threshold (or shorter than a full k-gram run) -> no row
+        assert rows == []
