@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from nasa_asteroid_data_lakehouse_spark.plans import (
     analytics_queries,
+    curation_queries,
     llm_queries,
     operator_queries,
     tpch_queries,
@@ -159,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(llm_queries.QUERIES)
     out.update(analytics_queries.QUERIES)
     out.update(tpch_queries.QUERIES)
+    out.update(curation_queries.QUERIES)
     return _rotate(out)
 
 
@@ -173,4 +175,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(llm_queries.ORACLES)
     out.update(analytics_queries.ORACLES)
     out.update(tpch_queries.ORACLES)
+    out.update(curation_queries.ORACLES)
     return _rotate(out)

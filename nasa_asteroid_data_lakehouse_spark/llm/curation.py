@@ -1,0 +1,253 @@
+"""Corpus-curation operators: composite quality gating, per-domain
+admission caps, lexical-diversity profiling, and dataset-card rollups.
+
+Everything is built-in Column algebra (JVM-side, whole-stage codegen) —
+the only shuffles are the per-(doc, token) aggregations that top-term
+statistics fundamentally need, and those are hash aggregations keyed by
+document id, so a 100 TB corpus fans out across executors with map-side
+partial aggregation and no skew (doc ids are unique).
+
+Reference scope: the reference repo (VictorClvtt/nasa-asteroid-data-
+lakehouse) curates a single REST-ingested table via flatten/cast/dedup
+(src/etl/silver_to_gold.py); these operators extend that curation
+surface to the filters a large-scale training-data pipeline needs
+(Gopher-style quality rules per Rae et al. 2021, arXiv:2112.11446;
+per-domain caps per Common Crawl curation practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.llm import text as T
+
+# Gopher-style gate thresholds (module constants so the DuckDB oracle
+# is generated from the SAME values the engine compares against).
+QF_MIN_WORDS = 20
+QF_MAX_WORDS = 100_000
+QF_MIN_AVG_WORD_LEN = 2.0
+QF_MAX_AVG_WORD_LEN = 12.0
+QF_MAX_TOP_WORD_FRAC = 0.20
+QF_MAX_DUP_BIGRAM_FRAC = 0.30
+QF_MIN_STOPWORD_RATIO = 0.01
+
+
+def quality_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style composite quality gate: one boolean per rule plus
+    the final ``keep`` decision, so downstream consumers can both
+    filter and audit *why* a document was dropped.
+
+    Rules (over whitespace tokens of the normalized text):
+
+    * word count in [QF_MIN_WORDS, QF_MAX_WORDS]
+    * mean word length in [QF_MIN_AVG_WORD_LEN, QF_MAX_AVG_WORD_LEN]
+    * most-frequent-word fraction <= QF_MAX_TOP_WORD_FRAC
+    * duplicate-bigram fraction <= QF_MAX_DUP_BIGRAM_FRAC
+    * stopword ratio >= QF_MIN_STOPWORD_RATIO (gibberish screen)
+
+    Blank/empty/NULL documents fail the word-count rule (n_words = 0;
+    NULL text is pinned to '' so the rule booleans are never NULL).
+    All ratios are single IEEE divisions of exact integers rounded to
+    the same 6-decimal lattice the oracle uses, so the rule booleans
+    are engine-portable.  One narrow projection + one per-(doc, word)
+    hash aggregation — the same plan shape as
+    :func:`~nasa_asteroid_data_lakehouse_spark.llm.text.with_repetition_stats`.
+    """
+    toks = T.tokens(T.normalized_text(F.coalesce(F.col(text_col), F.lit(""))))
+    stop = F.array(*[F.lit(w) for w in T.STOPWORDS["en"]])
+    # one fold over the materialized token array:
+    # [n_tokens, total_token_chars, stopword_hits]
+    core = F.aggregate(
+        F.col("__w"),
+        F.array(F.lit(0), F.lit(0), F.lit(0)),
+        lambda acc, tk: F.array(
+            acc[0] + 1,
+            acc[1] + F.length(tk),
+            acc[2] + F.when(F.array_contains(stop, tk), 1).otherwise(0),
+        ),
+    )
+    n = F.col("__core")[0]
+    m = n - 1
+    grams = F.zip_with(
+        F.slice("__w", 1, m), F.slice("__w", 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = (
+        df.select(
+            F.col(id_col),
+            toks.alias("__w"),
+            # Barrier: keep downstream rule predicates from being pushed
+            # below this projection and re-instantiating the tokenizer
+            # (Catalyst has no CSE across a pushed predicate + project).
+            F.monotonically_increasing_id().alias("__barrier"),
+        )
+        .withColumn("__core", core)
+        .withColumns(
+            {
+                "n_words": n,
+                "avg_word_len": F.when(
+                    n > 0, F.round(F.col("__core")[1] / n, 6)
+                ).otherwise(F.lit(0.0)),
+                "stopword_ratio": F.when(
+                    n > 0, F.round(F.col("__core")[2] / n, 6)
+                ).otherwise(F.lit(0.0)),
+                "dup_bigram_frac": F.when(
+                    m > 0, F.round(1 - F.size(F.array_distinct(grams)) / m, 6)
+                ).otherwise(F.lit(0.0)),
+            }
+        )
+    )
+    top = (
+        base.select(id_col, F.explode("__w").alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"))
+    )
+    out = (
+        base.drop("__w", "__core", "__barrier")
+        .join(top, id_col, "left")
+        .withColumn("top_word_frac", F.coalesce("top_word_frac", F.lit(0.0)))
+    )
+    rules = {
+        "ok_word_count": (F.col("n_words") >= QF_MIN_WORDS)
+        & (F.col("n_words") <= QF_MAX_WORDS),
+        "ok_avg_word_len": (F.col("avg_word_len") >= QF_MIN_AVG_WORD_LEN)
+        & (F.col("avg_word_len") <= QF_MAX_AVG_WORD_LEN),
+        "ok_top_word": F.col("top_word_frac") <= QF_MAX_TOP_WORD_FRAC,
+        "ok_dup_bigram": F.col("dup_bigram_frac") <= QF_MAX_DUP_BIGRAM_FRAC,
+        "ok_stopwords": F.col("stopword_ratio") >= QF_MIN_STOPWORD_RATIO,
+    }
+    out = out.withColumns(rules)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+def lexical_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical-diversity profile over normalized tokens:
+    token count, distinct types, max term frequency, the most frequent
+    term (ties -> lexicographically smallest), and the type-token
+    ratio.  Every output is exact integers or a single IEEE division,
+    so the profile hashes identically across engines.
+
+    Plan: explode -> hash-agg (doc, term) -> hash-agg (doc).  The
+    argmax-with-tiebreak is one ``min(struct(-count, term))`` — no
+    window, no second shuffle.  Blank/NULL documents are excluded (no
+    tokens, profile undefined).
+    """
+    toks = T.tokens(T.normalized_text(F.coalesce(F.col(text_col), F.lit(""))))
+    base = (
+        df.select(
+            F.col(id_col),
+            toks.alias("__w"),
+            F.monotonically_increasing_id().alias("__barrier"),
+        )
+        .where(F.size("__w") > 0)
+        .drop("__barrier")
+    )
+    per_term = (
+        base.select(id_col, F.explode("__w").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("c").alias("max_tf"),
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("term"))).alias("__top"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_types",
+            "max_tf",
+            F.col("__top.term").alias("top_term"),
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        )
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 100,
+    seed: str = "domain-cap-v1",
+) -> DataFrame:
+    """Per-domain admission cap: keep at most ``cap`` documents per
+    domain, chosen by deterministic md5 rank (seeded, so re-runs and
+    engines agree) — the Common Crawl-style guard against any single
+    domain dominating the training mix.
+
+    One shuffle on the domain key.  Domain cardinality is low relative
+    to rows (that is the premise of capping), so at 100 TB the rank
+    runs as a window per domain; a pathologically hot domain is
+    bounded by the cap itself on output, and the rank's sort is a
+    per-partition external sort, not a global one.  Returns the kept
+    rows with their admission rank.
+    """
+    rk = F.row_number().over(
+        Window.partitionBy(domain_col).orderBy(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.col(domain_col))
+        .where(F.col(id_col).isNotNull())
+        .withColumn("admission_rank", rk)
+        .where(F.col("admission_rank") <= cap)
+    )
+
+
+def dataset_card(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source dataset-card rollup (the datasheet table a corpus
+    release ships): document count, language count, total characters,
+    total whitespace tokens, mean characters per document, and the
+    source's share of the corpus.
+
+    One hash aggregation over the source key + one single-row corpus
+    total broadcast back — no window, no global sort.  ``pct_docs``
+    and ``mean_chars`` are single divisions of exact BIGINT counts.
+    """
+    ntok = F.size(T.tokens(T.normalized_text(F.coalesce(F.col(text_col), F.lit("")))))
+    per_source = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.col(lang_col).alias("lang"),
+            F.col(chars_col).alias("nc"),
+            ntok.alias("ntok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("nc").alias("total_chars"),
+            F.sum("ntok").alias("total_tokens"),
+        )
+    )
+    total = per_source.agg(F.sum("n_docs").alias("__corpus_docs"))
+    return per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "total_chars",
+        "total_tokens",
+        F.round(F.col("total_chars") / F.col("n_docs"), 6).alias("mean_chars"),
+        F.round(F.col("n_docs") / F.col("__corpus_docs"), 6).alias("pct_docs"),
+    )

@@ -389,6 +389,199 @@ def semantic_dedup(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization profile: scale
+    (127 / max |v|), code checksum, saturation count, and the exact
+    maximum reconstruction error — the storage-compression diagnostic
+    for an embedding store (int8 cuts an embedding column 4x, which at
+    100 TB is the difference between a broadcastable ANN index and
+    not).
+
+    Codes are ``floor(v * scale + 0.5)`` — an explicit half-up lattice
+    snap built only from IEEE ops every engine executes identically
+    (ROUND of a double is *not* portable across engines; floor of the
+    shifted product is).  Pure narrow projection: no shuffle, no UDF,
+    whole-stage codegen end to end.  A zero vector gets scale 1.0 and
+    all-zero codes.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(max_abs > 0.0, F.lit(127.0) / max_abs).otherwise(F.lit(1.0))
+    staged = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        scale.alias("scale"),
+    )
+    codes = F.transform(
+        F.col("__v"), lambda x: F.floor(x * F.col("scale") + F.lit(0.5))
+    )
+    staged = staged.withColumn("__codes", codes)
+    err = F.zip_with(
+        F.col("__v"),
+        F.col("__codes"),
+        lambda x, c: F.abs(c.cast("double") / F.col("scale") - x),
+    )
+    return staged.select(
+        id_col,
+        "scale",
+        F.aggregate(
+            F.col("__codes"), F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("code_sum"),
+        F.size(F.filter(F.col("__codes"), lambda c: F.abs(c) == 127)).alias("n_sat"),
+        F.array_max(err).alias("max_abs_err"),
+    )
+
+
+def hard_negatives(
+    df: DataFrame,
+    anchor_max_id: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    ``k`` most cosine-similar vectors with a *different* label — the
+    negatives that actually move a contrastive loss.
+
+    The anchor set is the bounded side (``id < anchor_max_id``) and is
+    broadcast against the full corpus, so the pair stage is a broadcast
+    nested-loop bounded at |anchors| x N — linear in corpus size, never
+    quadratic.  At 100 TB the corpus side stays partitioned and each
+    executor scores its shard against the broadcast anchors; swap the
+    corpus scan for an LSH/IVF candidate probe to go sub-linear.
+    Norms and double casts are hoisted out of the pair loop (same 3x
+    as :func:`knn_label_agreement`).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.col(label_col).alias("lbl"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ).where(F.col(id_col).isNotNull())
+    anchors = base.where(F.col("id") < anchor_max_id).localCheckpoint(eager=False)
+    pairs = broadcast(anchors.alias("a")).join(
+        base.alias("b"),
+        (F.col("a.lbl") != F.col("b.lbl")),
+    ).select(
+        F.col("a.id").alias("anchor_id"),
+        F.col("a.lbl").alias("anchor_label"),
+        F.col("b.id").alias("negative_id"),
+        F.col("b.lbl").alias("negative_label"),
+        F.round(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+        ).alias("cosine_sim"),
+    )
+    wk = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id")
+    )
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(wk))
+        .where(F.col("neg_rank") <= k)
+        .select(
+            "anchor_id", "anchor_label", "negative_id", "negative_label",
+            "cosine_sim", "neg_rank",
+        )
+    )
+
+
+def ann_recall_lsh(
+    df: DataFrame,
+    anchor_max_id: int,
+    k: int = 10,
+    num_planes: int = 6,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of the sign-LSH probe against the exact
+    brute-force ranking, per anchor — the ANN quality gauge (is the
+    bucket structure actually finding the true neighbors, or just
+    *some* neighbors).
+
+    For each anchor (``id < anchor_max_id``): the exact top-k by
+    cosine over the whole corpus, the top-k restricted to buckets
+    within ``probe_hamming`` of the anchor's bucket, and
+    ``recall = |approx ∩ exact| / k``.  The anchor side broadcasts, so
+    cost is |anchors| x N with the LSH side further pruned by the
+    bucket filter.  Recall is a division of two exact integers.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    dim = len(df.select(vec_col).first()[vec_col])
+    planes = hyperplane_coefficients(num_planes, dim)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+            bucket_id(F.col(vec_col), planes).alias("bucket"),
+        )
+        .where(F.col(id_col).isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    anchors = base.where(F.col("id") < anchor_max_id)
+    pairs = (
+        broadcast(
+            anchors.select(
+                F.col("id").alias("anchor_id"),
+                F.col("v").alias("av"),
+                F.col("nrm").alias("anrm"),
+                F.col("bucket").alias("abucket"),
+            )
+        )
+        .join(base.alias("b"), F.col("anchor_id") != F.col("b.id"))
+        .select(
+            "anchor_id",
+            "abucket",
+            F.col("b.id").alias("nbr"),
+            F.col("b.bucket").alias("nbucket"),
+            F.round(
+                dot(F.col("av"), F.col("b.v")) / (F.col("anrm") * F.col("b.nrm")), 6
+            ).alias("cos"),
+        )
+        .localCheckpoint(eager=False)  # scored once, ranked twice below
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("nbr"))
+    exact = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("anchor_id", "nbr")
+    )
+    probed = pairs.where(
+        F.bit_count(F.col("nbucket").bitwiseXOR(F.col("abucket"))) <= probe_hamming
+    )
+    approx = (
+        probed.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("anchor_id", "nbr")
+    )
+    hits = (
+        exact.join(approx, ["anchor_id", "nbr"])
+        .groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 6).alias("recall_at_k"),
+        )
+    )
+
+
 def knn_label_agreement(
     df: DataFrame,
     id_col: str = "vec_id",

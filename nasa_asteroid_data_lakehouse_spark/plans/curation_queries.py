@@ -1,0 +1,338 @@
+"""Round-2 curation/embedding queries for the driver's correctness gate.
+
+Wraps ``llm/curation.py`` and the round-2 ``llm/similarity.py``
+additions (int8 quantization, hard-negative mining, ANN recall) over
+the documents/embeddings fixtures.  Oracle SQL mirrors the exact
+arithmetic: md5 ranks, double-precision sequential dot products,
+``floor(x*scale + 0.5)`` lattice snaps (portable, unlike ROUND of a
+double), and integer divisions — every float the driver hashes is
+either a single IEEE op on identical inputs or a 6-decimal rounded
+value, per the portability rules in docs/ROUND_NOTES.md.
+
+Reference scope: extends the reference's curation surface
+(src/etl/silver_to_gold.py — flatten/cast/dedup) with the quality
+gates, admission caps, and embedding-store diagnostics a training-data
+pipeline runs after that ETL stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.llm import curation, similarity, text
+from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import _bucket_sql
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# normalized text with NULL pinned to '' (engine coalesces the same way)
+_NORMC = r"trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))"
+# token array of the normalized text; blank -> [] (string_split('') is [''])
+_TOKS = (
+    f"CASE WHEN {_NORMC} = '' THEN []::VARCHAR[] "
+    f"ELSE string_split({_NORMC}, ' ') END"
+)
+
+
+# --- Gopher-style composite quality gate -------------------------------------
+
+
+def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate with per-rule audit flags
+    (llm/curation.quality_filter)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return curation.quality_filter(docs)
+
+
+_EN = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+
+QUALITY_FILTER_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+),
+core AS (
+  SELECT doc_id, w,
+    len(w) AS n_words,
+    CASE WHEN len(w) > 0
+         THEN ROUND(length(array_to_string(w, '')) / len(w), 6)
+         ELSE 0.0 END AS avg_word_len,
+    CASE WHEN len(w) > 0
+         THEN ROUND(len(list_filter(w, t -> t IN ({_EN}))) / len(w), 6)
+         ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len(w) > 1
+         THEN ROUND(1 - len(list_distinct(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1]))) / (len(w) - 1), 6)
+         ELSE 0.0 END AS dup_bigram_frac
+  FROM base
+),
+top AS (
+  SELECT doc_id, ROUND(MAX(c) / SUM(c), 6) AS top_word_frac FROM (
+    SELECT doc_id, term, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS term FROM base) GROUP BY 1, 2
+  ) GROUP BY doc_id
+)
+SELECT core.doc_id AS doc_id, n_words, avg_word_len, stopword_ratio,
+  dup_bigram_frac,
+  COALESCE(top_word_frac, 0.0) AS top_word_frac,
+  (n_words >= {curation.QF_MIN_WORDS} AND n_words <= {curation.QF_MAX_WORDS})
+    AS ok_word_count,
+  (avg_word_len >= {curation.QF_MIN_AVG_WORD_LEN!r}
+   AND avg_word_len <= {curation.QF_MAX_AVG_WORD_LEN!r}) AS ok_avg_word_len,
+  (COALESCE(top_word_frac, 0.0) <= {curation.QF_MAX_TOP_WORD_FRAC!r}) AS ok_top_word,
+  (dup_bigram_frac <= {curation.QF_MAX_DUP_BIGRAM_FRAC!r}) AS ok_dup_bigram,
+  (stopword_ratio >= {curation.QF_MIN_STOPWORD_RATIO!r}) AS ok_stopwords,
+  (n_words >= {curation.QF_MIN_WORDS} AND n_words <= {curation.QF_MAX_WORDS}
+   AND avg_word_len >= {curation.QF_MIN_AVG_WORD_LEN!r}
+   AND avg_word_len <= {curation.QF_MAX_AVG_WORD_LEN!r}
+   AND COALESCE(top_word_frac, 0.0) <= {curation.QF_MAX_TOP_WORD_FRAC!r}
+   AND dup_bigram_frac <= {curation.QF_MAX_DUP_BIGRAM_FRAC!r}
+   AND stopword_ratio >= {curation.QF_MIN_STOPWORD_RATIO!r}) AS keep
+FROM core LEFT JOIN top ON core.doc_id = top.doc_id
+"""
+
+QUERIES["quality_filter_documents"] = quality_filter_documents
+ORACLES["quality_filter_documents"] = QUALITY_FILTER_SQL
+
+
+# --- lexical diversity profile -----------------------------------------------
+
+
+def lexical_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/type counts, argmax term, type-token ratio
+    (llm/curation.lexical_diversity)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return curation.lexical_diversity(docs)
+
+
+LEXICAL_DIVERSITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORMC}, ' ')) AS term
+  FROM documents WHERE {_NORMC} <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_types, MAX(c) AS max_tf
+  FROM tf GROUP BY 1
+),
+top AS (
+  SELECT doc_id, term AS top_term FROM (
+    SELECT doc_id, term,
+      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, term ASC) AS rk
+    FROM tf) t
+  WHERE rk = 1
+)
+SELECT agg.doc_id AS doc_id, n_tokens, n_types, max_tf, top_term,
+       ROUND(n_types / n_tokens, 6) AS type_token_ratio
+FROM agg JOIN top ON agg.doc_id = top.doc_id
+"""
+
+QUERIES["lexical_diversity_documents"] = lexical_diversity_documents
+ORACLES["lexical_diversity_documents"] = LEXICAL_DIVERSITY_SQL
+
+
+# --- per-domain admission cap ------------------------------------------------
+
+_DOMAIN_CAP = 60
+_DOMAIN_SEED = "domain-cap-v1"
+
+
+def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source admission cap via deterministic md5 rank
+    (llm/curation.domain_cap)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.domain_cap(docs, cap=_DOMAIN_CAP, seed=_DOMAIN_SEED)
+
+
+DOMAIN_CAP_SQL = f"""
+SELECT doc_id, source, admission_rank FROM (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5('{_DOMAIN_SEED}' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+    ) AS admission_rank
+  FROM documents WHERE doc_id IS NOT NULL) t
+WHERE admission_rank <= {_DOMAIN_CAP}
+"""
+
+QUERIES["domain_cap_documents"] = domain_cap_documents
+ORACLES["domain_cap_documents"] = DOMAIN_CAP_SQL
+
+
+# --- dataset card ------------------------------------------------------------
+
+
+def dataset_card_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datasheet rollup (llm/curation.dataset_card)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.dataset_card(docs)
+
+
+DATASET_CARD_SQL = rf"""
+WITH per_doc AS (
+  SELECT source, lang, n_chars,
+    CASE WHEN {_NORMC} = '' THEN 0 ELSE len(string_split({_NORMC}, ' ')) END AS ntok
+  FROM documents
+),
+per_source AS (
+  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(ntok) AS BIGINT) AS total_tokens
+  FROM per_doc GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS corpus_docs FROM per_source)
+SELECT source, n_docs, n_langs, total_chars, total_tokens,
+       ROUND(total_chars / n_docs, 6) AS mean_chars,
+       ROUND(n_docs / corpus_docs, 6) AS pct_docs
+FROM per_source, tot
+"""
+
+QUERIES["dataset_card_sources"] = dataset_card_sources
+ORACLES["dataset_card_sources"] = DATASET_CARD_SQL
+
+
+# --- int8 embedding quantization ---------------------------------------------
+
+
+def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization profile per vector
+    (llm/similarity.quantize_embeddings)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(emb)
+
+
+QUANTIZED_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scaled AS (
+  SELECT vec_id, v,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0.0
+         THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+         ELSE 1.0 END AS scale
+  FROM v
+),
+coded AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> floor(x * scale + 0.5)) AS codes
+  FROM scaled
+)
+SELECT vec_id, scale,
+  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+  len(list_filter(codes, c -> abs(c) = 127)) AS n_sat,
+  list_max(list_transform(range(1, len(v) + 1),
+                          i -> abs(codes[i] / scale - v[i]))) AS max_abs_err
+FROM coded
+"""
+
+QUERIES["quantized_embeddings"] = quantized_embeddings
+ORACLES["quantized_embeddings"] = QUANTIZED_SQL
+
+
+# --- contrastive hard negatives ----------------------------------------------
+
+_HN_ANCHOR_MAX = 30
+_HN_K = 5
+
+_COS_AB_V = (
+    "list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most-similar different-label vectors per anchor
+    (llm/similarity.hard_negatives)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, anchor_max_id=_HN_ANCHOR_MAX, k=_HN_K)
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v, label AS lbl
+  FROM embeddings WHERE vec_id IS NOT NULL
+),
+pairs AS (
+  SELECT a.id AS anchor_id, a.lbl AS anchor_label,
+         b.id AS negative_id, b.lbl AS negative_label,
+         ROUND({_COS_AB_V}, 6) AS cosine_sim
+  FROM base a JOIN base b ON a.lbl <> b.lbl
+  WHERE a.id < {_HN_ANCHOR_MAX}
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label, cosine_sim, neg_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY anchor_id ORDER BY cosine_sim DESC, negative_id ASC
+  ) AS neg_rank
+  FROM pairs) t
+WHERE neg_rank <= {_HN_K}
+"""
+
+QUERIES["hard_negatives_embeddings"] = hard_negatives_embeddings
+ORACLES["hard_negatives_embeddings"] = HARD_NEGATIVES_SQL
+
+
+# --- ANN recall vs exact -----------------------------------------------------
+
+_AR_ANCHOR_MAX = 25
+_AR_K = 10
+_AR_PLANES = 6
+_AR_HAMMING = 1
+
+
+def ann_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the sign-LSH probe vs the exact ranking, per anchor
+    (llm/similarity.ann_recall_lsh)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_lsh(
+        emb,
+        anchor_max_id=_AR_ANCHOR_MAX,
+        k=_AR_K,
+        num_planes=_AR_PLANES,
+        probe_hamming=_AR_HAMMING,
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {_bucket_sql(_AR_PLANES, "embedding")} AS bucket
+  FROM embeddings WHERE vec_id IS NOT NULL
+),
+pairs AS (
+  SELECT a.id AS anchor_id, a.bucket AS abucket, b.id AS nbr,
+         b.bucket AS nbucket,
+         ROUND({_COS_AB_V}, 6) AS cos
+  FROM base a JOIN base b ON a.id <> b.id
+  WHERE a.id < {_AR_ANCHOR_MAX}
+),
+exact AS (
+  SELECT anchor_id, nbr FROM (
+    SELECT anchor_id, nbr,
+      row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY cos DESC, nbr ASC) AS rk
+    FROM pairs) t
+  WHERE rk <= {_AR_K}
+),
+approx AS (
+  SELECT anchor_id, nbr FROM (
+    SELECT anchor_id, nbr,
+      row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY cos DESC, nbr ASC) AS rk
+    FROM pairs WHERE bit_count(xor(nbucket, abucket)) <= {_AR_HAMMING}) t
+  WHERE rk <= {_AR_K}
+),
+hits AS (
+  SELECT e.anchor_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a ON a.anchor_id = e.anchor_id AND a.nbr = e.nbr
+  GROUP BY 1
+),
+ex AS (SELECT anchor_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+SELECT ex.anchor_id AS anchor_id, n_exact,
+       COALESCE(n_hits, 0) AS n_hits,
+       ROUND(COALESCE(n_hits, 0) / {_AR_K}, 6) AS recall_at_k
+FROM ex LEFT JOIN hits ON ex.anchor_id = hits.anchor_id
+"""
+
+QUERIES["ann_recall_embeddings"] = ann_recall_embeddings
+ORACLES["ann_recall_embeddings"] = ANN_RECALL_SQL

@@ -36,6 +36,7 @@ def main() -> None:
     full: dict = {}
     from nasa_asteroid_data_lakehouse_spark.plans import (
         analytics_queries,
+        curation_queries,
         llm_queries,
         operator_queries,
         tpch_queries,
@@ -49,6 +50,7 @@ def main() -> None:
     full.update(llm_queries.QUERIES)
     full.update(analytics_queries.QUERIES)
     full.update(tpch_queries.QUERIES)
+    full.update(curation_queries.QUERIES)
 
     red, green = entry._driver_history()
     seen = set(red) | set(green)
