@@ -209,6 +209,70 @@ def domain_cap(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    n_target: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "temp-mix-v1",
+) -> DataFrame:
+    """Temperature-based source rebalancing at alpha = 0.5: sample
+    ``n_target`` documents with per-source quotas proportional to
+    sqrt(source size) — the standard flattening between proportional
+    (alpha=1) and uniform (alpha=0) mixing used for multi-source
+    training corpora (e.g. multilingual sampling in XLM-R, Conneau et
+    al. 2020, arXiv:1911.02116).
+
+    alpha is FIXED at 0.5 because sqrt is IEEE-correctly-rounded and
+    therefore bit-identical across engines; an arbitrary ``pow(n,
+    alpha)`` is not.  Weights live on an integer lattice
+    (``floor(sqrt(n) * 1000)``) and quotas use integer division, so
+    the quota arithmetic has no float path at all.  Selection within a
+    source is the deterministic md5 rank.  Two shuffles: the source
+    count and the per-source rank window; the quota table is a handful
+    of rows, broadcast back.
+    """
+    counts = (
+        df.where(F.col(id_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "weight",
+            F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("long"),
+        )
+    )
+    total = counts.agg(F.sum("weight").alias("total_w"))
+    quotas = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_keep",
+            F.least(
+                F.col("n_docs"),
+                F.expr(f"({n_target} * weight) div total_w"),
+            ),
+        )
+        .select(domain_col, "n_keep")
+    )
+    ranked = (
+        df.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.col(domain_col))
+        .withColumn(
+            "mix_rank",
+            F.row_number().over(
+                Window.partitionBy(domain_col).orderBy(
+                    F.md5(
+                        F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))
+                    ),
+                    F.col(id_col),
+                )
+            ),
+        )
+    )
+    return ranked.join(F.broadcast(quotas), domain_col).where(
+        F.col("mix_rank") <= F.col("n_keep")
+    ).select(id_col, domain_col, "mix_rank")
+
+
 def dataset_card(
     df: DataFrame,
     source_col: str = "source",

@@ -582,6 +582,75 @@ def ann_recall_lsh(
     )
 
 
+def vector_admit(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Incremental admission for an embedding store: a batch vector is
+    admitted iff no corpus vector in its sign-LSH bucket has cosine >=
+    ``threshold`` — the vector-side twin of
+    :func:`~nasa_asteroid_data_lakehouse_spark.llm.dedup.incremental_admit`.
+
+    The screen is a bucket equi-join (batch side small, broadcast), so
+    cost is |batch| x bucket-occupancy, never |batch| x |corpus|.  At
+    100 TB the corpus is stored partitioned by bucket and the join
+    prunes to the batch's buckets.  Returns every batch vector with
+    its candidate count, best match cosine (NULL when the bucket held
+    no corpus vector), and the admission decision.
+    """
+    from pyspark.sql.functions import broadcast
+
+    dim = len(corpus.select(vec_col).first()[vec_col])
+    planes = hyperplane_coefficients(num_planes, dim)
+
+    def prep(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                f"{prefix}_v"
+            ),
+            norm(F.col(vec_col)).alias(f"{prefix}_nrm"),
+            bucket_id(F.col(vec_col), planes).alias(f"{prefix}_bucket"),
+        ).where(F.col(id_col).isNotNull())
+
+    b = prep(batch, "b").localCheckpoint(eager=False)  # joined + outer base
+    c = prep(corpus, "c")
+    cands = (
+        broadcast(b)
+        .join(c, F.col("b_bucket") == F.col("c_bucket"))
+        .select(
+            "b_id",
+            F.round(
+                dot(F.col("b_v"), F.col("c_v"))
+                / (F.col("b_nrm") * F.col("c_nrm")),
+                round_to,
+            ).alias("cos"),
+        )
+        .groupBy("b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("cos").alias("best_cos"),
+        )
+    )
+    return (
+        b.select("b_id")
+        .join(cands, "b_id", "left")
+        .select(
+            F.col("b_id").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.col("best_cos"),
+            (
+                F.coalesce(F.col("best_cos") < threshold, F.lit(True))
+            ).alias("admitted"),
+        )
+    )
+
+
 def knn_label_agreement(
     df: DataFrame,
     id_col: str = "vec_id",

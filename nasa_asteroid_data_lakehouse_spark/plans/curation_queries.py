@@ -336,3 +336,153 @@ FROM ex LEFT JOIN hits ON ex.anchor_id = hits.anchor_id
 
 QUERIES["ann_recall_embeddings"] = ann_recall_embeddings
 ORACLES["ann_recall_embeddings"] = ANN_RECALL_SQL
+
+
+# --- temperature mixture (alpha = 0.5 source rebalancing) --------------------
+
+_TM_TARGET = 300
+_TM_SEED = "temp-mix-v1"
+
+
+def temperature_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-temperature source resampling on an integer weight lattice
+    (llm/curation.temperature_mixture)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return curation.temperature_mixture(docs, n_target=_TM_TARGET, seed=_TM_SEED)
+
+
+TEMPERATURE_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents
+  WHERE doc_id IS NOT NULL GROUP BY 1
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs) * 1000) AS BIGINT) AS weight
+  FROM counts
+),
+tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w FROM w),
+keep AS (
+  SELECT source, LEAST(n_docs, ({_TM_TARGET} * weight) // total_w) AS n_keep
+  FROM w, tot
+),
+ranked AS (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5('{_TM_SEED}' || '|' || CAST(doc_id AS VARCHAR)), doc_id
+    ) AS mix_rank
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT r.doc_id AS doc_id, r.source AS source, mix_rank
+FROM ranked r JOIN keep k ON r.source = k.source AND r.mix_rank <= k.n_keep
+"""
+
+QUERIES["temperature_mixture_documents"] = temperature_mixture_documents
+ORACLES["temperature_mixture_documents"] = TEMPERATURE_MIXTURE_SQL
+
+
+# --- embedding-store incremental admission -----------------------------------
+
+_VA_MOD = 10  # vec_id % 10 == 0 is the incoming batch (~10%)
+_VA_PLANES = 4
+_VA_THRESHOLD = 0.35
+
+
+def vector_admit_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit batch vectors with no same-bucket corpus neighbor above
+    the cosine threshold (llm/similarity.vector_admit)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    batch = emb.where(F.col("vec_id") % _VA_MOD == 0)
+    corpus = emb.where(F.col("vec_id") % _VA_MOD != 0)
+    return similarity.vector_admit(
+        batch, corpus, threshold=_VA_THRESHOLD, num_planes=_VA_PLANES
+    )
+
+
+VECTOR_ADMIT_SQL = f"""
+WITH b AS (
+  SELECT vec_id AS b_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql(_VA_PLANES, "embedding")} AS bucket
+  FROM embeddings WHERE vec_id % {_VA_MOD} = 0 AND vec_id IS NOT NULL
+),
+c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql(_VA_PLANES, "embedding")} AS bucket
+  FROM embeddings WHERE vec_id % {_VA_MOD} <> 0 AND vec_id IS NOT NULL
+),
+cands AS (
+  SELECT b_id, COUNT(*) AS n_candidates,
+    MAX(ROUND(list_dot_product(b.v, c.v)
+        / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))),
+        6)) AS best_cos
+  FROM b JOIN c ON b.bucket = c.bucket
+  GROUP BY b_id
+)
+SELECT b.b_id AS vec_id,
+       COALESCE(n_candidates, 0) AS n_candidates,
+       best_cos,
+       COALESCE(best_cos < {_VA_THRESHOLD}, TRUE) AS admitted
+FROM b LEFT JOIN cands ON b.b_id = cands.b_id
+"""
+
+QUERIES["vector_admit_embeddings"] = vector_admit_embeddings
+ORACLES["vector_admit_embeddings"] = VECTOR_ADMIT_SQL
+
+
+# --- near-dup cluster size histogram -----------------------------------------
+
+
+def cluster_size_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes (how much of the corpus
+    sits in 2-doc pairs vs large boilerplate families) — the shape
+    diagnostic that decides whether survivor-pick or whole-cluster
+    drop is the right dedup policy.  Reuses the session-cached LSH
+    pair table and the adaptive connected-components labels; two hash
+    aggregations on top.  Singleton documents (no near-dup pair) are
+    not in the graph and so not in the histogram."""
+    from nasa_asteroid_data_lakehouse_spark.llm import dedup
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _CLUSTER_THRESHOLD,
+        _lsh_pairs_cached,
+    )
+
+    pairs = _lsh_pairs_cached(spark, sf_dir, _CLUSTER_THRESHOLD)
+    labels = dedup.connected_components(pairs)
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _cluster_histogram_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _CLUSTER_THRESHOLD,
+        _minhash_lsh_sql,
+    )
+
+    return f"""
+WITH RECURSIVE
+base_pairs AS ({_minhash_lsh_sql(_CLUSTER_THRESHOLD)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM base_pairs
+  UNION
+  SELECT id_b, id_a FROM base_pairs
+),
+reach AS (
+  SELECT a AS node, a AS root FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+QUERIES["cluster_size_histogram_documents"] = cluster_size_histogram_documents
+ORACLES["cluster_size_histogram_documents"] = _cluster_histogram_sql()

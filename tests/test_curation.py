@@ -180,3 +180,68 @@ def test_ann_recall_full_probe_is_perfect(spark):
         emb, anchor_max_id=3, k=5, num_planes=4, probe_hamming=4
     ).collect()
     assert all(r["recall_at_k"] == 1.0 for r in out)
+
+
+# --- temperature_mixture ------------------------------------------------------
+
+
+def test_temperature_mixture_quotas_flatten(spark):
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(16)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = curation.temperature_mixture(docs, n_target=100)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # weights: floor(sqrt(400)*1000)=20000, floor(sqrt(16)*1000)=4000
+    # quotas: 100*20000//24000 = 83, min(16, 100*4000//24000=16) = 16
+    assert counts == {"big": 83, "small": 16}
+    # proportional sampling would have given small ~4 of 100; sqrt
+    # temperature flattens the mix toward the small source
+    assert counts["small"] / sum(counts.values()) > 16 / 416
+
+
+def test_temperature_mixture_deterministic(spark):
+    rows = [(i, "s%d" % (i % 3)) for i in range(90)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = sorted(r["doc_id"] for r in curation.temperature_mixture(docs, 30).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in curation.temperature_mixture(docs.repartition(11), 30).collect()
+    )
+    assert a == b
+
+
+# --- vector_admit -------------------------------------------------------------
+
+
+def test_vector_admit_rejects_near_duplicate(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    batch = spark.createDataFrame(
+        [(100, [0.999, 0.001, 0.0]),  # near-dup of corpus 1
+         (101, [-1.0, -1.0, -1.0])],  # far from everything
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.vector_admit(
+            batch, corpus, threshold=0.95, num_planes=3
+        ).collect()
+    }
+    assert out[100]["admitted"] is False and out[100]["best_cos"] >= 0.95
+    assert out[101]["admitted"] is True
+
+
+def test_vector_admit_empty_bucket_admits(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    out = similarity.vector_admit(batch, corpus, threshold=0.35).collect()
+    assert len(out) == batch.count()
+    for r in out:
+        if r["n_candidates"] == 0:
+            assert r["best_cos"] is None and r["admitted"] is True
+        else:
+            assert r["admitted"] == (r["best_cos"] < 0.35)
