@@ -582,6 +582,123 @@ def ann_recall_lsh(
     )
 
 
+def quantized_recall(
+    df: DataFrame,
+    anchor_max_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ranking agreement between int8-quantized and full-precision
+    similarity: per anchor, overlap@k of the top-k by *integer* code
+    dot product vs the top-k by exact cosine — the end-to-end answer
+    to "is int8 storage good enough for this corpus's ANN".
+
+    The quantized score is the cosine over the ``floor(v*scale+0.5)``
+    code vectors: the per-vector scale cancels in a cosine, so this
+    isolates pure quantization loss.  All three dot products are
+    exact integer arithmetic; the only float ops are one sqrt and one
+    division per pair (correctly-rounded IEEE, 6-decimal lattice) —
+    portable across engines.  The exact side is the same rounded
+    cosine the rest of the ANN kit uses.  Cost is |anchors| x N with
+    the anchor side broadcast, same shape as :func:`ann_recall_lsh`.
+    Assumes no all-zero vectors (a zero code vector would divide by
+    zero).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(max_abs > 0.0, F.lit(127.0) / max_abs).otherwise(F.lit(1.0))
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+            scale.alias("__scale"),
+        )
+        .withColumn(
+            "codes",
+            F.transform(
+                F.col("v"), lambda x: F.floor(x * F.col("__scale") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "qnrm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("codes"),
+                    F.lit(0).cast("long"),
+                    lambda acc, c: acc + c * c,
+                ).cast("double")
+            ),
+        )
+        .where(F.col(id_col).isNotNull())
+        .drop("__scale")
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        broadcast(
+            base.where(F.col("id") < anchor_max_id).select(
+                F.col("id").alias("anchor_id"),
+                F.col("v").alias("av"),
+                F.col("nrm").alias("anrm"),
+                F.col("codes").alias("acodes"),
+                F.col("qnrm").alias("aqnrm"),
+            )
+        )
+        .join(base.alias("b"), F.col("anchor_id") != F.col("b.id"))
+        .select(
+            "anchor_id",
+            F.col("b.id").alias("nbr"),
+            F.round(
+                dot(F.col("av"), F.col("b.v")) / (F.col("anrm") * F.col("b.nrm")), 6
+            ).alias("cos"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("acodes"), F.col("b.codes"), lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, p: acc + p,
+                ).cast("double")
+                / (F.col("aqnrm") * F.col("b.qnrm")),
+                6,
+            ).alias("qcos"),
+        )
+        .localCheckpoint(eager=False)  # ranked twice below
+    )
+    w_exact = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("nbr"))
+    w_quant = Window.partitionBy("anchor_id").orderBy(F.desc("qcos"), F.asc("nbr"))
+    exact = (
+        pairs.withColumn("__rk", F.row_number().over(w_exact))
+        .where(F.col("__rk") <= k)
+        .select("anchor_id", "nbr")
+    )
+    quant = (
+        pairs.withColumn("__rk", F.row_number().over(w_quant))
+        .where(F.col("__rk") <= k)
+        .select("anchor_id", "nbr")
+    )
+    hits = (
+        exact.join(quant, ["anchor_id", "nbr"])
+        .groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 6).alias(
+                "overlap_at_k"
+            ),
+        )
+    )
+
+
 def vector_admit(
     batch: DataFrame,
     corpus: DataFrame,

@@ -486,3 +486,73 @@ FROM sizes GROUP BY cluster_size ORDER BY cluster_size
 
 QUERIES["cluster_size_histogram_documents"] = cluster_size_histogram_documents
 ORACLES["cluster_size_histogram_documents"] = _cluster_histogram_sql()
+
+
+# --- int8 vs full-precision ranking agreement --------------------------------
+
+_QR_ANCHOR_MAX = 25
+_QR_K = 10
+
+
+def quantized_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap@10 between top-k by int8-code cosine and top-k by exact
+    cosine (llm/similarity.quantized_recall)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_recall(
+        emb, anchor_max_id=_QR_ANCHOR_MAX, k=_QR_K
+    )
+
+
+QUANTIZED_RECALL_SQL = f"""
+WITH scaled AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+    CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0.0
+         THEN 127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+         ELSE 1.0 END AS scale
+  FROM embeddings WHERE vec_id IS NOT NULL
+),
+base AS (
+  SELECT id, v, codes,
+         sqrt(list_dot_product(v, v)) AS nrm,
+         sqrt(list_dot_product(codes, codes)) AS qnrm
+  FROM (SELECT id, v,
+               list_transform(v, x -> floor(x * scale + 0.5)) AS codes
+        FROM scaled) t
+),
+pairs AS (
+  SELECT a.id AS anchor_id, b.id AS nbr,
+    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos,
+    ROUND(list_dot_product(a.codes, b.codes) / (a.qnrm * b.qnrm), 6) AS qcos
+  FROM base a JOIN base b ON a.id <> b.id
+  WHERE a.id < {_QR_ANCHOR_MAX}
+),
+exact AS (
+  SELECT anchor_id, nbr FROM (
+    SELECT anchor_id, nbr,
+      row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY cos DESC, nbr ASC) AS rk
+    FROM pairs) t
+  WHERE rk <= {_QR_K}
+),
+quant AS (
+  SELECT anchor_id, nbr FROM (
+    SELECT anchor_id, nbr,
+      row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY qcos DESC, nbr ASC) AS rk
+    FROM pairs) t
+  WHERE rk <= {_QR_K}
+),
+hits AS (
+  SELECT e.anchor_id, COUNT(*) AS n_hits
+  FROM exact e JOIN quant q ON q.anchor_id = e.anchor_id AND q.nbr = e.nbr
+  GROUP BY 1
+),
+ex AS (SELECT anchor_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+SELECT ex.anchor_id AS anchor_id, n_exact,
+       COALESCE(n_hits, 0) AS n_hits,
+       ROUND(COALESCE(n_hits, 0) / {_QR_K}, 6) AS overlap_at_k
+FROM ex LEFT JOIN hits ON ex.anchor_id = hits.anchor_id
+"""
+
+QUERIES["quantized_recall_embeddings"] = quantized_recall_embeddings
+ORACLES["quantized_recall_embeddings"] = QUANTIZED_RECALL_SQL

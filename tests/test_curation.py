@@ -245,3 +245,17 @@ def test_vector_admit_empty_bucket_admits(spark, sf_smoke):
             assert r["best_cos"] is None and r["admitted"] is True
         else:
             assert r["admitted"] == (r["best_cos"] < 0.35)
+
+
+# --- quantized_recall ---------------------------------------------------------
+
+
+def test_quantized_recall_high_overlap_on_fixture(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    out = similarity.quantized_recall(emb, anchor_max_id=5, k=10).collect()
+    assert len(out) == 5
+    # int8 cosine should preserve most of the exact top-10 at dim 64
+    for r in out:
+        assert r["n_exact"] == 10
+        assert r["overlap_at_k"] >= 0.7
+        assert r["overlap_at_k"] == round(r["n_hits"] / 10, 6)
