@@ -572,7 +572,7 @@ def ann_recall_lsh(
     return (
         exact.groupBy("anchor_id")
         .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(hits, "anchor_id", "left")
+        .join(broadcast(hits), "anchor_id", "left")
         .select(
             "anchor_id",
             "n_exact",
@@ -687,7 +687,7 @@ def quantized_recall(
     return (
         exact.groupBy("anchor_id")
         .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(hits, "anchor_id", "left")
+        .join(broadcast(hits), "anchor_id", "left")
         .select(
             "anchor_id",
             "n_exact",
@@ -756,7 +756,7 @@ def vector_admit(
     )
     return (
         b.select("b_id")
-        .join(cands, "b_id", "left")
+        .join(broadcast(cands), "b_id", "left")
         .select(
             F.col("b_id").alias(id_col),
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
