@@ -281,3 +281,86 @@ def test_longest_common_span_equals_bruteforce_lcs(sp, pair):
     else:
         # below threshold (or shorter than a full k-gram run) -> no row
         assert rows == []
+
+
+# --- round-2 curation properties ---------------------------------------------
+
+VEC = st.lists(
+    st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+    min_size=4,
+    max_size=8,
+)
+
+
+@given(vecs=st.lists(VEC, min_size=1, max_size=6))
+@SLOW
+def test_quantization_error_within_half_step(sp, vecs):
+    from nasa_asteroid_data_lakehouse_spark.llm import similarity as sim
+
+    dim = min(len(v) for v in vecs)
+    rows = [(i, [float(x) for x in v[:dim]]) for i, v in enumerate(vecs)]
+    df = sp.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in sim.quantize_embeddings(df).collect():
+        # |v - code/scale| <= 0.5/scale by construction of the
+        # half-up lattice snap (strict except float rounding slack)
+        assert r["max_abs_err"] <= 0.5 / r["scale"] + 1e-9
+        assert abs(r["code_sum"]) <= 127 * dim
+        assert 0 <= r["n_sat"] <= dim
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=5),
+    n_target=st.integers(min_value=1, max_value=60),
+)
+@SLOW
+def test_temperature_mixture_quota_invariants(sp, sizes, n_target):
+    from nasa_asteroid_data_lakehouse_spark.llm import curation
+
+    rows = [
+        (src * 1000 + i, f"s{src}")
+        for src, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    df = sp.createDataFrame(rows, "doc_id long, source string")
+    out = curation.temperature_mixture(df, n_target=n_target).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # never exceeds the target, never exceeds any source's size, and
+    # floor-division quotas lose at most one doc per source vs target
+    assert len(out) <= n_target
+    for src, n in enumerate(sizes):
+        kept = len(by_src.get(f"s{src}", []))
+        assert kept <= n
+    if sum(sizes) >= n_target:
+        assert len(out) >= n_target - len(sizes)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["a", "b", "c"])),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+@SLOW
+def test_domain_cap_never_exceeds_cap(sp, rows, cap):
+    from nasa_asteroid_data_lakehouse_spark.llm import curation
+
+    if not rows:
+        return
+    df = sp.createDataFrame(rows, "doc_id long, source string")
+    out = curation.domain_cap(df, cap=cap).collect()
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    for src, n in per.items():
+        assert n <= cap
+    # every domain with any rows contributes min(cap, its size)
+    have = {}
+    for _, s in rows:
+        have[s] = have.get(s, 0) + 1
+    for s, n in have.items():
+        assert per.get(s, 0) == min(cap, n)
