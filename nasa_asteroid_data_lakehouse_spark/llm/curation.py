@@ -128,6 +128,85 @@ def quality_filter(
     return out.withColumn("keep", keep)
 
 
+def quality_filter_stateless(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """:func:`quality_filter` as a pure per-row projection — no shuffle,
+    no join, therefore directly usable inside a Structured Streaming
+    query (stateless operators need no watermark or output-mode
+    restrictions).
+
+    The only rule that needed aggregation, the most-frequent-word
+    fraction, is computed in array algebra instead:
+    ``array_max(transform(array_distinct(w), t -> size(filter(w, x ->
+    x = t))))`` — O(n_tokens x n_distinct) per document.  Use this
+    form for streams and short/medium documents; the shuffle form for
+    batch corpora with pathologically long documents (the quadratic
+    per-row scan crosses the two-hash-agg cost around 10^4 tokens per
+    doc).  Equivalence of the two forms is pinned in
+    tests/test_curation.py.
+    """
+    toks = T.tokens(T.normalized_text(F.coalesce(F.col(text_col), F.lit(""))))
+    stop = F.array(*[F.lit(w) for w in T.STOPWORDS["en"]])
+    core = F.aggregate(
+        F.col("__w"),
+        F.array(F.lit(0), F.lit(0), F.lit(0)),
+        lambda acc, tk: F.array(
+            acc[0] + 1,
+            acc[1] + F.length(tk),
+            acc[2] + F.when(F.array_contains(stop, tk), 1).otherwise(0),
+        ),
+    )
+    n = F.col("__core")[0]
+    m = n - 1
+    grams = F.zip_with(
+        F.slice("__w", 1, m), F.slice("__w", 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    max_tf = F.array_max(
+        F.transform(
+            F.array_distinct("__w"),
+            lambda t: F.size(F.filter("__w", lambda x: x == t)),
+        )
+    )
+    out = (
+        df.select(F.col(id_col), toks.alias("__w"))
+        .withColumn("__core", core)
+        .withColumns(
+            {
+                "n_words": n,
+                "avg_word_len": F.when(
+                    n > 0, F.round(F.col("__core")[1] / n, 6)
+                ).otherwise(F.lit(0.0)),
+                "stopword_ratio": F.when(
+                    n > 0, F.round(F.col("__core")[2] / n, 6)
+                ).otherwise(F.lit(0.0)),
+                "dup_bigram_frac": F.when(
+                    m > 0, F.round(1 - F.size(F.array_distinct(grams)) / m, 6)
+                ).otherwise(F.lit(0.0)),
+                "top_word_frac": F.when(
+                    n > 0, F.round(max_tf / n, 6)
+                ).otherwise(F.lit(0.0)),
+            }
+        )
+        .drop("__w", "__core")
+    )
+    rules = {
+        "ok_word_count": (F.col("n_words") >= QF_MIN_WORDS)
+        & (F.col("n_words") <= QF_MAX_WORDS),
+        "ok_avg_word_len": (F.col("avg_word_len") >= QF_MIN_AVG_WORD_LEN)
+        & (F.col("avg_word_len") <= QF_MAX_AVG_WORD_LEN),
+        "ok_top_word": F.col("top_word_frac") <= QF_MAX_TOP_WORD_FRAC,
+        "ok_dup_bigram": F.col("dup_bigram_frac") <= QF_MAX_DUP_BIGRAM_FRAC,
+        "ok_stopwords": F.col("stopword_ratio") >= QF_MIN_STOPWORD_RATIO,
+    }
+    out = out.withColumns(rules)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def lexical_diversity(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

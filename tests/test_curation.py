@@ -259,3 +259,49 @@ def test_quantized_recall_high_overlap_on_fixture(spark, sf_smoke):
         assert r["n_exact"] == 10
         assert r["overlap_at_k"] >= 0.7
         assert r["overlap_at_k"] == round(r["n_hits"] / 10, 6)
+
+
+# --- quality_filter_stateless -------------------------------------------------
+
+
+def test_quality_filter_stateless_equivalent_to_shuffle_form(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = {r["doc_id"]: r for r in curation.quality_filter(docs).collect()}
+    b = {r["doc_id"]: r for r in curation.quality_filter_stateless(docs).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        ra, rb = a[k].asDict(), b[k].asDict()
+        assert ra == rb, f"doc {k}: {ra} != {rb}"
+
+
+def test_quality_filter_stateless_runs_in_a_stream(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    long_ok = (
+        "the quick brown fox jumps over a lazy dog and it runs toward "
+        "some distant hills where many small animals gather near water "
+        "to drink while birds circle above looking for food in this "
+        "quiet valley that stays green all year"
+    )
+    spark.createDataFrame(
+        [(1, long_ok), (2, " ".join(["buy"] * 40)), (3, "")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    gated = curation.quality_filter_stateless(stream)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("quality_gate_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["doc_id"]: r
+        for r in spark.sql("SELECT * FROM quality_gate_sink").collect()
+    }
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["ok_top_word"] is False
+    assert rows[3]["keep"] is False and rows[3]["n_words"] == 0
