@@ -556,3 +556,151 @@ FROM ex LEFT JOIN hits ON ex.anchor_id = hits.anchor_id
 
 QUERIES["quantized_recall_embeddings"] = quantized_recall_embeddings
 ORACLES["quantized_recall_embeddings"] = QUANTIZED_RECALL_SQL
+
+
+# --- split leakage (near-dup pairs crossing train/val/test) ------------------
+
+
+def split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-leakage audit: MinHash-LSH near-dup pairs whose members
+    land in DIFFERENT train/val/test splits — each such pair leaks
+    evaluation signal into training.  The matrix every split pipeline
+    should publish next to its split counts.
+
+    Composes the stratified split with the session-cached verified
+    pair table: two broadcast joins of the tiny split assignment onto
+    the pair table, one small aggregation.  At 100 TB both inputs are
+    already computed by other stages (split export, dedup), so the
+    audit is marginal-cost."""
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _CLUSTER_THRESHOLD,
+        _lsh_pairs_cached,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    splits = text.train_val_test_split(docs, "doc_id", ["lang"]).select(
+        "doc_id", "split"
+    )
+    pairs = _lsh_pairs_cached(spark, sf_dir, _CLUSTER_THRESHOLD)
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_x"),
+            F.greatest("split_a", "split_b").alias("split_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_leaky_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("split_x", "split_y")
+    )
+
+
+def _split_leakage_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _CLUSTER_THRESHOLD,
+        _minhash_lsh_sql,
+    )
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        TRAIN_SPLIT_SQL,
+    )
+
+    return f"""
+WITH splits AS ({TRAIN_SPLIT_SQL}),
+pairs AS ({_minhash_lsh_sql(_CLUSTER_THRESHOLD)})
+SELECT LEAST(sa.split, sb.split) AS split_x,
+       GREATEST(sa.split, sb.split) AS split_y,
+       CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs,
+       MAX(jaccard) AS max_jaccard
+FROM pairs
+JOIN splits sa ON sa.doc_id = pairs.id_a
+JOIN splits sb ON sb.doc_id = pairs.id_b
+WHERE sa.split <> sb.split
+GROUP BY 1, 2
+ORDER BY split_x, split_y
+"""
+
+
+QUERIES["split_leakage_documents"] = split_leakage_documents
+ORACLES["split_leakage_documents"] = _split_leakage_sql()
+
+
+# --- tokenizer fertility -----------------------------------------------------
+
+
+def tokenizer_fertility_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer-budget profile: BPE-ish pieces per
+    whitespace word (fertility) and characters per piece — the numbers
+    that turn a corpus size into a token budget.  One narrow
+    projection + one hash aggregation on source."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    per_doc = docs.select(
+        "source",
+        F.length(t).alias("nc"),
+        F.size(text.tokens(t)).alias("nws"),
+        F.size(text.bpe_ish_tokens(t)).alias("nbpe"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("nc").alias("total_chars"),
+            F.sum("nws").alias("total_words"),
+            F.sum("nbpe").alias("total_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "total_chars",
+            "total_words",
+            "total_bpe_tokens",
+            F.when(
+                F.col("total_words") > 0,
+                F.round(F.col("total_bpe_tokens") / F.col("total_words"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fertility"),
+            F.when(
+                F.col("total_bpe_tokens") > 0,
+                F.round(F.col("total_chars") / F.col("total_bpe_tokens"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("chars_per_token"),
+        )
+    )
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH per_doc AS (
+  SELECT source,
+    length(coalesce(text, '')) AS nc,
+    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END AS nws,
+    len(regexp_extract_all(coalesce(text, ''), '\w+|[^\w\s]')) AS nbpe
+  FROM documents
+),
+agg AS (
+  SELECT source,
+    CAST(SUM(nc) AS BIGINT) AS total_chars,
+    CAST(SUM(nws) AS BIGINT) AS total_words,
+    CAST(SUM(nbpe) AS BIGINT) AS total_bpe_tokens
+  FROM per_doc GROUP BY source
+)
+SELECT source, total_chars, total_words, total_bpe_tokens,
+  CASE WHEN total_words > 0
+       THEN ROUND(total_bpe_tokens / total_words, 6) ELSE 0.0 END AS fertility,
+  CASE WHEN total_bpe_tokens > 0
+       THEN ROUND(total_chars / total_bpe_tokens, 6) ELSE 0.0 END
+    AS chars_per_token
+FROM agg
+"""
+
+QUERIES["tokenizer_fertility_sources"] = tokenizer_fertility_sources
+ORACLES["tokenizer_fertility_sources"] = TOKENIZER_FERTILITY_SQL

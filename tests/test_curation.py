@@ -305,3 +305,40 @@ def test_quality_filter_stateless_runs_in_a_stream(spark, tmp_path):
     assert rows[1]["keep"] is True
     assert rows[2]["keep"] is False and rows[2]["ok_top_word"] is False
     assert rows[3]["keep"] is False and rows[3]["n_words"] == 0
+
+
+# --- split_leakage / tokenizer_fertility -------------------------------------
+
+
+def test_split_leakage_detects_cross_split_dup(spark, sf_smoke):
+    from nasa_asteroid_data_lakehouse_spark.plans.curation_queries import (
+        split_leakage_documents,
+    )
+
+    out = split_leakage_documents(spark, sf_smoke).collect()
+    # the synthetic fixture plants near-dup families large enough that
+    # an 80/10/10 split will straddle at least one of them
+    for r in out:
+        assert r["split_x"] < r["split_y"]
+        assert r["n_leaky_pairs"] >= 1
+        assert 0.0 <= r["max_jaccard"] <= 1.0
+
+
+def test_tokenizer_fertility_simple_counts(spark):
+    from nasa_asteroid_data_lakehouse_spark.llm import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "hello, world", "s1"), (2, "a b", "s1"), (3, None, "s2")],
+        "doc_id long, text string, source string",
+    )
+    t = F.coalesce(F.col("text"), F.lit(""))
+    per = docs.select(
+        "source",
+        F.size(T.tokens(t)).alias("nws"),
+        F.size(T.bpe_ish_tokens(t)).alias("nbpe"),
+    ).collect()
+    by_id = {(r["source"], r["nws"], r["nbpe"]) for r in per}
+    # "hello, world" -> 2 ws words, 3 bpe pieces (hello , world)
+    assert ("s1", 2, 3) in by_id
+    assert ("s1", 2, 2) in by_id
+    assert ("s2", 0, 0) in by_id
