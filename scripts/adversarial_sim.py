@@ -99,6 +99,14 @@ def build_mutated(dst: str) -> None:
             FROM read_parquet('{src}/events.parquet')
             WHERE event_id % 53 = 0
         """,
+        # NULL labels: the embedding-side label consumers (hard
+        # negatives, kNN vote, label centroids) must agree with the
+        # oracle on whether NULL-labeled vectors pair/vote.
+        "embeddings": """
+            SELECT vec_id, embedding,
+                   CASE WHEN vec_id % 13 = 0 THEN NULL ELSE label END AS label
+            FROM read_parquet('{src}/embeddings.parquet')
+        """,
     }
     for t in TABLES:
         src_path = os.path.join(SRC, f"{t}.parquet")

@@ -341,3 +341,58 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert rows[1]["tier"] == "gold" and rows[1]["dim_matched"] is True
     assert rows[2]["tier"] == "silver"
     assert rows[3]["tier"] is None and rows[3]["dim_matched"] is False
+
+
+def test_streaming_admission_gates_and_dedups(spark, tmp_path):
+    """Continuous curation: stream of docs -> stateless quality gate ->
+    per-batch near-dup screen vs the admitted corpus -> append.  The
+    second batch contains a near-copy of an admitted doc plus a spam
+    doc; neither lands in the corpus."""
+    from nasa_asteroid_data_lakehouse_spark.streaming.curation import admit_stream
+
+    good_a = (
+        "the quick brown fox jumps over a lazy dog and it runs toward "
+        "some distant hills where many small animals gather near water "
+        "to drink while birds circle above looking for food in this "
+        "quiet valley that stays green all year"
+    )
+    good_b = (
+        "a completely different report about engines and tables that "
+        "the merge operator joins with keys while windows aggregate "
+        "rows into buckets and sorted partitions stream through it "
+        "for a very long time without any repeats at all today"
+    )
+    near_copy_a = good_a.replace("green", "golden")
+    spam = " ".join(["buy"] * 40)
+
+    src = str(tmp_path / "incoming")
+    os_mk = __import__("os").makedirs
+    os_mk(src, exist_ok=True)
+    table = str(tmp_path / "corpus")
+
+    # batch 1: one good doc
+    spark.createDataFrame([(1, good_a)], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    writer = admit_stream(spark, stream, table, jaccard_threshold=0.5)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(table).collect()} == {1}
+
+    # batch 2: a fresh good doc, a near-copy of doc 1, and spam
+    spark.createDataFrame(
+        [(2, good_b), (3, near_copy_a), (4, spam)],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        admit_stream(spark, stream, table, jaccard_threshold=0.5)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    admitted = {r["doc_id"] for r in spark.read.parquet(table).collect()}
+    # doc 2 admitted; 3 rejected (near-dup of 1); 4 rejected (quality);
+    # 1 not re-admitted on replay of the first file
+    assert admitted == {1, 2}
