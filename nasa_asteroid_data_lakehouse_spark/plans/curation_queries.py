@@ -704,3 +704,56 @@ FROM agg
 
 QUERIES["tokenizer_fertility_sources"] = tokenizer_fertility_sources
 ORACLES["tokenizer_fertility_sources"] = TOKENIZER_FERTILITY_SQL
+
+
+# --- curation funnel ---------------------------------------------------------
+
+
+def curation_funnel_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel: total docs -> quality-gate
+    survivors -> exact-unique survivors (distinct normalized
+    fingerprints among the quality-passing docs) — the per-stage
+    attrition table a curation run publishes.  One gate pass + one
+    join back for source/fingerprint + one hash aggregation."""
+    docs = read_table(spark, sf_dir, "documents")
+    gated = curation.quality_filter(docs.select("doc_id", "text")).select(
+        "doc_id", "keep"
+    )
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        F.md5(text.normalized_text(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "fp"
+        ),
+    ).join(gated, "doc_id")
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_quality"),
+            F.countDistinct(F.when(F.col("keep"), F.col("fp"))).alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_total",
+            "n_quality",
+            "n_unique",
+            F.round(F.col("n_quality") / F.col("n_total"), 6).alias("pct_quality"),
+        )
+    )
+
+
+CURATION_FUNNEL_SQL = rf"""
+WITH qf AS ({QUALITY_FILTER_SQL}),
+d AS (SELECT doc_id, source, md5({_NORMC}) AS fp FROM documents)
+SELECT d.source AS source,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN qf.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(COUNT(DISTINCT CASE WHEN qf.keep THEN fp END) AS BIGINT) AS n_unique,
+  ROUND(SUM(CASE WHEN qf.keep THEN 1 ELSE 0 END) / COUNT(*), 6) AS pct_quality
+FROM d JOIN qf ON d.doc_id = qf.doc_id
+GROUP BY d.source
+"""
+
+QUERIES["curation_funnel_sources"] = curation_funnel_sources
+ORACLES["curation_funnel_sources"] = CURATION_FUNNEL_SQL
