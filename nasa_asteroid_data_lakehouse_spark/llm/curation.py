@@ -33,29 +33,20 @@ QF_MAX_DUP_BIGRAM_FRAC = 0.30
 QF_MIN_STOPWORD_RATIO = 0.01
 
 
-def quality_filter(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def _with_gate_stats(
+    df: DataFrame, text_col: str, barrier: bool = True
 ) -> DataFrame:
-    """Gopher-style composite quality gate: one boolean per rule plus
-    the final ``keep`` decision, so downstream consumers can both
-    filter and audit *why* a document was dropped.
+    """Shared first stage of both quality-gate forms: adds the token
+    array ``__w`` plus every per-row statistic except top_word_frac
+    (n_words, avg_word_len, stopword_ratio, dup_bigram_frac).
+    Preserves all input columns, so gated rows keep their payload.
 
-    Rules (over whitespace tokens of the normalized text):
-
-    * word count in [QF_MIN_WORDS, QF_MAX_WORDS]
-    * mean word length in [QF_MIN_AVG_WORD_LEN, QF_MAX_AVG_WORD_LEN]
-    * most-frequent-word fraction <= QF_MAX_TOP_WORD_FRAC
-    * duplicate-bigram fraction <= QF_MAX_DUP_BIGRAM_FRAC
-    * stopword ratio >= QF_MIN_STOPWORD_RATIO (gibberish screen)
-
-    Blank/empty/NULL documents fail the word-count rule (n_words = 0;
-    NULL text is pinned to '' so the rule booleans are never NULL).
-    All ratios are single IEEE divisions of exact integers rounded to
-    the same 6-decimal lattice the oracle uses, so the rule booleans
-    are engine-portable.  One narrow projection + one per-(doc, word)
-    hash aggregation — the same plan shape as
-    :func:`~nasa_asteroid_data_lakehouse_spark.llm.text.with_repetition_stats`.
-    """
+    The ``__barrier`` column keeps downstream rule predicates from
+    being pushed below this projection and re-instantiating the
+    tokenizer (Catalyst has no CSE across a pushed predicate +
+    project).  ``barrier=False`` for streaming callers:
+    monotonically_increasing_id is rejected in streaming plans, and a
+    micro-batch's pushed predicate re-tokenizes only that batch."""
     toks = T.tokens(T.normalized_text(F.coalesce(F.col(text_col), F.lit(""))))
     stop = F.array(*[F.lit(w) for w in T.STOPWORDS["en"]])
     # one fold over the materialized token array:
@@ -75,15 +66,11 @@ def quality_filter(
         F.slice("__w", 1, m), F.slice("__w", 2, m),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    base = (
-        df.select(
-            F.col(id_col),
-            toks.alias("__w"),
-            # Barrier: keep downstream rule predicates from being pushed
-            # below this projection and re-instantiating the tokenizer
-            # (Catalyst has no CSE across a pushed predicate + project).
-            F.monotonically_increasing_id().alias("__barrier"),
-        )
+    staged = df.withColumn("__w", toks)
+    if barrier:
+        staged = staged.withColumn("__barrier", F.monotonically_increasing_id())
+    return (
+        staged
         .withColumn("__core", core)
         .withColumns(
             {
@@ -100,18 +87,12 @@ def quality_filter(
             }
         )
     )
-    top = (
-        base.select(id_col, F.explode("__w").alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"))
-    )
-    out = (
-        base.drop("__w", "__core", "__barrier")
-        .join(top, id_col, "left")
-        .withColumn("top_word_frac", F.coalesce("top_word_frac", F.lit(0.0)))
-    )
+
+
+def _with_gate_rules(out: DataFrame) -> DataFrame:
+    """Shared second stage: the five rule booleans + ``keep``, defined
+    once so the shuffle and stateless forms can never diverge on
+    thresholds or rule composition."""
     rules = {
         "ok_word_count": (F.col("n_words") >= QF_MIN_WORDS)
         & (F.col("n_words") <= QF_MAX_WORDS),
@@ -126,6 +107,46 @@ def quality_filter(
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+def quality_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style composite quality gate: one boolean per rule plus
+    the final ``keep`` decision, so downstream consumers can both
+    filter and audit *why* a document was dropped.  Input columns are
+    preserved.
+
+    Rules (over whitespace tokens of the normalized text):
+
+    * word count in [QF_MIN_WORDS, QF_MAX_WORDS]
+    * mean word length in [QF_MIN_AVG_WORD_LEN, QF_MAX_AVG_WORD_LEN]
+    * most-frequent-word fraction <= QF_MAX_TOP_WORD_FRAC
+    * duplicate-bigram fraction <= QF_MAX_DUP_BIGRAM_FRAC
+    * stopword ratio >= QF_MIN_STOPWORD_RATIO (gibberish screen)
+
+    Blank/empty/NULL documents fail the word-count rule (n_words = 0;
+    NULL text is pinned to '' so the rule booleans are never NULL).
+    All ratios are single IEEE divisions of exact integers rounded to
+    the same 6-decimal lattice the oracle uses, so the rule booleans
+    are engine-portable.  One narrow projection + one per-(doc, word)
+    hash aggregation — the same plan shape as
+    :func:`~nasa_asteroid_data_lakehouse_spark.llm.text.with_repetition_stats`.
+    """
+    base = _with_gate_stats(df, text_col)
+    top = (
+        base.select(id_col, F.explode("__w").alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"))
+    )
+    out = (
+        base.drop("__w", "__core", "__barrier")
+        .join(top, id_col, "left")
+        .withColumn("top_word_frac", F.coalesce("top_word_frac", F.lit(0.0)))
+    )
+    return _with_gate_rules(out)
 
 
 def quality_filter_stateless(
@@ -143,26 +164,11 @@ def quality_filter_stateless(
     form for streams and short/medium documents; the shuffle form for
     batch corpora with pathologically long documents (the quadratic
     per-row scan crosses the two-hash-agg cost around 10^4 tokens per
-    doc).  Equivalence of the two forms is pinned in
-    tests/test_curation.py.
+    doc).  Input columns are preserved (that is what lets the
+    streaming path carry payloads through the gate without a join).
+    Equivalence of the two forms is pinned in tests/test_curation.py.
     """
-    toks = T.tokens(T.normalized_text(F.coalesce(F.col(text_col), F.lit(""))))
-    stop = F.array(*[F.lit(w) for w in T.STOPWORDS["en"]])
-    core = F.aggregate(
-        F.col("__w"),
-        F.array(F.lit(0), F.lit(0), F.lit(0)),
-        lambda acc, tk: F.array(
-            acc[0] + 1,
-            acc[1] + F.length(tk),
-            acc[2] + F.when(F.array_contains(stop, tk), 1).otherwise(0),
-        ),
-    )
-    n = F.col("__core")[0]
-    m = n - 1
-    grams = F.zip_with(
-        F.slice("__w", 1, m), F.slice("__w", 2, m),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+    n = F.col("n_words")
     max_tf = F.array_max(
         F.transform(
             F.array_distinct("__w"),
@@ -170,41 +176,14 @@ def quality_filter_stateless(
         )
     )
     out = (
-        df.select(F.col(id_col), toks.alias("__w"))
-        .withColumn("__core", core)
-        .withColumns(
-            {
-                "n_words": n,
-                "avg_word_len": F.when(
-                    n > 0, F.round(F.col("__core")[1] / n, 6)
-                ).otherwise(F.lit(0.0)),
-                "stopword_ratio": F.when(
-                    n > 0, F.round(F.col("__core")[2] / n, 6)
-                ).otherwise(F.lit(0.0)),
-                "dup_bigram_frac": F.when(
-                    m > 0, F.round(1 - F.size(F.array_distinct(grams)) / m, 6)
-                ).otherwise(F.lit(0.0)),
-                "top_word_frac": F.when(
-                    n > 0, F.round(max_tf / n, 6)
-                ).otherwise(F.lit(0.0)),
-            }
+        _with_gate_stats(df, text_col, barrier=False)
+        .withColumn(
+            "top_word_frac",
+            F.when(n > 0, F.round(max_tf / n, 6)).otherwise(F.lit(0.0)),
         )
         .drop("__w", "__core")
     )
-    rules = {
-        "ok_word_count": (F.col("n_words") >= QF_MIN_WORDS)
-        & (F.col("n_words") <= QF_MAX_WORDS),
-        "ok_avg_word_len": (F.col("avg_word_len") >= QF_MIN_AVG_WORD_LEN)
-        & (F.col("avg_word_len") <= QF_MAX_AVG_WORD_LEN),
-        "ok_top_word": F.col("top_word_frac") <= QF_MAX_TOP_WORD_FRAC,
-        "ok_dup_bigram": F.col("dup_bigram_frac") <= QF_MAX_DUP_BIGRAM_FRAC,
-        "ok_stopwords": F.col("stopword_ratio") >= QF_MIN_STOPWORD_RATIO,
-    }
-    out = out.withColumns(rules)
-    keep = None
-    for name in rules:
-        keep = F.col(name) if keep is None else keep & F.col(name)
-    return out.withColumn("keep", keep)
+    return _with_gate_rules(out)
 
 
 def lexical_diversity(
@@ -219,11 +198,14 @@ def lexical_diversity(
     Plan: explode -> hash-agg (doc, term) -> hash-agg (doc).  The
     argmax-with-tiebreak is one ``min(struct(-count, term))`` — no
     window, no second shuffle.  Blank/NULL documents are excluded (no
-    tokens, profile undefined).
+    tokens, profile undefined), as are NULL-id rows (a profile keyed
+    on identity is undefined without one — and an oracle CTE join on
+    the id would silently drop a NULL-id group; pin the semantics).
     """
     toks = T.tokens(T.normalized_text(F.coalesce(F.col(text_col), F.lit(""))))
     base = (
-        df.select(
+        df.where(F.col(id_col).isNotNull())
+        .select(
             F.col(id_col),
             toks.alias("__w"),
             F.monotonically_increasing_id().alias("__barrier"),
@@ -255,6 +237,19 @@ def lexical_diversity(
     )
 
 
+def _md5_rank(domain_col: str, id_col: str, seed: str):
+    """Deterministic per-domain rank: row_number over md5(seed|id)
+    with the id as tiebreak — a pure function of (seed, id), so
+    re-runs, repartitionings, and engines all agree.  The single
+    definition behind domain_cap and temperature_mixture selection."""
+    return F.row_number().over(
+        Window.partitionBy(domain_col).orderBy(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+    )
+
+
 def domain_cap(
     df: DataFrame,
     domain_col: str = "source",
@@ -274,16 +269,10 @@ def domain_cap(
     per-partition external sort, not a global one.  Returns the kept
     rows with their admission rank.
     """
-    rk = F.row_number().over(
-        Window.partitionBy(domain_col).orderBy(
-            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
-            F.col(id_col),
-        )
-    )
     return (
         df.select(F.col(id_col), F.col(domain_col))
         .where(F.col(id_col).isNotNull())
-        .withColumn("admission_rank", rk)
+        .withColumn("admission_rank", _md5_rank(domain_col, id_col, seed))
         .where(F.col("admission_rank") <= cap)
     )
 
@@ -335,17 +324,7 @@ def temperature_mixture(
     ranked = (
         df.where(F.col(id_col).isNotNull())
         .select(F.col(id_col), F.col(domain_col))
-        .withColumn(
-            "mix_rank",
-            F.row_number().over(
-                Window.partitionBy(domain_col).orderBy(
-                    F.md5(
-                        F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))
-                    ),
-                    F.col(id_col),
-                )
-            ),
-        )
+        .withColumn("mix_rank", _md5_rank(domain_col, id_col, seed))
     )
     return ranked.join(F.broadcast(quotas), domain_col).where(
         F.col("mix_rank") <= F.col("n_keep")

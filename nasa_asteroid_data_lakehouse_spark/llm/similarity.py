@@ -389,6 +389,24 @@ def semantic_dedup(
     )
 
 
+def int8_scale(vec_dbl: Column) -> Column:
+    """Symmetric int8 scale for a double array: 127 / max |v|, with a
+    zero vector pinned to scale 1.0.  THE single definition of the
+    quantization lattice — quantize_embeddings and quantized_recall
+    must see the same codes or the recall diagnostic measures a
+    lattice the store does not produce."""
+    max_abs = F.array_max(F.transform(vec_dbl, F.abs))
+    return F.when(max_abs > 0.0, F.lit(127.0) / max_abs).otherwise(F.lit(1.0))
+
+
+def int8_codes(vec_dbl: Column, scale: Column) -> Column:
+    """``floor(v * scale + 0.5)`` — an explicit half-up lattice snap
+    built only from IEEE ops every engine executes identically (ROUND
+    of a double is *not* portable across engines; floor of the shifted
+    product is)."""
+    return F.transform(vec_dbl, lambda x: F.floor(x * scale + F.lit(0.5)))
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -401,25 +419,18 @@ def quantize_embeddings(
     100 TB is the difference between a broadcastable ANN index and
     not).
 
-    Codes are ``floor(v * scale + 0.5)`` — an explicit half-up lattice
-    snap built only from IEEE ops every engine executes identically
-    (ROUND of a double is *not* portable across engines; floor of the
-    shifted product is).  Pure narrow projection: no shuffle, no UDF,
-    whole-stage codegen end to end.  A zero vector gets scale 1.0 and
-    all-zero codes.
+    Codes live on the :func:`int8_codes` lattice (shared with
+    :func:`quantized_recall`).  Pure narrow projection: no shuffle, no
+    UDF, whole-stage codegen end to end.  A zero vector gets scale 1.0
+    and all-zero codes.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    max_abs = F.array_max(F.transform(v, F.abs))
-    scale = F.when(max_abs > 0.0, F.lit(127.0) / max_abs).otherwise(F.lit(1.0))
     staged = df.select(
         F.col(id_col),
         v.alias("__v"),
-        scale.alias("scale"),
+        int8_scale(v).alias("scale"),
     )
-    codes = F.transform(
-        F.col("__v"), lambda x: F.floor(x * F.col("scale") + F.lit(0.5))
-    )
-    staged = staged.withColumn("__codes", codes)
+    staged = staged.withColumn("__codes", int8_codes(F.col("__v"), F.col("scale")))
     err = F.zip_with(
         F.col("__v"),
         F.col("__codes"),
@@ -609,21 +620,14 @@ def quantized_recall(
     from pyspark.sql.functions import broadcast
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    max_abs = F.array_max(F.transform(v, F.abs))
-    scale = F.when(max_abs > 0.0, F.lit(127.0) / max_abs).otherwise(F.lit(1.0))
     base = (
         df.select(
             F.col(id_col).alias("id"),
             v.alias("v"),
             norm(F.col(vec_col)).alias("nrm"),
-            scale.alias("__scale"),
+            int8_scale(v).alias("__scale"),
         )
-        .withColumn(
-            "codes",
-            F.transform(
-                F.col("v"), lambda x: F.floor(x * F.col("__scale") + F.lit(0.5))
-            ),
-        )
+        .withColumn("codes", int8_codes(F.col("v"), F.col("__scale")))
         .withColumn(
             "qnrm",
             F.sqrt(

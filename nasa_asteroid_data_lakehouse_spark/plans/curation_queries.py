@@ -41,9 +41,10 @@ _TOKS = (
 
 def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality gate with per-rule audit flags
-    (llm/curation.quality_filter)."""
+    (llm/curation.quality_filter; the gate passes input columns
+    through, so the driver projection drops the text payload)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return curation.quality_filter(docs)
+    return curation.quality_filter(docs).drop("text")
 
 
 _EN = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
@@ -109,7 +110,7 @@ def lexical_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 LEXICAL_DIVERSITY_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split({_NORMC}, ' ')) AS term
-  FROM documents WHERE {_NORMC} <> ''
+  FROM documents WHERE {_NORMC} <> '' AND doc_id IS NOT NULL
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
 agg AS (

