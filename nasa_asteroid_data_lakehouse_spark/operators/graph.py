@@ -77,3 +77,60 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def degrees(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node degree of the undirected graph: symmetrize + dedup the
+    edge list, one hash aggregation on the node key.  Returns
+    (node, degree)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    return sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected graph — the
+    local-clustering signal (a boilerplate family near-dups into a
+    clique; a chain of coincidental shingle collisions does not).
+
+    Canonical-orientation enumeration: with every edge stored once as
+    (lo, hi), a triangle a<b<c is found exactly once by joining
+    (a,b)⋈(b,c) and checking (a,c).  Two equi-joins on node keys —
+    shuffle cost O(E^1.5)-bounded by the standard triangle-join
+    argument, fine for verified near-dup graphs whose components are
+    small by construction (max_bucket caps the pair stage upstream).
+    Returns (node, n_triangles) for nodes in at least one triangle.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)  # referenced three times below
+    )
+    e1 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tris = (
+        e1.join(e2, "b")
+        .where(F.col("a") < F.col("c"))
+        .join(e3, ["a", "c"], "left_semi")
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

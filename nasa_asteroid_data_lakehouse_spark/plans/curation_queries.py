@@ -758,3 +758,96 @@ GROUP BY d.source
 
 QUERIES["curation_funnel_sources"] = curation_funnel_sources
 ORACLES["curation_funnel_sources"] = CURATION_FUNNEL_SQL
+
+
+# --- near-dup graph analytics ------------------------------------------------
+
+
+def graph_triangles_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle participation in the verified near-dup graph
+    (operators/graph.triangle_counts): cliques mean boilerplate
+    families, triangle-free chains mean coincidental collisions."""
+    from nasa_asteroid_data_lakehouse_spark.operators.graph import triangle_counts
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _CLUSTER_THRESHOLD,
+        _lsh_pairs_cached,
+    )
+
+    pairs = _lsh_pairs_cached(spark, sf_dir, _CLUSTER_THRESHOLD)
+    return triangle_counts(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), "n_triangles"
+    )
+
+
+def _graph_triangles_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _CLUSTER_THRESHOLD,
+        _minhash_lsh_sql,
+    )
+
+    return f"""
+WITH pairs AS ({_minhash_lsh_sql(_CLUSTER_THRESHOLD)}),
+canon AS (
+  SELECT DISTINCT LEAST(id_a, id_b) AS lo, GREATEST(id_a, id_b) AS hi
+  FROM pairs WHERE id_a <> id_b
+),
+tris AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM canon e1
+  JOIN canon e2 ON e2.lo = e1.hi
+  WHERE e1.lo < e2.hi
+    AND EXISTS (SELECT 1 FROM canon e3 WHERE e3.lo = e1.lo AND e3.hi = e2.hi)
+),
+nodes AS (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+)
+SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node
+"""
+
+
+QUERIES["graph_triangles_documents"] = graph_triangles_documents
+ORACLES["graph_triangles_documents"] = _graph_triangles_sql()
+
+
+def graph_degrees_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph: how many docs have
+    1, 2, ... near-duplicates (operators/graph.degrees + histogram)."""
+    from nasa_asteroid_data_lakehouse_spark.operators.graph import degrees
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _CLUSTER_THRESHOLD,
+        _lsh_pairs_cached,
+    )
+
+    pairs = _lsh_pairs_cached(spark, sf_dir, _CLUSTER_THRESHOLD)
+    return (
+        degrees(pairs, src="id_a", dst="id_b")
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+def _graph_degrees_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _CLUSTER_THRESHOLD,
+        _minhash_lsh_sql,
+    )
+
+    return f"""
+WITH pairs AS ({_minhash_lsh_sql(_CLUSTER_THRESHOLD)}),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT a AS node, COUNT(*) AS degree FROM sym GROUP BY a)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+QUERIES["graph_degrees_documents"] = graph_degrees_documents
+ORACLES["graph_degrees_documents"] = _graph_degrees_sql()

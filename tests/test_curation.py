@@ -342,3 +342,35 @@ def test_tokenizer_fertility_simple_counts(spark):
     assert ("s1", 2, 3) in by_id
     assert ("s1", 2, 2) in by_id
     assert ("s2", 0, 0) in by_id
+
+
+# --- graph analytics ----------------------------------------------------------
+
+
+def test_triangle_counts_on_known_graph(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators.graph import (
+        degrees,
+        triangle_counts,
+    )
+
+    # K3 (1,2,3) + a pendant edge 3-4 + disconnected edge 5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)], ["src", "dst"]
+    )
+    tri = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert tri == {1: 1, 2: 1, 3: 1}
+    deg = {r["node"]: r["degree"] for r in degrees(edges).collect()}
+    assert deg == {1: 2, 2: 2, 3: 3, 4: 1, 5: 1, 6: 1}
+
+
+def test_triangle_counts_k4_and_duplicate_edges(spark):
+    from nasa_asteroid_data_lakehouse_spark.operators.graph import triangle_counts
+
+    # K4: every node is in C(3,2)=3 triangles; duplicate + reversed
+    # edges must not inflate counts
+    base = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(
+        base + [(b, a) for a, b in base] + base, ["src", "dst"]
+    )
+    tri = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert tri == {0: 3, 1: 3, 2: 3, 3: 3}
