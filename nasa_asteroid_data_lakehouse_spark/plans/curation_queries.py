@@ -851,3 +851,101 @@ FROM deg GROUP BY degree ORDER BY degree
 
 QUERIES["graph_degrees_documents"] = graph_degrees_documents
 ORACLES["graph_degrees_documents"] = _graph_degrees_sql()
+
+
+# --- hybrid retrieval (reciprocal rank fusion) -------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 20
+
+
+def hybrid_retrieval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: reciprocal-rank fusion of the
+    BM25 ranking (fixed 4-term query) and the embedding-cosine ranking
+    (query vector = vec_id 0), ``score = 1/(K+r_bm25) + 1/(K+r_cos)``
+    — the standard fusion that needs no score normalization (Cormack
+    et al. 2009).  The two RRF terms add in fixed textual order (two
+    IEEE doubles — portable); a missing ranking contributes 0.
+
+    Both rankings run corpus-wide here; at scale each side would feed
+    its existing top-k path (BM25 posting pruning, LSH/IVF probe) and
+    the fusion joins two k-row tables.  Embeddings align to documents
+    by id (vec_id = doc_id in the fixture star)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    bm25 = text.bm25_scores(docs, "doc_id", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+    w_b = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    r_bm25 = bm25.select(
+        "doc_id", F.row_number().over(w_b).alias("r_bm25")
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    q = F.array(*[F.lit(v) for v in qvec])
+    scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(similarity.cosine(F.col("embedding"), q), 6).alias("cos"),
+    )
+    w_c = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    r_cos = scored.select(
+        "doc_id", F.row_number().over(w_c).alias("r_cos")
+    )
+
+    fused = (
+        r_bm25.join(r_cos, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_bm25",
+            "r_cos",
+            F.round(
+                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_bm25")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_cos")), F.lit(0.0)),
+                9,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_TOP)
+
+
+def _hybrid_retrieval_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import BM25_SQL
+
+    return f"""
+WITH bm25_scores AS ({BM25_SQL}),
+r_bm25 AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm25
+  FROM bm25_scores
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cos_scores AS (
+  SELECT vec_id AS doc_id,
+    ROUND(list_dot_product(embedding::DOUBLE[], q.qv::DOUBLE[])
+          / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))),
+          6) AS cos
+  FROM embeddings, q
+),
+r_cos AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r_cos
+  FROM cos_scores
+)
+SELECT COALESCE(r_bm25.doc_id, r_cos.doc_id) AS doc_id, r_bm25, r_cos,
+  ROUND(COALESCE(1.0 / ({_RRF_K} + r_bm25), 0.0)
+        + COALESCE(1.0 / ({_RRF_K} + r_cos), 0.0), 9) AS rrf_score
+FROM r_bm25 FULL OUTER JOIN r_cos ON r_bm25.doc_id = r_cos.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {_RRF_TOP}
+"""
+
+
+QUERIES["hybrid_retrieval_documents"] = hybrid_retrieval_documents
+ORACLES["hybrid_retrieval_documents"] = _hybrid_retrieval_sql()

@@ -374,3 +374,26 @@ def test_triangle_counts_k4_and_duplicate_edges(spark):
     )
     tri = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert tri == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+# --- hybrid retrieval ---------------------------------------------------------
+
+
+def test_hybrid_retrieval_fuses_both_rankings(spark, sf_smoke):
+    from nasa_asteroid_data_lakehouse_spark.plans.curation_queries import (
+        _RRF_K,
+        _RRF_TOP,
+        hybrid_retrieval_documents,
+    )
+
+    out = hybrid_retrieval_documents(spark, sf_smoke).collect()
+    assert len(out) == _RRF_TOP
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        expect = round(
+            (1.0 / (_RRF_K + r["r_bm25"]) if r["r_bm25"] else 0.0)
+            + (1.0 / (_RRF_K + r["r_cos"]) if r["r_cos"] else 0.0),
+            9,
+        )
+        assert r["rrf_score"] == expect
