@@ -21,6 +21,7 @@ import __spark_entry__ as entry
 _BNLJ_ALLOWED = {
     "profile_documents",
     "cosine_topk_embeddings",
+    "hybrid_retrieval_documents",
     "dq_report_orders",
     "heavy_hitters_orders",
     "dataset_card_sources",
