@@ -949,3 +949,171 @@ LIMIT {_RRF_TOP}
 
 QUERIES["hybrid_retrieval_documents"] = hybrid_retrieval_documents
 ORACLES["hybrid_retrieval_documents"] = _hybrid_retrieval_sql()
+
+
+# --- language-ID confusion matrix --------------------------------------------
+
+
+def lang_confusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language router against the
+    fixture's ground-truth lang column — the router's measured accuracy
+    rather than an assumed one (same pattern as ann_recall /
+    quantized_recall: every approximate component ships with its own
+    quality gauge)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return (
+        text.with_lang_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_confusion_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import LANG_ID_SQL
+
+    return f"""
+WITH preds AS ({LANG_ID_SQL})
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM preds GROUP BY lang, lang_pred
+"""
+
+
+QUERIES["lang_confusion_documents"] = lang_confusion_documents
+ORACLES["lang_confusion_documents"] = _lang_confusion_sql()
+
+
+# --- MinHash estimation-error audit ------------------------------------------
+
+
+def minhash_error_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair MinHash estimate vs exact Jaccard — the
+    sketch-accuracy audit for the dedup pipeline's N=8 signature
+    (matching-component fraction is an unbiased Jaccard estimator;
+    this measures its actual error on THIS corpus).  Joins the
+    session-cached verified pair table with per-doc signatures; the
+    estimate is an integer count divided by the signature length."""
+    from nasa_asteroid_data_lakehouse_spark.llm import dedup
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _LSHMH_K,
+        _LSHMH_N,
+        _lsh_pairs_cached,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = dedup.with_minhash_signature(
+        docs, num_hashes=_LSHMH_N, shingle_k=_LSHMH_K
+    ).select("doc_id", "minhash").localCheckpoint(eager=False)
+    pairs = _lsh_pairs_cached(spark, sf_dir, 0.0)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("__sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("minhash").alias("__sb"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda t: t,
+        )
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(matches / F.lit(_LSHMH_N), 6).alias("est_jaccard"),
+            F.round(
+                F.abs(F.round(matches / F.lit(_LSHMH_N), 6) - F.col("jaccard")), 6
+            ).alias("abs_err"),
+        )
+    )
+
+
+def _minhash_error_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _LSHMH_N,
+        _minhash_lsh_sql,
+    )
+
+    return _minhash_lsh_sql(
+        final_select=f"""
+SELECT id_a, id_b,
+  ROUND(len(list_intersect(x.shingles, y.shingles))
+        / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard,
+  ROUND(len(list_filter(range(1, {_LSHMH_N} + 1), i -> x.s[i] = y.s[i]))
+        / {_LSHMH_N}, 6) AS est_jaccard,
+  ROUND(abs(
+    ROUND(len(list_filter(range(1, {_LSHMH_N} + 1), i -> x.s[i] = y.s[i]))
+          / {_LSHMH_N}, 6)
+    - ROUND(len(list_intersect(x.shingles, y.shingles))
+            / len(list_distinct(list_concat(x.shingles, y.shingles))), 6)), 6)
+    AS abs_err
+FROM cand
+JOIN sig x ON x.doc_id = id_a
+JOIN sig y ON y.doc_id = id_b
+"""
+    )
+
+
+QUERIES["minhash_error_pairs_documents"] = minhash_error_pairs_documents
+ORACLES["minhash_error_pairs_documents"] = _minhash_error_sql()
+
+
+# --- MAD robust spread per segment -------------------------------------------
+
+
+def mad_by_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of order totals per market segment —
+    the outlier-robust spread (stddev is dominated by the tail the
+    winsorize kit clips).  Two exact-percentile aggregations: the
+    per-segment median, broadcast back, then the median of absolute
+    deviations.  Spark ``percentile`` and DuckDB ``quantile_cont``
+    share linear interpolation on the sorted values (same contract the
+    quantile kit relies on)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    seg = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", "o_totalprice")
+    med = seg.groupBy("c_mktsegment").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("__med"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        seg.join(F.broadcast(med), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            "__med",
+            F.abs(F.col("o_totalprice") - F.col("__med")).alias("__dev"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.first("n_orders").alias("n_orders"),
+            F.round(F.first("__med"), 4).alias("median_price"),
+            F.round(F.expr("percentile(__dev, 0.5)"), 4).alias("mad_price"),
+        )
+    )
+
+
+MAD_SQL = """
+WITH seg AS (
+  SELECT c_mktsegment, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+med AS (
+  SELECT c_mktsegment,
+         quantile_cont(o_totalprice, 0.5) AS m,
+         COUNT(*) AS n_orders
+  FROM seg GROUP BY 1
+)
+SELECT seg.c_mktsegment AS c_mktsegment,
+  CAST(MAX(n_orders) AS BIGINT) AS n_orders,
+  ROUND(MAX(m), 4) AS median_price,
+  ROUND(quantile_cont(abs(o_totalprice - m), 0.5), 4) AS mad_price
+FROM seg JOIN med ON seg.c_mktsegment = med.c_mktsegment
+GROUP BY seg.c_mktsegment
+"""
+
+QUERIES["mad_by_segment_orders"] = mad_by_segment_orders
+ORACLES["mad_by_segment_orders"] = MAD_SQL

@@ -840,7 +840,14 @@ def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs_cached(spark, sf_dir, _LSHMH_THRESHOLD)
 
 
-def _minhash_lsh_sql(threshold: float = _LSHMH_THRESHOLD) -> str:
+def _minhash_lsh_sql(
+    threshold: float = _LSHMH_THRESHOLD, final_select: str | None = None
+) -> str:
+    """Oracle CTE pipeline for the module's LSH parameters.  The
+    default final SELECT emits verified (id_a, id_b, jaccard);
+    ``final_select`` swaps in a different projection over the same
+    ``cand``/``sig`` CTEs (used by the minhash error audit) so the
+    candidate-generation SQL has exactly one definition."""
     coeffs = dedup._minhash_coeffs(_LSHMH_N)
     sig = ", ".join(
         f"list_min(list_transform(bh, h -> ({a} * h + {b}) % {dedup.MINHASH_PRIME}))"
@@ -848,7 +855,7 @@ def _minhash_lsh_sql(threshold: float = _LSHMH_THRESHOLD) -> str:
     )
     rpb = _LSHMH_N // _LSHMH_BANDS
     k = _LSHMH_K
-    return rf"""
+    body = rf"""
 WITH sh AS (
   SELECT doc_id,
     CASE WHEN len(words) >= {k}
@@ -877,6 +884,8 @@ cand AS (
   FROM bounded a JOIN bounded c
     ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
 )
+"""
+    default_select = rf"""
 SELECT id_a, id_b,
   ROUND(len(list_intersect(x.shingles, y.shingles))
         / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
@@ -887,6 +896,7 @@ WHERE ROUND(len(list_intersect(x.shingles, y.shingles))
             / len(list_distinct(list_concat(x.shingles, y.shingles))), 6)
       >= {threshold}
 """
+    return body + (final_select if final_select is not None else default_select)
 
 
 MINHASH_LSH_SQL = _minhash_lsh_sql()

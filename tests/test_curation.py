@@ -397,3 +397,46 @@ def test_hybrid_retrieval_fuses_both_rankings(spark, sf_smoke):
             9,
         )
         assert r["rrf_score"] == expect
+
+
+# --- measured-diagnostics batch ----------------------------------------------
+
+
+def test_minhash_error_within_sketch_bound(spark, sf_smoke):
+    from nasa_asteroid_data_lakehouse_spark.plans.curation_queries import (
+        minhash_error_pairs_documents,
+    )
+
+    out = minhash_error_pairs_documents(spark, sf_smoke).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        # N=8 estimator quantizes to 1/8 steps; error bounded by 1
+        assert 0.0 <= r["abs_err"] <= 1.0
+        assert r["abs_err"] == round(abs(r["est_jaccard"] - r["jaccard"]), 6)
+    # the estimator must beat a coin flip on average for a real corpus
+    import statistics
+
+    assert statistics.mean(r["abs_err"] for r in out) < 0.5
+
+
+def test_mad_by_segment_is_outlier_robust(spark):
+    from nasa_asteroid_data_lakehouse_spark.llm import curation  # noqa: F401
+    from nasa_asteroid_data_lakehouse_spark.plans.curation_queries import (
+        mad_by_segment_orders,
+    )
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp(prefix="mad_fixture_")
+    # one segment, prices 10..14 plus a 1e9 outlier: median/MAD barely
+    # move, stddev would explode
+    spark.createDataFrame(
+        [(i, 1, float(p)) for i, p in enumerate([10, 11, 12, 13, 14, 1e9])],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(os.path.join(tmp, "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "SEG")], "c_custkey long, c_mktsegment string"
+    ).write.parquet(os.path.join(tmp, "customer.parquet"))
+    row = mad_by_segment_orders(spark, tmp).collect()[0]
+    assert row["median_price"] == 12.5
+    assert row["mad_price"] <= 2.0
