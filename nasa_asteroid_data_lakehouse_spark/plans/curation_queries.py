@@ -1117,3 +1117,95 @@ GROUP BY seg.c_mktsegment
 
 QUERIES["mad_by_segment_orders"] = mad_by_segment_orders
 ORACLES["mad_by_segment_orders"] = MAD_SQL
+
+
+# --- session concurrency curve (interval -> bin replication) -----------------
+
+
+def session_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session curve per hour: how many user sessions (30-min
+    inactivity gap, islands formulation) overlap each hour bucket —
+    the capacity-planning view of the event stream.
+
+    This is the bin-replication interval pattern: each session explodes
+    into the hour buckets it covers (``sequence`` + ``explode``) and
+    the curve is one hash aggregation on the bucket key.  Fanout is
+    bounded by session length / bucket width, so the interval overlap
+    problem stays linear — the alternative (session x session overlap
+    join) is quadratic in concurrent sessions.  NULL users/timestamps
+    carry no session and are excluded on both sides.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # NTZ timestamps reject cast-to-long; interval subtraction is the
+    # portable gap test (matches the oracle's `> INTERVAL 30 MINUTE`)
+    brk = F.when(
+        (F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTES"),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("__brk", brk)
+        .withColumn("__sid", F.sum("__brk").over(w))
+        .groupBy("user_id", "__sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    hours = sessions.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", "e"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour"),
+    )
+    return (
+        hours.groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour")
+    )
+
+
+SESSION_CONCURRENCY_SQL = """
+WITH ev AS (
+  SELECT user_id, ts::TIMESTAMP AS ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+o AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+sess AS (
+  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
+  FROM s GROUP BY user_id, sid
+),
+hours AS (
+  SELECT user_id,
+    unnest(generate_series(date_trunc('hour', s), date_trunc('hour', e),
+                           INTERVAL 1 HOUR)) AS hour
+  FROM sess
+)
+SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM hours GROUP BY hour ORDER BY hour
+"""
+
+QUERIES["session_concurrency_events"] = session_concurrency_events
+ORACLES["session_concurrency_events"] = SESSION_CONCURRENCY_SQL

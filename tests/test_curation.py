@@ -440,3 +440,36 @@ def test_mad_by_segment_is_outlier_robust(spark):
     row = mad_by_segment_orders(spark, tmp).collect()[0]
     assert row["median_price"] == 12.5
     assert row["mad_price"] <= 2.0
+
+
+# --- session concurrency ------------------------------------------------------
+
+
+def test_session_concurrency_known_timeline(spark):
+    import tempfile, os
+    from nasa_asteroid_data_lakehouse_spark.plans.curation_queries import (
+        session_concurrency_events,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="conc_fixture_")
+    rows = [
+        # user 1: one session 10:00-10:10
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-01 10:10:00", 1),
+        # user 2: session 10:50-11:05 (crosses the hour boundary)
+        (3, "2024-01-01 10:50:00", 2),
+        (4, "2024-01-01 11:05:00", 2),
+        # user 2 again after a >30min gap: separate session at 12:00
+        (5, "2024-01-01 12:00:00", 2),
+    ]
+    spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(t), u) for i, t, u in rows],
+        "event_id long, ts timestamp_ntz, user_id long",
+    ).write.parquet(os.path.join(tmp, "events.parquet"))
+    out = {
+        str(r["hour"]): (r["n_sessions"], r["n_users"])
+        for r in session_concurrency_events(spark, tmp).collect()
+    }
+    assert out["2024-01-01 10:00:00"] == (2, 2)  # both sessions touch hour 10
+    assert out["2024-01-01 11:00:00"] == (1, 1)  # only user 2's first session
+    assert out["2024-01-01 12:00:00"] == (1, 1)  # the gap split a new session
