@@ -1209,3 +1209,80 @@ FROM hours GROUP BY hour ORDER BY hour
 
 QUERIES["session_concurrency_events"] = session_concurrency_events
 ORACLES["session_concurrency_events"] = SESSION_CONCURRENCY_SQL
+
+
+# --- VersionedTable change data feed -----------------------------------------
+
+
+def versioned_table_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end change-data-feed over the lakehouse path: build a
+    VersionedTable from orders, upsert a deterministic batch (price
+    +100 for keys % 10 = 0; brand-new keys for keys % 97 = 0), then
+    read the v1 -> v2 row-level diff via time travel
+    (lake/table.VersionedTable.changes — the Delta-style CDF surface).
+    The oracle recomputes the expected change set from the same
+    deterministic mutation, so the manifest/commit/time-travel
+    machinery itself is what the driver hash-checks.
+
+    Scratch table lives in a temp dir; the summary materializes
+    eagerly before cleanup (same lifecycle as file_skipping_stats).
+    NULL-price rows never register as updates: +100 keeps them NULL
+    and the diff's null-safe compare sees no change — pinned on both
+    sides."""
+    import shutil
+    import tempfile
+
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_vtcdf_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        v1 = t.create(orders, keys=["o_orderkey"])
+        updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+        )
+        inserts = orders.where(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+        )
+        v2 = t.upsert(updates.unionByName(inserts))
+        return (
+            t.changes(from_version=v1, to_version=v2)
+            .groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+            )
+            .orderBy("_change_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+VT_CDF_SQL = """
+WITH ins AS (
+  SELECT 'insert' AS _change_type,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(o_orderkey + 10000000) AS BIGINT) AS key_sum
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+upd AS (
+  SELECT 'update_postimage' AS _change_type,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+  FROM orders
+  WHERE o_orderkey % 10 = 0 AND o_totalprice IS NOT NULL
+)
+SELECT * FROM ins WHERE n_rows > 0
+UNION ALL
+SELECT * FROM upd WHERE n_rows > 0
+ORDER BY _change_type
+"""
+
+QUERIES["versioned_table_cdf_orders"] = versioned_table_cdf_orders
+ORACLES["versioned_table_cdf_orders"] = VT_CDF_SQL
