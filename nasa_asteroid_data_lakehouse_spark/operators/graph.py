@@ -79,19 +79,32 @@ def pagerank(
     return ranks
 
 
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """One (lo, hi) row per undirected edge: least/greatest + distinct
+    over E rows (self-loops dropped) — the single canonicalization both
+    degree and triangle counting build on."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
 def degrees(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
-    """Per-node degree of the undirected graph: symmetrize + dedup the
-    edge list, one hash aggregation on the node key.  Returns
-    (node, degree)."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
-    return sym.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+    """Per-node degree of the undirected graph: canonicalize the edge
+    list (distinct over E rows, not the 2E a symmetrize-first pass
+    would shuffle), explode each edge's two endpoints, one hash
+    aggregation on the node key.  Returns (node, degree)."""
+    canon = _canonical_edges(edges, src, dst)
+    return (
+        canon.select(F.explode(F.array("lo", "hi")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
     )
 
 
@@ -110,14 +123,8 @@ def triangle_counts(
     small by construction (max_bucket caps the pair stage upstream).
     Returns (node, n_triangles) for nodes in at least one triangle.
     """
-    canon = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
-        )
-        .where(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint(eager=False)  # referenced three times below
+    canon = _canonical_edges(edges, src, dst).localCheckpoint(
+        eager=False  # referenced three times below
     )
     e1 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))

@@ -1187,9 +1187,12 @@ o AS (
   FROM ev
 ),
 s AS (
+  -- default RANGE frame on purpose: it matches Spark's default, so
+  -- duplicated (user, ts) rows get the SAME sid on both engines (a
+  -- ROWS frame would make tied-timestamp session splits order-
+  -- dependent oracle-side)
   SELECT user_id, ts,
-    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING) AS sid
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
   FROM o
 ),
 sess AS (

@@ -420,14 +420,13 @@ def test_minhash_error_within_sketch_bound(spark, sf_smoke):
     assert statistics.mean(r["abs_err"] for r in out) < 0.5
 
 
-def test_mad_by_segment_is_outlier_robust(spark):
-    from nasa_asteroid_data_lakehouse_spark.llm import curation  # noqa: F401
+def test_mad_by_segment_is_outlier_robust(spark, tmp_path):
     from nasa_asteroid_data_lakehouse_spark.plans.curation_queries import (
         mad_by_segment_orders,
     )
-    import tempfile, os
+    import os
 
-    tmp = tempfile.mkdtemp(prefix="mad_fixture_")
+    tmp = str(tmp_path)
     # one segment, prices 10..14 plus a 1e9 outlier: median/MAD barely
     # move, stddev would explode
     spark.createDataFrame(
@@ -445,13 +444,13 @@ def test_mad_by_segment_is_outlier_robust(spark):
 # --- session concurrency ------------------------------------------------------
 
 
-def test_session_concurrency_known_timeline(spark):
-    import tempfile, os
+def test_session_concurrency_known_timeline(spark, tmp_path):
+    import os
     from nasa_asteroid_data_lakehouse_spark.plans.curation_queries import (
         session_concurrency_events,
     )
 
-    tmp = tempfile.mkdtemp(prefix="conc_fixture_")
+    tmp = str(tmp_path)
     rows = [
         # user 1: one session 10:00-10:10
         (1, "2024-01-01 10:00:00", 1),
