@@ -1289,3 +1289,130 @@ ORDER BY _change_type
 
 QUERIES["versioned_table_cdf_orders"] = versioned_table_cdf_orders
 ORACLES["versioned_table_cdf_orders"] = VT_CDF_SQL
+
+
+# --- dedup savings report ----------------------------------------------------
+
+
+def dedup_savings_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted dedup ROI, one row: corpus tokens, tokens after
+    exact dedup (one canonical per normalized fingerprint), tokens
+    after near-dup cluster dedup (min-id survivor per connected
+    component at jaccard >= 0.5), and the saved fractions — the number
+    that justifies (or doesn't) running the MinHash pipeline on a new
+    corpus.  Reuses the session-cached pair table; everything else is
+    two hash aggregations and exact integer arithmetic."""
+    from nasa_asteroid_data_lakehouse_spark.llm import dedup
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _CLUSTER_THRESHOLD,
+        _lsh_pairs_cached,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ntok = F.size(
+        text.tokens(text.normalized_text(F.coalesce(F.col("text"), F.lit(""))))
+    )
+    base = docs.select(
+        "doc_id",
+        ntok.alias("ntok"),
+        F.md5(text.normalized_text(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "fp"
+        ),
+    ).localCheckpoint(eager=False)  # feeds three aggregations below
+
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+    )
+    exact = (
+        base.groupBy("fp")
+        .agg(F.min("ntok").alias("t"))  # dup fingerprints share the text
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_unique"),
+            F.sum("t").alias("tokens_exact"),
+        )
+    )
+    labels = dedup.connected_components(
+        _lsh_pairs_cached(spark, sf_dir, _CLUSTER_THRESHOLD)
+    )
+    dropped = (
+        labels.where(F.col("node") != F.col("component"))
+        .join(base, F.col("node") == F.col("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dropped_near"),
+            F.coalesce(F.sum("ntok"), F.lit(0)).alias("__dropped_tokens"),
+        )
+    )
+    return (
+        totals.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(dropped))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "n_exact_unique",
+            "tokens_exact",
+            "n_dropped_near",
+            (F.col("total_tokens") - F.col("__dropped_tokens")).alias(
+                "tokens_after_near"
+            ),
+            F.round(
+                1 - F.col("tokens_exact") / F.col("total_tokens"), 6
+            ).alias("pct_saved_exact"),
+            F.round(
+                F.col("__dropped_tokens") / F.col("total_tokens"), 6
+            ).alias("pct_saved_near"),
+        )
+    )
+
+
+def _dedup_savings_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _CLUSTER_THRESHOLD,
+        _minhash_lsh_sql,
+    )
+
+    return f"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id,
+    CASE WHEN {_NORMC} = '' THEN 0
+         ELSE len(string_split({_NORMC}, ' ')) END AS ntok,
+    md5({_NORMC}) AS fp
+  FROM documents
+),
+totals AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens
+  FROM base
+),
+exact AS (
+  SELECT COUNT(*) AS n_exact_unique, CAST(SUM(t) AS BIGINT) AS tokens_exact
+  FROM (SELECT fp, MIN(ntok) AS t FROM base GROUP BY fp)
+),
+base_pairs AS ({_minhash_lsh_sql(_CLUSTER_THRESHOLD)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM base_pairs
+  UNION
+  SELECT id_b, id_a FROM base_pairs
+),
+reach AS (
+  SELECT a AS node, a AS root FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+dropped AS (
+  SELECT COUNT(*) AS n_dropped_near,
+         CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS dropped_tokens
+  FROM labels JOIN base ON base.doc_id = labels.node
+  WHERE node <> component
+)
+SELECT n_docs, total_tokens, n_exact_unique, tokens_exact, n_dropped_near,
+  total_tokens - dropped_tokens AS tokens_after_near,
+  ROUND(1 - tokens_exact / total_tokens, 6) AS pct_saved_exact,
+  ROUND(dropped_tokens / total_tokens, 6) AS pct_saved_near
+FROM totals, exact, dropped
+"""
+
+
+QUERIES["dedup_savings_documents"] = dedup_savings_documents
+ORACLES["dedup_savings_documents"] = _dedup_savings_sql()

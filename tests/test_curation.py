@@ -472,3 +472,28 @@ def test_session_concurrency_known_timeline(spark, tmp_path):
     assert out["2024-01-01 10:00:00"] == (2, 2)  # both sessions touch hour 10
     assert out["2024-01-01 11:00:00"] == (1, 1)  # only user 2's first session
     assert out["2024-01-01 12:00:00"] == (1, 1)  # the gap split a new session
+
+
+# --- dedup savings ------------------------------------------------------------
+
+
+def test_dedup_savings_invariants(spark, sf_dir):
+    # sf0.01: the smoke fixture's 500 docs are all fingerprint-unique,
+    # so the positive-savings assertions need the correctness fixture
+    from nasa_asteroid_data_lakehouse_spark.plans.curation_queries import (
+        dedup_savings_documents,
+    )
+
+    r = dedup_savings_documents(spark, sf_dir).collect()[0]
+    assert r["n_exact_unique"] <= r["n_docs"]
+    assert r["tokens_exact"] <= r["total_tokens"]
+    assert r["tokens_after_near"] <= r["total_tokens"]
+    assert 0.0 <= r["pct_saved_exact"] <= 1.0
+    assert 0.0 <= r["pct_saved_near"] <= 1.0
+    # the fixture plants NEAR duplicates but no exact ones (verified:
+    # all 500 normalized fingerprints are distinct at sf0.01), so the
+    # exact stage saves nothing and the near-dup stage is what pays
+    assert r["n_exact_unique"] == r["n_docs"]
+    assert r["pct_saved_exact"] == 0.0
+    assert r["n_dropped_near"] > 0
+    assert r["pct_saved_near"] > 0.0
