@@ -1416,3 +1416,72 @@ FROM totals, exact, dropped
 
 QUERIES["dedup_savings_documents"] = dedup_savings_documents
 ORACLES["dedup_savings_documents"] = _dedup_savings_sql()
+
+
+# --- packing efficiency report -----------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+def pack_efficiency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang packing utilization: bins used by the deterministic
+    2048-token packer vs the bin-count lower bound (ceil(total/budget))
+    and the mean fill fraction — the wasted-compute gauge for a packed
+    training run.  Sits on top of pack_documents' assignment; one extra
+    aggregation pair."""
+    from nasa_asteroid_data_lakehouse_spark.llm.packing import pack_documents
+
+    docs = read_table(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    packed = pack_documents(docs, budget=_PACK_BUDGET, partition_cols=["lang"])
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("pack_id").alias("bins_used"),
+        )
+        .select(
+            "lang",
+            "total_tokens",
+            "bins_used",
+            F.expr(f"(total_tokens + {_PACK_BUDGET} - 1) div {_PACK_BUDGET}").alias(
+                "bins_lower_bound"
+            ),
+            F.round(
+                F.col("total_tokens") / (F.col("bins_used") * F.lit(_PACK_BUDGET)),
+                6,
+            ).alias("mean_fill"),
+        )
+        .orderBy("lang")
+    )
+
+
+PACK_EFFICIENCY_SQL = rf"""
+WITH toks AS (
+  SELECT lang, doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+),
+packed AS (
+  SELECT lang, n_tokens,
+    CAST(floor((cum_tokens - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+  FROM c
+)
+SELECT lang,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS bins_used,
+  (CAST(SUM(n_tokens) AS BIGINT) + {_PACK_BUDGET} - 1) // {_PACK_BUDGET}
+    AS bins_lower_bound,
+  ROUND(SUM(n_tokens) / (COUNT(DISTINCT pack_id) * {_PACK_BUDGET}), 6)
+    AS mean_fill
+FROM packed GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["pack_efficiency_documents"] = pack_efficiency_documents
+ORACLES["pack_efficiency_documents"] = PACK_EFFICIENCY_SQL

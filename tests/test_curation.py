@@ -497,3 +497,19 @@ def test_dedup_savings_invariants(spark, sf_dir):
     assert r["pct_saved_exact"] == 0.0
     assert r["n_dropped_near"] > 0
     assert r["pct_saved_near"] > 0.0
+
+
+# --- pack efficiency ----------------------------------------------------------
+
+
+def test_pack_efficiency_bounds(spark, sf_smoke):
+    from nasa_asteroid_data_lakehouse_spark.plans.curation_queries import (
+        pack_efficiency_documents,
+    )
+
+    for r in pack_efficiency_documents(spark, sf_smoke).collect():
+        assert r["bins_used"] >= r["bins_lower_bound"] >= 1
+        assert 0.0 < r["mean_fill"] <= 1.0
+        assert r["mean_fill"] == round(
+            r["total_tokens"] / (r["bins_used"] * 2048), 6
+        )
