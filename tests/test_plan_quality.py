@@ -22,6 +22,7 @@ _BNLJ_ALLOWED = {
     "profile_documents",
     "cosine_topk_embeddings",
     "hybrid_retrieval_documents",
+    "dedup_savings_documents",
     "dq_report_orders",
     "heavy_hitters_orders",
     "dataset_card_sources",
