@@ -1485,3 +1485,62 @@ FROM packed GROUP BY lang ORDER BY lang
 
 QUERIES["pack_efficiency_documents"] = pack_efficiency_documents
 ORACLES["pack_efficiency_documents"] = PACK_EFFICIENCY_SQL
+
+
+# --- embedding norm outliers -------------------------------------------------
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store hygiene: flag vectors whose L2 norm deviates
+    more than 3 robust sigmas (MAD) from the corpus median norm —
+    degenerate embeddings (failed encodes, zero pads, exploded values)
+    poison both ANN probes and cosine thresholds.  One norm projection
+    + two single-row percentile aggregates broadcast back; the flag
+    compares 6-decimal-rounded values so both engines see identical
+    doubles."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id",
+        F.round(similarity.norm(F.col("embedding")), 6).alias("vnorm"),
+    )
+    med = norms.agg(
+        F.round(F.expr("percentile(vnorm, 0.5)"), 6).alias("med_norm")
+    )
+    dev = norms.crossJoin(F.broadcast(med)).withColumn(
+        "__dev", F.abs(F.col("vnorm") - F.col("med_norm"))
+    )
+    mad = dev.agg(
+        F.round(F.expr("percentile(__dev, 0.5)"), 6).alias("mad_norm")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "vec_id",
+            "vnorm",
+            "med_norm",
+            "mad_norm",
+            (F.col("__dev") > 3 * F.col("mad_norm")).alias("is_outlier"),
+        )
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = """
+WITH norms AS (
+  SELECT vec_id,
+    ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+      AS vnorm
+  FROM embeddings
+),
+med AS (SELECT ROUND(quantile_cont(vnorm, 0.5), 6) AS med_norm FROM norms),
+dev AS (
+  SELECT vec_id, vnorm, med_norm, abs(vnorm - med_norm) AS d
+  FROM norms, med
+),
+mad AS (SELECT ROUND(quantile_cont(d, 0.5), 6) AS mad_norm FROM dev)
+SELECT vec_id, vnorm, med_norm, mad_norm,
+       (d > 3 * mad_norm) AS is_outlier
+FROM dev, mad
+"""
+
+QUERIES["embedding_outliers"] = embedding_outliers
+ORACLES["embedding_outliers"] = EMBEDDING_OUTLIERS_SQL

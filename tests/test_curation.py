@@ -513,3 +513,25 @@ def test_pack_efficiency_bounds(spark, sf_smoke):
         assert r["mean_fill"] == round(
             r["total_tokens"] / (r["bins_used"] * 2048), 6
         )
+
+
+# --- embedding outliers -------------------------------------------------------
+
+
+def test_embedding_outliers_flags_degenerate_vector(spark, tmp_path):
+    import os
+    from nasa_asteroid_data_lakehouse_spark.plans.curation_queries import (
+        embedding_outliers,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(10)] + [
+        (100, [50.0, 0.0, 0.0]),   # exploded norm
+        (101, [0.001, 0.0, 0.0]),  # near-zero norm
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        os.path.join(str(tmp_path), "embeddings.parquet")
+    )
+    out = {r["vec_id"]: r for r in embedding_outliers(spark, str(tmp_path)).collect()}
+    assert out[100]["is_outlier"] is True
+    assert out[101]["is_outlier"] is True
+    assert all(out[i]["is_outlier"] is False for i in range(10))

@@ -23,6 +23,7 @@ _BNLJ_ALLOWED = {
     "cosine_topk_embeddings",
     "hybrid_retrieval_documents",
     "dedup_savings_documents",
+    "embedding_outliers",
     "dq_report_orders",
     "heavy_hitters_orders",
     "dataset_card_sources",

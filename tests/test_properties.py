@@ -368,3 +368,34 @@ def test_domain_cap_never_exceeds_cap(sp, rows, cap):
         have[s] = have.get(s, 0) + 1
     for s, n in have.items():
         assert per.get(s, 0) == min(cap, n)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=0,
+        max_size=16,
+    )
+)
+@SLOW
+def test_triangle_counts_match_bruteforce(sp, edges):
+    from itertools import combinations
+
+    from nasa_asteroid_data_lakehouse_spark.operators.graph import triangle_counts
+
+    undirected = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    if not undirected:
+        return
+    df = sp.createDataFrame(list(undirected), "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    nodes = {n for e in undirected for n in e}
+    expect = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if (
+            (a, b) in undirected
+            and (b, c) in undirected
+            and (a, c) in undirected
+        ):
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    assert got == expect
