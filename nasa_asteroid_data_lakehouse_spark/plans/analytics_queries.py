@@ -2122,3 +2122,72 @@ FROM daily
 
 QUERIES["cumulative_users_events"] = cumulative_users_events
 ORACLES["cumulative_users_events"] = CUMULATIVE_USERS_SQL
+
+
+def interarrival_burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics and the Goh-Barabási
+    burstiness parameter B = (σ-μ)/(σ+μ) over event gaps — the
+    temporal-pattern profile (B→-1 periodic, B→0 Poisson, B→+1
+    bursty) that complements the duration-based session queries.
+
+    Gaps are computed at MICROSECOND resolution (``timestampdiff`` /
+    DuckDB ``date_diff('microsecond')`` agree exactly there, unlike
+    second-level truncation-vs-boundary-crossing semantics), ordered
+    by (ts, event_id) so equal timestamps break ties identically in
+    both engines.  One window pass partitioned on user_id + one hash
+    agg on the same key — a single shuffle, map-side partials.
+    """
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .withColumn(
+            "gap_s",
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") / F.lit(1000000.0),
+        )
+    )
+    mu, sd = F.avg("gap_s"), F.stddev_samp("gap_s")
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(mu, 3).alias("mean_gap_s"),
+            F.round(sd, 3).alias("sd_gap_s"),
+            F.round(sd / mu, 6).alias("cv"),
+            F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+            mu.alias("_mu"),
+        )
+        .where((F.col("n_gaps") >= 5) & (F.col("_mu") > 0))
+        .drop("_mu")
+    )
+
+
+BURSTINESS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+gaps AS (
+  SELECT user_id, date_diff('microsecond', prev_ts, ts) / 1000000.0 AS gap_s
+  FROM ordered WHERE prev_ts IS NOT NULL
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       ROUND(AVG(gap_s), 3) AS mean_gap_s,
+       ROUND(STDDEV_SAMP(gap_s), 3) AS sd_gap_s,
+       ROUND(STDDEV_SAMP(gap_s) / AVG(gap_s), 6) AS cv,
+       ROUND((STDDEV_SAMP(gap_s) - AVG(gap_s))
+             / (STDDEV_SAMP(gap_s) + AVG(gap_s)), 6) AS burstiness
+FROM gaps
+GROUP BY 1
+HAVING COUNT(*) >= 5 AND AVG(gap_s) > 0
+"""
+
+QUERIES["interarrival_burstiness_users"] = interarrival_burstiness_users
+ORACLES["interarrival_burstiness_users"] = BURSTINESS_SQL

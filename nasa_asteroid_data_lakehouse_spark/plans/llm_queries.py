@@ -2151,3 +2151,185 @@ JOIN sizes sb ON sb.source = source_b
 
 QUERIES["vocab_overlap_sources"] = vocab_overlap_sources
 ORACLES["vocab_overlap_sources"] = VOCAB_OVERLAP_SQL
+
+
+# --- unigram surprisal (perplexity-proxy quality score) ----------------------
+
+
+def _corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, term) — one row per token OCCURRENCE (not
+    distinct), blank/NULL docs excluded.  The shared base of the
+    corpus-statistics family below."""
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .where(F.trim("text") != "")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(text.tokens(text.normalized_text("text"))).alias("term"),
+    )
+
+
+def unigram_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal, the classic
+    perplexity-proxy quality filter (CCNet-style: score every document
+    under a language model built from the corpus itself; outlier
+    surprisal = boilerplate or gibberish).
+
+    mean_surprisal(d) = ln(N) - avg over tokens of ln(c(t)), where
+    c(t) is the corpus occurrence count and N the total token count —
+    algebraically the mean of -ln(p(t)) under the corpus unigram LM,
+    but with exactly one float op ordering both engines reproduce.
+
+    Scale shape: one explode + one groupBy(term) build the LM; the
+    vocabulary table is O(|V|) — bounded, tiny next to the corpus —
+    so the score join is an explicit broadcast (map-side, no shuffle
+    of the token stream); the per-doc agg shuffles on doc_id with
+    map-side partials.  The corpus total is a single bounded scalar
+    (PMI precedent).
+    """
+    toks = _corpus_tokens(spark, sf_dir).select("doc_id", "term")
+    total = toks.count()
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.join(F.broadcast(cnt), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.log(F.lit(total).cast("double")) - F.avg(F.log("c")), 6
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+_CORPUS_TOKS_SQL = rf"""
+  SELECT doc_id, source, unnest(string_split({_NORM}, ' ')) AS term
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+"""
+
+UNIGRAM_SURPRISAL_SQL = rf"""
+WITH toks AS ({_CORPUS_TOKS_SQL}),
+cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT COUNT(*) AS total FROM toks)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(ln(CAST(total AS DOUBLE)) - AVG(ln(c)), 6) AS mean_surprisal
+FROM toks JOIN cnt USING (term), tot
+GROUP BY doc_id, total
+"""
+
+QUERIES["unigram_surprisal_documents"] = unigram_surprisal_documents
+ORACLES["unigram_surprisal_documents"] = UNIGRAM_SURPRISAL_SQL
+
+
+# --- per-source KL divergence vs the corpus token distribution ---------------
+
+
+def kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_source || P_corpus) over unigram distributions — the
+    distributional mixture diagnostic (vocab_overlap_sources measures
+    set overlap; this measures how differently the shared vocabulary
+    is USED).  Every source term has corpus support by construction,
+    so the divergence is finite.
+
+    contribution(t) = (c_st/n_s) * ln((c_st/n_s) / (c_t/N)) with the
+    division order written identically in the oracle (bit-identical
+    IEEE ops before the rounded sum).
+
+    Scale shape: two hash aggregations over the token stream (by
+    (source, term) and by term), then a broadcast of the O(|V|)
+    corpus-count table onto the per-source counts; final agg shuffles
+    |V_s| rows per source.
+    """
+    toks = _corpus_tokens(spark, sf_dir).select("source", "term")
+    total = toks.count()
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    ct = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    src_tot = st.groupBy("source").agg(
+        F.sum("c_st").alias("n_tokens"), F.count(F.lit(1)).alias("n_terms")
+    )
+    joined = st.join(F.broadcast(ct), "term").join(
+        F.broadcast(src_tot), "source"
+    )
+    contrib = (F.col("c_st") / F.col("n_tokens")) * F.log(
+        (F.col("c_st") / F.col("n_tokens")) / (F.col("c_t") / F.lit(total))
+    )
+    return (
+        joined.groupBy("source", "n_tokens", "n_terms")
+        .agg(F.round(F.sum(contrib), 6).alias("kl_vs_corpus"))
+        .select("source", "n_tokens", "n_terms", "kl_vs_corpus")
+    )
+
+
+KL_SOURCES_SQL = rf"""
+WITH toks AS ({_CORPUS_TOKS_SQL}),
+tot AS (SELECT COUNT(*) AS total FROM toks),
+st AS (SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+ct AS (SELECT term, COUNT(*) AS c_t FROM toks GROUP BY 1),
+srcs AS (
+  SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_tokens, COUNT(*) AS n_terms
+  FROM st GROUP BY 1
+)
+SELECT s.source, s.n_tokens, s.n_terms,
+       ROUND(SUM((st.c_st / s.n_tokens)
+                 * ln((st.c_st / s.n_tokens) / (ct.c_t / tot.total))), 6)
+         AS kl_vs_corpus
+FROM st
+JOIN ct USING (term)
+JOIN srcs s USING (source)
+CROSS JOIN tot
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["kl_divergence_sources"] = kl_divergence_sources
+ORACLES["kl_divergence_sources"] = KL_SOURCES_SQL
+
+
+# --- Zipf rank-frequency slope -----------------------------------------------
+
+_ZIPF_TOP = 1000
+
+
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(frequency) on ln(rank) over the top-1000 corpus
+    tokens — the Zipf's-law corpus-health gauge (natural text slopes
+    near -1; template/boilerplate corpora flatten or steepen it).
+
+    Rank = global position under (count DESC, term ASC) — the
+    deterministic tie-break both engines reproduce.  The top-k cut is
+    TakeOrderedAndProject on the O(|V|) count table, so the
+    single-partition ranking window only ever sees ``_ZIPF_TOP`` rows
+    — bounded regardless of corpus size.
+    """
+    toks = _corpus_tokens(spark, sf_dir).select("term")
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top = cnt.orderBy(F.desc("c"), "term").limit(_ZIPF_TOP)
+    w = SparkWindow.orderBy(F.desc("c"), "term")
+    ranked = top.select("term", "c", F.row_number().over(w).alias("rank"))
+    ln_c, ln_r = F.log("c"), F.log("rank")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(ln_c, ln_r), 4).alias("slope"),
+        F.round(F.regr_intercept(ln_c, ln_r), 4).alias("intercept"),
+        F.round(F.regr_r2(ln_c, ln_r), 6).alias("r2"),
+    )
+
+
+ZIPF_SLOPE_SQL = rf"""
+WITH toks AS ({_CORPUS_TOKS_SQL}),
+cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+top AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT {_ZIPF_TOP}),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rank FROM top
+)
+SELECT COUNT(*) AS n_terms,
+       ROUND(REGR_SLOPE(ln(c), ln(rank)), 4) AS slope,
+       ROUND(REGR_INTERCEPT(ln(c), ln(rank)), 4) AS intercept,
+       ROUND(REGR_R2(ln(c), ln(rank)), 6) AS r2
+FROM ranked
+"""
+
+QUERIES["zipf_slope_tokens"] = zipf_slope_tokens
+ORACLES["zipf_slope_tokens"] = ZIPF_SLOPE_SQL

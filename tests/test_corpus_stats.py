@@ -1,0 +1,150 @@
+"""Corpus-distribution statistics: unigram surprisal (perplexity-proxy
+quality score), per-source KL divergence vs the corpus, Zipf
+rank-frequency slope, and per-user inter-arrival burstiness — each
+oracle-checked against DuckDB plus an invariant/brute-force property.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.plans import analytics_queries as aq
+from nasa_asteroid_data_lakehouse_spark.plans import llm_queries as lq
+from tests.oracle import assert_matches_oracle
+
+
+def test_unigram_surprisal_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        lq.unigram_surprisal_documents(spark, sf_dir),
+        lq.UNIGRAM_SURPRISAL_SQL,
+        sf_dir,
+    )
+
+
+def test_unigram_surprisal_bounds_and_brute_force(spark, sf_smoke):
+    """0 <= surprisal <= ln(N) (token prob in [1/N, 1]), and the full
+    result reproduces a pandas brute-force recomputation."""
+    got = lq.unigram_surprisal_documents(spark, sf_smoke).toPandas()
+    docs = (
+        spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    toks = {}
+    for _, r in docs.iterrows():
+        ts = " ".join(str(r["text"]).lower().split()).split()
+        if ts and str(r["text"]).strip():
+            toks[r["doc_id"]] = ts
+    counts: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    assert len(got) == len(toks)
+    ln_n = math.log(total)
+    by_id = got.set_index("doc_id")
+    for doc_id, ts in toks.items():
+        want = ln_n - sum(math.log(counts[t]) for t in ts) / len(ts)
+        row = by_id.loc[doc_id]
+        assert row["n_tokens"] == len(ts)
+        assert abs(row["mean_surprisal"] - want) < 1e-5
+        assert -1e-9 <= row["mean_surprisal"] <= ln_n + 1e-9
+
+
+def test_kl_divergence_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        lq.kl_divergence_sources(spark, sf_dir), lq.KL_SOURCES_SQL, sf_dir
+    )
+
+
+def test_kl_divergence_nonnegative_and_consistent(spark, sf_smoke):
+    """Gibbs' inequality: KL(P_s || P_corpus) >= 0 for every source;
+    per-source token totals must sum to the corpus total."""
+    got = lq.kl_divergence_sources(spark, sf_smoke).toPandas()
+    assert (got["kl_vs_corpus"] >= -1e-9).all()
+    total = lq._corpus_tokens(spark, sf_smoke).count()
+    assert int(got["n_tokens"].sum()) == total
+    assert (got["n_terms"] <= got["n_tokens"]).all()
+
+
+def test_zipf_slope_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        lq.zipf_slope_tokens(spark, sf_dir), lq.ZIPF_SLOPE_SQL, sf_dir
+    )
+
+
+def test_zipf_slope_invariants(spark, sf_smoke):
+    """Rank-frequency slope is negative (frequency is non-increasing in
+    rank by construction), R^2 in [0, 1], and the fit covers exactly
+    min(_ZIPF_TOP, |V|) points."""
+    row = lq.zipf_slope_tokens(spark, sf_smoke).collect()[0]
+    vocab = (
+        lq._corpus_tokens(spark, sf_smoke).select("term").distinct().count()
+    )
+    assert row["n_terms"] == min(lq._ZIPF_TOP, vocab)
+    assert row["slope"] < 0
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_burstiness_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        aq.interarrival_burstiness_users(spark, sf_dir),
+        aq.BURSTINESS_SQL,
+        sf_dir,
+    )
+
+
+def test_burstiness_bounds_and_brute_force(spark, sf_smoke):
+    """B = (sigma-mu)/(sigma+mu) in [-1, 1], cv >= 0; spot-check one
+    user against a pandas recomputation of the same gap series."""
+    got = aq.interarrival_burstiness_users(spark, sf_smoke).toPandas()
+    assert len(got) > 0
+    assert ((got["burstiness"] >= -1 - 1e-9) & (got["burstiness"] <= 1 + 1e-9)).all()
+    assert (got["cv"] >= 0).all()
+    assert (got["n_gaps"] >= 5).all()
+
+    uid = int(got.sort_values("user_id").iloc[0]["user_id"])
+    ev = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .where(F.col("user_id") == uid)
+        .select("ts", "event_id")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    gaps = ev["ts"].diff().dropna().dt.total_seconds()
+    mu, sd = gaps.mean(), gaps.std(ddof=1)
+    row = got[got["user_id"] == uid].iloc[0]
+    assert row["n_gaps"] == len(gaps)
+    assert abs(row["mean_gap_s"] - round(mu, 3)) < 1e-6
+    assert abs(row["burstiness"] - (sd - mu) / (sd + mu)) < 1e-5
+
+
+def test_surprisal_flags_repetitive_doc(spark, sf_smoke):
+    """A document made of the corpus' most common tokens must score
+    strictly lower surprisal than one made of rare tokens — the signal
+    the quality filter exists for.  Built on a synthetic corpus where
+    the contrast is guaranteed."""
+    rows = [
+        (1, "the the the the the", "s"),
+        (2, "the cat sat on mat", "s"),
+        (3, "zyxqv plugh xyzzy quux frobnitz", "s"),
+        (4, "the the cat cat sat", "s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = (
+            lq.unigram_surprisal_documents(spark, d)
+            .toPandas()
+            .set_index("doc_id")
+        )
+    assert (
+        got.loc[1, "mean_surprisal"]
+        < got.loc[4, "mean_surprisal"]
+        < got.loc[3, "mean_surprisal"]
+    )
