@@ -1,0 +1,156 @@
+"""Corpus-distribution statistics: unigram surprisal (perplexity-proxy
+quality scoring), per-group KL divergence against the corpus token
+distribution, and the Zipf rank-frequency slope.
+
+These are the distributional health gauges of a training-data pipeline:
+surprisal flags boilerplate/gibberish documents under a corpus-built
+language model (the CCNet-style filter), KL quantifies how differently
+each mixture component uses the shared vocabulary, and the Zipf slope
+summarizes whether the corpus still looks like natural language.
+
+Scale shape (all three): one explode over the token stream + hash
+aggregations keyed on term / (group, term); the per-term count table is
+O(|V|) — bounded and small next to the corpus — so score joins
+broadcast it and the token stream itself never shuffles for the join.
+No reference analog: the reference's aggregate surface is
+count/distinct only (``src/etl/silver_to_gold.py``); net-new per the
+LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.llm import text
+
+__all__ = [
+    "token_stream",
+    "unigram_surprisal",
+    "kl_by_group",
+    "zipf_slope",
+]
+
+
+def token_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    keep: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """One row per token OCCURRENCE (not distinct): (*keep, term).
+    Blank/NULL texts are excluded entirely — a document with no tokens
+    has no distribution to score."""
+    return (
+        df.where(F.trim(text_col) != "")
+        .select(
+            *keep,
+            F.explode(text.tokens(text.normalized_text(text_col))).alias("term"),
+        )
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean unigram surprisal under the corpus' own
+    unigram LM: mean_surprisal(d) = ln(N) - sum(tf·ln(c(t)))/sum(tf)
+    over the doc's DISTINCT terms (tf = the doc's term frequency),
+    algebraically the mean of -ln(p(t)) over occurrences, written as
+    the tf-weighted form an oracle reproduces with the same float ops.
+
+    Returns (id_col, n_tokens, mean_surprisal).  The token stream is
+    scanned exactly ONCE: the per-doc (term, tf) table —
+    localCheckpoint-ed — is the only corpus aggregation; the corpus
+    count table and total N are exact integer re-aggregations of it,
+    and the score join moves O(Σ distinct terms per doc) rows instead
+    of O(N) occurrences.  The O(|V|) count-table broadcast keeps the
+    scoring join map-side.
+    """
+    toks = token_stream(df, text_col, keep=(id_col,))
+    doc_tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    cnt = doc_tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = cnt.agg(F.sum("c")).collect()[0][0] or 0
+    return (
+        doc_tf.join(F.broadcast(cnt), "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.log(F.lit(total).cast("double"))
+                - F.sum(F.col("tf") * F.log("c")) / F.sum("tf"),
+                round_to,
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+def kl_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """KL(P_group || P_corpus) over unigram distributions, per group.
+    Finite by construction (every group term has corpus support).
+
+    Returns (group_col, n_tokens, n_terms, kl_vs_corpus).  The token
+    stream is scanned exactly ONCE: the (group, term) count table —
+    localCheckpoint-ed, O(groups × |V|) — is the only corpus
+    aggregation; the per-term corpus counts, per-group totals, and the
+    corpus total are all exact integer re-aggregations of it.
+    """
+    toks = token_stream(df, text_col, keep=(group_col,))
+    st = (
+        toks.groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint(eager=False)
+    )
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    grp_tot = st.groupBy(group_col).agg(
+        F.sum("c_st").alias("n_tokens"), F.count(F.lit(1)).alias("n_terms")
+    )
+    total = st.agg(F.sum("c_st")).collect()[0][0] or 0
+    joined = st.join(F.broadcast(ct), "term").join(F.broadcast(grp_tot), group_col)
+    contrib = (F.col("c_st") / F.col("n_tokens")) * F.log(
+        (F.col("c_st") / F.col("n_tokens")) / (F.col("c_t") / F.lit(total))
+    )
+    return (
+        joined.groupBy(group_col, "n_tokens", "n_terms")
+        .agg(F.round(F.sum(contrib), round_to).alias("kl_vs_corpus"))
+        .select(group_col, "n_tokens", "n_terms", "kl_vs_corpus")
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    top: int = 1000,
+) -> DataFrame:
+    """OLS fit of ln(frequency) on ln(rank) over the ``top`` most
+    frequent corpus tokens (rank = position under count DESC, term ASC
+    — a deterministic tie-break).  Natural text slopes near -1.
+
+    Returns one row (n_terms, slope, intercept, r2).  The top-k cut is
+    TakeOrderedAndProject on the O(|V|) count table, so the
+    single-partition ranking window only ever sees ``top`` rows —
+    bounded regardless of corpus size.
+    """
+    toks = token_stream(df, text_col, keep=())
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top_terms = cnt.orderBy(F.desc("c"), "term").limit(top)
+    w = Window.orderBy(F.desc("c"), "term")
+    ranked = top_terms.select("term", "c", F.row_number().over(w).alias("rank"))
+    ln_c, ln_r = F.log("c"), F.log("rank")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(ln_c, ln_r), 4).alias("slope"),
+        F.round(F.regr_intercept(ln_c, ln_r), 4).alias("intercept"),
+        F.round(F.regr_r2(ln_c, ln_r), 6).alias("r2"),
+    )

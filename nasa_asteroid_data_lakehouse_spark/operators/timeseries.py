@@ -160,3 +160,52 @@ def ewma(
         out_col,
         F.when(den > 0, F.round(num / den, round_to)),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak: tuple[str, ...] = ("event_id",),
+    min_gaps: int = 5,
+) -> DataFrame:
+    """Per-key inter-arrival gap statistics and the Goh-Barabási
+    burstiness parameter B = (σ-μ)/(σ+μ): B→-1 periodic, B→0 Poisson,
+    B→+1 bursty — the temporal-pattern profile complementing the
+    duration-based session operators.
+
+    Returns (key, n_gaps, mean_gap_s, sd_gap_s, cv, burstiness), keys
+    with fewer than ``min_gaps`` gaps or an all-zero gap series
+    dropped.  Gaps diff at MICROSECOND resolution (``timestampdiff``
+    and DuckDB's ``date_diff('microsecond')`` agree exactly there,
+    unlike second-level truncation-vs-boundary-crossing semantics);
+    ordering is (ts, *tiebreak) so equal timestamps break ties
+    deterministically.  One window pass partitioned on the key + one
+    hash agg on the same key — a single shuffle, map-side partials.
+    """
+    events = df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+    w = Window.partitionBy(key_col).orderBy(ts_col, *tiebreak)
+    gaps = (
+        events.select(key_col, ts_col, *tiebreak)
+        .withColumn("_prev_ts", F.lag(ts_col).over(w))
+        .where(F.col("_prev_ts").isNotNull())
+        .withColumn(
+            "gap_s",
+            F.expr(f"timestampdiff(MICROSECOND, _prev_ts, {ts_col})")
+            / F.lit(1000000.0),
+        )
+    )
+    mu, sd = F.avg("gap_s"), F.stddev_samp("gap_s")
+    return (
+        gaps.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(mu, 3).alias("mean_gap_s"),
+            F.round(sd, 3).alias("sd_gap_s"),
+            F.round(sd / mu, 6).alias("cv"),
+            F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+            mu.alias("_mu"),
+        )
+        .where((F.col("n_gaps") >= min_gaps) & (F.col("_mu") > 0))
+        .drop("_mu")
+    )

@@ -2137,34 +2137,16 @@ def interarrival_burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame
     both engines.  One window pass partitioned on user_id + one hash
     agg on the same key — a single shuffle, map-side partials.
     """
-    from pyspark.sql import Window
+    from nasa_asteroid_data_lakehouse_spark.operators.timeseries import (
+        interarrival_stats,
+    )
 
-    events = _t(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = (
-        events.select("user_id", "ts", "event_id")
-        .withColumn("prev_ts", F.lag("ts").over(w))
-        .where(F.col("prev_ts").isNotNull())
-        .withColumn(
-            "gap_s",
-            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") / F.lit(1000000.0),
-        )
-    )
-    mu, sd = F.avg("gap_s"), F.stddev_samp("gap_s")
-    return (
-        gaps.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_gaps"),
-            F.round(mu, 3).alias("mean_gap_s"),
-            F.round(sd, 3).alias("sd_gap_s"),
-            F.round(sd / mu, 6).alias("cv"),
-            F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
-            mu.alias("_mu"),
-        )
-        .where((F.col("n_gaps") >= 5) & (F.col("_mu") > 0))
-        .drop("_mu")
+    return interarrival_stats(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        tiebreak=("event_id",),
+        min_gaps=5,
     )
 
 

@@ -14,7 +14,13 @@ from pyspark.sql import Window as SparkWindow
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
-from nasa_asteroid_data_lakehouse_spark.llm import dedup, multimodal, similarity, text
+from nasa_asteroid_data_lakehouse_spark.llm import (
+    corpus_stats,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 
 # --- text statistics ---------------------------------------------------------
 
@@ -2159,17 +2165,11 @@ ORACLES["vocab_overlap_sources"] = VOCAB_OVERLAP_SQL
 def _corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, term) — one row per token OCCURRENCE (not
     distinct), blank/NULL docs excluded.  The shared base of the
-    corpus-statistics family below."""
-    docs = (
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text")
-        .where(F.trim("text") != "")
+    corpus-statistics family below (llm/corpus_stats.py)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
     )
-    return docs.select(
-        "doc_id",
-        "source",
-        F.explode(text.tokens(text.normalized_text("text"))).alias("term"),
-    )
+    return corpus_stats.token_stream(docs, keep=("doc_id", "source"))
 
 
 def unigram_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2178,10 +2178,11 @@ def unigram_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     under a language model built from the corpus itself; outlier
     surprisal = boilerplate or gibberish).
 
-    mean_surprisal(d) = ln(N) - avg over tokens of ln(c(t)), where
-    c(t) is the corpus occurrence count and N the total token count —
-    algebraically the mean of -ln(p(t)) under the corpus unigram LM,
-    but with exactly one float op ordering both engines reproduce.
+    mean_surprisal(d) = ln(N) - sum(tf·ln(c(t)))/sum(tf) over the
+    doc's distinct terms, where c(t) is the corpus occurrence count
+    and N the total token count — algebraically the mean of -ln(p(t))
+    under the corpus unigram LM, in the tf-weighted form whose float
+    ops both engines reproduce (llm/corpus_stats.py).
 
     Scale shape: one explode + one groupBy(term) build the LM; the
     vocabulary table is O(|V|) — bounded, tiny next to the corpus —
@@ -2190,19 +2191,8 @@ def unigram_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials.  The corpus total is a single bounded scalar
     (PMI precedent).
     """
-    toks = _corpus_tokens(spark, sf_dir).select("doc_id", "term")
-    total = toks.count()
-    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        toks.join(F.broadcast(cnt), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.log(F.lit(total).cast("double")) - F.avg(F.log("c")), 6
-            ).alias("mean_surprisal"),
-        )
-    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus_stats.unigram_surprisal(docs)
 
 
 _CORPUS_TOKS_SQL = rf"""
@@ -2212,11 +2202,13 @@ _CORPUS_TOKS_SQL = rf"""
 
 UNIGRAM_SURPRISAL_SQL = rf"""
 WITH toks AS ({_CORPUS_TOKS_SQL}),
-cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
-tot AS (SELECT COUNT(*) AS total FROM toks)
-SELECT doc_id, COUNT(*) AS n_tokens,
-       ROUND(ln(CAST(total AS DOUBLE)) - AVG(ln(c)), 6) AS mean_surprisal
-FROM toks JOIN cnt USING (term), tot
+dtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM dtf GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(ln(CAST(total AS DOUBLE)) - SUM(tf * ln(c)) / SUM(tf), 6)
+         AS mean_surprisal
+FROM dtf JOIN cnt USING (term), tot
 GROUP BY doc_id, total
 """
 
@@ -2243,24 +2235,8 @@ def kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-count table onto the per-source counts; final agg shuffles
     |V_s| rows per source.
     """
-    toks = _corpus_tokens(spark, sf_dir).select("source", "term")
-    total = toks.count()
-    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
-    ct = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
-    src_tot = st.groupBy("source").agg(
-        F.sum("c_st").alias("n_tokens"), F.count(F.lit(1)).alias("n_terms")
-    )
-    joined = st.join(F.broadcast(ct), "term").join(
-        F.broadcast(src_tot), "source"
-    )
-    contrib = (F.col("c_st") / F.col("n_tokens")) * F.log(
-        (F.col("c_st") / F.col("n_tokens")) / (F.col("c_t") / F.lit(total))
-    )
-    return (
-        joined.groupBy("source", "n_tokens", "n_terms")
-        .agg(F.round(F.sum(contrib), 6).alias("kl_vs_corpus"))
-        .select("source", "n_tokens", "n_terms", "kl_vs_corpus")
-    )
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    return corpus_stats.kl_by_group(docs, group_col="source")
 
 
 KL_SOURCES_SQL = rf"""
@@ -2303,18 +2279,8 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition ranking window only ever sees ``_ZIPF_TOP`` rows
     — bounded regardless of corpus size.
     """
-    toks = _corpus_tokens(spark, sf_dir).select("term")
-    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    top = cnt.orderBy(F.desc("c"), "term").limit(_ZIPF_TOP)
-    w = SparkWindow.orderBy(F.desc("c"), "term")
-    ranked = top.select("term", "c", F.row_number().over(w).alias("rank"))
-    ln_c, ln_r = F.log("c"), F.log("rank")
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.round(F.regr_slope(ln_c, ln_r), 4).alias("slope"),
-        F.round(F.regr_intercept(ln_c, ln_r), 4).alias("intercept"),
-        F.round(F.regr_r2(ln_c, ln_r), 6).alias("r2"),
-    )
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    return corpus_stats.zipf_slope(docs, top=_ZIPF_TOP)
 
 
 ZIPF_SLOPE_SQL = rf"""
