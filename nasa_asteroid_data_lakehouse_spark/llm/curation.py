@@ -373,3 +373,61 @@ def dataset_card(
         F.round(F.col("total_chars") / F.col("n_docs"), 6).alias("mean_chars"),
         F.round(F.col("n_docs") / F.col("__corpus_docs"), 6).alias("pct_docs"),
     )
+
+
+def strip_ubiquitous_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Corpus-adaptive boilerplate removal: tokens whose DOCUMENT
+    frequency exceeds ``max_df_frac`` of the corpus are stripped from
+    every document, preserving the original order of what remains —
+    the token-level analog of the line-level boilerplate filters
+    (CCNet / RefinedWeb strip lines repeated across many pages; this
+    corpus has no line structure, so the unit is the token).
+
+    Returns (id_col, n_before, n_after, stripped_text); a document
+    whose every token is boilerplate survives with ``n_after = 0`` and
+    an empty string (dropping it is the CALLER's policy decision).
+
+    Scale shape: one posexplode + one groupBy(term) with
+    approx-exact countDistinct build the O(|V|) doc-frequency table;
+    its broadcast keeps the keep/strip decision map-side, and the
+    rebuild is one hash agg on the doc id (collect_list of (pos, term)
+    structs, sorted in-row — bounded by document length, never by
+    corpus size).
+    """
+    from nasa_asteroid_data_lakehouse_spark.llm import text as _text
+
+    base = df.where(F.trim(text_col) != "")
+    toks = base.select(
+        id_col,
+        F.posexplode(
+            _text.tokens(_text.normalized_text(text_col))
+        ).alias("pos", "term"),
+    )
+    n_docs = base.count()
+    cut = max_df_frac * n_docs
+    dfc = toks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("doc_freq")
+    )
+    kept_struct = F.when(
+        F.col("doc_freq") <= cut, F.struct("pos", "term")
+    )
+    return (
+        toks.join(F.broadcast(dfc), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.count(F.when(F.col("doc_freq") <= cut, 1)).alias("n_after"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.term,
+                ),
+                " ",
+            ).alias("stripped_text"),
+        )
+    )

@@ -2173,3 +2173,158 @@ HAVING COUNT(*) >= 5 AND AVG(gap_s) > 0
 
 QUERIES["interarrival_burstiness_users"] = interarrival_burstiness_users
 ORACLES["interarrival_burstiness_users"] = BURSTINESS_SQL
+
+
+def top_session_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session openings: the first 5 event types of each 30-min
+    inactivity session, '>'-joined — the path-analysis complement of
+    event_transition_matrix (full prefixes, not 1-step Markov counts).
+
+    Sessionization is the lag + cumulative-sum numbering (the oracle
+    formulation of session_windows_events), ordered (ts, event_id) so
+    duplicated timestamps sequence identically in both engines.  The
+    per-session collect_list is bounded by session length; the path
+    table is tiny, so the final top-20 is TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES"), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    paths = s.groupBy("user_id", "sess").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    1,
+                    5,
+                ),
+                lambda st: st.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+TOP_SESSION_PATHS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+),
+paths AS (
+  SELECT user_id, sess,
+         array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+  FROM s GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+QUERIES["top_session_paths_events"] = top_session_paths_events
+ORACLES["top_session_paths_events"] = TOP_SESSION_PATHS_SQL
+
+
+def time_weighted_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value``: each observation
+    holds until the user's next event, so the weight is the interval
+    length — the correct mean for irregularly-sampled series (a plain
+    AVG over-weights bursts).  Valued events only; the last observation
+    carries no interval.
+
+    Interval lengths stay exact integer microseconds through the SUM
+    (the denominator and total are order-independent); only the
+    value-weighted numerator is a float sum, rounded at 1e-6 on a
+    magnitude where reduction-order noise is ~1e-12.  One window pass
+    + one hash agg, both keyed on user_id — a single shuffle.
+    """
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        events.select("user_id", "ts", "event_id", "value")
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .where(F.col("next_ts").isNotNull())
+        .withColumn(
+            "gap_us", F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+        )
+    )
+    total_s = F.sum("gap_us") / F.lit(1000000.0)
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(total_s, 6).alias("total_s"),
+            F.round(
+                F.sum(F.col("value") * (F.col("gap_us") / F.lit(1000000.0)))
+                / total_s,
+                6,
+            ).alias("twa_value"),
+            F.sum("gap_us").alias("_tot_us"),
+        )
+        .where(F.col("_tot_us") > 0)
+        .drop("_tot_us")
+    )
+
+
+TIME_WEIGHTED_VALUE_SQL = """
+WITH iv AS (
+  SELECT user_id, value,
+         date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS gap_us
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+)
+SELECT user_id, COUNT(*) AS n_intervals,
+       ROUND(SUM(gap_us) / 1000000.0, 6) AS total_s,
+       ROUND(SUM(value * (gap_us / 1000000.0))
+             / (SUM(gap_us) / 1000000.0), 6) AS twa_value
+FROM iv
+WHERE gap_us IS NOT NULL
+GROUP BY 1
+HAVING SUM(gap_us) > 0
+"""
+
+QUERIES["time_weighted_value_events"] = time_weighted_value_events
+ORACLES["time_weighted_value_events"] = TIME_WEIGHTED_VALUE_SQL

@@ -2299,3 +2299,52 @@ FROM ranked
 
 QUERIES["zipf_slope_tokens"] = zipf_slope_tokens
 ORACLES["zipf_slope_tokens"] = ZIPF_SLOPE_SQL
+
+
+# --- corpus-adaptive boilerplate stripping -----------------------------------
+
+_BOILER_MAX_DF_FRAC = 0.5
+
+
+def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip tokens present in more than half the corpus' documents,
+    rebuilding each document in original token order
+    (llm/curation.strip_ubiquitous_tokens) — the token-level analog of
+    line-level boilerplate filters (CCNet/RefinedWeb strip lines
+    repeated across many pages)."""
+    from nasa_asteroid_data_lakehouse_spark.llm import curation
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return curation.strip_ubiquitous_tokens(
+        docs, max_df_frac=_BOILER_MAX_DF_FRAC
+    )
+
+
+BOILERPLATE_STRIP_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS words
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+toks AS (
+  SELECT doc_id, unnest(words) AS term,
+         generate_subscripts(words, 1) AS pos
+  FROM base
+),
+n AS (SELECT COUNT(*) AS n_docs FROM base),
+dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY 1)
+SELECT t.doc_id,
+       COUNT(*) AS n_before,
+       COUNT(*) FILTER (WHERE d.doc_freq <= {_BOILER_MAX_DF_FRAC!r} * n.n_docs)
+         AS n_after,
+       COALESCE(
+         string_agg(t.term, ' ' ORDER BY t.pos)
+           FILTER (WHERE d.doc_freq <= {_BOILER_MAX_DF_FRAC!r} * n.n_docs),
+         '') AS stripped_text
+FROM toks t
+JOIN dfc d USING (term)
+CROSS JOIN n
+GROUP BY t.doc_id, n.n_docs
+"""
+
+QUERIES["boilerplate_strip_documents"] = boilerplate_strip_documents
+ORACLES["boilerplate_strip_documents"] = BOILERPLATE_STRIP_SQL

@@ -148,3 +148,87 @@ def test_surprisal_flags_repetitive_doc(spark, sf_smoke):
         < got.loc[4, "mean_surprisal"]
         < got.loc[3, "mean_surprisal"]
     )
+
+
+def test_boilerplate_strip_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        lq.boilerplate_strip_documents(spark, sf_dir),
+        lq.BOILERPLATE_STRIP_SQL,
+        sf_dir,
+    )
+
+
+def test_boilerplate_strip_semantics(spark):
+    """Tokens over the doc-frequency cut vanish from every document,
+    below-cut tokens survive in original order, and an all-boilerplate
+    document survives as an empty string."""
+    from nasa_asteroid_data_lakehouse_spark.llm.curation import (
+        strip_ubiquitous_tokens,
+    )
+
+    rows = [
+        (1, "common alpha common beta"),
+        (2, "common gamma beta common"),
+        (3, "common common common"),
+        (4, "delta common epsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # doc_freq: common=4/4 (stripped at 0.5), beta=2/4 (kept: <= cut)
+    got = (
+        strip_ubiquitous_tokens(df, max_df_frac=0.5)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "stripped_text"] == "alpha beta"
+    assert got.loc[2, "stripped_text"] == "gamma beta"
+    assert got.loc[3, "stripped_text"] == ""
+    assert got.loc[3, "n_after"] == 0 and got.loc[3, "n_before"] == 3
+    assert got.loc[4, "stripped_text"] == "delta epsilon"
+    assert (got["n_after"] <= got["n_before"]).all()
+
+
+def test_top_session_paths_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        aq.top_session_paths_events(spark, sf_dir),
+        aq.TOP_SESSION_PATHS_SQL,
+        sf_dir,
+    )
+
+
+def test_top_session_paths_shape(spark, sf_smoke):
+    got = aq.top_session_paths_events(spark, sf_smoke).toPandas()
+    assert 0 < len(got) <= 20
+    assert (got["path"].str.count(">") <= 4).all()
+    # returned counts are the global top: sorted non-increasing
+    assert (got["n_sessions"].diff().dropna() <= 0).all()
+
+
+def test_time_weighted_value_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        aq.time_weighted_value_events(spark, sf_dir),
+        aq.TIME_WEIGHTED_VALUE_SQL,
+        sf_dir,
+    )
+
+
+def test_time_weighted_value_is_bounded_weighted_mean(spark, sf_smoke):
+    """TWA lies within [min, max] of the user's interval values, and a
+    brute-force pandas recomputation agrees for one user."""
+    got = aq.time_weighted_value_events(spark, sf_smoke).toPandas()
+    assert len(got) > 0
+    uid = int(got.sort_values("user_id").iloc[0]["user_id"])
+    ev = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .where(F.col("user_id") == uid)
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    gaps = (ev["ts"].shift(-1) - ev["ts"]).dt.total_seconds()[:-1]
+    vals = ev["value"][: len(gaps)]
+    want = (vals * gaps).sum() / gaps.sum()
+    row = got[got["user_id"] == uid].iloc[0]
+    assert abs(row["twa_value"] - want) < 1e-4
+    assert vals.min() - 1e-9 <= row["twa_value"] <= vals.max() + 1e-9
