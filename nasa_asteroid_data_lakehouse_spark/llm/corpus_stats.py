@@ -19,6 +19,8 @@ LLM-pipeline brief.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -28,8 +30,11 @@ __all__ = [
     "token_stream",
     "unigram_surprisal",
     "kl_by_group",
+    "jsd_pairs",
     "zipf_slope",
 ]
+
+LN2 = math.log(2.0)
 
 
 def token_stream(
@@ -91,6 +96,24 @@ def unigram_surprisal(
     )
 
 
+def group_term_counts(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, term, c_st): token-occurrence counts per group —
+    localCheckpoint-ed, O(groups × |V|), the single corpus scan shared
+    by the distributional comparisons (KL, JSD).  Every coarser count
+    (per-term, per-group, corpus total) is an exact integer
+    re-aggregation of this table."""
+    toks = token_stream(df, text_col, keep=(group_col,))
+    return (
+        toks.groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def kl_by_group(
     df: DataFrame,
     group_col: str = "source",
@@ -106,12 +129,7 @@ def kl_by_group(
     aggregation; the per-term corpus counts, per-group totals, and the
     corpus total are all exact integer re-aggregations of it.
     """
-    toks = token_stream(df, text_col, keep=(group_col,))
-    st = (
-        toks.groupBy(group_col, "term")
-        .agg(F.count(F.lit(1)).alias("c_st"))
-        .localCheckpoint(eager=False)
-    )
+    st = group_term_counts(df, group_col, text_col)
     ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     grp_tot = st.groupBy(group_col).agg(
         F.sum("c_st").alias("n_tokens"), F.count(F.lit(1)).alias("n_terms")
@@ -125,6 +143,87 @@ def kl_by_group(
         joined.groupBy(group_col, "n_tokens", "n_terms")
         .agg(F.round(F.sum(contrib), round_to).alias("kl_vs_corpus"))
         .select(group_col, "n_tokens", "n_terms", "kl_vs_corpus")
+    )
+
+
+def jsd_pairs(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between group unigram
+    distributions — the symmetric, bounded ([0, ln 2]) source
+    similarity matrix (KL against the corpus is one-vs-all; this is
+    all-vs-all).
+
+    Uses the closed form over the INTERSECTION support only:
+    JSD(P,Q) = ½·Σ_inter [p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+             + ½·ln2·[(1-Σ_inter p) + (1-Σ_inter q)]
+    (a term in only one distribution has m = p/2, contributing
+    p·ln 2), so the term self-join never materializes the union
+    support.  Returns (group_a, group_b, n_common_terms, jsd) for
+    EVERY unordered group pair: the pair skeleton comes from the
+    bounded O(groups) totals table, so pairs with disjoint
+    vocabularies still appear — with n_common_terms = 0 and the exact
+    maximum jsd = ln 2 the same formula yields at zero overlap.
+
+    Scale shape: the self-join shuffles the O(groups × |V|) count
+    table on term; each term yields at most groups² pair rows; the
+    skeleton's inequality join is a broadcast nested loop over the
+    O(groups) table — bounded by construction.  The ln 2 constant is
+    injected as the same Python double the oracle SQL embeds.
+    """
+    st = group_term_counts(df, group_col, text_col)
+    tot = st.groupBy(group_col).agg(F.sum("c_st").alias("n"))
+    p = st.join(F.broadcast(tot), group_col).select(
+        F.col(group_col).alias("g"), "term", (F.col("c_st") / F.col("n")).alias("p")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    cross = pa * F.log(F.lit(2) * pa / (pa + pb)) + pb * F.log(
+        F.lit(2) * pb / (pa + pb)
+    )
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(
+            F.col("a.g").alias("_ia"),
+            F.col("b.g").alias("_ib"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n_common"),
+            F.sum(pa).alias("_sum_pa"),
+            F.sum(pb).alias("_sum_pb"),
+            F.sum(cross).alias("_cross"),
+        )
+    )
+    ga = tot.select(F.col(group_col).alias(f"{group_col}_a"))
+    gb = tot.select(F.col(group_col).alias(f"{group_col}_b"))
+    skel = ga.join(
+        F.broadcast(gb), F.col(f"{group_col}_a") < F.col(f"{group_col}_b")
+    )
+    return (
+        skel.join(
+            inter,
+            (F.col(f"{group_col}_a") == F.col("_ia"))
+            & (F.col(f"{group_col}_b") == F.col("_ib")),
+            "left",
+        )
+        .select(
+            f"{group_col}_a",
+            f"{group_col}_b",
+            F.coalesce("_n_common", F.lit(0)).alias("n_common_terms"),
+            F.round(
+                F.lit(0.5) * F.coalesce("_cross", F.lit(0.0))
+                + F.lit(0.5)
+                * F.lit(LN2)
+                * (
+                    (F.lit(1) - F.coalesce("_sum_pa", F.lit(0.0)))
+                    + (F.lit(1) - F.coalesce("_sum_pb", F.lit(0.0)))
+                ),
+                round_to,
+            ).alias("jsd"),
+        )
     )
 
 

@@ -2328,3 +2328,116 @@ HAVING SUM(gap_us) > 0
 
 QUERIES["time_weighted_value_events"] = time_weighted_value_events
 ORACLES["time_weighted_value_events"] = TIME_WEIGHTED_VALUE_SQL
+
+
+def rolling_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day active users, and the
+    DAU/WAU stickiness ratio per day — the product-health rollup.
+
+    WAU uses bin replication (each (user, day) activity row covers the
+    7 window-end days it contributes to, via sequence + explode), so
+    the distinct-count is a plain groupBy — linear in activity rows,
+    no 7-way self-join, the same shape as session_concurrency_events.
+    Days beyond the observed maximum are clipped (their windows are
+    incomplete on the right); early days keep their partial left
+    windows (WAU over available history).
+    """
+    events = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    du = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    max_day = du.agg(F.max("day")).collect()[0][0]
+    cov = du.select(
+        "user_id",
+        F.explode(F.expr("sequence(0, 6)")).alias("i"),
+        "day",
+    ).select("user_id", F.expr("date_add(day, i)").alias("d"))
+    wau = (
+        cov.where(F.col("d") <= F.lit(max_day))
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, dau["day"] == wau["d"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+mx AS (SELECT MAX(day) AS max_day FROM du),
+cov AS (
+  SELECT user_id, day + CAST(i AS INTEGER) AS d
+  FROM du, (SELECT unnest(range(7)) AS i)
+),
+wau AS (
+  SELECT d, COUNT(DISTINCT user_id) AS wau
+  FROM cov, mx WHERE d <= max_day GROUP BY 1
+),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1)
+SELECT day, dau, wau, ROUND(dau / wau, 6) AS stickiness
+FROM dau JOIN wau ON day = d
+"""
+
+QUERIES["rolling_active_users_events"] = rolling_active_users_events
+ORACLES["rolling_active_users_events"] = ROLLING_ACTIVE_USERS_SQL
+
+
+def key_skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic over orders.o_custkey: per-key row
+    counts summarized as exact percentiles, max, and the
+    max-to-mean skew ratio — the measurement that decides between a
+    plain hash aggregation and the salted form (salted_agg_orders);
+    heavy_hitters names the hot keys, this sizes the imbalance.
+
+    One hash aggregation on the key + one tiny single-row summary
+    (the per-key count table is O(|keys|)).  Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share linear interpolation (the MAD/
+    quantile-kit contract).
+    """
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_per_key"),
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50_per_key"),
+        F.round(F.expr("percentile(n, 0.9)"), 4).alias("p90_per_key"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_per_key"),
+        F.round(
+            F.max("n") / (F.sum("n") / F.count(F.lit(1))), 6
+        ).alias("skew_ratio"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top1_share"),
+    )
+
+
+KEY_SKEW_PROFILE_SQL = """
+WITH counts AS (
+  SELECT o_custkey, COUNT(*) AS n
+  FROM orders WHERE o_custkey IS NOT NULL
+  GROUP BY 1
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS total_rows,
+       MAX(n) AS max_per_key,
+       ROUND(quantile_cont(n, 0.5), 4) AS p50_per_key,
+       ROUND(quantile_cont(n, 0.9), 4) AS p90_per_key,
+       ROUND(quantile_cont(n, 0.99), 4) AS p99_per_key,
+       ROUND(MAX(n) / (SUM(n) / COUNT(*)), 6) AS skew_ratio,
+       ROUND(MAX(n) / SUM(n), 6) AS top1_share
+FROM counts
+"""
+
+QUERIES["key_skew_profile_orders"] = key_skew_profile_orders
+ORACLES["key_skew_profile_orders"] = KEY_SKEW_PROFILE_SQL

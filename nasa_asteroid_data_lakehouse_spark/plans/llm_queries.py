@@ -2263,6 +2263,54 @@ QUERIES["kl_divergence_sources"] = kl_divergence_sources
 ORACLES["kl_divergence_sources"] = KL_SOURCES_SQL
 
 
+# --- pairwise Jensen-Shannon divergence between sources ----------------------
+
+
+def jsd_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise JSD between source unigram distributions
+    (llm/corpus_stats.jsd_pairs) — symmetric, bounded [0, ln 2]; the
+    all-vs-all twin of kl_divergence_sources, via the closed form over
+    intersection support (single-only terms contribute p·ln 2)."""
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    return corpus_stats.jsd_pairs(docs, group_col="source")
+
+
+JSD_SOURCES_SQL = rf"""
+WITH toks AS ({_CORPUS_TOKS_SQL}),
+st AS (SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+tot AS (
+  SELECT source, CAST(SUM(c_st) AS BIGINT) AS n FROM st GROUP BY 1
+),
+p AS (
+  SELECT st.source AS g, term, st.c_st / t.n AS p
+  FROM st JOIN tot t USING (source)
+),
+pairs AS (
+  SELECT a.g AS ia, b.g AS ib,
+         COUNT(*) AS n_common,
+         SUM(a.p) AS sum_pa, SUM(b.p) AS sum_pb,
+         SUM(a.p * ln(2 * a.p / (a.p + b.p))
+             + b.p * ln(2 * b.p / (a.p + b.p))) AS crossed
+  FROM p a JOIN p b ON a.term = b.term AND a.g < b.g
+  GROUP BY 1, 2
+),
+skel AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM tot a JOIN tot b ON a.source < b.source
+)
+SELECT source_a, source_b,
+       COALESCE(n_common, 0) AS n_common_terms,
+       ROUND(0.5 * COALESCE(crossed, 0)
+             + 0.5 * {corpus_stats.LN2!r}
+               * ((1 - COALESCE(sum_pa, 0)) + (1 - COALESCE(sum_pb, 0))),
+             6) AS jsd
+FROM skel LEFT JOIN pairs ON source_a = ia AND source_b = ib
+"""
+
+QUERIES["jsd_source_pairs"] = jsd_source_pairs
+ORACLES["jsd_source_pairs"] = JSD_SOURCES_SQL
+
+
 # --- Zipf rank-frequency slope -----------------------------------------------
 
 _ZIPF_TOP = 1000

@@ -232,3 +232,82 @@ def test_time_weighted_value_is_bounded_weighted_mean(spark, sf_smoke):
     row = got[got["user_id"] == uid].iloc[0]
     assert abs(row["twa_value"] - want) < 1e-4
     assert vals.min() - 1e-9 <= row["twa_value"] <= vals.max() + 1e-9
+
+
+def test_jsd_source_pairs_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        lq.jsd_source_pairs(spark, sf_dir), lq.JSD_SOURCES_SQL, sf_dir
+    )
+
+
+def test_jsd_bounds_symmetry_and_identity(spark, sf_smoke):
+    """JSD in [0, ln 2], one row per unordered source pair, and two
+    identical distributions diverge by ~0."""
+    got = lq.jsd_source_pairs(spark, sf_smoke).toPandas()
+    n_sources = (
+        spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .where("text IS NOT NULL AND trim(text) <> ''")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(got) == n_sources * (n_sources - 1) // 2
+    assert (got["jsd"] >= -1e-9).all()
+    assert (got["jsd"] <= math.log(2) + 1e-9).all()
+
+    from nasa_asteroid_data_lakehouse_spark.llm.corpus_stats import jsd_pairs
+
+    twin = spark.createDataFrame(
+        [("a", "x y z x"), ("b", "x y z x"), ("c", "totally different words")],
+        ["source", "text"],
+    )
+    tp = jsd_pairs(twin).toPandas().set_index(["source_a", "source_b"])
+    assert abs(tp.loc[("a", "b"), "jsd"]) < 1e-9
+    assert tp.loc[("a", "c"), "jsd"] > 0.5
+
+
+def test_rolling_active_users_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        aq.rolling_active_users_events(spark, sf_dir),
+        aq.ROLLING_ACTIVE_USERS_SQL,
+        sf_dir,
+    )
+
+
+def test_rolling_active_users_invariants(spark, sf_smoke):
+    """WAU >= DAU (a day's actives are inside its own window), so
+    stickiness <= 1; spot-check one full window by brute force."""
+    got = aq.rolling_active_users_events(spark, sf_smoke).toPandas()
+    assert len(got) > 0
+    assert (got["wau"] >= got["dau"]).all()
+    assert ((got["stickiness"] > 0) & (got["stickiness"] <= 1)).all()
+
+    import datetime
+
+    day = sorted(got["day"])[len(got) // 2]
+    lo = day - datetime.timedelta(days=6)
+    want = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .where(F.to_date("ts").between(F.lit(lo), F.lit(day)))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert int(got[got["day"] == day]["wau"].iloc[0]) == want
+
+
+def test_key_skew_profile_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        aq.key_skew_profile_orders(spark, sf_dir),
+        aq.KEY_SKEW_PROFILE_SQL,
+        sf_dir,
+    )
+
+
+def test_key_skew_profile_invariants(spark, sf_smoke):
+    row = aq.key_skew_profile_orders(spark, sf_smoke).collect()[0]
+    assert row["max_per_key"] >= row["p99_per_key"] >= row["p90_per_key"]
+    assert row["p90_per_key"] >= row["p50_per_key"] > 0
+    assert row["skew_ratio"] >= 1.0
+    assert 0 < row["top1_share"] <= 1.0

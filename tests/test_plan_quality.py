@@ -19,6 +19,9 @@ import __spark_entry__ as entry
 # broadcast-anchor non-equi pair stages.  Anything NOT listed here must
 # have zero BNLJs.
 _BNLJ_ALLOWED = {
+    # jsd's pair skeleton: inequality self-join over the O(groups)
+    # totals table — bounded broadcast-anchor shape by construction.
+    "jsd_source_pairs",
     "profile_documents",
     "cosine_topk_embeddings",
     "hybrid_retrieval_documents",
