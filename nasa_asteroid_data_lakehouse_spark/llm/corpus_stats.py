@@ -146,6 +146,35 @@ def kl_by_group(
     )
 
 
+def token_entropy_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Shannon entropy of each group's unigram distribution plus
+    Pielou evenness (H / ln(n_terms)) — how concentrated each mixture
+    component's vocabulary usage is (lexical_diversity is per-document
+    TTR; this is the distribution-level gauge).
+
+    H = ln(n) - Σ c·ln(c) / n with n = Σ c — the algebraic form whose
+    only float sums are Σ c·ln(c), identical in the oracle.  One
+    groupBy over the shared checkpointed (group, term) count table.
+    """
+    st = group_term_counts(df, group_col, text_col)
+    n = F.sum("c_st")
+    h = F.log(n) - F.sum(F.col("c_st") * F.log("c_st")) / n
+    n_terms = F.count(F.lit(1))
+    return st.groupBy(group_col).agg(
+        n_terms.alias("n_terms"),
+        n.alias("n_tokens"),
+        F.round(h, round_to).alias("entropy"),
+        F.round(
+            F.when(n_terms > 1, h / F.log(n_terms.cast("double"))), round_to
+        ).alias("evenness"),
+    )
+
+
 def jsd_pairs(
     df: DataFrame,
     group_col: str = "source",

@@ -2311,6 +2311,37 @@ QUERIES["jsd_source_pairs"] = jsd_source_pairs
 ORACLES["jsd_source_pairs"] = JSD_SOURCES_SQL
 
 
+# --- per-source token entropy / evenness -------------------------------------
+
+
+def token_entropy_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + Pielou evenness of each source's unigram
+    distribution (llm/corpus_stats.token_entropy_by_group) — the
+    concentration gauge completing the distributional kit (KL: vs the
+    corpus; JSD: pairwise; entropy: absolute)."""
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    return corpus_stats.token_entropy_by_group(docs, group_col="source")
+
+
+TOKEN_ENTROPY_SQL = rf"""
+WITH toks AS ({_CORPUS_TOKS_SQL}),
+st AS (SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY 1, 2)
+SELECT source,
+       COUNT(*) AS n_terms,
+       CAST(SUM(c_st) AS BIGINT) AS n_tokens,
+       ROUND(ln(SUM(c_st)) - SUM(c_st * ln(c_st)) / SUM(c_st), 6) AS entropy,
+       ROUND(CASE WHEN COUNT(*) > 1
+                  THEN (ln(SUM(c_st)) - SUM(c_st * ln(c_st)) / SUM(c_st))
+                       / ln(CAST(COUNT(*) AS DOUBLE))
+             END, 6) AS evenness
+FROM st
+GROUP BY 1
+"""
+
+QUERIES["token_entropy_sources"] = token_entropy_sources
+ORACLES["token_entropy_sources"] = TOKEN_ENTROPY_SQL
+
+
 # --- Zipf rank-frequency slope -----------------------------------------------
 
 _ZIPF_TOP = 1000

@@ -311,3 +311,33 @@ def test_key_skew_profile_invariants(spark, sf_smoke):
     assert row["p90_per_key"] >= row["p50_per_key"] > 0
     assert row["skew_ratio"] >= 1.0
     assert 0 < row["top1_share"] <= 1.0
+
+
+def test_token_entropy_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        lq.token_entropy_sources(spark, sf_dir), lq.TOKEN_ENTROPY_SQL, sf_dir
+    )
+
+
+def test_token_entropy_bounds(spark, sf_smoke):
+    """0 <= H <= ln(n_terms) (uniform maximizes entropy), so evenness
+    in (0, 1]; a single-token source pins H = 0."""
+    got = lq.token_entropy_sources(spark, sf_smoke).toPandas()
+    assert (got["entropy"] >= -1e-9).all()
+    assert (
+        got["entropy"] <= got["n_terms"].map(math.log) + 1e-9
+    ).all()
+    assert ((got["evenness"] > 0) & (got["evenness"] <= 1 + 1e-9)).all()
+
+    from nasa_asteroid_data_lakehouse_spark.llm.corpus_stats import (
+        token_entropy_by_group,
+    )
+
+    tiny = spark.createDataFrame(
+        [("mono", "x x x x"), ("uni", "a b c d")], ["source", "text"]
+    )
+    tp = token_entropy_by_group(tiny).toPandas().set_index("source")
+    assert tp.loc["mono", "entropy"] == 0.0
+    assert tp.loc["mono", "evenness"] is None or pd.isna(tp.loc["mono", "evenness"])
+    assert abs(tp.loc["uni", "entropy"] - math.log(4)) < 1e-6
+    assert abs(tp.loc["uni", "evenness"] - 1.0) < 1e-6
