@@ -392,23 +392,26 @@ def strip_ubiquitous_tokens(
     whose every token is boilerplate survives with ``n_after = 0`` and
     an empty string (dropping it is the CALLER's policy decision).
 
-    Scale shape: one posexplode + one groupBy(term) with
-    approx-exact countDistinct build the O(|V|) doc-frequency table;
-    its broadcast keeps the keep/strip decision map-side, and the
-    rebuild is one hash agg on the doc id (collect_list of (pos, term)
-    structs, sorted in-row — bounded by document length, never by
-    corpus size).
+    Scale shape: the corpus is scanned ONCE — the posexploded
+    (doc, pos, term) table is localCheckpoint-ed and feeds the exact
+    countDistinct doc-frequency build, the document count (every
+    blank-filtered doc has >= 1 token), and the rebuild join; the
+    O(|V|) doc-frequency broadcast keeps the keep/strip decision
+    map-side, and the rebuild is one hash agg on the doc id
+    (collect_list of (pos, term) structs, sorted in-row — bounded by
+    document length, never by corpus size).
     """
-    from nasa_asteroid_data_lakehouse_spark.llm import text as _text
-
-    base = df.where(F.trim(text_col) != "")
-    toks = base.select(
-        id_col,
-        F.posexplode(
-            _text.tokens(_text.normalized_text(text_col))
-        ).alias("pos", "term"),
+    toks = (
+        df.where(F.trim(text_col) != "")
+        .select(
+            id_col,
+            F.posexplode(
+                T.tokens(T.normalized_text(text_col))
+            ).alias("pos", "term"),
+        )
+        .localCheckpoint(eager=False)
     )
-    n_docs = base.count()
+    n_docs = toks.select(id_col).distinct().count()
     cut = max_df_frac * n_docs
     dfc = toks.groupBy("term").agg(
         F.countDistinct(id_col).alias("doc_freq")

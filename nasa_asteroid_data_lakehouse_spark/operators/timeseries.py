@@ -191,7 +191,7 @@ def interarrival_stats(
         .where(F.col("_prev_ts").isNotNull())
         .withColumn(
             "gap_s",
-            F.expr(f"timestampdiff(MICROSECOND, _prev_ts, {ts_col})")
+            F.expr(f"timestampdiff(MICROSECOND, _prev_ts, `{ts_col}`)")
             / F.lit(1000000.0),
         )
     )

@@ -2345,9 +2345,13 @@ def rolling_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events").where(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
-    du = events.select(
-        F.to_date("ts").alias("day"), "user_id"
-    ).distinct()
+    # One events scan: the (day, user) distinct table feeds the
+    # max-day scalar and both the DAU and WAU branches.
+    du = (
+        events.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     max_day = du.agg(F.max("day")).collect()[0][0]
     cov = du.select(
         "user_id",

@@ -2162,16 +2162,6 @@ ORACLES["vocab_overlap_sources"] = VOCAB_OVERLAP_SQL
 # --- unigram surprisal (perplexity-proxy quality score) ----------------------
 
 
-def _corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, term) — one row per token OCCURRENCE (not
-    distinct), blank/NULL docs excluded.  The shared base of the
-    corpus-statistics family below (llm/corpus_stats.py)."""
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
-    return corpus_stats.token_stream(docs, keep=("doc_id", "source"))
-
-
 def unigram_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean unigram surprisal, the classic
     perplexity-proxy quality filter (CCNet-style: score every document

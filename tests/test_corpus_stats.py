@@ -11,9 +11,18 @@ import math
 import pandas as pd
 from pyspark.sql import functions as F
 
+from nasa_asteroid_data_lakehouse_spark.llm import corpus_stats
 from nasa_asteroid_data_lakehouse_spark.plans import analytics_queries as aq
 from nasa_asteroid_data_lakehouse_spark.plans import llm_queries as lq
 from tests.oracle import assert_matches_oracle
+
+
+def _tokens(spark, sf_dir):
+    """Token stream over the fixture documents — the SAME path the
+    queries execute (corpus_stats.token_stream), not a test-local
+    reimplementation that could drift."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_stats.token_stream(docs, keep=("doc_id", "source"))
 
 
 def test_unigram_surprisal_matches_oracle(spark, sf_dir):
@@ -65,7 +74,7 @@ def test_kl_divergence_nonnegative_and_consistent(spark, sf_smoke):
     per-source token totals must sum to the corpus total."""
     got = lq.kl_divergence_sources(spark, sf_smoke).toPandas()
     assert (got["kl_vs_corpus"] >= -1e-9).all()
-    total = lq._corpus_tokens(spark, sf_smoke).count()
+    total = _tokens(spark, sf_smoke).count()
     assert int(got["n_tokens"].sum()) == total
     assert (got["n_terms"] <= got["n_tokens"]).all()
 
@@ -82,7 +91,7 @@ def test_zipf_slope_invariants(spark, sf_smoke):
     min(_ZIPF_TOP, |V|) points."""
     row = lq.zipf_slope_tokens(spark, sf_smoke).collect()[0]
     vocab = (
-        lq._corpus_tokens(spark, sf_smoke).select("term").distinct().count()
+        _tokens(spark, sf_smoke).select("term").distinct().count()
     )
     assert row["n_terms"] == min(lq._ZIPF_TOP, vocab)
     assert row["slope"] < 0
