@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-from nasa_asteroid_data_lakehouse_spark.llm import curation, dedup
+from nasa_asteroid_data_lakehouse_spark.llm import corpus_stats, curation, dedup
 
 
 def admit_stream(
@@ -85,4 +85,117 @@ def admit_stream(
     return (
         gated.writeStream.foreachBatch(screen_and_append)
         .option("checkpointLocation", checkpoint or f"{table_path}__checkpoint")
+    )
+
+
+def build_reference_lm(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+) -> tuple[DataFrame, int]:
+    """Build the static reference unigram LM a scoring stream joins
+    against: (term, c) counts — localCheckpoint-ed, O(|V|) — plus the
+    corpus token total.  Computed ONCE at stream start; every
+    micro-batch reuses the checkpointed table (the stream-static
+    pattern: the static side is fixed for the life of the query)."""
+    toks = corpus_stats.token_stream(corpus_df, text_col, keep=())
+    cnt = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    total = cnt.agg(F.sum("c")).collect()[0][0] or 0
+    return cnt, int(total)
+
+
+def surprisal_score_batch(
+    batch_df: DataFrame,
+    lm_counts: DataFrame,
+    total: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score one (micro-)batch of documents against a STATIC reference
+    LM — the out-of-corpus twin of
+    :func:`~nasa_asteroid_data_lakehouse_spark.llm.corpus_stats.unigram_surprisal`
+    (there the corpus scores itself; here unseen terms are possible
+    and floor at count 1, the Laplace edge: their surprisal is the
+    maximum ln(N)).
+
+    Returns the batch rows plus (n_tokens, mean_surprisal).  Broadcast
+    left-join against the O(|V|) LM table + one hash agg on the doc
+    id: per-batch cost is O(|batch| tokens), never O(corpus).
+    """
+    doc_tf = (
+        batch_df.where(F.trim(text_col) != "")
+        .select(
+            id_col,
+            F.explode(
+                corpus_stats.text.tokens(
+                    corpus_stats.text.normalized_text(text_col)
+                )
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        doc_tf.join(F.broadcast(lm_counts), "term", "left")
+        .withColumn("c", F.coalesce("c", F.lit(1)))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.log(F.lit(total).cast("double"))
+                - F.sum(F.col("tf") * F.log("c")) / F.sum("tf"),
+                6,
+            ).alias("mean_surprisal"),
+        )
+    )
+    return batch_df.join(scored, id_col)
+
+
+def score_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    reference_df: DataFrame,
+    out_path: str,
+    max_surprisal: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+):
+    """Continuous LM-based quality scoring: every micro-batch is scored
+    against the reference corpus' unigram LM (built once, checkpointed)
+    and appended to ``out_path`` with its surprisal columns;
+    ``max_surprisal`` optionally gates high-perplexity (boilerplate /
+    gibberish) documents in-stream.
+
+    The per-doc aggregation is a STREAMING aggregation if run inside
+    the stream (unbounded state: doc ids never expire), so it runs in
+    ``foreachBatch`` — batch-shaped work in the batch slot, the same
+    split ``admit_stream`` uses.  Replay-safe: scoring is a pure
+    function of (LM, batch), and re-delivered doc ids are dropped
+    against the already-written output.
+
+    Returns the unstarted ``DataStreamWriter``.
+    """
+    lm_counts, total = build_reference_lm(reference_df, text_col)
+
+    def score_and_append(batch_df: DataFrame, batch_id: int) -> None:
+        scored = surprisal_score_batch(
+            batch_df, lm_counts, total, id_col, text_col
+        )
+        if max_surprisal is not None:
+            scored = scored.where(F.col("mean_surprisal") <= max_surprisal)
+        try:
+            seen = spark.read.parquet(out_path).select(id_col)
+        except AnalysisException:
+            seen = None
+        if seen is not None:
+            scored = scored.join(seen, id_col, "left_anti")
+        scored.write.mode("append").parquet(out_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(score_and_append)
+        .option("checkpointLocation", checkpoint or f"{out_path}__checkpoint")
     )

@@ -396,3 +396,91 @@ def test_streaming_admission_gates_and_dedups(spark, tmp_path):
     # doc 2 admitted; 3 rejected (near-dup of 1); 4 rejected (quality);
     # 1 not re-admitted on replay of the first file
     assert admitted == {1, 2}
+
+
+def test_streaming_lm_scoring_matches_batch_and_gates(spark, tmp_path):
+    """Continuous LM scoring: a document stream scored against a
+    static reference corpus' unigram LM in foreachBatch.  The streamed
+    scores must equal the batch operator's scores exactly, unseen
+    terms floor at count 1 (maximum surprisal ln N), the gate drops
+    high-perplexity docs, and replayed ids are not re-appended."""
+    import os
+
+    from nasa_asteroid_data_lakehouse_spark.streaming.curation import (
+        build_reference_lm,
+        score_stream,
+        surprisal_score_batch,
+    )
+
+    reference = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat " * 3) for i in range(4)]
+        + [(200, "dogs chase the cat around the mat")],
+        "doc_id long, text string",
+    )
+    incoming = [
+        (1, "the cat sat on the mat"),          # in-distribution: low surprisal
+        (2, "zyxqv frobnitz plugh xyzzy"),      # all-unseen: surprisal = ln N
+    ]
+
+    src = str(tmp_path / "lm_in")
+    os.makedirs(src, exist_ok=True)
+    out = str(tmp_path / "lm_scored")
+    spark.createDataFrame(incoming, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        score_stream(spark, stream, reference, out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2}
+
+    # exact agreement with the batch operator on the same LM
+    lm, total = build_reference_lm(reference)
+    batch = {
+        r["doc_id"]: r
+        for r in surprisal_score_batch(
+            spark.createDataFrame(incoming, "doc_id long, text string"), lm, total
+        ).collect()
+    }
+    for d in (1, 2):
+        assert got[d]["mean_surprisal"] == batch[d]["mean_surprisal"]
+        assert got[d]["n_tokens"] == batch[d]["n_tokens"]
+
+    # unseen-term floor: doc 2 sits at the ceiling ln(total), above doc 1
+    import math
+
+    assert abs(got[2]["mean_surprisal"] - round(math.log(total), 6)) < 1e-9
+    assert got[1]["mean_surprisal"] < got[2]["mean_surprisal"]
+
+    # replay the same files plus a gated run: nothing duplicates, the
+    # gate keeps only the in-distribution doc
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        score_stream(spark, stream, reference, out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
+
+    gated_out = str(tmp_path / "lm_gated")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        score_stream(
+            spark,
+            stream,
+            reference,
+            gated_out,
+            max_surprisal=float(round(math.log(total), 6)) - 0.1,
+            checkpoint=str(tmp_path / "lm_gated_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(gated_out).collect()} == {1}
