@@ -1,3 +1,21 @@
-from nasa_asteroid_data_lakehouse_spark.llm import dedup, multimodal, similarity, text
+from nasa_asteroid_data_lakehouse_spark.llm import (
+    corpus_stats,
+    curation,
+    dedup,
+    multimodal,
+    packing,
+    sharding,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = [
+    "corpus_stats",
+    "curation",
+    "dedup",
+    "multimodal",
+    "packing",
+    "sharding",
+    "similarity",
+    "text",
+]

@@ -66,20 +66,20 @@ def unigram_surprisal(
     algebraically the mean of -ln(p(t)) over occurrences, written as
     the tf-weighted form an oracle reproduces with the same float ops.
 
-    Returns (id_col, n_tokens, mean_surprisal).  The token stream is
-    scanned exactly ONCE: the per-doc (term, tf) table —
-    localCheckpoint-ed — is the only corpus aggregation; the corpus
-    count table and total N are exact integer re-aggregations of it,
-    and the score join moves O(Σ distinct terms per doc) rows instead
-    of O(N) occurrences.  The O(|V|) count-table broadcast keeps the
-    scoring join map-side.
+    Returns (id_col, n_tokens, mean_surprisal).  The per-doc
+    (term, tf) table is the only corpus aggregation; the corpus count
+    table and total N are exact integer re-aggregations of it, and
+    the score join moves O(Σ distinct terms per doc) rows instead of
+    O(N) occurrences.  doc_tf is deliberately NOT localCheckpoint-ed:
+    it is O(corpus)-sized, and materializing it costs more memory
+    than recomputing the narrow explode+agg (measured equal-speed
+    solo at 1M docs, and the materialized form degrades/OOMs when
+    checkpoint blocks accumulate across a session — only the
+    O(|V|)-bounded tables earn a checkpoint, per kl_by_group).  The
+    O(|V|) count-table broadcast keeps the scoring join map-side.
     """
     toks = token_stream(df, text_col, keep=(id_col,))
-    doc_tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    doc_tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     cnt = doc_tf.groupBy("term").agg(F.sum("tf").alias("c"))
     total = cnt.agg(F.sum("c")).collect()[0][0] or 0
     return (

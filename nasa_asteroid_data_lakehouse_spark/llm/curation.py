@@ -392,26 +392,26 @@ def strip_ubiquitous_tokens(
     whose every token is boilerplate survives with ``n_after = 0`` and
     an empty string (dropping it is the CALLER's policy decision).
 
-    Scale shape: the corpus is scanned ONCE — the posexploded
-    (doc, pos, term) table is localCheckpoint-ed and feeds the exact
-    countDistinct doc-frequency build, the document count (every
-    blank-filtered doc has >= 1 token), and the rebuild join; the
-    O(|V|) doc-frequency broadcast keeps the keep/strip decision
-    map-side, and the rebuild is one hash agg on the doc id
-    (collect_list of (pos, term) structs, sorted in-row — bounded by
-    document length, never by corpus size).
+    Scale shape: the posexplode runs twice (exact countDistinct
+    doc-frequency build, then the rebuild join) — deliberately NOT
+    localCheckpoint-ed: materializing the O(total tokens) stream costs
+    more memory than recomputing a narrow projection+explode from the
+    column-pruned scan (measured: the checkpointed form OOMs local[32]
+    at 1M×60-token docs where the recompute form runs in ~16 s).  The
+    document count is a pruned base scan (no explode — Catalyst drops
+    the generator under count).  The O(|V|) doc-frequency broadcast
+    keeps the keep/strip decision map-side, and the rebuild is one
+    hash agg on the doc id (collect_list of (pos, term) structs,
+    sorted in-row — bounded by document length, never by corpus size).
     """
-    toks = (
-        df.where(F.trim(text_col) != "")
-        .select(
-            id_col,
-            F.posexplode(
-                T.tokens(T.normalized_text(text_col))
-            ).alias("pos", "term"),
-        )
-        .localCheckpoint(eager=False)
+    base = df.where(F.trim(text_col) != "")
+    toks = base.select(
+        id_col,
+        F.posexplode(
+            T.tokens(T.normalized_text(text_col))
+        ).alias("pos", "term"),
     )
-    n_docs = toks.select(id_col).distinct().count()
+    n_docs = base.count()
     cut = max_df_frac * n_docs
     dfc = toks.groupBy("term").agg(
         F.countDistinct(id_col).alias("doc_freq")

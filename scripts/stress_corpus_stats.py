@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from nasa_asteroid_data_lakehouse_spark.llm import corpus_stats
+from nasa_asteroid_data_lakehouse_spark.llm import corpus_stats, curation
 from nasa_asteroid_data_lakehouse_spark.operators.timeseries import interarrival_stats
 from nasa_asteroid_data_lakehouse_spark.session import get_spark
 from scripts.stress_curation import probe, synth_docs
@@ -52,7 +52,16 @@ def main() -> None:
 
     probe("unigram_surprisal_1M", lambda: corpus_stats.unigram_surprisal(docs))
     probe("kl_by_group_1M", lambda: corpus_stats.kl_by_group(docs, "source"))
+    probe("jsd_pairs_1M_40src", lambda: corpus_stats.jsd_pairs(docs, "source"))
+    probe(
+        "token_entropy_1M",
+        lambda: corpus_stats.token_entropy_by_group(docs, "source"),
+    )
     probe("zipf_slope_1M", lambda: corpus_stats.zipf_slope(docs))
+    probe(
+        "boilerplate_strip_1M",
+        lambda: curation.strip_ubiquitous_tokens(docs),
+    )
     probe(
         "interarrival_stats_20M",
         lambda: interarrival_stats(events, "user_id", "ts", ("event_id",)),
