@@ -2445,3 +2445,130 @@ FROM counts
 
 QUERIES["key_skew_profile_orders"] = key_skew_profile_orders
 ORACLES["key_skew_profile_orders"] = KEY_SKEW_PROFILE_SQL
+
+
+def monthly_revenue_growth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue with growth percentage — the
+    period-over-period trend every serving layer ends up asking for.
+    Growth is computed on the UNROUNDED monthly sums (rounding first
+    would quantize the ratio), lag over the month sequence; the first
+    month's growth is NULL by construction.
+
+    One hash aggregation on the truncated month + one window over the
+    tiny month table (O(months) rows — single partition is correct).
+    """
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
+    monthly = orders.groupBy(
+        F.trunc("o_orderdate", "month").alias("month")
+    ).agg(
+        F.sum("o_totalprice").alias("_rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("_rev").over(w)
+    return (
+        monthly.withColumn("_prev", prev)
+        .select(
+            "month",
+            "n_orders",
+            F.round("_rev", 2).alias("revenue"),
+            F.round(
+                (F.col("_rev") - F.col("_prev")) / F.col("_prev") * 100, 4
+            ).alias("growth_pct"),
+        )
+        .orderBy("month")
+    )
+
+
+MONTHLY_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(o_totalprice) AS rev,
+         COUNT(*) AS n_orders
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1
+)
+SELECT month, n_orders,
+       ROUND(rev, 2) AS revenue,
+       ROUND((rev - lag(rev) OVER (ORDER BY month))
+             / lag(rev) OVER (ORDER BY month) * 100, 4) AS growth_pct
+FROM monthly
+ORDER BY month
+"""
+
+QUERIES["monthly_revenue_growth_orders"] = monthly_revenue_growth_orders
+ORACLES["monthly_revenue_growth_orders"] = MONTHLY_GROWTH_SQL
+
+
+def conversion_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view-to-first-purchase latency distribution: per user, the
+    time from the first 'view' to the first 'purchase' AFTER it —
+    the funnel-timing gauge (funnel_events counts conversions; this
+    measures how long they take).  Latency diffs at microsecond
+    resolution; percentiles use the Spark ``percentile`` / DuckDB
+    ``quantile_cont`` linear-interpolation contract.
+
+    Two hash aggregations keyed on user (first view, then first
+    qualifying purchase via a shuffle join on the user key) and a
+    single-row summary.
+    """
+    events = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    first_view = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    first_purchase = (
+        events.where(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .where(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = first_purchase.select(
+        (
+            F.expr("timestampdiff(MICROSECOND, first_view, first_purchase)")
+            / F.lit(1000000.0)
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 3).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 3).alias("p90_s"),
+        F.round(F.avg("latency_s"), 3).alias("mean_s"),
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+fv AS (
+  SELECT user_id, MIN(ts) AS first_view FROM base
+  WHERE event_type = 'view' GROUP BY 1
+),
+fp AS (
+  SELECT b.user_id, fv.first_view, MIN(b.ts) AS first_purchase
+  FROM base b JOIN fv USING (user_id)
+  WHERE b.event_type = 'purchase' AND b.ts > fv.first_view
+  GROUP BY 1, 2
+),
+lat AS (
+  SELECT date_diff('microsecond', first_view, first_purchase) / 1000000.0
+           AS latency_s
+  FROM fp
+)
+SELECT COUNT(*) AS n_converted,
+       ROUND(quantile_cont(latency_s, 0.5), 3) AS p50_s,
+       ROUND(quantile_cont(latency_s, 0.9), 3) AS p90_s,
+       ROUND(AVG(latency_s), 3) AS mean_s
+FROM lat
+"""
+
+QUERIES["conversion_latency_events"] = conversion_latency_events
+ORACLES["conversion_latency_events"] = CONVERSION_LATENCY_SQL

@@ -350,3 +350,42 @@ def test_token_entropy_bounds(spark, sf_smoke):
     assert tp.loc["mono", "evenness"] is None or pd.isna(tp.loc["mono", "evenness"])
     assert abs(tp.loc["uni", "entropy"] - math.log(4)) < 1e-6
     assert abs(tp.loc["uni", "evenness"] - 1.0) < 1e-6
+
+
+def test_monthly_revenue_growth_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        aq.monthly_revenue_growth_orders(spark, sf_dir),
+        aq.MONTHLY_GROWTH_SQL,
+        sf_dir,
+    )
+
+
+def test_monthly_revenue_growth_reconstructs(spark, sf_smoke):
+    """Month revenues chained by growth_pct reproduce each other, and
+    the only NULL growth is the first month."""
+    got = (
+        aq.monthly_revenue_growth_orders(spark, sf_smoke)
+        .toPandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    assert pd.isna(got.loc[0, "growth_pct"])
+    assert got["growth_pct"][1:].notna().all()
+    for i in range(1, len(got)):
+        implied = got.loc[i - 1, "revenue"] * (1 + got.loc[i, "growth_pct"] / 100)
+        assert abs(implied - got.loc[i, "revenue"]) / got.loc[i, "revenue"] < 1e-5
+
+
+def test_conversion_latency_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        aq.conversion_latency_events(spark, sf_dir),
+        aq.CONVERSION_LATENCY_SQL,
+        sf_dir,
+    )
+
+
+def test_conversion_latency_invariants(spark, sf_smoke):
+    row = aq.conversion_latency_events(spark, sf_smoke).collect()[0]
+    assert row["n_converted"] > 0
+    assert 0 < row["p50_s"] <= row["p90_s"]
+    assert row["mean_s"] > 0
