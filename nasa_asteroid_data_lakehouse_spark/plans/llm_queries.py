@@ -911,6 +911,61 @@ QUERIES["minhash_lsh_pairs_documents"] = minhash_lsh_pairs_documents
 ORACLES["minhash_lsh_pairs_documents"] = MINHASH_LSH_SQL
 
 
+# --- edit-distance verification of LSH candidates ----------------------------
+
+
+def edit_distance_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of the MinHash-LSH candidate pairs:
+    full Levenshtein distance on the normalized texts plus the derived
+    similarity 1 - lev/maxlen — the expensive exact verifier shingle
+    Jaccard approximates (integer-exact, so the oracle agrees
+    bit-for-bit; both engines ship the classic DP Levenshtein).
+
+    Scale shape: edit distance is O(len²) per pair, so it runs ONLY on
+    the LSH-bucketed candidates (the shared cached pair table — never
+    all-pairs); the text join-back is two hash joins on the doc id.
+    """
+    pairs = _lsh_pairs_cached(spark, sf_dir, _LSHMH_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text.normalized_text("text").alias("norm")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("na"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("nb"))
+    lev = F.levenshtein("na", "nb")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            lev.alias("lev"),
+            F.round(
+                F.lit(1)
+                - lev / F.greatest(F.length("na"), F.length("nb"), F.lit(1)),
+                6,
+            ).alias("edit_sim"),
+        )
+    )
+
+
+EDIT_DISTANCE_PAIRS_SQL = rf"""
+WITH base_pairs AS ({_minhash_lsh_sql()}),
+norm AS (SELECT doc_id, {_NORM} AS n FROM documents)
+SELECT id_a, id_b,
+       levenshtein(a.n, b.n) AS lev,
+       ROUND(1 - levenshtein(a.n, b.n)
+                 / greatest(length(a.n), length(b.n), 1), 6) AS edit_sim
+FROM base_pairs
+JOIN norm a ON a.doc_id = id_a
+JOIN norm b ON b.doc_id = id_b
+"""
+
+QUERIES["edit_distance_pairs_documents"] = edit_distance_pairs_documents
+ORACLES["edit_distance_pairs_documents"] = EDIT_DISTANCE_PAIRS_SQL
+
+
 # --- near-dup clusters (connected components over LSH pairs) -----------------
 
 _CLUSTER_THRESHOLD = 0.5

@@ -389,3 +389,25 @@ def test_conversion_latency_invariants(spark, sf_smoke):
     assert row["n_converted"] > 0
     assert 0 < row["p50_s"] <= row["p90_s"]
     assert row["mean_s"] > 0
+
+
+def test_edit_distance_pairs_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        lq.edit_distance_pairs_documents(spark, sf_dir),
+        lq.EDIT_DISTANCE_PAIRS_SQL,
+        sf_dir,
+    )
+
+
+def test_edit_distance_pairs_invariants(spark, sf_smoke):
+    """Exact duplicates score lev=0 / sim=1, every sim in [0, 1], and
+    the pair set equals the LSH candidate set (the verifier adds
+    columns, never drops candidates)."""
+    got = lq.edit_distance_pairs_documents(spark, sf_smoke).toPandas()
+    cands = lq.minhash_lsh_pairs_documents(spark, sf_smoke).toPandas()
+    assert len(got) == len(cands)
+    assert (got["lev"] >= 0).all()
+    assert ((got["edit_sim"] >= -1e-9) & (got["edit_sim"] <= 1 + 1e-9)).all()
+    exact = got[got["lev"] == 0]
+    if len(exact):
+        assert (exact["edit_sim"] == 1.0).all()
