@@ -1,0 +1,133 @@
+"""Incrementally-maintained aggregate table (streaming materialized
+view): each micro-batch folds its ALGEBRAIC partial aggregates
+(count / sum / min / max — merge = the same op over partials) into a
+persistent rollup keyed on the group columns.
+
+Exactly-once across replays WITHOUT relying on sink idempotence: the
+set of applied batch ids lives INSIDE the same atomically-swapped
+table root as the data (``root/data`` + ``root/applied``), so a batch
+and its marker commit together — a replayed foreachBatch invocation
+sees its id already applied and is a no-op, and a crash between write
+and swap leaves the previous consistent (data, applied) pair intact.
+
+At scale the merge cost per batch is O(|state| + |batch groups|) — a
+union of two pre-aggregated tables re-aggregated on the group key,
+one shuffle; the raw stream is never re-scanned.  For very large key
+cardinality, swap the full-rewrite merge for the bucket-level upsert
+(``lake/table.VersionedTable``) — the per-batch delta usually touches
+few buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.operators.merge import (
+    read_table_if_exists,
+    staged_swap,
+)
+
+__all__ = [
+    "rollup_partial",
+    "merge_partials",
+    "fold_rollup_batch",
+    "incremental_rollup_sink",
+]
+
+
+def rollup_partial(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Algebraic partial aggregate of one batch: (keys, n_rows,
+    n_vals, sum_val, min_val, max_val)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(value_col).alias("n_vals"),
+        F.sum(value_col).alias("sum_val"),
+        F.min(value_col).alias("min_val"),
+        F.max(value_col).alias("max_val"),
+    )
+
+
+def merge_partials(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold two partial-aggregate tables: counts/sums add, min/max
+    re-extremize; a key's all-NULL partial (NULL sum/min/max)
+    contributes nothing, exactly as in a single-pass aggregation."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_vals").alias("n_vals"),
+            F.sum("sum_val").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+    )
+
+
+def fold_rollup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    table_root: str,
+    keys: list[str],
+    value_col: str,
+) -> bool:
+    """Fold one batch into the rollup at ``table_root``; returns False
+    (no-op) when ``batch_id`` is already applied — the foreachBatch
+    replay case.  Batch ids identify batches WITHIN one checkpoint
+    lineage: reusing a table with a fresh checkpoint restarts ids at 0
+    and will wrongly skip new data — pair each table_root with exactly
+    one checkpoint for its lifetime."""
+    state = read_table_if_exists(spark, f"{table_root}/data")
+    applied = read_table_if_exists(spark, f"{table_root}/applied")
+    if applied is not None and applied.where(
+        F.col("batch_id") == batch_id
+    ).limit(1).count():
+        return False
+    partial = rollup_partial(batch_df, keys, value_col)
+    merged = partial if state is None else merge_partials(state, partial, keys)
+    new_applied = spark.createDataFrame([(int(batch_id),)], "batch_id long")
+    if applied is not None:
+        new_applied = applied.unionByName(new_applied)
+    # Force both plans BEFORE the swap destroys the state they read.
+    merged = merged.localCheckpoint(eager=True)
+    new_applied = new_applied.localCheckpoint(eager=True)
+
+    def write_to(staging: str) -> None:
+        merged.write.mode("overwrite").parquet(f"{staging}/data")
+        new_applied.write.mode("overwrite").parquet(f"{staging}/applied")
+
+    if state is None and applied is None:
+        write_to(table_root)
+    else:
+        staged_swap(table_root, write_to)
+    return True
+
+
+def incremental_rollup_sink(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    table_root: str,
+    keys: list[str],
+    value_col: str,
+    checkpoint: str | None = None,
+):
+    """Continuous rollup maintenance: per micro-batch, aggregate the
+    batch, merge into ``table_root/data``, and commit the batch id to
+    ``table_root/applied`` in the SAME atomic swap
+    (:func:`fold_rollup_batch`).  Returns the unstarted
+    ``DataStreamWriter`` (callers pick the trigger and call
+    ``start()``), matching ``admit_stream``'s shape.
+
+    Read the maintained view with ``spark.read.parquet(root + "/data")``
+    — mean is derivable as sum_val / n_vals.
+    """
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fold_rollup_batch(spark, batch_df, batch_id, table_root, keys, value_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint or f"{table_root}__checkpoint")
+    )

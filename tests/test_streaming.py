@@ -484,3 +484,97 @@ def test_streaming_lm_scoring_matches_batch_and_gates(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert {r["doc_id"] for r in spark.read.parquet(gated_out).collect()} == {1}
+
+
+def test_incremental_rollup_exactly_once(spark, tmp_path):
+    """Streaming materialized view: per-batch partial aggregates fold
+    into a persistent rollup; the result equals a one-shot batch
+    aggregation over all input, and replaying the source does not
+    double-count (applied-batch markers commit atomically with data)."""
+    import os
+
+    from nasa_asteroid_data_lakehouse_spark.streaming.rollup import (
+        incremental_rollup_sink,
+        merge_partials,
+        rollup_partial,
+    )
+
+    src = str(tmp_path / "roll_in")
+    os.makedirs(src, exist_ok=True)
+    root = str(tmp_path / "rollup")
+    schema = "event_id long, event_type string, value double"
+
+    batch1 = [(1, "view", 2.0), (2, "click", 4.0), (3, "view", None)]
+    batch2 = [(4, "view", 10.0), (5, "purchase", 1.5), (6, "click", -3.0)]
+
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        incremental_rollup_sink(spark, stream, root, ["event_type"], "value")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        incremental_rollup_sink(spark, stream, root, ["event_type"], "value")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: r
+        for r in spark.read.parquet(f"{root}/data").collect()
+    }
+    want = {
+        r["event_type"]: r
+        for r in rollup_partial(
+            spark.createDataFrame(batch1 + batch2, schema), ["event_type"], "value"
+        ).collect()
+    }
+    assert set(got) == set(want) == {"view", "click", "purchase"}
+    for k in want:
+        for c in ("n_rows", "n_vals", "sum_val", "min_val", "max_val"):
+            assert got[k][c] == want[k][c], (k, c)
+    # NULL value counted in rows, not vals
+    assert got["view"]["n_rows"] == 3 and got["view"]["n_vals"] == 2
+
+    # true foreachBatch replay: re-fold an already-applied batch id —
+    # must be a no-op (marker committed atomically with the data)
+    from nasa_asteroid_data_lakehouse_spark.streaming.rollup import (
+        fold_rollup_batch,
+    )
+
+    applied_ids = sorted(
+        r["batch_id"] for r in spark.read.parquet(f"{root}/applied").collect()
+    )
+    replay_id = applied_ids[-1]
+    assert not fold_rollup_batch(
+        spark,
+        spark.createDataFrame(batch2, schema),
+        replay_id,
+        root,
+        ["event_type"],
+        "value",
+    )
+    again = {
+        r["event_type"]: r
+        for r in spark.read.parquet(f"{root}/data").collect()
+    }
+    for k in want:
+        assert again[k]["n_rows"] == want[k]["n_rows"]
+        assert again[k]["sum_val"] == want[k]["sum_val"]
+
+    # merge_partials is associative with the single-pass result
+    p1 = rollup_partial(spark.createDataFrame(batch1, schema), ["event_type"], "value")
+    p2 = rollup_partial(spark.createDataFrame(batch2, schema), ["event_type"], "value")
+    folded = {
+        r["event_type"]: r
+        for r in merge_partials(p1, p2, ["event_type"]).collect()
+    }
+    for k in want:
+        assert folded[k]["sum_val"] == want[k]["sum_val"]
+        assert folded[k]["min_val"] == want[k]["min_val"]
