@@ -2425,6 +2425,75 @@ QUERIES["zipf_slope_tokens"] = zipf_slope_tokens
 ORACLES["zipf_slope_tokens"] = ZIPF_SLOPE_SQL
 
 
+# --- vocabulary coverage curve -----------------------------------------------
+
+_COVERAGE_RANKS = (1, 2, 5, 10, 20, 50, 100, 200, 500, 1000, 2000, 5000, 10000)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of corpus token occurrences covered by the top-k terms,
+    at k on a 1-2-5 series up to 10000 (marks beyond the vocabulary
+    simply don't appear) — the vocabulary-sizing gauge (how big a
+    tokenizer vocab must be before the OOV tail is negligible).
+
+    The cumulative sum runs over at most max(k) rows cut by
+    TakeOrderedAndProject on the O(|V|) count table (rank ties broken
+    (count DESC, term ASC)), so the single-partition window is
+    constant-size at any corpus scale; coverage = exact integer
+    cumsum / exact integer total, one float division per row.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    toks = corpus_stats.token_stream(docs, keep=())
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c")).collect()[0][0] or 0
+    n_terms = cnt.count()
+    top = cnt.orderBy(F.desc("c"), "term").limit(max(_COVERAGE_RANKS))
+    w = (
+        SparkWindow.orderBy(F.desc("c"), "term")
+        .rowsBetween(SparkWindow.unboundedPreceding, 0)
+    )
+    ranked = top.select(
+        F.row_number().over(SparkWindow.orderBy(F.desc("c"), "term")).alias(
+            "rank"
+        ),
+        F.sum("c").over(w).alias("cum"),
+    )
+    marks = ranked.where(
+        F.col("rank").isin(*[r for r in _COVERAGE_RANKS])
+    )
+    return marks.select(
+        F.col("rank").alias("top_k"),
+        F.col("cum").alias("covered_tokens"),
+        F.lit(total).alias("total_tokens"),
+        F.lit(n_terms).alias("n_terms"),
+        F.round(F.col("cum") / F.lit(total), 6).alias("coverage"),
+    ).orderBy("top_k")
+
+
+VOCAB_COVERAGE_SQL = rf"""
+WITH toks AS ({_CORPUS_TOKS_SQL}),
+cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, COUNT(*) AS n_terms FROM cnt),
+top AS (SELECT term, c FROM cnt ORDER BY c DESC, term
+        LIMIT {max(_COVERAGE_RANKS)}),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rank,
+         CAST(SUM(c) OVER (ORDER BY c DESC, term
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM top
+)
+SELECT rank AS top_k, cum AS covered_tokens,
+       tot.total AS total_tokens, tot.n_terms AS n_terms,
+       ROUND(cum / tot.total, 6) AS coverage
+FROM ranked, tot
+WHERE rank IN ({", ".join(str(r) for r in _COVERAGE_RANKS)})
+ORDER BY top_k
+"""
+
+QUERIES["vocab_coverage_curve"] = vocab_coverage_curve
+ORACLES["vocab_coverage_curve"] = VOCAB_COVERAGE_SQL
+
+
 # --- corpus-adaptive boilerplate stripping -----------------------------------
 
 _BOILER_MAX_DF_FRAC = 0.5

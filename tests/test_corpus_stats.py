@@ -411,3 +411,28 @@ def test_edit_distance_pairs_invariants(spark, sf_smoke):
     exact = got[got["lev"] == 0]
     if len(exact):
         assert (exact["edit_sim"] == 1.0).all()
+
+
+def test_vocab_coverage_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        lq.vocab_coverage_curve(spark, sf_dir), lq.VOCAB_COVERAGE_SQL, sf_dir
+    )
+
+
+def test_vocab_coverage_monotone(spark, sf_smoke):
+    """Coverage is non-decreasing in k, bounded by 1, and the largest
+    in-vocab mark covers every occurrence of the top-k terms it
+    claims (cum <= total always; cum == total only when k >= |V|)."""
+    got = (
+        lq.vocab_coverage_curve(spark, sf_smoke)
+        .toPandas()
+        .sort_values("top_k")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert (got["coverage"].diff().dropna() >= 0).all()
+    assert (got["coverage"] <= 1 + 1e-9).all()
+    assert (got["covered_tokens"] <= got["total_tokens"]).all()
+    full = got[got["top_k"] >= got["n_terms"]]
+    if len(full):
+        assert (full["coverage"] == 1.0).all()
