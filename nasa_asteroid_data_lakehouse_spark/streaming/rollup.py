@@ -31,8 +31,10 @@ from nasa_asteroid_data_lakehouse_spark.operators.merge import (
 __all__ = [
     "rollup_partial",
     "merge_partials",
+    "fold_mergeable_batch",
     "fold_rollup_batch",
     "incremental_rollup_sink",
+    "incremental_cms_sink",
 ]
 
 
@@ -65,28 +67,31 @@ def merge_partials(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def fold_rollup_batch(
+def fold_mergeable_batch(
     spark: SparkSession,
     batch_df: DataFrame,
     batch_id: int,
     table_root: str,
-    keys: list[str],
-    value_col: str,
+    partial_fn,
+    merge_fn,
 ) -> bool:
-    """Fold one batch into the rollup at ``table_root``; returns False
-    (no-op) when ``batch_id`` is already applied — the foreachBatch
-    replay case.  Batch ids identify batches WITHIN one checkpoint
-    lineage: reusing a table with a fresh checkpoint restarts ids at 0
-    and will wrongly skip new data — pair each table_root with exactly
-    one checkpoint for its lifetime."""
+    """Fold one batch into ANY mergeable-aggregate table at
+    ``table_root``: ``partial_fn(batch_df)`` produces the batch's
+    partial-aggregate table, ``merge_fn(state, partial)`` folds it into
+    the persisted state.  Returns False (no-op) when ``batch_id`` is
+    already applied — the foreachBatch replay case.  Batch ids
+    identify batches WITHIN one checkpoint lineage: reusing a table
+    with a fresh checkpoint restarts ids at 0 and will wrongly skip
+    new data — pair each table_root with exactly one checkpoint for
+    its lifetime."""
     state = read_table_if_exists(spark, f"{table_root}/data")
     applied = read_table_if_exists(spark, f"{table_root}/applied")
     if applied is not None and applied.where(
         F.col("batch_id") == batch_id
     ).limit(1).count():
         return False
-    partial = rollup_partial(batch_df, keys, value_col)
-    merged = partial if state is None else merge_partials(state, partial, keys)
+    partial = partial_fn(batch_df)
+    merged = partial if state is None else merge_fn(state, partial)
     new_applied = spark.createDataFrame([(int(batch_id),)], "batch_id long")
     if applied is not None:
         new_applied = applied.unionByName(new_applied)
@@ -103,6 +108,26 @@ def fold_rollup_batch(
     else:
         staged_swap(table_root, write_to)
     return True
+
+
+def fold_rollup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    table_root: str,
+    keys: list[str],
+    value_col: str,
+) -> bool:
+    """:func:`fold_mergeable_batch` specialized to the count/sum/min/
+    max rollup."""
+    return fold_mergeable_batch(
+        spark,
+        batch_df,
+        batch_id,
+        table_root,
+        lambda b: rollup_partial(b, keys, value_col),
+        lambda s, p: merge_partials(s, p, keys),
+    )
 
 
 def incremental_rollup_sink(
@@ -126,6 +151,53 @@ def incremental_rollup_sink(
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         fold_rollup_batch(spark, batch_df, batch_id, table_root, keys, value_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint or f"{table_root}__checkpoint")
+    )
+
+
+def incremental_cms_sink(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    table_root: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms-v1",
+    checkpoint: str | None = None,
+):
+    """Continuously-maintained count-min sketch: each micro-batch's
+    depth×width counter table (operators/sketches.count_min_counters)
+    merges into the persistent sketch by cell-wise sum.  CMS is a
+    LINEAR sketch, so the merged counters equal a single-pass build
+    over all delivered rows EXACTLY — the maintenance is lossless, and
+    the state is depth×width rows regardless of how much data has
+    streamed through.  Same atomic applied-marker protocol as
+    :func:`incremental_rollup_sink`.  Query with
+    operators/sketches.count_min_estimate over ``root + "/data"``.
+    """
+    from nasa_asteroid_data_lakehouse_spark.operators.sketches import (
+        count_min_counters,
+    )
+
+    def merge_cells(state: DataFrame, partial: DataFrame) -> DataFrame:
+        return (
+            state.unionByName(partial)
+            .groupBy("j", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fold_mergeable_batch(
+            spark,
+            batch_df,
+            batch_id,
+            table_root,
+            lambda b: count_min_counters(b, item_col, depth, width, seed),
+            merge_cells,
+        )
 
     return (
         stream_df.writeStream.foreachBatch(fold_batch)

@@ -578,3 +578,60 @@ def test_incremental_rollup_exactly_once(spark, tmp_path):
     for k in want:
         assert folded[k]["sum_val"] == want[k]["sum_val"]
         assert folded[k]["min_val"] == want[k]["min_val"]
+
+
+def test_incremental_cms_is_lossless_linear_merge(spark, tmp_path):
+    """A CMS maintained across micro-batches equals the single-pass
+    sketch over all rows cell-for-cell (linearity), so point estimates
+    agree exactly; state stays depth x width regardless of volume."""
+    import os
+
+    from nasa_asteroid_data_lakehouse_spark.operators.sketches import (
+        count_min_counters,
+        count_min_estimate,
+    )
+    from nasa_asteroid_data_lakehouse_spark.streaming.rollup import (
+        incremental_cms_sink,
+    )
+
+    src = str(tmp_path / "cms_in")
+    os.makedirs(src, exist_ok=True)
+    root = str(tmp_path / "cms")
+    schema = "event_id long, event_type string"
+
+    b1 = [(i, t) for i, t in enumerate(["view"] * 7 + ["click"] * 3)]
+    b2 = [(100 + i, t) for i, t in enumerate(["view"] * 5 + ["purchase"] * 2)]
+
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            incremental_cms_sink(spark, stream, root, "event_type", width=64)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    maintained = spark.read.parquet(f"{root}/data")
+    single_pass = count_min_counters(
+        spark.createDataFrame(b1 + b2, schema), "event_type", width=64
+    )
+    diff = maintained.alias("m").join(
+        single_pass.alias("s"), ["j", "bucket"], "full_outer"
+    ).where(
+        F.coalesce(F.col("m.cnt"), F.lit(-1))
+        != F.coalesce(F.col("s.cnt"), F.lit(-1))
+    )
+    assert diff.count() == 0
+    assert maintained.count() <= 4 * 64
+
+    queries = spark.createDataFrame(
+        [("view",), ("click",), ("purchase",)], "event_type string"
+    )
+    est = {
+        r["item"]: r["cms_est"]
+        for r in count_min_estimate(
+            maintained, queries, "event_type", width=64
+        ).collect()
+    }
+    assert est["view"] >= 12 and est["click"] >= 3 and est["purchase"] >= 2
