@@ -2572,3 +2572,81 @@ FROM lat
 
 QUERIES["conversion_latency_events"] = conversion_latency_events
 ORACLES["conversion_latency_events"] = CONVERSION_LATENCY_SQL
+
+
+def linear_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's unit of credit
+    is split equally across the user's view/click/signup touches in
+    the preceding 24 hours, then summed per touch type — the
+    multi-touch complement of last_click_before_purchase (which gives
+    the whole unit to one touch).
+
+    The time-bounded self-join keys on user_id (AQE-sized shuffle
+    join, same shape as purchases_after_clicks); the per-purchase
+    touch count is a window over the purchase id — bounded by touches
+    per purchase window, never corpus-wide.  Credit 1/n is a single
+    exact division; the per-type sums round at 1e-6.
+    """
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    touches = events.where(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", "ts", "event_type")
+    joined = touches.join(
+        purchases,
+        (touches["user_id"] == purchases["user_id"])
+        & (F.col("ts") < F.col("pts"))
+        & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    w = Window.partitionBy("pid")
+    credited = joined.withColumn(
+        "credit", F.lit(1) / F.count(F.lit(1)).over(w)
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("pid").alias("n_purchases_touched"),
+            F.round(F.sum("credit"), 6).alias("credit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+LINEAR_ATTRIBUTION_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+p AS (
+  SELECT user_id, ts AS pts, event_id AS pid FROM base
+  WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts, event_type FROM base
+  WHERE event_type IN ('view', 'click', 'signup')
+),
+j AS (
+  SELECT t.event_type, p.pid,
+         1 / COUNT(*) OVER (PARTITION BY p.pid) AS credit
+  FROM t JOIN p ON t.user_id = p.user_id
+   AND t.ts < p.pts AND t.ts >= p.pts - INTERVAL 24 HOUR
+)
+SELECT event_type, COUNT(*) AS n_touches,
+       COUNT(DISTINCT pid) AS n_purchases_touched,
+       ROUND(SUM(credit), 6) AS credit
+FROM j
+GROUP BY 1
+ORDER BY event_type
+"""
+
+QUERIES["linear_attribution_events"] = linear_attribution_events
+ORACLES["linear_attribution_events"] = LINEAR_ATTRIBUTION_SQL

@@ -436,3 +436,39 @@ def test_vocab_coverage_monotone(spark, sf_smoke):
     full = got[got["top_k"] >= got["n_terms"]]
     if len(full):
         assert (full["coverage"] == 1.0).all()
+
+
+def test_linear_attribution_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        aq.linear_attribution_events(spark, sf_dir),
+        aq.LINEAR_ATTRIBUTION_SQL,
+        sf_dir,
+    )
+
+
+def test_linear_attribution_conserves_credit(spark, sf_smoke):
+    """Total credit equals the number of purchases that have at least
+    one touch in window (each such purchase distributes exactly one
+    unit), and every purchase's credit shares sum to 1."""
+    got = aq.linear_attribution_events(spark, sf_smoke).toPandas()
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    t = events.where(F.col("event_type").isin("view", "click", "signup")).select(
+        "user_id", "ts"
+    )
+    touched = (
+        t.join(
+            p,
+            (t["user_id"] == p["user_id"])
+            & (F.col("ts") < F.col("pts"))
+            & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+        )
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert abs(got["credit"].sum() - touched) < 1e-3
