@@ -2650,3 +2650,118 @@ ORDER BY event_type
 
 QUERIES["linear_attribution_events"] = linear_attribution_events
 ORACLES["linear_attribution_events"] = LINEAR_ATTRIBUTION_SQL
+
+
+def rolling_correlation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day Pearson correlation between the daily 'view' and
+    'purchase' counts — the do-views-drive-purchases co-movement
+    gauge.  Written entirely as WINDOW SUMS over exact integer daily
+    counts (n·Σxy − Σx·Σy over the usual root), so both engines
+    compute the identical fixed-order float expression per row; rows
+    with an undefined correlation (either series constant in the
+    window) are NULL in both.
+
+    One hash agg to the daily grid (conditional counts — no pivot
+    shuffle), one 7-row window over the bounded day table.
+    """
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    n = F.count(F.lit(1)).over(w)
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return daily.select(
+        "day",
+        "x",
+        "y",
+        F.round(
+            F.when(den > 0, num / den), 6
+        ).alias("corr_7d"),
+    ).orderBy("day")
+
+
+ROLLING_CORR_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS x,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS y
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1
+),
+win AS (
+  SELECT day, x, y,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+         SUM(x * y) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, x, y,
+       ROUND(CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 6) AS corr_7d
+FROM win
+ORDER BY day
+"""
+
+QUERIES["rolling_correlation_events"] = rolling_correlation_events
+ORACLES["rolling_correlation_events"] = ROLLING_CORR_SQL
+
+
+def hourly_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week activity profile: event counts and share of total
+    per (day-of-week, hour-of-day) cell — the seasonality fingerprint
+    behind anomaly baselines and capacity planning.  ISO day numbering
+    (1 = Monday) on both engines; one hash agg + a broadcast of the
+    single-row total."""
+    events = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    cells = events.groupBy(
+        F.dayofweek("ts").alias("_dow_sun1"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # Spark dayofweek: 1=Sunday; ISO: 1=Monday
+    iso = cells.select(
+        (((F.col("_dow_sun1") + 5) % 7) + 1).alias("dow_iso"),
+        "hour",
+        "n_events",
+    )
+    total = iso.agg(F.sum("n_events").alias("_total"))
+    return (
+        iso.crossJoin(F.broadcast(total))
+        .select(
+            "dow_iso",
+            "hour",
+            "n_events",
+            F.round(F.col("n_events") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy("dow_iso", "hour")
+    )
+
+
+HOURLY_SEASONALITY_SQL = """
+WITH cells AS (
+  SELECT isodow(ts) AS dow_iso, EXTRACT(hour FROM ts) AS hour,
+         COUNT(*) AS n_events
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM cells)
+SELECT dow_iso, hour, n_events,
+       ROUND(n_events / tot.total, 6) AS share
+FROM cells, tot
+ORDER BY dow_iso, hour
+"""
+
+QUERIES["hourly_seasonality_events"] = hourly_seasonality_events
+ORACLES["hourly_seasonality_events"] = HOURLY_SEASONALITY_SQL

@@ -472,3 +472,50 @@ def test_linear_attribution_conserves_credit(spark, sf_smoke):
         .count()
     )
     assert abs(got["credit"].sum() - touched) < 1e-3
+
+
+def test_rolling_correlation_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        aq.rolling_correlation_events(spark, sf_dir),
+        aq.ROLLING_CORR_SQL,
+        sf_dir,
+    )
+
+
+def test_rolling_correlation_bounds_and_brute_force(spark, sf_smoke):
+    """corr in [-1, 1]; spot-check one full 7-day window against
+    pandas' Pearson correlation."""
+    got = (
+        aq.rolling_correlation_events(spark, sf_smoke)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    defined = got["corr_7d"].dropna()
+    assert ((defined >= -1 - 1e-9) & (defined <= 1 + 1e-9)).all()
+    if len(got) >= 7:
+        i = 7
+        window = got.iloc[i - 6 : i + 1]
+        want = window["x"].astype(float).corr(window["y"].astype(float))
+        have = got.loc[i, "corr_7d"]
+        if pd.notna(want) and pd.notna(have):
+            assert abs(have - want) < 1e-6
+
+
+def test_hourly_seasonality_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        aq.hourly_seasonality_events(spark, sf_dir),
+        aq.HOURLY_SEASONALITY_SQL,
+        sf_dir,
+    )
+
+
+def test_hourly_seasonality_partitions_unity(spark, sf_smoke):
+    got = aq.hourly_seasonality_events(spark, sf_smoke).toPandas()
+    assert got["dow_iso"].between(1, 7).all()
+    assert got["hour"].between(0, 23).all()
+    assert abs(got["share"].sum() - 1.0) < 1e-3
+    total = spark.read.parquet(f"{sf_smoke}/events.parquet").where(
+        F.col("ts").isNotNull()
+    ).count()
+    assert int(got["n_events"].sum()) == total

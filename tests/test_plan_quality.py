@@ -22,6 +22,8 @@ _BNLJ_ALLOWED = {
     # jsd's pair skeleton: inequality self-join over the O(groups)
     # totals table — bounded broadcast-anchor shape by construction.
     "jsd_source_pairs",
+    # single-row grand-total broadcast (share-of-total projection)
+    "hourly_seasonality_events",
     "profile_documents",
     "cosine_topk_embeddings",
     "hybrid_retrieval_documents",
