@@ -2765,3 +2765,112 @@ ORDER BY dow_iso, hour
 
 QUERIES["hourly_seasonality_events"] = hourly_seasonality_events
 ORACLES["hourly_seasonality_events"] = HOURLY_SEASONALITY_SQL
+
+
+_PSI_SPLIT = "1998-01-01"
+_PSI_BINS = 10
+
+
+def psi_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of o_totalprice between the
+    reference period (orders before 1998-01-01) and the current period
+    (after) — the standard model-ops drift gauge (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 drifted).
+
+    Bin edges are the reference period's deciles (exact
+    ``percentile`` / ``quantile_cont`` contract), then both periods
+    are histogrammed on those SAME edges; the per-bin contribution is
+    (p - q)·ln(p/q) with counts Laplace-floored at 1 so empty bins
+    stay finite.  Edge computation is one aggregation; binning is a
+    broadcast of 9 doubles folded into a CASE chain — one pass over
+    each period, no join.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    ref = orders.where(F.col("o_orderdate") < _PSI_SPLIT)
+    cur = orders.where(F.col("o_orderdate") >= _PSI_SPLIT)
+    qs = [i / _PSI_BINS for i in range(1, _PSI_BINS)]
+    edges = ref.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q!r})").alias(f"e{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).collect()[0]
+    cuts = [edges[f"e{i}"] for i in range(len(qs))]
+
+    def bin_col():
+        c = F.lit(0)
+        for e in cuts:
+            c = c + F.when(F.col("o_totalprice") > F.lit(e), 1).otherwise(0)
+        return c.alias("bin")
+
+    rc = ref.select(bin_col()).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    cc = cur.select(bin_col()).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    n_ref = ref.count()
+    n_cur = cur.count()
+    joined = rc.join(cc, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    p = F.greatest(F.col("n_ref"), F.lit(1)) / F.lit(n_ref)
+    q = F.greatest(F.col("n_cur"), F.lit(1)) / F.lit(n_cur)
+    per_bin = joined.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((p - q) * F.log(p / q)).alias("_contrib"),
+    )
+    return per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_ref").alias("ref_rows"),
+        F.sum("n_cur").alias("cur_rows"),
+        F.round(F.sum("_contrib"), 6).alias("psi"),
+    )
+
+
+def _psi_sql() -> str:
+    qs = [i / _PSI_BINS for i in range(1, _PSI_BINS)]
+    edge_sel = ", ".join(
+        f"quantile_cont(o_totalprice, {q!r}) AS e{i}" for i, q in enumerate(qs)
+    )
+    bin_expr = " + ".join(
+        f"CASE WHEN o_totalprice > (SELECT e{i} FROM edges) THEN 1 ELSE 0 END"
+        for i in range(len(qs))
+    )
+    return f"""
+WITH base AS (
+  SELECT o_totalprice, o_orderdate FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+),
+ref AS (SELECT o_totalprice FROM base WHERE o_orderdate < '{_PSI_SPLIT}'),
+cur AS (SELECT o_totalprice FROM base WHERE o_orderdate >= '{_PSI_SPLIT}'),
+edges AS (SELECT {edge_sel} FROM ref),
+rb AS (SELECT {bin_expr} AS bin, COUNT(*) AS n_ref FROM ref GROUP BY 1),
+cb AS (SELECT {bin_expr} AS bin, COUNT(*) AS n_cur FROM cur GROUP BY 1),
+tot AS (SELECT (SELECT COUNT(*) FROM ref) AS nr, (SELECT COUNT(*) FROM cur) AS nc),
+j AS (
+  SELECT COALESCE(rb.bin, cb.bin) AS bin,
+         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+)
+SELECT COUNT(*) AS n_bins,
+       CAST(SUM(n_ref) AS BIGINT) AS ref_rows,
+       CAST(SUM(n_cur) AS BIGINT) AS cur_rows,
+       ROUND(SUM((greatest(n_ref, 1) / tot.nr - greatest(n_cur, 1) / tot.nc)
+                 * ln((greatest(n_ref, 1) / tot.nr)
+                      / (greatest(n_cur, 1) / tot.nc))), 6) AS psi
+FROM j, tot
+GROUP BY tot.nr, tot.nc
+"""
+
+
+PSI_SQL = _psi_sql()
+
+QUERIES["psi_orders_price"] = psi_orders_price
+ORACLES["psi_orders_price"] = PSI_SQL

@@ -519,3 +519,21 @@ def test_hourly_seasonality_partitions_unity(spark, sf_smoke):
         F.col("ts").isNotNull()
     ).count()
     assert int(got["n_events"].sum()) == total
+
+
+def test_psi_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        aq.psi_orders_price(spark, sf_dir), aq.PSI_SQL, sf_dir
+    )
+
+
+def test_psi_identical_distributions_score_zero(spark, sf_smoke):
+    """PSI >= 0 always; PSI of a distribution against itself is ~0
+    (same deciles, same histogram), and the fixture's date split —
+    prices independent of date — sits well under the 0.1 'stable'
+    threshold."""
+    row = aq.psi_orders_price(spark, sf_smoke).collect()[0]
+    assert row["n_bins"] >= 1
+    assert row["psi"] >= -1e-9
+    assert row["psi"] < 0.1
+    assert row["ref_rows"] > 0 and row["cur_rows"] > 0
