@@ -635,3 +635,57 @@ def test_incremental_cms_is_lossless_linear_merge(spark, tmp_path):
         ).collect()
     }
     assert est["view"] >= 12 and est["click"] >= 3 and est["purchase"] >= 2
+
+
+def test_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    """An in-distribution micro-batch scores near-zero KL and zero OOV
+    against the reference LM; an out-of-distribution batch scores
+    high KL and high OOV — the data-drift alarm."""
+    import os
+
+    from nasa_asteroid_data_lakehouse_spark.streaming.curation import (
+        drift_monitor_stream,
+    )
+
+    reference = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran") for i in range(5)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "drift_in")
+    os.makedirs(src, exist_ok=True)
+    out = str(tmp_path / "drift_out")
+
+    in_dist = [(1, "the cat sat on the mat"), (2, "the dog ran")]
+    shifted = [(3, "quantum flux capacitor overload"), (4, "zyxqv plugh xyzzy")]
+
+    spark.createDataFrame(in_dist, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        drift_monitor_stream(spark, stream, reference, out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(shifted, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        drift_monitor_stream(spark, stream, reference, out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r["batch_id"]
+    )
+    assert len(rows) == 2
+    good, bad = rows[0], rows[1]
+    assert good["oov_rate"] == 0.0
+    assert bad["oov_rate"] == 1.0
+    assert bad["kl"] > good["kl"] + 1.0
+    assert good["n_docs"] == 2 and bad["n_docs"] == 2
