@@ -17,6 +17,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import (
     curation_queries,
     llm_queries,
     operator_queries,
+    stats_queries,
     tpch_queries,
 )
 from nasa_asteroid_data_lakehouse_spark.plans import queries as plans
@@ -161,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(analytics_queries.QUERIES)
     out.update(tpch_queries.QUERIES)
     out.update(curation_queries.QUERIES)
+    out.update(stats_queries.QUERIES)
     return _rotate(out)
 
 
@@ -176,4 +178,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(analytics_queries.ORACLES)
     out.update(tpch_queries.ORACLES)
     out.update(curation_queries.ORACLES)
+    out.update(stats_queries.ORACLES)
     return _rotate(out)

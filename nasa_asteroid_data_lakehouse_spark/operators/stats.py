@@ -1,0 +1,310 @@
+"""Statistical profiling operators: equi-depth histograms, chi-square
+independence, Benford leading-digit screens, and functional-dependency
+conflict mining.
+
+All four follow the same 100 TB shape: ONE full scan that reduces to a
+bounded table (buckets, contingency cells, digits, conflicting keys),
+then any cross-row mathematics (marginals, totals, expected counts)
+re-derived from that bounded table — never a second pass over the
+data.  Boundary vectors and marginal tables broadcast back when a
+per-row assignment needs them.
+
+No reference analog: the reference profiles null counts only
+(``src/etl/silver_to_gold.py:46-52``); net-new analytics surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+__all__ = [
+    "equidepth_histogram",
+    "chi_square_independence",
+    "benford_profile",
+    "fd_conflicts",
+    "basket_pairs",
+    "cusum",
+]
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of ``value_col``.
+
+    Exact interior percentile boundaries (one single-row aggregate,
+    broadcast back), then a map-side bucket assignment: bucket = how
+    many boundaries the value exceeds.  No global sort, no NTILE
+    window — the classic NTILE formulation funnels the whole table
+    through ONE window partition, which is exactly the plan that dies
+    at 100 TB.  At scale swap ``percentile`` for the mergeable
+    ``percentile_approx`` sketch; the assignment pass is unchanged.
+
+    Boundaries are rounded to ``round_to`` decimals BEFORE assignment
+    so an oracle engine computing the same interpolation reproduces
+    the same cut points bit-for-bit.
+    """
+    qs = [i / buckets for i in range(1, buckets)]
+    v = F.col(value_col)
+    pct = F.expr(
+        f"percentile({value_col}, array({', '.join(str(q) for q in qs)}))"
+    )
+    bounds = df.agg(
+        F.transform(pct, lambda b: F.round(b, round_to)).alias("__bounds")
+    )
+    assigned = df.crossJoin(broadcast(bounds)).select(
+        v.alias("__v"),
+        F.size(F.filter("__bounds", lambda b: v > b)).alias("bucket"),
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("__v"), round_to).alias("lo"),
+            F.round(F.max("__v"), round_to).alias("hi"),
+            F.round(F.avg("__v"), 6).alias("mean"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Per-cell chi-square decomposition of a two-way contingency
+    table: observed, expected under independence, the cell's
+    contribution, and a key-ordered running sum of contributions whose
+    last value is the table-wide statistic.
+
+    Single scan -> cell counts; marginals and the grand total are
+    exact integer re-aggregations OVER THE BOUNDED CELL TABLE (window
+    sums over |rows|x|cols| cells), so the raw data is read once.
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(row_col).alias("row_key"), F.col(col_col).alias("col_key")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    w_row = Window.partitionBy("row_key")
+    w_col = Window.partitionBy("col_key")
+    w_all = Window.partitionBy()
+    with_marg = cells.select(
+        "row_key",
+        "col_key",
+        "observed",
+        F.sum("observed").over(w_row).alias("row_total"),
+        F.sum("observed").over(w_col).alias("col_total"),
+        F.sum("observed").over(w_all).alias("grand_total"),
+    )
+    expected = (
+        F.col("row_total").cast("double")
+        * F.col("col_total")
+        / F.col("grand_total")
+    )
+    diff = F.col("observed") - expected
+    # (o-e)*(o-e), not pow(o-e, 2): libm pow need not equal the exact
+    # product, and the oracle engine must reproduce the double exactly
+    contrib = diff * diff / expected
+    per_cell = with_marg.select(
+        "row_key",
+        "col_key",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(contrib, 6).alias("contrib"),
+        contrib.alias("__contrib_raw"),
+    )
+    # the table statistic as an ORDERED running sum over the bounded
+    # cell table — a fixed float reduction order every engine
+    # reproduces (an unordered SUM() over derived float terms is not
+    # portable); the last cell's value is the chi-square statistic
+    w_cum = (
+        Window.partitionBy()
+        .orderBy("row_key", "col_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_cell.select(
+        "row_key",
+        "col_key",
+        "observed",
+        "expected",
+        "contrib",
+        F.round(F.sum("__contrib_raw").over(w_cum), 6).alias(
+            "cum_chi_square"
+        ),
+    )
+
+
+def _leading_digit_cents(v: Column) -> Column:
+    """First significant digit of a positive 2-decimal price, via the
+    exact integer cents rendering (portable across engines — no
+    float pow/log in the digit path)."""
+    cents = F.round(v * 100).cast("long").cast("string")
+    return F.substring(cents, 1, 1).cast("int")
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """Leading-digit distribution of ``value_col`` vs Benford's law.
+
+    The classic synthetic-data / fraud screen: natural multiplicative
+    quantities put digit d first with probability log10(1 + 1/d).
+    One scan -> 9-row digit table; shares derive from the bounded
+    table via a window total.
+    """
+    from pyspark.sql import Window
+
+    digits = (
+        df.where(F.col(value_col) > 0)
+        .groupBy(_leading_digit_cents(F.col(value_col)).alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    observed = F.col("n").cast("double") / total
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return digits.select(
+        "digit",
+        "n",
+        F.round(observed, 6).alias("observed_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.abs(observed - benford), 6).alias("abs_gap"),
+    ).orderBy("digit")
+
+
+def fd_conflicts(
+    df: DataFrame,
+    determinant: Column | str,
+    dependents: list[str],
+    only_violations: bool = True,
+) -> DataFrame:
+    """Functional-dependency conflict mining: groups of rows sharing a
+    determinant value whose dependent attributes disagree — e.g.
+    duplicate documents (same content fingerprint) carrying
+    conflicting language or source metadata.
+
+    One hash aggregate on the determinant; ``count(distinct ...)`` per
+    dependent inside it.  ``only_violations=False`` keeps every group
+    so callers can report "FD verified clean" as a positive result.
+    """
+    det = F.col(determinant) if isinstance(determinant, str) else determinant
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for dep in dependents:
+        aggs.append(F.countDistinct(F.col(dep)).alias(f"n_{dep}"))
+    grouped = df.groupBy(det.alias("determinant")).agg(*aggs)
+    if not only_violations:
+        return grouped
+    violation = None
+    for dep in dependents:
+        cond = F.col(f"n_{dep}") > 1
+        violation = cond if violation is None else (violation | cond)
+    return grouped.where(violation)
+
+
+def basket_pairs(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered item pair,
+    how many groups contain both, with support and lift.
+
+    Scale shape: distinct (group, item) projection, then a self
+    equi-join ON THE GROUP KEY — co-partitioned, and bounded because
+    per-group item counts are small (order lines, basket sizes), so
+    the pair expansion is O(groups x k^2), never all-pairs over items.
+    Per-item totals are an O(|items|) table joined back; lift is
+    integer-moment math (exact counts, then one scalar division) so
+    any oracle engine reproduces the doubles.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    n_groups_row = base.agg(
+        F.countDistinct("g").alias("__n_groups")
+    )
+    left = base.select("g", F.col("item").alias("item_a"))
+    right = base.select("g", F.col("item").alias("item_b"))
+    pairs = (
+        left.join(right, "g")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_groups"))
+    )
+    totals = base.groupBy("item").agg(F.count(F.lit(1)).alias("item_groups"))
+    with_tot = (
+        pairs.join(
+            broadcast(totals.select(F.col("item").alias("item_a"),
+                                    F.col("item_groups").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            broadcast(totals.select(F.col("item").alias("item_b"),
+                                    F.col("item_groups").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(broadcast(n_groups_row))
+    )
+    support = F.col("pair_groups").cast("double") / F.col("__n_groups")
+    lift = (
+        F.col("pair_groups").cast("double")
+        * F.col("__n_groups")
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return with_tot.select(
+        "item_a",
+        "item_b",
+        "pair_groups",
+        "n_a",
+        "n_b",
+        F.round(support, 6).alias("support"),
+        F.round(lift, 6).alias("lift"),
+    )
+
+
+def cusum(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
+    """CUSUM changepoint screen over an ordered series: the running
+    sum of deviations from the series mean, plus a flag on the row
+    where |CUSUM| peaks (the classic changepoint candidate).
+
+    The input is expected to be an already-bounded series (e.g. daily
+    aggregates), so the ordered running-sum window is over O(days)
+    rows, not the raw data.  The running sum accumulates in series
+    order — a FIXED float reduction order every engine reproduces.
+    """
+    from pyspark.sql import Window
+
+    mean_row = df.agg(
+        F.sum(F.col(value_col)).cast("double").alias("__tot"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    dev = df.crossJoin(broadcast(mean_row)).select(
+        F.col(order_col),
+        F.col(value_col),
+        (F.col(value_col) - F.col("__tot") / F.col("__n")).alias("__dev"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dev.select(
+        order_col,
+        value_col,
+        F.sum("__dev").over(w).alias("__cusum"),
+    )
+    w_all = Window.partitionBy()
+    return cum.select(
+        order_col,
+        value_col,
+        F.round("__cusum", 6).alias("cusum"),
+        (F.abs("__cusum") == F.max(F.abs("__cusum")).over(w_all)).alias(
+            "is_peak"
+        ),
+    )
+
+
+# Benford expectations for driver-side assertions in tests
+_BENFORD_EXPECTED = {d: math.log10(1 + 1 / d) for d in range(1, 10)}

@@ -69,6 +69,11 @@ _BNLJ_ALLOWED = {
     "q15_top_supplier",
     "dup_span_coverage_documents",
     "stats_by_segment",
+    # single-row boundary-vector broadcast (equi-depth bucket assign)
+    "equidepth_histogram_orders",
+    # single-row group-total / series-mean broadcasts
+    "market_basket_lineitem",
+    "cusum_daily_events",
 }
 
 

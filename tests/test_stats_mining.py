@@ -1,0 +1,284 @@
+"""Statistical-mining + tokenizer-training family: BPE pair counts /
+merge application, deterministic shuffle manifests, equi-depth
+histograms, chi-square independence, Benford screens, FD conflict
+mining — each oracle-checked against DuckDB plus invariant or
+brute-force property tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from nasa_asteroid_data_lakehouse_spark.llm import tokenizer
+from nasa_asteroid_data_lakehouse_spark.plans import stats_queries as sq
+from tests.oracle import assert_matches_oracle
+
+
+# --- oracle parity (same SQL the driver runs) --------------------------------
+
+
+def test_bpe_pair_counts_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.bpe_pair_counts_documents(spark, sf_dir),
+        sq.BPE_PAIR_COUNTS_SQL,
+        sf_dir,
+    )
+
+
+def test_shuffle_manifest_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.shuffle_manifest_documents(spark, sf_dir),
+        sq.SHUFFLE_MANIFEST_SQL,
+        sf_dir,
+    )
+
+
+def test_equidepth_histogram_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.equidepth_histogram_orders(spark, sf_dir),
+        sq.EQUIDEPTH_SQL,
+        sf_dir,
+    )
+
+
+def test_chi_square_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.chi_square_events(spark, sf_dir), sq.CHI_SQUARE_SQL, sf_dir
+    )
+
+
+def test_benford_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.benford_orders(spark, sf_dir), sq.BENFORD_SQL, sf_dir
+    )
+
+
+def test_metadata_conflicts_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.metadata_conflicts_documents(spark, sf_dir),
+        sq.METADATA_CONFLICTS_SQL,
+        sf_dir,
+    )
+
+
+# --- BPE primitives ----------------------------------------------------------
+
+
+def _brute_pairs(texts: list[str]) -> dict[tuple[str, str], int]:
+    counts: dict[tuple[str, str], int] = {}
+    for t in texts:
+        toks = " ".join(t.lower().split()).split()
+        for a, b in zip(toks, toks[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    return counts
+
+
+def test_pair_counts_brute_force(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    got = {
+        (r["a"], r["b"]): r["pair_count"]
+        for r in tokenizer.pair_counts(docs).collect()
+    }
+    texts = [r["text"] for r in docs.select("text").collect() if r["text"]]
+    assert got == _brute_pairs(texts)
+
+
+def test_best_merge_is_max_pair(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    a, b = tokenizer.best_merge(docs)
+    brute = _brute_pairs(
+        [r["text"] for r in docs.select("text").collect() if r["text"]]
+    )
+    best = min(
+        brute.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )
+    assert (a, b) == best[0]
+
+
+def _brute_merge(toks: list[str], a: str, b: str) -> list[str]:
+    out: list[str] = []
+    for x in toks:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def test_apply_merge_greedy_semantics(spark):
+    """Greedy left-to-right, non-overlapping merge of ("a", "b"),
+    including the ("a","a")-on-"aaa" style self-pair via brute force."""
+    cases = [
+        ["a", "b", "a", "b"],       # both merge
+        ["a", "a", "b", "b"],       # one merge mid-array
+        ["x"],                      # untouched
+        [],                         # empty
+        ["a", "b", "a", "b", "a"],  # non-overlapping L->R
+        ["b", "a", "b", "b"],       # merge not at position 0
+    ]
+    schema = StructType([StructField("toks", ArrayType(StringType()))])
+    df = spark.createDataFrame([(t,) for t in cases], schema)
+    merged = [
+        r["m"]
+        for r in df.select(
+            tokenizer.apply_merge(F.col("toks"), "a", "b").alias("m")
+        ).collect()
+    ]
+    for toks, got in zip(cases, merged):
+        assert got == _brute_merge(toks, "a", "b"), (toks, got)
+    # self-pair greedy semantics: "aaa" -> ["aa", "a"]
+    df2 = spark.createDataFrame([(["a", "a", "a"],)], schema)
+    got2 = df2.select(
+        tokenizer.apply_merge(F.col("toks"), "a", "a").alias("m")
+    ).collect()[0]["m"]
+    assert got2 == ["aa", "a"]
+
+
+def test_apply_merge_round_trips_pair_count(spark, sf_smoke):
+    """After applying the best merge, that pair's count drops to zero
+    (merged occurrences disappear from the pair stream)."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(50)
+    a, b = tokenizer.best_merge(docs)
+    from nasa_asteroid_data_lakehouse_spark.llm import text as t
+
+    toks = t.tokens(t.normalized_text("text"))
+    merged = docs.select(
+        F.array_join(tokenizer.apply_merge(toks, a, b, joiner="\x00"), " ").alias(
+            "text"
+        )
+    )
+    remaining = {
+        (r["a"], r["b"]): r["pair_count"]
+        for r in tokenizer.pair_counts(merged).collect()
+    }
+    assert (a, b) not in remaining
+
+
+# --- invariants --------------------------------------------------------------
+
+
+def test_shuffle_manifest_is_permutation(spark, sf_smoke):
+    got = sq.shuffle_manifest_documents(spark, sf_smoke).toPandas()
+    n_docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").count()
+    assert len(got) == n_docs
+    assert got["doc_id"].is_unique
+    for shard, grp in got.groupby("shard"):
+        assert sorted(grp["shard_pos"]) == list(range(1, len(grp) + 1))
+        # within-shard order follows the shuffle key
+        ordered = grp.sort_values("shard_pos")
+        assert list(ordered["shuffle_key"]) == sorted(ordered["shuffle_key"])
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark, sf_dir):
+    got = sq.equidepth_histogram_orders(spark, sf_dir).toPandas()
+    assert list(got["bucket"]) == list(range(10))
+    total = got["n"].sum()
+    # equal-frequency up to boundary-tie slack
+    assert got["n"].max() <= total / 10 * 1.2
+    assert got["n"].min() >= total / 10 * 0.8
+    # contiguous, non-overlapping value ranges
+    for i in range(1, len(got)):
+        assert got.loc[i, "lo"] >= got.loc[i - 1, "hi"]
+
+
+def test_chi_square_decomposition_consistent(spark, sf_dir):
+    got = (
+        sq.chi_square_events(spark, sf_dir)
+        .toPandas()
+        .sort_values(["row_key", "col_key"])
+        .reset_index(drop=True)
+    )
+    # expected matrix preserves the grand total
+    assert math.isclose(got["expected"].sum(), got["observed"].sum(), rel_tol=1e-6)
+    assert (got["contrib"] >= 0).all()
+    # the running sum is monotone and ends at the table statistic
+    assert got["cum_chi_square"].is_monotonic_increasing
+    assert math.isclose(
+        got["contrib"].sum(), got["cum_chi_square"].iloc[-1], rel_tol=1e-4
+    )
+
+
+def test_benford_shares_and_support(spark, sf_dir):
+    got = sq.benford_orders(spark, sf_dir).toPandas()
+    assert set(got["digit"]) <= set(range(1, 10))
+    assert math.isclose(got["observed_share"].sum(), 1.0, abs_tol=1e-4)
+    expected_full = sum(math.log10(1 + 1 / d) for d in range(1, 10))
+    assert math.isclose(expected_full, 1.0, abs_tol=1e-12)
+
+
+def test_market_basket_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.market_basket_lineitem(spark, sf_dir), sq.MARKET_BASKET_SQL, sf_dir
+    )
+
+
+def test_cusum_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.cusum_daily_events(spark, sf_dir), sq.CUSUM_SQL, sf_dir
+    )
+
+
+def test_autocorrelation_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.autocorrelation_daily_events(spark, sf_dir), sq.AUTOCORR_SQL, sf_dir
+    )
+
+
+def test_ab_test_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.ab_test_events(spark, sf_dir), sq.AB_TEST_SQL, sf_dir
+    )
+
+
+def test_market_basket_lift_identity(spark, sf_dir):
+    """lift == support(a,b) / (support(a) * support(b)) recomputed from
+    the emitted counts; pair counts bounded by each side's count."""
+    got = sq.market_basket_lineitem(spark, sf_dir).toPandas()
+    assert (got["pair_groups"] <= got[["n_a", "n_b"]].min(axis=1)).all()
+    n_groups = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    for _, r in got.iterrows():
+        lift = (r["pair_groups"] * n_groups) / (r["n_a"] * r["n_b"])
+        assert math.isclose(lift, r["lift"], rel_tol=1e-4)
+
+
+def test_cusum_ends_near_zero_and_single_peak_value(spark, sf_dir):
+    """CUSUM of deviations from the series mean telescopes to ~0 at the
+    last point; the peak flag marks exactly the max-|CUSUM| rows."""
+    got = sq.cusum_daily_events(spark, sf_dir).toPandas().sort_values("day")
+    assert abs(got["cusum"].iloc[-1]) < 1e-3
+    peak = got["cusum"].abs().max()
+    flagged = got[got["is_peak"]]
+    assert len(flagged) >= 1
+    assert all(abs(abs(v) - peak) < 1e-9 for v in flagged["cusum"])
+
+
+def test_autocorrelation_bounds(spark, sf_dir):
+    got = sq.autocorrelation_daily_events(spark, sf_dir).toPandas()
+    assert set(got["lag"]) == {1, 7}
+    assert (got["autocorr"].abs() <= 1.0 + 1e-9).all()
+
+
+def test_ab_split_is_deterministic_and_balanced(spark, sf_dir):
+    got = sq.ab_test_events(spark, sf_dir).toPandas()
+    again = sq.ab_test_events(spark, sf_dir).toPandas()
+    assert got.equals(again)
+    n_a, n_b = int(got["n_a"][0]), int(got["n_b"][0])
+    assert n_a > 0 and n_b > 0
+    # md5 split should be near-even
+    assert abs(n_a - n_b) / (n_a + n_b) < 0.15
+    assert int(got["conv_a"][0]) <= n_a and int(got["conv_b"][0]) <= n_b
+
+
+def test_metadata_conflicts_flags_match_counts(spark, sf_dir):
+    got = sq.metadata_conflicts_documents(spark, sf_dir).toPandas()
+    assert (got["n_rows"] > 1).all()
+    assert ((got["n_lang"] > 1) == got["lang_conflict"]).all()
+    assert ((got["n_source"] > 1) == got["source_conflict"]).all()
