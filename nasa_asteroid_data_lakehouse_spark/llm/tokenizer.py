@@ -23,7 +23,14 @@ from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.llm import text
 
-__all__ = ["adjacent_pairs", "pair_counts", "best_merge", "apply_merge"]
+__all__ = [
+    "adjacent_pairs",
+    "pair_counts",
+    "pair_counts_from_tokens",
+    "best_merge",
+    "apply_merge",
+    "train_bpe",
+]
 
 _PAIR_T = "array<struct<a:string,b:string>>"
 
@@ -45,21 +52,29 @@ def adjacent_pairs(tokens_col: Column) -> Column:
     return F.when(n >= 2, zipped).otherwise(F.array().cast(_PAIR_T))
 
 
-def pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Corpus-wide adjacent-pair frequencies: (a, b, pair_count).
+def pair_counts_from_tokens(tok_df: DataFrame, tokens_col: str = "toks") -> DataFrame:
+    """Adjacent-pair frequencies over a token-array column:
+    (a, b, pair_count).
 
     One projection + explode + hash aggregate.  The shuffle moves one
     row per DISTINCT pair per map partition (partial aggregation), not
     one per occurrence.
     """
-    toks = text.tokens(text.normalized_text(text_col))
+    t = F.col(tokens_col)
     return (
-        df.where(F.size(toks) >= 2)
-        .select(F.explode(adjacent_pairs(toks)).alias("p"))
+        tok_df.where(F.size(t) >= 2)
+        .select(F.explode(adjacent_pairs(t)).alias("p"))
         .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("pair_count"))
     )
+
+
+def pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent-pair frequencies from raw text (whitespace
+    tokenization of the normalized text)."""
+    toks = text.tokens(text.normalized_text(text_col))
+    return pair_counts_from_tokens(df.select(toks.alias("toks")))
 
 
 def best_merge(df: DataFrame, text_col: str = "text") -> tuple[str, str]:
@@ -100,3 +115,42 @@ def apply_merge(tokens_col: Column, a: str, b: str, joiner: str = "") -> Column:
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    joiner: str = "",
+) -> list[tuple[str, str, int]]:
+    """Driver-looped BPE training: learn ``n_merges`` merges, each
+    iteration one distributed pair count (+ bounded 1-row collect) and
+    one narrow merge-apply projection.
+
+    This is the published BPE trainer shape — the driver holds only
+    the merge table (O(n_merges)); the corpus never leaves the
+    executors.  The lineage grows one ``aggregate`` expression per
+    merge, bounded by ``n_merges`` (no O(corpus) checkpoints — see
+    BASELINE "Checkpoint-granularity correction").  Ties break
+    lexicographically so the learned merge sequence is deterministic
+    on any cluster layout.
+    """
+    work = df.select(
+        text.tokens(text.normalized_text(text_col)).alias("toks")
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            pair_counts_from_tokens(work)
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["pair_count"]
+        merges.append((a, b, n))
+        work = work.select(
+            apply_merge(F.col("toks"), a, b, joiner).alias("toks")
+        )
+    return merges

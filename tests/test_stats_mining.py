@@ -157,6 +157,35 @@ def test_apply_merge_round_trips_pair_count(spark, sf_smoke):
     assert (a, b) not in remaining
 
 
+def _brute_train_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
+    corpora = [
+        " ".join(t.lower().split()).split()
+        for t in texts
+        if t and t.strip()
+    ]
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for toks in corpora:
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        corpora = [_brute_merge(t, a, b) for t in corpora]
+    return merges
+
+
+def test_train_bpe_matches_reference_trainer(spark, sf_smoke):
+    """4 learned merges over a 60-doc corpus reproduce a pure-Python
+    BPE trainer exactly (pair choice, tie-breaks, counts)."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(60)
+    got = tokenizer.train_bpe(docs, n_merges=4)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert got == _brute_train_bpe(texts, 4)
+
+
 # --- invariants --------------------------------------------------------------
 
 
