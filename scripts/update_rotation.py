@@ -39,6 +39,7 @@ def main() -> None:
         curation_queries,
         llm_queries,
         operator_queries,
+        stats_queries,
         tpch_queries,
     )
     from nasa_asteroid_data_lakehouse_spark.plans import queries as plans
@@ -51,6 +52,7 @@ def main() -> None:
     full.update(analytics_queries.QUERIES)
     full.update(tpch_queries.QUERIES)
     full.update(curation_queries.QUERIES)
+    full.update(stats_queries.QUERIES)
 
     red, green = entry._driver_history()
     seen = set(red) | set(green)
