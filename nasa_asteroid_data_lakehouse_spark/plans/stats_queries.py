@@ -305,10 +305,12 @@ def market_basket_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 co-ordered part pairs with support and lift
     (operators/stats.py: basket_pairs).
 
-    The pair expansion self-joins on the ORDER key (co-partitioned
-    equi-join, bounded by per-order line counts — never all-pairs over
-    parts); per-part totals are an O(|parts|) broadcast; lift is exact
-    integer-count math with one scalar division at the end."""
+    The pair expansion shuffles ONCE on the order key into per-order
+    sorted item arrays and expands pairs with a narrow nested
+    transform (bounded by per-order line counts — never all-pairs
+    over parts, and no self-join); per-part totals are an O(|parts|)
+    broadcast; lift is exact integer-count math with one scalar
+    division at the end."""
     lineitem = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -497,10 +499,7 @@ def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull()
     )
-    h = F.md5(F.concat_ws("||", F.lit("ab-v1"), F.col("user_id").cast("string")))
-    variant = F.pmod(
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(2)
-    ).cast("int")
+    variant = sharding.shard_id("user_id", 2, seed="ab-v1")
     # when/otherwise, not a bare boolean cast: NULL event_type must
     # count as 0 (the oracle's CASE ... ELSE 0), never propagate NULL
     purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
