@@ -35,6 +35,7 @@ __all__ = [
     "fold_rollup_batch",
     "incremental_rollup_sink",
     "incremental_cms_sink",
+    "changepoint_monitor_sink",
 ]
 
 
@@ -198,6 +199,54 @@ def incremental_cms_sink(
             lambda b: count_min_counters(b, item_col, depth, width, seed),
             merge_cells,
         )
+
+    return (
+        stream_df.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint or f"{table_root}__checkpoint")
+    )
+
+
+def changepoint_monitor_sink(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    table_root: str,
+    ts_col: str = "ts",
+    checkpoint: str | None = None,
+):
+    """Streaming CUSUM changepoint screen
+    (operators/stats.cusum composed over the incremental fold).
+
+    Each micro-batch folds the per-day event-count rollup with the
+    same atomic applied-marker protocol as
+    :func:`incremental_rollup_sink` (replays never double-count),
+    then recomputes the CUSUM screen over the MAINTAINED series and
+    republishes it at ``table_root/cusum``.  The screen is a derived
+    view of O(days)-bounded state — per-batch recomputation is exact
+    and idempotent, so it carries no markers of its own, and the
+    running-sum window only ever touches the bounded series, never
+    the stream.  Read with ``spark.read.parquet(root + "/cusum")``;
+    the ``is_peak`` rows are the current changepoint candidates.
+    """
+    import os
+
+    from nasa_asteroid_data_lakehouse_spark.operators.stats import cusum
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        days = batch_df.where(F.col(ts_col).isNotNull()).select(
+            F.to_date(ts_col).alias("day"), F.lit(1).alias("one")
+        )
+        fold_rollup_batch(spark, days, batch_id, table_root, ["day"], "one")
+        state = spark.read.parquet(f"{table_root}/data")
+        screen = cusum(
+            state.select("day", F.col("n_rows").alias("n_events")),
+            "day",
+            "n_events",
+        )
+        view = f"{table_root}/cusum"
+        if os.path.exists(view):
+            staged_swap(view, lambda p: screen.write.parquet(p))
+        else:
+            screen.write.parquet(view)
 
     return (
         stream_df.writeStream.foreachBatch(fold_batch)

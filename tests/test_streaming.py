@@ -689,3 +689,69 @@ def test_drift_monitor_flags_shifted_batch(spark, tmp_path):
     assert bad["oov_rate"] == 1.0
     assert bad["kl"] > good["kl"] + 1.0
     assert good["n_docs"] == 2 and bad["n_docs"] == 2
+
+
+def test_changepoint_monitor_stream_matches_batch_cusum(spark, tmp_path):
+    """Streaming CUSUM screen over the maintained daily series equals
+    the batch operator over all delivered events, and a replayed
+    source does not shift the series (applied-marker no-op)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nasa_asteroid_data_lakehouse_spark.operators.stats import cusum
+    from nasa_asteroid_data_lakehouse_spark.streaming.rollup import (
+        changepoint_monitor_sink,
+    )
+
+    src = str(tmp_path / "cp_in")
+    os.makedirs(src, exist_ok=True)
+    root = str(tmp_path / "cp")
+    schema = "event_id long, ts timestamp"
+
+    def rows(day_counts, start_id):
+        out, i = [], start_id
+        for day, n in day_counts:
+            for _ in range(n):
+                out.append((i, f"2024-01-{day:02d} 12:00:00"))
+                i += 1
+        return [(e, __import__("datetime").datetime.fromisoformat(t)) for e, t in out]
+
+    batch1 = rows([(1, 3), (2, 4), (3, 3)], 0)
+    batch2 = rows([(3, 2), (4, 9), (5, 10)], 100)  # level shift at day 4
+
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    q = (
+        changepoint_monitor_sink(
+            spark, spark.readStream.schema(schema).parquet(src), root
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    q = (
+        changepoint_monitor_sink(
+            spark, spark.readStream.schema(schema).parquet(src), root
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(f"{root}/cusum")
+        .orderBy("day")
+        .toPandas()
+    )
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    daily = all_events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    want = cusum(daily, "day", "n_events").orderBy("day").toPandas()
+    assert got["day"].tolist() == want["day"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["cusum"].tolist() == want["cusum"].tolist()
+    # the level shift puts the |CUSUM| peak right before the jump
+    assert got.loc[got["is_peak"], "day"].iloc[0].isoformat() == "2024-01-03"
