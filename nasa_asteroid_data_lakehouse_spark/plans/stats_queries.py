@@ -584,3 +584,150 @@ FROM stepped
 
 QUERIES["ab_test_events"] = ab_test_events
 ORACLES["ab_test_events"] = AB_TEST_SQL
+
+
+# --- revenue concentration (Lorenz deciles) ----------------------------------
+
+
+def lorenz_deciles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue concentration: per spend-decile row count,
+    exact revenue share, and cumulative share (the Lorenz curve /
+    "top 10% of customers hold X%" report).
+
+    Portability: revenue sums in EXACT INTEGER CENTS (2-decimal
+    prices), so every share is one double division of exact integers
+    and the cumulative share is derived from an integer running sum —
+    no float reduction order anywhere.  The NTILE window runs over the
+    per-customer aggregate (O(customers), far smaller than the fact
+    table), which is the documented bound; the fact scan itself only
+    feeds a hash aggregate."""
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), "o_custkey")
+    tiled = per_cust.select(
+        "o_custkey", "cents", F.ntile(10).over(w).alias("decile")
+    )
+    by_dec = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("dec_cents"),
+    )
+    w_cum = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    return by_dec.select(
+        "decile",
+        "n_customers",
+        F.round(
+            F.col("dec_cents").cast("double") / F.sum("dec_cents").over(w_all),
+            6,
+        ).alias("rev_share"),
+        F.round(
+            F.sum("dec_cents").over(w_cum).cast("double")
+            / F.sum("dec_cents").over(w_all),
+            6,
+        ).alias("cum_rev_share"),
+    ).orderBy("decile")
+
+
+LORENZ_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, cents,
+         NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM per_cust
+),
+by_dec AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS dec_cents
+  FROM tiled GROUP BY decile
+)
+SELECT decile, n_customers,
+       ROUND(CAST(dec_cents AS DOUBLE) / SUM(dec_cents) OVER (), 6)
+         AS rev_share,
+       ROUND(CAST(SUM(dec_cents)
+                    OVER (ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+             / SUM(dec_cents) OVER (), 6) AS cum_rev_share
+FROM by_dec
+ORDER BY decile
+"""
+
+QUERIES["lorenz_deciles_orders"] = lorenz_deciles_orders
+ORACLES["lorenz_deciles_orders"] = LORENZ_SQL
+
+
+# --- new vs returning users --------------------------------------------------
+
+
+def new_vs_returning_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily engagement split: active users per day, of which first
+    ever seen that day (new) vs returning — the growth-accounting
+    view every event pipeline reports.
+
+    One distinct (user, day) projection feeds BOTH the per-user first
+    day (hash agg on user) and the flag join — both sides already
+    hash-partition on user_id, so the join is co-partitioned (no
+    broadcast hint: at 100M users the first-day table outgrows any
+    broadcast; AQE picks broadcast itself when it fits).  Integer
+    counts only."""
+    events = read_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first_day = user_days.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    flagged = user_days.join(first_day, "user_id").select(
+        "day",
+        F.when(F.col("day") == F.col("first_day"), 1).otherwise(0).alias(
+            "is_new"
+        ),
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum("is_new").alias("new_users"),
+            (F.count(F.lit(1)) - F.sum("is_new")).alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+NEW_RETURNING_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+first_day AS (
+  SELECT user_id, MIN(day) AS first_day FROM user_days GROUP BY user_id
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(COUNT(*) - SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users
+FROM user_days JOIN first_day USING (user_id)
+GROUP BY day
+ORDER BY day
+"""
+
+QUERIES["new_vs_returning_users_events"] = new_vs_returning_users_events
+ORACLES["new_vs_returning_users_events"] = NEW_RETURNING_SQL

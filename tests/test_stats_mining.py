@@ -326,6 +326,49 @@ def test_ab_split_is_deterministic_and_balanced(spark, sf_dir):
     assert int(got["conv_a"][0]) <= n_a and int(got["conv_b"][0]) <= n_b
 
 
+def test_lorenz_deciles_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.lorenz_deciles_orders(spark, sf_dir), sq.LORENZ_SQL, sf_dir
+    )
+
+
+def test_new_vs_returning_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.new_vs_returning_users_events(spark, sf_dir),
+        sq.NEW_RETURNING_SQL,
+        sf_dir,
+    )
+
+
+def test_lorenz_is_a_lorenz_curve(spark, sf_dir):
+    """Shares sum to 1, cumulative share is monotone and concave-ish
+    (decile 1 holds the largest share since ordering is spend-desc)."""
+    got = sq.lorenz_deciles_orders(spark, sf_dir).toPandas()
+    assert list(got["decile"]) == list(range(1, 11))
+    assert math.isclose(got["rev_share"].sum(), 1.0, abs_tol=1e-4)
+    assert got["cum_rev_share"].is_monotonic_increasing
+    assert math.isclose(got["cum_rev_share"].iloc[-1], 1.0, abs_tol=1e-6)
+    assert got["rev_share"].iloc[0] == got["rev_share"].max()
+
+
+def test_new_vs_returning_accounting(spark, sf_dir):
+    """new + returning == active each day; total new across days ==
+    distinct users; day one is all-new."""
+    got = sq.new_vs_returning_users_events(spark, sf_dir).toPandas()
+    assert (
+        got["new_users"] + got["returning_users"] == got["active_users"]
+    ).all()
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert got["new_users"].sum() == n_users
+    assert got.sort_values("day").iloc[0]["returning_users"] == 0
+
+
 def test_metadata_conflicts_flags_match_counts(spark, sf_dir):
     got = sq.metadata_conflicts_documents(spark, sf_dir).toPandas()
     assert (got["n_rows"] > 1).all()
