@@ -731,3 +731,202 @@ ORDER BY day
 
 QUERIES["new_vs_returning_users_events"] = new_vs_returning_users_events
 ORACLES["new_vs_returning_users_events"] = NEW_RETURNING_SQL
+
+
+# --- Wald-Wolfowitz runs test ------------------------------------------------
+
+
+def runs_test_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomness screen on the daily event-count series: the
+    Wald-Wolfowitz runs test on above/below-median signs.  A series
+    with trend or strong autocorrelation produces too few runs; a
+    metronome produces too many — either flags a generator or
+    instrumentation artifact in "organic" traffic.
+
+    The raw stream reduces to the O(days) series first; the ordered
+    lag walk and every moment after it touch only that bounded table.
+    Days equal to the median are excluded (the standard treatment),
+    pinned identically in the oracle; z comes from exact integer
+    moments in one fixed scalar expression."""
+    events = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    med = daily.agg(F.expr("percentile(x, 0.5)").alias("med"))
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("x") != F.col("med"))
+        .select("day", (F.col("x") > F.col("med")).cast("int").alias("s"))
+    )
+    w = Window.orderBy("day")
+    flips = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    mom = flips.agg(
+        F.sum("s").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).alias("n2"),
+        F.sum("new_run").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    stepped = mom.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        mu.alias("__mu"),
+        F.sqrt(var).alias("__sigma"),
+    )
+    return stepped.select(
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.round("__mu", 6).alias("expected_runs"),
+        F.round(
+            F.when(
+                F.col("__sigma") > 0,
+                (F.col("n_runs") - F.col("__mu")) / F.col("__sigma"),
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+med AS (SELECT quantile_cont(x, 0.5) AS med FROM daily),
+signed AS (
+  SELECT day, CAST(x > med AS INTEGER) AS s
+  FROM daily, med WHERE x <> med
+),
+flips AS (
+  SELECT s,
+         CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                OR LAG(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END
+           AS new_run
+  FROM signed
+),
+mom AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(SUM(1 - s) AS BIGINT) AS n2,
+         CAST(SUM(new_run) AS BIGINT) AS r
+  FROM flips
+),
+stepped AS (
+  SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+         2.0 * n1 * n2 / (n1 + n2) + 1.0 AS mu,
+         sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+              / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))) AS sigma
+  FROM mom
+)
+SELECT n_above, n_below, n_runs,
+       ROUND(mu, 6) AS expected_runs,
+       ROUND(CASE WHEN sigma > 0 THEN (n_runs - mu) / sigma END, 6) AS z_score
+FROM stepped
+"""
+
+QUERIES["runs_test_daily_events"] = runs_test_daily_events
+ORACLES["runs_test_daily_events"] = RUNS_TEST_SQL
+
+
+# --- cohort LTV triangle -----------------------------------------------------
+
+
+def cohort_ltv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month, revenue tracked by months-since-cohort — the retention
+    economics view (which acquisition cohorts keep spending).
+
+    Month indices are exact integers (year*12 + month-1), revenue is
+    exact integer cents, and the per-customer first-month table joins
+    back co-partitioned on the customer key (both sides hash on it; no
+    broadcast hint, AQE upgrades when small).  Averages are single
+    divisions of exact integers."""
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+    )
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+        "midx"
+    )
+    base = orders.select(
+        "o_custkey",
+        midx,
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = base.groupBy("o_custkey").agg(F.min("midx").alias("cohort_idx"))
+    joined = base.join(first, "o_custkey").select(
+        "o_custkey",
+        "cohort_idx",
+        (F.col("midx") - F.col("cohort_idx")).alias("age_months"),
+        "cents",
+    )
+    out = joined.groupBy("cohort_idx", "age_months").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("rev_cents"),
+    )
+    return out.select(
+        F.floor(F.col("cohort_idx") / 12).cast("int").alias("cohort_year"),
+        (F.pmod(F.col("cohort_idx"), F.lit(12)) + 1).cast("int").alias(
+            "cohort_month"
+        ),
+        "age_months",
+        "n_customers",
+        "n_orders",
+        F.round(
+            F.col("rev_cents").cast("double") / 100.0 / F.col("n_customers"), 6
+        ).alias("rev_per_customer"),
+    )
+
+
+COHORT_LTV_SQL = """
+WITH base AS (
+  SELECT o_custkey,
+         EXTRACT(year FROM o_orderdate) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS midx,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+    AND o_orderdate IS NOT NULL
+),
+first AS (SELECT o_custkey, MIN(midx) AS cohort_idx FROM base GROUP BY 1),
+joined AS (
+  SELECT b.o_custkey, f.cohort_idx, b.midx - f.cohort_idx AS age_months,
+         b.cents
+  FROM base b JOIN first f USING (o_custkey)
+),
+agg AS (
+  SELECT cohort_idx, age_months,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS rev_cents
+  FROM joined GROUP BY 1, 2
+)
+SELECT CAST(FLOOR(cohort_idx / 12.0) AS INTEGER) AS cohort_year,
+       CAST(cohort_idx % 12 + 1 AS INTEGER) AS cohort_month,
+       age_months,
+       n_customers,
+       n_orders,
+       ROUND(CAST(rev_cents AS DOUBLE) / 100.0 / n_customers, 6)
+         AS rev_per_customer
+FROM agg
+"""
+
+QUERIES["cohort_ltv_orders"] = cohort_ltv_orders
+ORACLES["cohort_ltv_orders"] = COHORT_LTV_SQL

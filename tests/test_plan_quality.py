@@ -74,6 +74,7 @@ _BNLJ_ALLOWED = {
     # single-row group-total / series-mean broadcasts
     "market_basket_lineitem",
     "cusum_daily_events",
+    "runs_test_daily_events",
 }
 
 

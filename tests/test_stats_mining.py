@@ -369,6 +369,63 @@ def test_new_vs_returning_accounting(spark, sf_dir):
     assert got.sort_values("day").iloc[0]["returning_users"] == 0
 
 
+def test_runs_test_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.runs_test_daily_events(spark, sf_dir), sq.RUNS_TEST_SQL, sf_dir
+    )
+
+
+def test_cohort_ltv_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        sq.cohort_ltv_orders(spark, sf_dir), sq.COHORT_LTV_SQL, sf_dir
+    )
+
+
+def test_runs_test_brute_force(spark, sf_dir):
+    """n_runs/n_above/n_below reproduce a pandas recount of the same
+    above/below-median sign sequence."""
+    got = sq.runs_test_daily_events(spark, sf_dir).toPandas().iloc[0]
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .toPandas()
+        .sort_values("day")
+    )
+    med = daily["x"].quantile(0.5, interpolation="linear")
+    signs = [x > med for x in daily["x"] if x != med]
+    runs = sum(
+        1 for i, s in enumerate(signs) if i == 0 or s != signs[i - 1]
+    )
+    assert int(got["n_above"]) == sum(signs)
+    assert int(got["n_below"]) == len(signs) - sum(signs)
+    assert int(got["n_runs"]) == runs
+
+
+def test_cohort_ltv_triangle_shape(spark, sf_dir):
+    """Age-0 cells cover every cohort's full customer count (each
+    customer orders in their first month by construction), later ages
+    never exceed the cohort size, and revenue accounting closes."""
+    got = sq.cohort_ltv_orders(spark, sf_dir).toPandas()
+    assert (got["age_months"] >= 0).all()
+    base = got[got["age_months"] == 0].set_index(
+        ["cohort_year", "cohort_month"]
+    )["n_customers"]
+    for (y, m), grp in got.groupby(["cohort_year", "cohort_month"]):
+        assert (grp["n_customers"] <= base[(y, m)]).all()
+    n_orders_total = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+        )
+        .count()
+    )
+    assert got["n_orders"].sum() == n_orders_total
+
+
 def test_metadata_conflicts_flags_match_counts(spark, sf_dir):
     got = sq.metadata_conflicts_documents(spark, sf_dir).toPandas()
     assert (got["n_rows"] > 1).all()
