@@ -132,10 +132,19 @@ def _rotation_state() -> tuple[list[str], list[str]]:
 def _rotate(full: dict) -> dict:
     """Pinned head (this round's planned driver window) first, then red
     fixes, then names no round has surfaced, then presumed-exposed
-    names from earlier rounds, greens last."""
+    names from earlier rounds, greens last.
+
+    Self-advancing (VERDICT r02 ask #2): if EVERY name in the pinned
+    head is already driver-green, the pin has been consumed by a past
+    driver run — serving it again would re-prove known greens and
+    starve the never-checked tail.  Consume it: demote its names and
+    fall through to red -> never-seen ordering."""
     red, green = _driver_history()
     pinned, demoted = _rotation_state()
     seen = set(red) | set(green)
+    if pinned and all(n in seen and n not in set(red) for n in pinned):
+        demoted = demoted + [n for n in pinned if n not in set(demoted)]
+        pinned = []
     ordered = [k for k in pinned if k in full]
     taken = set(ordered)
     ordered += [k for k in red if k in full and k not in taken]

@@ -47,3 +47,39 @@ def test_queries_fail_cleanly_on_missing_sf_dir(spark):
     fn = spark_entry.queries()["q1_pricing_summary"]
     with pytest.raises(AnalysisException):
         fn(spark, "/root/testdata/does-not-exist").collect()
+
+
+def test_rotate_serves_pinned_head_first(monkeypatch):
+    full = {f"q{i}": i for i in range(8)}
+    monkeypatch.setattr(spark_entry, "_driver_history", lambda: (["q5"], ["q0", "q1"]))
+    monkeypatch.setattr(spark_entry, "_rotation_state", lambda: (["q3", "q2"], []))
+    order = list(spark_entry._rotate(full))
+    # pinned head verbatim, then red, then never-seen, greens last
+    assert order[:2] == ["q3", "q2"]
+    assert order[2] == "q5"
+    assert set(order[-2:]) == {"q0", "q1"}
+
+
+def test_rotate_consumes_all_green_pin(monkeypatch):
+    """VERDICT r02 ask #2: a stale pin whose names are ALL driver-green
+    must not be re-served — fall through to red -> never-seen order."""
+    full = {f"q{i}": i for i in range(8)}
+    monkeypatch.setattr(
+        spark_entry, "_driver_history", lambda: (["q6"], ["q2", "q3", "q0"])
+    )
+    monkeypatch.setattr(spark_entry, "_rotation_state", lambda: (["q3", "q2"], []))
+    order = list(spark_entry._rotate(full))
+    assert order[0] == "q6"  # red fix first, not the consumed pin
+    never_seen = {"q1", "q4", "q5", "q7"}
+    assert set(order[1:5]) == never_seen
+    # consumed pin names demoted behind never-seen, greens last
+    assert set(order[5:]) == {"q0", "q2", "q3"}
+
+
+def test_rotate_keeps_pin_with_red_member(monkeypatch):
+    """A pin containing a red (or never-checked) name is still live."""
+    full = {f"q{i}": i for i in range(4)}
+    monkeypatch.setattr(spark_entry, "_driver_history", lambda: ([], ["q1"]))
+    monkeypatch.setattr(spark_entry, "_rotation_state", lambda: (["q1", "q2"], []))
+    order = list(spark_entry._rotate(full))
+    assert order[:2] == ["q1", "q2"]
