@@ -7,6 +7,7 @@ from nasa_asteroid_data_lakehouse_spark.llm import (
     sharding,
     similarity,
     text,
+    tokenizer,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "sharding",
     "similarity",
     "text",
+    "tokenizer",
 ]

@@ -29,7 +29,9 @@ from nasa_asteroid_data_lakehouse_spark.llm import text
 __all__ = [
     "token_stream",
     "unigram_surprisal",
+    "group_term_counts",
     "kl_by_group",
+    "token_entropy_by_group",
     "jsd_pairs",
     "zipf_slope",
 ]

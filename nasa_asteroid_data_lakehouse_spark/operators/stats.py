@@ -59,7 +59,13 @@ def equidepth_histogram(
     at 20M rows on local[32], scripts/stress_stats.py); bucket DEPTHS
     then deviate from n/k only by the sketch's rank-error bound.  The
     assignment pass is identical either way.
+
+    NULL ``value_col`` rows are dropped up front: ``percentile``
+    ignores them anyway, and without the filter they would land in
+    bucket 0 (a NULL comparison filters to an empty array, size 0)
+    inflating its count while contributing nothing to lo/hi/mean.
     """
+    df = df.where(F.col(value_col).isNotNull())
     qs = [i / buckets for i in range(1, buckets)]
     v = F.col(value_col)
     fn = "percentile" if exact else "percentile_approx"

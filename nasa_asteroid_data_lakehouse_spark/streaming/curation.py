@@ -173,27 +173,30 @@ def score_stream(
     The per-doc aggregation is a STREAMING aggregation if run inside
     the stream (unbounded state: doc ids never expire), so it runs in
     ``foreachBatch`` — batch-shaped work in the batch slot, the same
-    split ``admit_stream`` uses.  Replay-safe: scoring is a pure
-    function of (LM, batch), and re-delivered doc ids are dropped
-    against the already-written output.
+    split ``admit_stream`` uses.  Replay-safe by construction: each
+    micro-batch overwrites its own ``batch=<id>`` partition directory
+    under ``out_path``, so a re-delivered batch replaces rather than
+    duplicates its output (the standard idempotent-append pattern for
+    ``foreachBatch``).  Per-batch cost is O(|batch|) — no rescan of
+    the accumulated output.  Duplicate ids WITHIN a batch are dropped
+    before scoring; duplicate ids arriving in *different* source
+    batches are the upstream deduper's job
+    (:func:`~nasa_asteroid_data_lakehouse_spark.llm.dedup.incremental_admit`),
+    not replay protection.
 
-    Returns the unstarted ``DataStreamWriter``.
+    Returns the unstarted ``DataStreamWriter``.  Read the result as
+    ``spark.read.parquet(out_path)`` — partition discovery adds a
+    ``batch`` column alongside the score columns.
     """
     lm_counts, total = build_reference_lm(reference_df, text_col)
 
     def score_and_append(batch_df: DataFrame, batch_id: int) -> None:
         scored = surprisal_score_batch(
-            batch_df, lm_counts, total, id_col, text_col
+            batch_df.dropDuplicates([id_col]), lm_counts, total, id_col, text_col
         )
         if max_surprisal is not None:
             scored = scored.where(F.col("mean_surprisal") <= max_surprisal)
-        try:
-            seen = spark.read.parquet(out_path).select(id_col)
-        except AnalysisException:
-            seen = None
-        if seen is not None:
-            scored = scored.join(seen, id_col, "left_anti")
-        scored.write.mode("append").parquet(out_path)
+        scored.write.mode("overwrite").parquet(f"{out_path}/batch={int(batch_id)}")
 
     return (
         stream_df.writeStream.foreachBatch(score_and_append)

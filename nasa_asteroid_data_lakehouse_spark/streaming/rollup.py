@@ -227,8 +227,6 @@ def changepoint_monitor_sink(
     the stream.  Read with ``spark.read.parquet(root + "/cusum")``;
     the ``is_peak`` rows are the current changepoint candidates.
     """
-    import os
-
     from nasa_asteroid_data_lakehouse_spark.operators.stats import cusum
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -243,7 +241,12 @@ def changepoint_monitor_sink(
             "n_events",
         )
         view = f"{table_root}/cusum"
-        if os.path.exists(view):
+        # Probe via a read attempt, not a driver-local filesystem check
+        # — table_root may be on a non-local filesystem (S3A/HDFS)
+        # where os.path.exists is always False and the second batch's
+        # plain write (errorifexists) would throw.  Same probe
+        # fold_mergeable_batch uses.
+        if read_table_if_exists(spark, view) is not None:
             staged_swap(view, lambda p: screen.write.parquet(p))
         else:
             screen.write.parquet(view)

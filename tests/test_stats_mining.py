@@ -431,3 +431,19 @@ def test_metadata_conflicts_flags_match_counts(spark, sf_dir):
     assert (got["n_rows"] > 1).all()
     assert ((got["n_lang"] > 1) == got["lang_conflict"]).all()
     assert ((got["n_source"] > 1) == got["source_conflict"]).all()
+
+
+def test_equidepth_drops_null_values(spark):
+    """NULL value rows must not inflate bucket 0 (ADVICE r02): the
+    operator filters them before both the boundary and assignment
+    passes."""
+    from nasa_asteroid_data_lakehouse_spark.operators import stats as ops
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)] + [(None,)] * 37,
+        "v double",
+    )
+    got = ops.equidepth_histogram(df, "v", buckets=4).toPandas()
+    assert int(got["n"].sum()) == 100
+    assert sorted(got["bucket"]) == [0, 1, 2, 3]
+    assert all(int(n) == 25 for n in got["n"])
