@@ -16,6 +16,8 @@ from nasa_asteroid_data_lakehouse_spark.plans import (
     analytics_queries,
     curation_queries,
     llm_queries,
+    neows_queries,
+    streaming_queries,
     operator_queries,
     stats_queries,
     tpch_queries,
@@ -172,6 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tpch_queries.QUERIES)
     out.update(curation_queries.QUERIES)
     out.update(stats_queries.QUERIES)
+    out.update(neows_queries.QUERIES)
+    out.update(streaming_queries.QUERIES)
     return _rotate(out)
 
 
@@ -188,4 +192,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(tpch_queries.ORACLES)
     out.update(curation_queries.ORACLES)
     out.update(stats_queries.ORACLES)
+    out.update(neows_queries.ORACLES)
+    out.update(streaming_queries.ORACLES)
     return _rotate(out)

@@ -966,6 +966,74 @@ QUERIES["edit_distance_pairs_documents"] = edit_distance_pairs_documents
 ORACLES["edit_distance_pairs_documents"] = EDIT_DISTANCE_PAIRS_SQL
 
 
+_LEV_BOUND = 32
+
+
+def edit_distance_capped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded edit-distance verification of the LSH candidate pairs —
+    the SCALE form of :func:`edit_distance_pairs_documents` (VERDICT
+    r02 ask #4).  Spark's 3-arg ``levenshtein(l, r, bound)`` early-
+    exits the O(len²) DP as soon as the distance provably exceeds the
+    bound (banded DP, O(len·bound)), returning -1; we snap -1 to
+    ``bound+1`` so the capped distance is total and deterministic.
+    Pairs beyond the bound keep a NULL ``edit_sim`` — a near-dup
+    verifier never needs the exact distance of a far pair.
+
+    Oracle: DuckDB has no thresholded form, so the oracle computes the
+    full distance and caps it with ``LEAST(lev, bound+1)`` — identical
+    result, integer-exact on both sides.
+    """
+    pairs = _lsh_pairs_cached(spark, sf_dir, _LSHMH_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", text.normalized_text("text").alias("norm")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("na"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("nb"))
+    lev3 = F.levenshtein("na", "nb", _LEV_BOUND)
+    capped = F.when(lev3 < 0, F.lit(_LEV_BOUND + 1)).otherwise(lev3)
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            capped.cast("int").alias("lev_capped"),
+            (capped <= _LEV_BOUND).alias("within_bound"),
+            F.when(
+                capped <= _LEV_BOUND,
+                F.round(
+                    F.lit(1)
+                    - capped
+                    / F.greatest(F.length("na"), F.length("nb"), F.lit(1)),
+                    6,
+                ),
+            ).alias("edit_sim"),
+        )
+    )
+
+
+EDIT_DISTANCE_CAPPED_SQL = rf"""
+WITH base_pairs AS ({_minhash_lsh_sql()}),
+norm AS (SELECT doc_id, {_NORM} AS n FROM documents)
+SELECT id_a, id_b,
+       CAST(LEAST(levenshtein(a.n, b.n), {_LEV_BOUND + 1}) AS INTEGER)
+         AS lev_capped,
+       levenshtein(a.n, b.n) <= {_LEV_BOUND} AS within_bound,
+       CASE WHEN levenshtein(a.n, b.n) <= {_LEV_BOUND}
+            THEN ROUND(1 - levenshtein(a.n, b.n)
+                       / greatest(length(a.n), length(b.n), 1), 6)
+       END AS edit_sim
+FROM base_pairs
+JOIN norm a ON a.doc_id = id_a
+JOIN norm b ON b.doc_id = id_b
+"""
+
+QUERIES["edit_distance_capped_documents"] = edit_distance_capped_documents
+ORACLES["edit_distance_capped_documents"] = EDIT_DISTANCE_CAPPED_SQL
+
+
 # --- near-dup clusters (connected components over LSH pairs) -----------------
 
 _CLUSTER_THRESHOLD = 0.5

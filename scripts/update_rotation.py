@@ -38,6 +38,8 @@ def main() -> None:
         analytics_queries,
         curation_queries,
         llm_queries,
+        neows_queries,
+    streaming_queries,
         operator_queries,
         stats_queries,
         tpch_queries,
@@ -53,6 +55,8 @@ def main() -> None:
     full.update(tpch_queries.QUERIES)
     full.update(curation_queries.QUERIES)
     full.update(stats_queries.QUERIES)
+    full.update(neows_queries.QUERIES)
+    full.update(streaming_queries.QUERIES)
 
     red, green = entry._driver_history()
     seen = set(red) | set(green)
