@@ -136,17 +136,21 @@ def _rotate(full: dict) -> dict:
     fixes, then names no round has surfaced, then presumed-exposed
     names from earlier rounds, greens last.
 
-    Self-advancing (VERDICT r02 ask #2): if EVERY name in the pinned
-    head is already driver-green, the pin has been consumed by a past
-    driver run — serving it again would re-prove known greens and
-    starve the never-checked tail.  Consume it: demote its names and
-    fall through to red -> never-seen ordering."""
+    Self-advancing (VERDICT r02 ask #2, refined): any pinned name that
+    is already driver-green has been consumed by a past driver run —
+    serving it again would re-prove a known green and starve the
+    never-checked tail.  Green names drop out of the pin individually
+    (demoted to the greens-last section); red and never-checked pinned
+    names keep their front position.  A fully-green pin therefore
+    vanishes and the order falls through to red -> never-seen."""
     red, green = _driver_history()
     pinned, demoted = _rotation_state()
     seen = set(red) | set(green)
-    if pinned and all(n in seen and n not in set(red) for n in pinned):
-        demoted = demoted + [n for n in pinned if n not in set(demoted)]
-        pinned = []
+    green_set = set(green)
+    consumed = [n for n in pinned if n in green_set]
+    if consumed:
+        demoted = demoted + [n for n in consumed if n not in set(demoted)]
+        pinned = [n for n in pinned if n not in green_set]
     ordered = [k for k in pinned if k in full]
     taken = set(ordered)
     ordered += [k for k in red if k in full and k not in taken]

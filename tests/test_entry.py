@@ -76,10 +76,15 @@ def test_rotate_consumes_all_green_pin(monkeypatch):
     assert set(order[5:]) == {"q0", "q2", "q3"}
 
 
-def test_rotate_keeps_pin_with_red_member(monkeypatch):
-    """A pin containing a red (or never-checked) name is still live."""
+def test_rotate_drops_green_members_from_pin(monkeypatch):
+    """A pin's already-green members drop out individually; its red and
+    never-checked members keep the front — a partially-consumed pin no
+    longer wastes driver slots re-proving greens."""
     full = {f"q{i}": i for i in range(4)}
     monkeypatch.setattr(spark_entry, "_driver_history", lambda: ([], ["q1"]))
     monkeypatch.setattr(spark_entry, "_rotation_state", lambda: (["q1", "q2"], []))
     order = list(spark_entry._rotate(full))
-    assert order[:2] == ["q1", "q2"]
+    # q2 (never checked) stays pinned first; green q1 demotes to last
+    assert order[0] == "q2"
+    assert order[-1] == "q1"
+    assert set(order[1:3]) == {"q0", "q3"}
