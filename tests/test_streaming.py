@@ -755,3 +755,44 @@ def test_changepoint_monitor_stream_matches_batch_cusum(spark, tmp_path):
     assert got["cusum"].tolist() == want["cusum"].tolist()
     # the level shift puts the |CUSUM| peak right before the jump
     assert got.loc[got["is_peak"], "day"].iloc[0].isoformat() == "2024-01-03"
+
+
+def test_score_stream_redelivery_overwrites_not_duplicates(spark, tmp_path):
+    """True batch re-delivery (fresh checkpoint => same files replay as
+    batch 0): the per-batch partition overwrite must replace, never
+    append — output count is stable across replays, and within-batch
+    duplicate ids collapse to one row."""
+    import os
+
+    from nasa_asteroid_data_lakehouse_spark.streaming.curation import (
+        score_stream,
+    )
+
+    reference = spark.createDataFrame(
+        [(100, "the cat sat on the mat " * 3)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "redeliver_in")
+    os.makedirs(src, exist_ok=True)
+    out = str(tmp_path / "redeliver_out")
+    # doc 1 appears TWICE in the batch (within-batch duplicate)
+    spark.createDataFrame(
+        [(1, "the cat sat"), (1, "the cat sat"), (2, "dogs run fast")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+
+    for ckpt in ("ck_a", "ck_b"):  # second loop = re-delivery as batch 0
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            score_stream(
+                spark,
+                stream,
+                reference,
+                out,
+                checkpoint=str(tmp_path / ckpt),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        assert sorted(r["doc_id"] for r in rows) == [1, 2]
