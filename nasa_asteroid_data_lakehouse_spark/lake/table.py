@@ -132,7 +132,18 @@ class VersionedTable:
         if self.latest_version() is not None:
             raise ValueError(f"table at {self.root} already exists")
         buckets = self._write_bucket_files(df, keys)
-        self._commit(0, buckets, {"keys": keys, "operation": "create"})
+        # The logical schema travels in the manifest so snapshot reads
+        # of an empty table (zero data files — e.g. created from an
+        # empty source) still resolve every column.
+        self._commit(
+            0,
+            buckets,
+            {
+                "keys": keys,
+                "operation": "create",
+                "schema": df.schema.jsonValue(),
+            },
+        )
         return 0
 
     def upsert(self, incoming: DataFrame, order_by: list[str] | None = None, retries: int = 3) -> int:
@@ -182,6 +193,7 @@ class VersionedTable:
                         "keys": keys,
                         "operation": "upsert",
                         "touched_buckets": sorted(touched_set),
+                        "schema": merged.schema.jsonValue(),
                     },
                 )
                 return version + 1
@@ -199,6 +211,14 @@ class VersionedTable:
         manifest = self._load_manifest(v)
         files = [f for fs in manifest["buckets"].values() for f in fs]
         if not files:
+            schema_json = manifest.get("schema")
+            if schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame(
+                    [], schema=StructType.fromJson(schema_json)
+                )
+            # pre-schema manifests: no way to recover columns
             return self.spark.createDataFrame([], schema="__empty string").limit(0)
         # mergeSchema: snapshots can span commits with evolved schemas
         # (upserts union-by-name, so later files may carry added columns)
@@ -333,6 +353,11 @@ class VersionedTable:
         self._commit(
             version + 1,
             combined,
-            {"keys": keys, "operation": "compact", "compacted_buckets": sorted(to_compact)},
+            {
+                "keys": keys,
+                "operation": "compact",
+                "compacted_buckets": sorted(to_compact),
+                "schema": manifest.get("schema"),
+            },
         )
         return version + 1

@@ -93,6 +93,33 @@ def cosine_topk(
 
 # --- hyperplane LSH -------------------------------------------------------------
 
+def vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Dimensionality of ``vec_col``, sampled from the first non-NULL
+    vector.  An empty (or all-NULL) table returns 1: any plane count
+    then types the plan correctly, and the zero data rows make every
+    downstream result empty — the operators stay total on empty input
+    instead of crashing on ``first()`` returning None."""
+    row = (
+        df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    )
+    return len(row[vec_col]) if row is not None else 1
+
+
+def query_vector(
+    df: DataFrame, id_col: str, vec_col: str, target_id: int = 0
+) -> list[float]:
+    """The vector of ``target_id`` as Python floats — the driver-side
+    probe for the top-k query plans.  Missing id / NULL vector / empty
+    table degrade to ``[0.0]``: the probe then matches nothing in an
+    empty table rather than crashing on ``first()`` returning None."""
+    row = (
+        df.where((F.col(id_col) == target_id) & F.col(vec_col).isNotNull())
+        .select(vec_col)
+        .first()
+    )
+    return [float(v) for v in row[vec_col]] if row is not None else [0.0]
+
+
 def _plane_coef(plane: int, dim: int) -> float:
     """Deterministic pseudo-random coefficient in [-1, 1): derived from
     md5(plane_dim), so identical across engines and runs."""
@@ -178,8 +205,7 @@ def embedding_near_dup_pairs(
     Same-bucket pairs only (sign-LSH: cos-similar vectors collide with
     high probability); exact cosine verify on candidates.
     """
-    sample = df.select(vec_col).first()
-    dim = len(sample[vec_col])
+    dim = vector_dim(df, vec_col)
     # Pre-compute each vector's norm before the self-join: the join
     # then evaluates one dot product per candidate pair instead of
     # three array aggregations (dot + two norms).
@@ -242,7 +268,11 @@ def kmeans_fit(
     init_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
-    centroids = [list(map(float, r[vec_col])) for r in init_rows]
+    centroids = [
+        list(map(float, r[vec_col])) for r in init_rows if r[vec_col] is not None
+    ]
+    if not centroids:  # empty (or all-NULL-vector) input: nothing to fit
+        return []
 
     for _ in range(iters):
         assigned = with_ivf_assignment(df, centroids, vec_col)
@@ -287,7 +317,14 @@ def with_ivf_assignment(
     occurrence ⇒ lowest index wins ties, same as a strict-< scan).  A
     when/otherwise chain instead re-nests every distance expression
     O(k²) times and plan compilation dominates runtime.
+
+    An empty centroid list (k-means over an empty table) degrades to a
+    single zero centroid: the plan stays well-typed (``F.array()`` of
+    zero columns is NULL-typed and breaks ``array_position``) and the
+    zero input rows that produced it make the result empty anyway.
     """
+    if not centroids:
+        centroids = [[0.0]]
     dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
     return df.withColumn("__dists", dists).withColumn(
         out,
@@ -527,7 +564,7 @@ def ann_recall_lsh(
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
-    dim = len(df.select(vec_col).first()[vec_col])
+    dim = vector_dim(df, vec_col)
     planes = hyperplane_coefficients(num_planes, dim)
     base = (
         df.select(
@@ -726,7 +763,7 @@ def vector_admit(
     """
     from pyspark.sql.functions import broadcast
 
-    dim = len(corpus.select(vec_col).first()[vec_col])
+    dim = vector_dim(corpus, vec_col)
     planes = hyperplane_coefficients(num_planes, dim)
 
     def prep(df: DataFrame, prefix: str) -> DataFrame:

@@ -36,7 +36,11 @@ def check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, cond in rules.items():
         aggs.append(
-            F.sum(F.when(cond, 0).otherwise(1)).alias(name)
+            # coalesce: SUM over zero rows is NULL, but an empty table
+            # has zero violations, not unknown violations
+            F.coalesce(
+                F.sum(F.when(cond, 0).otherwise(1)), F.lit(0)
+            ).alias(name)
         )
     wide = df.agg(*aggs)
     # unpivot rule columns into (rule, violations) rows
@@ -70,7 +74,7 @@ def check_unique(df: DataFrame, keys: list[str]) -> DataFrame:
     """
     per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
     agg = per_key.agg(
-        F.sum("__c").alias("n_rows"),
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("n_rows"),
         F.coalesce(
             F.sum(F.when(F.col("__c") > 1, F.col("__c"))), F.lit(0)
         ).alias("violations"),

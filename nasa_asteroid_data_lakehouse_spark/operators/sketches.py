@@ -64,8 +64,13 @@ def rollup_sketches(
     pairwise with ``kll_sketch_merge_double`` (a binary scalar, so the
     collected per-segment sketch list — segment-cardinality sized —
     reduces driver-free inside one expression)."""
+    # greatest(...,0) + try_element_at keep the fold total on an EMPTY
+    # sketch table (zero segments): slice length would be -1 and ANSI
+    # element access would throw; a NULL seed instead folds to a NULL
+    # estimate, and zero-segment callers produce zero rows downstream.
     merged_kll = (
-        "reduce(slice(__ks, 2, size(__ks) - 1), __ks[0],"
+        "reduce(slice(__ks, 2, greatest(size(__ks) - 1, 0)),"
+        " try_element_at(__ks, 1),"
         " (a, x) -> kll_sketch_merge_double(a, x))"
     )
     agg = sketches.agg(

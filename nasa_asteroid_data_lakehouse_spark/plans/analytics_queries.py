@@ -91,6 +91,7 @@ SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0  -- Spark emits no grouping-set rows on empty input; standard SQL emits the () row
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
@@ -113,6 +114,7 @@ CUBE_SQL = """
 SELECT event_type, weekday, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
 FROM (SELECT *, CAST(dayofweek(ts) + 1 AS INTEGER) AS weekday FROM events)
 GROUP BY CUBE (event_type, weekday)
+HAVING COUNT(*) > 0  -- empty-input alignment, see ROLLUP_SQL
 """
 
 
@@ -781,6 +783,7 @@ SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+HAVING COUNT(*) > 0  -- empty-input alignment, see ROLLUP_SQL
 ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
@@ -1099,6 +1102,7 @@ GROUP BY o_orderpriority
 UNION ALL
 SELECT 'ALL', COUNT(*), COUNT(DISTINCT o_custkey), TRUE, TRUE
 FROM orders
+HAVING COUNT(*) > 0  -- empty-input alignment: no sketches -> no ALL row
 ORDER BY segment
 """
 
@@ -1491,7 +1495,10 @@ def file_skipping_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(tmp)
 
-        back = spark.read.parquet(tmp)
+        # Explicit schema: an empty source writes zero data files and
+        # schema inference on the bare directory throws; the read must
+        # stay total on empty input (empty in -> empty stats out).
+        back = spark.read.schema(orders.schema).parquet(tmp)
         stats = collect_file_stats(
             back, ["o_totalprice"], group_cols=["o_orderpriority"]
         )
@@ -2862,11 +2869,11 @@ j AS (
 SELECT COUNT(*) AS n_bins,
        CAST(SUM(n_ref) AS BIGINT) AS ref_rows,
        CAST(SUM(n_cur) AS BIGINT) AS cur_rows,
-       ROUND(SUM((greatest(n_ref, 1) / tot.nr - greatest(n_cur, 1) / tot.nc)
-                 * ln((greatest(n_ref, 1) / tot.nr)
-                      / (greatest(n_cur, 1) / tot.nc))), 6) AS psi
-FROM j, tot
-GROUP BY tot.nr, tot.nc
+       ROUND(SUM((greatest(n_ref, 1) / (SELECT nr FROM tot)
+                  - greatest(n_cur, 1) / (SELECT nc FROM tot))
+                 * ln((greatest(n_ref, 1) / (SELECT nr FROM tot))
+                      / (greatest(n_cur, 1) / (SELECT nc FROM tot)))), 6) AS psi
+FROM j
 """
 
 

@@ -887,7 +887,7 @@ def hybrid_retrieval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = similarity.query_vector(emb, "vec_id", "embedding", 0)
     q = F.array(*[F.lit(v) for v in qvec])
     scored = emb.select(
         F.col("vec_id").alias("doc_id"),

@@ -698,7 +698,7 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k neighbours of vec_id=0: probe only buckets
     within Hamming distance 2 of the query's bucket."""
     emb = read_table(spark, sf_dir, "embeddings")
-    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    qvec = similarity.query_vector(emb, "vec_id", "embedding", 0)
     return similarity.lsh_topk(
         emb,
         qvec,
@@ -749,8 +749,12 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = read_table(spark, sf_dir, "embeddings")
     seeds = emb.orderBy("vec_id").limit(_IVF_K_CENTROIDS).collect()
-    centroids = [[float(v) for v in r["embedding"]] for r in seeds]
-    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    centroids = [
+        [float(v) for v in r["embedding"]]
+        for r in seeds
+        if r["embedding"] is not None
+    ]
+    qvec = similarity.query_vector(emb, "vec_id", "embedding", 0)
     return similarity.ivf_topk(
         emb, qvec, centroids, k=_IVF_TOPK, nprobe=_IVF_NPROBE
     )
@@ -1484,7 +1488,11 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer is exercised in tests."""
     emb = read_table(spark, sf_dir, "embeddings")
     seeds = emb.orderBy("vec_id").limit(_SEMDEDUP_K).collect()
-    centroids = [[float(v) for v in r["embedding"]] for r in seeds]
+    centroids = [
+        [float(v) for v in r["embedding"]]
+        for r in seeds
+        if r["embedding"] is not None
+    ]
     return similarity.semantic_dedup(
         emb, centroids, _SEMDEDUP_THRESHOLD
     ).orderBy("vec_id")

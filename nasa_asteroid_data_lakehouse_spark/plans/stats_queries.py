@@ -458,14 +458,19 @@ lagged AS (
   FROM daily a JOIN daily b ON b.day = a.day + 7
 ),
 mom AS (
-  SELECT lag,
-         CAST(COUNT(*) AS BIGINT) AS n,
+  -- lag spine LEFT JOIN so an empty series still yields one row per
+  -- lag (n = COUNT(x) = 0, NULL moments), matching the engine's
+  -- per-lag global aggregate
+  SELECT l.lag,
+         CAST(COUNT(x) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx,
          CAST(SUM(y) AS BIGINT) AS sy,
          CAST(SUM(x * x) AS BIGINT) AS sxx,
          CAST(SUM(y * y) AS BIGINT) AS syy,
          CAST(SUM(x * y) AS BIGINT) AS sxy
-  FROM lagged GROUP BY lag
+  FROM (SELECT 1 AS lag UNION ALL SELECT 7) l
+  LEFT JOIN lagged USING (lag)
+  GROUP BY l.lag
 )
 SELECT lag, n AS n_pairs,
        ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
