@@ -928,6 +928,12 @@ def edit_distance_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: edit distance is O(len²) per pair, so it runs ONLY on
     the LSH-bucketed candidates (the shared cached pair table — never
     all-pairs); the text join-back is two hash joins on the doc id.
+
+    Unit caveat (unicode sweep, round 3): Spark's levenshtein counts
+    CHARACTER edits, DuckDB's counts UTF-8 BYTE edits — identical on
+    ASCII (the oracle fixture), divergent on multibyte text.  The
+    engine keeps the character semantics; the oracle is exact for
+    ASCII only (allowlisted in scripts/adversarial_sim.py).
     """
     pairs = _lsh_pairs_cached(spark, sf_dir, _LSHMH_THRESHOLD).select(
         "id_a", "id_b"
@@ -985,7 +991,9 @@ def edit_distance_capped_documents(spark: SparkSession, sf_dir: str) -> DataFram
 
     Oracle: DuckDB has no thresholded form, so the oracle computes the
     full distance and caps it with ``LEAST(lev, bound+1)`` — identical
-    result, integer-exact on both sides.
+    result, integer-exact on both sides.  Same ASCII-only oracle
+    caveat as :func:`edit_distance_pairs_documents` (character vs
+    byte edit units).
     """
     pairs = _lsh_pairs_cached(spark, sf_dir, _LSHMH_THRESHOLD).select(
         "id_a", "id_b"

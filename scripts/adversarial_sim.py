@@ -120,6 +120,81 @@ def build_mutated(dst: str) -> None:
             shutil.copyfile(src_path, out)
 
 
+# Queries whose oracle is only exact on ASCII input — engine-intrinsic
+# divergence, not a bug: DuckDB's levenshtein counts UTF-8 BYTE edits
+# while Spark's counts CHARACTER edits (probe: lev('Café déjà vu',
+# 'Cafe deja vu') = 3 in Spark, 6 in DuckDB).  The engine keeps the
+# character semantics (the right unit for text dedup); the clean
+# fixture is ASCII so the driver gate is unaffected.
+UNICODE_ORACLE_ASCII_ONLY = {
+    "edit_distance_pairs_documents",
+    "edit_distance_capped_documents",
+}
+
+
+def build_unicode(dst: str) -> None:
+    """Copy sf0.001 with unicode-mutated documents: accents, CJK,
+    emoji, combining marks — the shapes where byte-vs-character
+    semantics and non-ASCII casing silently diverge between engines."""
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+COPY (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'Café déjà vu naïve Zürich ' || text
+              WHEN doc_id % 13 = 0 THEN '数据湖仓 分布式 计算 ' || text
+              WHEN doc_id % 17 = 0 THEN 'emoji 🚀✨ mixed ' || text
+              WHEN doc_id % 19 = 0 THEN 'combining é and nbsp word ' || text
+              ELSE text END AS text,
+         lang, source, n_chars
+  FROM read_parquet('{SRC}/documents.parquet')
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+""")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        src_path = os.path.join(SRC, f"{t}.parquet")
+        if os.path.exists(src_path):
+            shutil.copyfile(src_path, os.path.join(dst, f"{t}.parquet"))
+
+
+def run_fixture(spark, mod, dst: str, only, skip=frozenset(), tag="") -> list[str]:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(dst, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
+        if name not in oracles:
+            continue
+        if name in skip:
+            print(f"  {name}: SKIP (known engine-intrinsic divergence{tag})")
+            continue
+        try:
+            actual = norm(fn(spark, dst).toPandas())
+        except Exception as exc:  # noqa: BLE001 — survey, keep going
+            print(f"  {name}: SPARK ERROR {type(exc).__name__}: {exc}")
+            failures.append(name)
+            continue
+        try:
+            expected = norm(con.execute(oracles[name]).df())
+        except Exception as exc:  # noqa: BLE001
+            print(f"  {name}: ORACLE ERROR {type(exc).__name__}: {exc}")
+            failures.append(name)
+            continue
+        diff = frames_match(actual, expected)
+        if diff:
+            print(f"  {name}: MISMATCH {diff}")
+            failures.append(name)
+        else:
+            print(f"  {name}: rows={len(actual)} MATCH")
+    return failures
+
+
 def main() -> int:
     argv = sys.argv[1:]
     only: set[str] | None = None
@@ -128,8 +203,10 @@ def main() -> int:
         only = set(argv[i + 1].split(","))
 
     dst = tempfile.mkdtemp(prefix="ndl_adversarial_")
+    udst = tempfile.mkdtemp(prefix="ndl_unicode_")
     try:
         build_mutated(dst)
+        build_unicode(udst)
         mod = load_entry()
 
         from nasa_asteroid_data_lakehouse_spark.session import get_spark
@@ -137,39 +214,12 @@ def main() -> int:
         spark = get_spark(app_name="adversarial-sim", master="local[8]")
         spark.sparkContext.setLogLevel("ERROR")
 
-        con = duckdb.connect()
-        for t in TABLES:
-            p = os.path.join(dst, f"{t}.parquet")
-            if os.path.exists(p):
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-                )
-
-        qs, oracles = mod.queries(), mod.oracle_sql()
-        failures = []
-        for name, fn in qs.items():
-            if only is not None and name not in only:
-                continue
-            if name not in oracles:
-                continue
-            try:
-                actual = norm(fn(spark, dst).toPandas())
-            except Exception as exc:  # noqa: BLE001 — survey, keep going
-                print(f"  {name}: SPARK ERROR {type(exc).__name__}: {exc}")
-                failures.append(name)
-                continue
-            try:
-                expected = norm(con.execute(oracles[name]).df())
-            except Exception as exc:  # noqa: BLE001
-                print(f"  {name}: ORACLE ERROR {type(exc).__name__}: {exc}")
-                failures.append(name)
-                continue
-            diff = frames_match(actual, expected)
-            if diff:
-                print(f"  {name}: MISMATCH {diff}")
-                failures.append(name)
-            else:
-                print(f"  {name}: rows={len(actual)} MATCH")
+        failures = run_fixture(spark, mod, dst, only)
+        print("--- unicode fixture ---")
+        failures += run_fixture(
+            spark, mod, udst, only,
+            skip=UNICODE_ORACLE_ASCII_ONLY, tag=": byte-vs-char levenshtein",
+        )
         spark.stop()
         print(f"ADVERSARIAL FAILURES: {len(failures)}")
         if failures:
@@ -177,6 +227,7 @@ def main() -> int:
         return 1 if failures else 0
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+        shutil.rmtree(udst, ignore_errors=True)
 
 
 if __name__ == "__main__":
