@@ -70,7 +70,12 @@ def neows_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact agree on key derivation, the latest-observation-wins asteroid
     dedup, and the calendar decomposition (ISO week over the
     year-boundary fixture row)."""
-    silver = flatten_feed(_fixture_feed(spark), _DATES)
+    # The silver flatten (JSON parse + double explode) feeds all four
+    # builders; checkpoint it once instead of re-deriving it per
+    # branch (it is 5 bounded fixture rows).
+    silver = flatten_feed(_fixture_feed(spark), _DATES).localCheckpoint(
+        eager=False
+    )
     fact = build_fact(silver)
     dim_a = build_dim_asteroid(silver).select(
         "sk_asteroid", "id", "name", "absolute_magnitude_h", "is_hazardous"
