@@ -2789,14 +2789,14 @@ def psi_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     are histogrammed on those SAME edges; the per-bin contribution is
     (p - q)·ln(p/q) with counts Laplace-floored at 1 so empty bins
     stay finite.  Edge computation is one aggregation; binning is a
-    broadcast of 9 doubles folded into a CASE chain — one pass over
-    each period, no join.
+    broadcast of 9 doubles folded into a CASE chain with a period
+    flag — ONE conditional-aggregation pass bins both periods, no
+    join; period totals are window sums over the bounded bin table.
     """
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
     )
     ref = orders.where(F.col("o_orderdate") < _PSI_SPLIT)
-    cur = orders.where(F.col("o_orderdate") >= _PSI_SPLIT)
     qs = [i / _PSI_BINS for i in range(1, _PSI_BINS)]
     edges = ref.agg(
         *[
@@ -2812,21 +2812,24 @@ def psi_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = c + F.when(F.col("o_totalprice") > F.lit(e), 1).otherwise(0)
         return c.alias("bin")
 
-    rc = ref.select(bin_col()).groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_ref")
+    # ONE conditional-aggregation scan bins both periods at once
+    # (previously: two per-period histogram scans plus two bare
+    # count() scans — 4 passes where 1 suffices); the period totals
+    # come from window sums over the bounded 10-bin table, exactly
+    # equal to the row counts.
+    from pyspark.sql import Window
+
+    joined = (
+        orders.select(bin_col(), (F.col("o_orderdate") < _PSI_SPLIT).alias("is_ref"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+            F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+        )
     )
-    cc = cur.select(bin_col()).groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_cur")
-    )
-    n_ref = ref.count()
-    n_cur = cur.count()
-    joined = rc.join(cc, "bin", "full_outer").select(
-        "bin",
-        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
-    )
-    p = F.greatest(F.col("n_ref"), F.lit(1)) / F.lit(n_ref)
-    q = F.greatest(F.col("n_cur"), F.lit(1)) / F.lit(n_cur)
+    w = Window.partitionBy()
+    p = F.greatest(F.col("n_ref"), F.lit(1)) / F.sum("n_ref").over(w)
+    q = F.greatest(F.col("n_cur"), F.lit(1)) / F.sum("n_cur").over(w)
     per_bin = joined.select(
         "bin",
         "n_ref",
