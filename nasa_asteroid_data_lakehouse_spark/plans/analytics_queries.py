@@ -2423,9 +2423,18 @@ def key_skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n").alias("total_rows"),
         F.max("n").alias("max_per_key"),
-        F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50_per_key"),
-        F.round(F.expr("percentile(n, 0.9)"), 4).alias("p90_per_key"),
-        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_per_key"),
+        # array form: one sorted buffer serves all three ranks (three
+        # scalar percentile aggs would each buffer+sort |keys| values
+        # — at 100 TB the key table is itself large)
+        F.round(F.expr("percentile(n, array(0.5, 0.9, 0.99))[0]"), 4).alias(
+            "p50_per_key"
+        ),
+        F.round(F.expr("percentile(n, array(0.5, 0.9, 0.99))[1]"), 4).alias(
+            "p90_per_key"
+        ),
+        F.round(F.expr("percentile(n, array(0.5, 0.9, 0.99))[2]"), 4).alias(
+            "p99_per_key"
+        ),
         F.round(
             F.max("n") / (F.sum("n") / F.count(F.lit(1))), 6
         ).alias("skew_ratio"),
@@ -2544,8 +2553,12 @@ def conversion_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.expr("percentile(latency_s, 0.5)"), 3).alias("p50_s"),
-        F.round(F.expr("percentile(latency_s, 0.9)"), 3).alias("p90_s"),
+        F.round(F.expr("percentile(latency_s, array(0.5, 0.9))[0]"), 3).alias(
+            "p50_s"
+        ),
+        F.round(F.expr("percentile(latency_s, array(0.5, 0.9))[1]"), 3).alias(
+            "p90_s"
+        ),
         F.round(F.avg("latency_s"), 3).alias("mean_s"),
     )
 
@@ -2798,13 +2811,18 @@ def psi_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = orders.where(F.col("o_orderdate") < _PSI_SPLIT)
     qs = [i / _PSI_BINS for i in range(1, _PSI_BINS)]
+    # ONE array-form percentile: nine scalar percentile aggregates
+    # each buffer and sort the column independently (9x the work —
+    # measured 2.5 s vs 0.9 s at sf0.1); the array form extracts all
+    # nine ranks from a single sorted buffer, bit-identically.
     edges = ref.agg(
-        *[
-            F.expr(f"percentile(o_totalprice, {q!r})").alias(f"e{i}")
-            for i, q in enumerate(qs)
-        ]
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(repr(q) for q in qs)}))"
+        ).alias("es")
     ).collect()[0]
-    cuts = [edges[f"e{i}"] for i in range(len(qs))]
+    # empty ref period: NULL array -> NULL cut points, same as the
+    # scalar form produced (bin comparisons stay NULL-safe)
+    cuts = list(edges["es"]) if edges["es"] is not None else [None] * len(qs)
 
     def bin_col():
         c = F.lit(0)
