@@ -5,6 +5,7 @@ sf0.01 and diff against oracle_sql() via DuckDB (sorted columns,
 order-insensitive rows, float rtol 1e-9). Exit 1 on any mismatch.
 
 Usage: python scripts/driver_sim.py [sf_dir] [--only name1,name2] [--plain]
+       python scripts/driver_sim.py --empty   # zero-row robustness sweep
 """
 
 from __future__ import annotations
@@ -84,8 +85,25 @@ def main() -> int:
         only = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2 :]
     plain = "--plain" in argv
-    args = [a for a in argv if a != "--plain"]
+    empty = "--empty" in argv
+    args = [a for a in argv if a not in ("--plain", "--empty")]
     sf = args[0] if args else "/root/testdata/sf0.01"
+    if empty:
+        # Zero-row schema-preserving copy of the tables: every operator
+        # must stay total on empty input (round-3 robustness gate —
+        # empty partitions/batches are routine at scale).
+        import tempfile
+
+        sf_src = args[0] if args else "/root/testdata/sf0.001"
+        sf = tempfile.mkdtemp(prefix="ndl_empty_")
+        con0 = duckdb.connect()
+        for t in TABLES:
+            src_p = os.path.join(sf_src, f"{t}.parquet")
+            if os.path.exists(src_p):
+                con0.execute(
+                    f"COPY (SELECT * FROM read_parquet('{src_p}') LIMIT 0)"
+                    f" TO '{sf}/{t}.parquet' (FORMAT PARQUET)"
+                )
     mod = load_entry()
 
     if plain:

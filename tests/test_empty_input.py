@@ -5,18 +5,9 @@ filter, an empty micro-batch, a table created before its first load.
 A full-surface probe (scripts/driver_sim.py against a zero-row
 schema-preserving copy of the test data) found 8 operator crashes and
 8 engine-vs-oracle divergences; these tests pin the operator-level
-fixes so they stay fixed.  The sweep itself can be re-run any time:
+fixes so they stay fixed.  The sweep itself is one command:
 
-    python - <<'EOF'   # build /tmp/sf_empty
-    import duckdb, os
-    os.makedirs('/tmp/sf_empty', exist_ok=True)
-    for t in ('region nation customer supplier part orders lineitem '
-              'events documents embeddings').split():
-        duckdb.sql(f"COPY (SELECT * FROM read_parquet("
-                   f"'/root/testdata/sf0.001/{t}.parquet') LIMIT 0) "
-                   f"TO '/tmp/sf_empty/{t}.parquet' (FORMAT PARQUET)")
-    EOF
-    python scripts/driver_sim.py /tmp/sf_empty   # expect FAILURES: 0
+    python scripts/driver_sim.py --empty    # expect FAILURES: 0
 """
 
 import pytest
