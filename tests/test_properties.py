@@ -399,3 +399,57 @@ def test_triangle_counts_match_bruteforce(sp, edges):
             for n in (a, b, c):
                 expect[n] = expect.get(n, 0) + 1
     assert got == expect
+
+
+NUMS = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(vals=NUMS)
+@SLOW
+def test_equidepth_partitions_nonnull_rows_exactly(sp, vals):
+    """Invariants under arbitrary (nullable) inputs: bucket counts sum
+    to the non-null row count, buckets are contiguous [lo, hi] ranges
+    in order, and NULLs never appear (round-3 fix)."""
+    from nasa_asteroid_data_lakehouse_spark.operators.stats import (
+        equidepth_histogram,
+    )
+
+    pdf = pd.DataFrame({"v": pd.Series(vals, dtype="float64")})
+    df = sp.createDataFrame(pdf, schema="v double")
+    got = equidepth_histogram(df, "v", buckets=4).toPandas()
+    n_nonnull = int(pdf["v"].notna().sum())
+    assert int(got["n"].sum()) == n_nonnull
+    ordered = got.sort_values("bucket")
+    his = ordered["hi"].tolist()
+    los = ordered["lo"].tolist()
+    for i in range(1, len(his)):
+        assert his[i - 1] <= los[i] + 1e-9
+
+
+@given(vals=st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=30,
+))
+@SLOW
+def test_winsorize_bounds_and_clipping(sp, vals):
+    """winsorize: output stays within [lo, hi], rows already inside the
+    band pass through unchanged, and row count is preserved."""
+    from nasa_asteroid_data_lakehouse_spark.operators.robust import winsorize
+
+    pdf = pd.DataFrame({"g": ["a"] * len(vals), "v": vals})
+    df = sp.createDataFrame(pdf, schema="g string, v double")
+    out = winsorize(df, "v", ["g"], 0.1, 0.9, exact=True).toPandas()
+    assert len(out) == len(vals)
+    assert (out["v_winsorized"] >= out["v_lo"] - 1e-9).all()
+    assert (out["v_winsorized"] <= out["v_hi"] + 1e-9).all()
+    inside = out[(out["v"] >= out["v_lo"]) & (out["v"] <= out["v_hi"])]
+    assert (inside["v_winsorized"] == inside["v"]).all()
