@@ -522,8 +522,16 @@ def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("variant") == 1, F.col("p")).otherwise(0).cast("long")
         ).alias("conv_b"),
     )
-    ra = F.col("conv_a").cast("double") / F.col("n_a")
-    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    # Guarded divisions: a single-variant table (degenerate but legal)
+    # zeroes a count — DuckDB's x/0 is NULL, Spark's ANSI x/0 throws;
+    # the when() makes both sides NULL (rate/se undefined for an
+    # empty variant; the z guard already handles NULL/0 se).
+    ra = F.when(
+        F.col("n_a") > 0, F.col("conv_a").cast("double") / F.col("n_a")
+    )
+    rb = F.when(
+        F.col("n_b") > 0, F.col("conv_b").cast("double") / F.col("n_b")
+    )
     pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     )
@@ -534,10 +542,13 @@ def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b",
         ra.alias("__ra"),
         rb.alias("__rb"),
-        F.sqrt(
-            pp
-            * (F.lit(1.0) - pp)
-            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.sqrt(
+                pp
+                * (F.lit(1.0) - pp)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            ),
         ).alias("__se"),
     )
     return stepped.select(

@@ -6,6 +6,7 @@ order-insensitive rows, float rtol 1e-9). Exit 1 on any mismatch.
 
 Usage: python scripts/driver_sim.py [sf_dir] [--only name1,name2] [--plain]
        python scripts/driver_sim.py --empty   # zero-row robustness sweep
+       python scripts/driver_sim.py --one     # single-row degenerate sweep
 """
 
 from __future__ import annotations
@@ -86,22 +87,26 @@ def main() -> int:
         argv = argv[:i] + argv[i + 2 :]
     plain = "--plain" in argv
     empty = "--empty" in argv
-    args = [a for a in argv if a not in ("--plain", "--empty")]
+    one = "--one" in argv
+    args = [a for a in argv if a not in ("--plain", "--empty", "--one")]
     sf = args[0] if args else "/root/testdata/sf0.01"
-    if empty:
-        # Zero-row schema-preserving copy of the tables: every operator
-        # must stay total on empty input (round-3 robustness gate —
-        # empty partitions/batches are routine at scale).
+    if empty or one:
+        # Degenerate-cardinality copies of the tables (round-3
+        # robustness gates): --empty = zero rows (every operator must
+        # stay total — empty partitions/batches are routine at scale);
+        # --one = a deterministic single row per table (windows, lags,
+        # rank bands, and divisions at their smallest legal input).
         import tempfile
 
         sf_src = args[0] if args else "/root/testdata/sf0.001"
-        sf = tempfile.mkdtemp(prefix="ndl_empty_")
+        sf = tempfile.mkdtemp(prefix="ndl_empty_" if empty else "ndl_one_")
+        sel = "LIMIT 0" if empty else "ORDER BY 1 LIMIT 1"
         con0 = duckdb.connect()
         for t in TABLES:
             src_p = os.path.join(sf_src, f"{t}.parquet")
             if os.path.exists(src_p):
                 con0.execute(
-                    f"COPY (SELECT * FROM read_parquet('{src_p}') LIMIT 0)"
+                    f"COPY (SELECT * FROM read_parquet('{src_p}') {sel})"
                     f" TO '{sf}/{t}.parquet' (FORMAT PARQUET)"
                 )
     mod = load_entry()

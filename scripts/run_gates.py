@@ -4,8 +4,9 @@
 1. driver_sim at sf0.01 (the real driver's check)
 2. driver_sim at sf0.1 (scale-factor stability)
 3. driver_sim --empty (zero-row totality)
-4. adversarial_sim (NULL/dup pass + unicode pass)
-5. pytest tests/ (full suite)
+4. driver_sim --one (single-row degeneracy)
+5. adversarial_sim (NULL/dup pass + unicode pass)
+6. pytest tests/ (full suite)
 
 Usage: python scripts/run_gates.py [--fast]
   --fast skips the sf0.1 pass and the full pytest suite (keeps the
@@ -48,6 +49,7 @@ def main() -> int:
     gates = [
         ("driver_sim sf0.01", [py, "scripts/driver_sim.py"]),
         ("driver_sim --empty", [py, "scripts/driver_sim.py", "--empty"]),
+        ("driver_sim --one", [py, "scripts/driver_sim.py", "--one"]),
         ("adversarial_sim (2 passes)", [py, "scripts/adversarial_sim.py"]),
     ]
     if not fast:
