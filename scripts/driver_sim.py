@@ -160,6 +160,10 @@ def main() -> int:
         else:
             print(f"  {name}: rows={len(actual)} MATCH")
     spark.stop()
+    if empty or one:
+        import shutil
+
+        shutil.rmtree(sf, ignore_errors=True)
     print("FAILURES:", failures)
     return 1 if failures else 0
 
