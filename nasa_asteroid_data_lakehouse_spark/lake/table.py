@@ -128,9 +128,20 @@ class VersionedTable:
         return buckets
 
     def create(self, df: DataFrame, keys: list[str]) -> int:
-        """Initial commit (version 0). Fails if the table exists."""
+        """Initial commit (version 0). Fails if the table exists.
+
+        Enforces the table's one-row-per-key invariant from the first
+        commit with the SAME deterministic rule every later merge uses
+        (``merge_dataframes`` with no existing side) — duplicate-key
+        source rows collapse at create instead of corrupting the first
+        upsert's merge and fanning out the change feed."""
         if self.latest_version() is not None:
             raise ValueError(f"table at {self.root} already exists")
+        from nasa_asteroid_data_lakehouse_spark.operators.merge import (
+            merge_dataframes,
+        )
+
+        df = merge_dataframes(None, df, keys)
         buckets = self._write_bucket_files(df, keys)
         # The logical schema travels in the manifest so snapshot reads
         # of an empty table (zero data files — e.g. created from an

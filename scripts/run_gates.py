@@ -5,8 +5,9 @@
 2. driver_sim at sf0.1 (scale-factor stability)
 3. driver_sim --empty (zero-row totality)
 4. driver_sim --one (single-row degeneracy)
-5. adversarial_sim (NULL/dup pass + unicode pass)
-6. pytest tests/ (full suite)
+5. driver_sim --const (all-identical rows: ties + duplicate keys)
+6. adversarial_sim (NULL/dup pass + unicode pass)
+7. pytest tests/ (full suite)
 
 Usage: python scripts/run_gates.py [--fast]
   --fast skips the sf0.1 pass and the full pytest suite (keeps the
@@ -50,6 +51,7 @@ def main() -> int:
         ("driver_sim sf0.01", [py, "scripts/driver_sim.py"]),
         ("driver_sim --empty", [py, "scripts/driver_sim.py", "--empty"]),
         ("driver_sim --one", [py, "scripts/driver_sim.py", "--one"]),
+        ("driver_sim --const", [py, "scripts/driver_sim.py", "--const"]),
         ("adversarial_sim (2 passes)", [py, "scripts/adversarial_sim.py"]),
     ]
     if not fast:
