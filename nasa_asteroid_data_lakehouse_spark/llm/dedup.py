@@ -354,6 +354,10 @@ def dup_span_coverage(
     """Sequence-level duplication profile: how much of each document is
     made of word k-gram spans that also occur in other documents.
 
+    Precondition: ``id_col`` is unique (the table sits after exact
+    dedup in any pipeline); duplicate ids produce per-row rather than
+    per-document coverage rows (driver_sim --const documents this).
+
     The span-level complement to whole-document dedup (exact/MinHash):
     a document can be globally unique while 90% of its n-grams are
     boilerplate shared with the rest of the corpus — exactly the

@@ -381,6 +381,11 @@ def semantic_dedup(
     neighbor with cosine ≥ ``threshold``; the lowest id in each
     near-duplicate neighborhood survives.
 
+    Precondition: ``id_col`` is unique (the table sits after exact
+    dedup in any pipeline).  Duplicate ids are neither dropped nor
+    merged — the drop rule compares ids strictly, so exact copies of
+    one id all survive (driver_sim --const documents this boundary).
+
     Clustering is what makes the pairwise step tractable at 100 TB:
     the quadratic compare runs per-cluster (O(n²/k) pairs, executed as
     an equi-join on ``cluster``), never corpus-wide.  The drop rule is
