@@ -127,21 +127,32 @@ class VersionedTable:
                     buckets[b] = sorted(files)
         return buckets
 
-    def create(self, df: DataFrame, keys: list[str]) -> int:
+    def create(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        order_by: list[str] | None = None,
+    ) -> int:
         """Initial commit (version 0). Fails if the table exists.
 
         Enforces the table's one-row-per-key invariant from the first
-        commit with the SAME deterministic rule every later merge uses
+        commit with the SAME rule every later merge uses
         (``merge_dataframes`` with no existing side) — duplicate-key
         source rows collapse at create instead of corrupting the first
-        upsert's merge and fanning out the change feed."""
+        upsert's merge and fanning out the change feed.  Pass
+        ``order_by`` (forwarded to the merge, as in :meth:`upsert`) to
+        pick WHICH duplicate survives deterministically; without it the
+        default tiebreak is arbitrary-but-stable within a run
+        (monotonically_increasing_id), i.e. the surviving payload can
+        differ across runs when duplicate keys carry conflicting
+        payloads."""
         if self.latest_version() is not None:
             raise ValueError(f"table at {self.root} already exists")
         from nasa_asteroid_data_lakehouse_spark.operators.merge import (
             merge_dataframes,
         )
 
-        df = merge_dataframes(None, df, keys)
+        df = merge_dataframes(None, df, keys, order_by=order_by)
         buckets = self._write_bucket_files(df, keys)
         # The logical schema travels in the manifest so snapshot reads
         # of an empty table (zero data files — e.g. created from an

@@ -109,15 +109,22 @@ def query_vector(
     df: DataFrame, id_col: str, vec_col: str, target_id: int = 0
 ) -> list[float]:
     """The vector of ``target_id`` as Python floats — the driver-side
-    probe for the top-k query plans.  Missing id / NULL vector / empty
-    table degrade to ``[0.0]``: the probe then matches nothing in an
-    empty table rather than crashing on ``first()`` returning None."""
+    probe for the top-k query plans.
+
+    Degenerate inputs are distinguished: an empty / all-NULL table
+    degrades to ``[0.0]`` (downstream is empty anyway, and any plane
+    count types the plan), while a MISSING id in a non-empty table
+    returns a zero vector of the table's TRUE dimensionality — LSH
+    planes and cosine then stay dimension-correct (cosine against a
+    zero probe is NULL, not a silent 1-dim hash of d-dim vectors)."""
     row = (
         df.where((F.col(id_col) == target_id) & F.col(vec_col).isNotNull())
         .select(vec_col)
         .first()
     )
-    return [float(v) for v in row[vec_col]] if row is not None else [0.0]
+    if row is not None:
+        return [float(v) for v in row[vec_col]]
+    return [0.0] * vector_dim(df, vec_col)
 
 
 def _plane_coef(plane: int, dim: int) -> float:
@@ -318,12 +325,21 @@ def with_ivf_assignment(
     when/otherwise chain instead re-nests every distance expression
     O(k²) times and plan compilation dominates runtime.
 
-    An empty centroid list (k-means over an empty table) degrades to a
-    single zero centroid: the plan stays well-typed (``F.array()`` of
-    zero columns is NULL-typed and breaks ``array_position``) and the
-    zero input rows that produced it make the result empty anyway.
+    An empty centroid list is only legal when ``df`` is itself empty
+    (k-means over an empty table): the fallback single zero centroid
+    keeps the plan well-typed (``F.array()`` of zero columns is
+    NULL-typed and breaks ``array_position``) and the zero input rows
+    make the result empty anyway.  Empty centroids with a NON-empty
+    table (e.g. all-NULL seed vectors while valid rows exist) raise
+    instead of silently assigning every row to a dim-mismatched
+    cluster 0.
     """
     if not centroids:
+        if not df.isEmpty():
+            raise ValueError(
+                "empty centroid list with a non-empty DataFrame: fit "
+                "centroids first (kmeans_fit) or pass explicit centroids"
+            )
         centroids = [[0.0]]
     dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])
     return df.withColumn("__dists", dists).withColumn(

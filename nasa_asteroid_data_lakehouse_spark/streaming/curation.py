@@ -26,7 +26,7 @@ O(|corpus|).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
@@ -201,6 +201,31 @@ def score_stream(
     return (
         stream_df.writeStream.foreachBatch(score_and_append)
         .option("checkpointLocation", checkpoint or f"{out_path}__checkpoint")
+    )
+
+
+def read_scored(
+    spark: SparkSession,
+    out_path: str,
+    id_col: str = "doc_id",
+    latest_only: bool = False,
+) -> DataFrame:
+    """Read back a :func:`score_stream` sink.  Partition discovery adds
+    the ``batch`` column; with ``latest_only`` a doc id that was
+    (legitimately) re-submitted in a LATER source batch keeps only its
+    most recent score — the dedup-on-read companion for consumers that
+    expect globally unique ids from a sink whose replay protection is
+    per-batch, not cross-batch.  The window partitions on the id, so
+    the shuffle is O(rows) on the id key and prunes nothing a consumer
+    filter pushed below it."""
+    df = spark.read.parquet(out_path)
+    if not latest_only:
+        return df
+    w = Window.partitionBy(id_col).orderBy(F.desc("batch"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 

@@ -39,7 +39,7 @@ def main() -> None:
         curation_queries,
         llm_queries,
         neows_queries,
-    streaming_queries,
+        streaming_queries,
         operator_queries,
         stats_queries,
         tpch_queries,

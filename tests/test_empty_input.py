@@ -44,6 +44,22 @@ def test_query_vector_missing_id(spark, empty_vecs):
         [(0, [0.5, 1.5])], "vec_id bigint, embedding array<float>"
     )
     assert query_vector(real, "vec_id", "embedding", 0) == [0.5, 1.5]
+    # Missing id in a NON-empty table: zero vector of the table's TRUE
+    # dim (ADVICE r03) — LSH planes / cosine typing stay d-dimensional
+    # instead of silently hashing d-dim vectors with 1-dim planes.
+    assert query_vector(real, "vec_id", "embedding", 99) == [0.0, 0.0]
+
+
+def test_ivf_assignment_empty_centroids_nonempty_df_raises(spark):
+    from nasa_asteroid_data_lakehouse_spark.llm.similarity import (
+        with_ivf_assignment,
+    )
+
+    real = spark.createDataFrame(
+        [(0, [0.5, 1.5])], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="empty centroid list"):
+        with_ivf_assignment(real, [])
 
 
 def test_kmeans_and_assignment_empty(spark, empty_vecs):

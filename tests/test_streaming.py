@@ -796,3 +796,53 @@ def test_score_stream_redelivery_overwrites_not_duplicates(spark, tmp_path):
         q.awaitTermination(120)
         rows = spark.read.parquet(out).collect()
         assert sorted(r["doc_id"] for r in rows) == [1, 2]
+
+
+def test_read_scored_latest_only_dedups_cross_batch(spark, tmp_path):
+    """read_scored(latest_only=True) is the dedup-on-read companion for
+    score_stream's per-batch replay protection (ADVICE r03): a doc id
+    re-submitted in a later source batch keeps only its latest score."""
+    import os
+
+    from nasa_asteroid_data_lakehouse_spark.streaming.curation import (
+        read_scored,
+        score_stream,
+    )
+
+    reference = spark.createDataFrame(
+        [(100, "the cat sat on the mat " * 3)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "latest_in")
+    os.makedirs(src, exist_ok=True)
+    out = str(tmp_path / "latest_out")
+    spark.createDataFrame(
+        [(1, "the cat sat"), (2, "dogs run fast")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        score_stream(spark, stream, reference, out,
+                     checkpoint=str(tmp_path / "latest_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # doc 1 re-submitted with different text in a later batch
+    spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        score_stream(spark, stream, reference, out,
+                     checkpoint=str(tmp_path / "latest_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    raw = read_scored(spark, out)
+    assert sorted(r["doc_id"] for r in raw.collect()) == [1, 1, 2]
+    latest = read_scored(spark, out, latest_only=True)
+    rows = {r["doc_id"]: r for r in latest.collect()}
+    assert sorted(rows) == [1, 2]
+    max_batch = raw.agg(F.max("batch")).collect()[0][0]
+    assert rows[1]["batch"] == max_batch

@@ -169,3 +169,17 @@ def test_compact(spark, table):
     df = table.read()
     assert df.count() == 100
     assert df.where(F.col("k") == 5).collect()[0]["val"] == "v5_2"
+
+
+def test_create_order_by_picks_deterministic_survivor(spark, tmp_path):
+    """create(order_by=...) forwards the tiebreak to the merge (ADVICE
+    r03): with duplicate keys carrying conflicting payloads the
+    surviving row is chosen by the ordering, not partition layout."""
+    t = VersionedTable(spark, str(tmp_path / "dupkeys"), num_buckets=4)
+    df = spark.createDataFrame(
+        [(1, "old", 1.0), (1, "new", 2.0), (2, "only", 3.0)],
+        ["k", "val", "m"],
+    ).repartition(4)
+    t.create(df, keys=["k"], order_by=[F.desc("m")])
+    rows = {r["k"]: r["val"] for r in t.read().collect()}
+    assert rows == {1: "new", 2: "only"}
