@@ -1,0 +1,83 @@
+"""Round-4: the top-k-fused hybrid retrieval scale form (VERDICT r03
+'what's wrong' #1 — the last corpus-global-window query rewritten to
+TakeOrderedAndProject per side + bounded rank recovery)."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.plans import curation_queries as cq
+
+
+def test_ranked_topk_matches_window_ranking(spark):
+    """_ranked_topk (sort_array/posexplode over the k-row limit result)
+    assigns exactly the ranks a global row_number over (score DESC,
+    doc_id ASC) would — including tie-breaks — truncated to k."""
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.7), (6, 0.5)],
+        ["doc_id", "score"],
+    ).repartition(4)
+    got = {
+        r["doc_id"]: r["rk"]
+        for r in cq._ranked_topk(df, "score", "rk", 4).collect()
+    }
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    want = {
+        r["doc_id"]: r["rk"]
+        for r in df.select("doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 4)
+        .collect()
+    }
+    assert got == want == {2: 1, 3: 2, 5: 3, 1: 4}
+
+
+def test_hybrid_plan_has_no_window_node(spark, sf_smoke):
+    """The registered hybrid query's executed plan must contain zero
+    Window nodes (an unpartitioned row_number is a single-partition
+    sort at scale) and take each side through TakeOrderedAndProject."""
+    plan = (
+        cq.hybrid_retrieval_documents(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 3
+
+
+def test_hybrid_fused_equals_corpuswide_when_topk_covers(spark, tmp_path):
+    """With BOTH tables inside each side's top-k window the fused form
+    and the exhaustive-ranking parity form are the SAME function —
+    identical rows, not just identical doc sets.  (At sf0.001 the
+    corpus is already 500 docs > k=100, where the two legitimately
+    diverge: a doc outside one side's top-k loses that RRF term.)"""
+    n = 40
+    assert n <= cq._RRF_SIDE_K
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                ("window merge " * (1 + i % 3))
+                + ("query join " * (1 + (i * 7) % 4))
+                + f"filler text number {i}",
+            )
+            for i in range(n)
+        ],
+        "doc_id bigint, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (i, [float((i * 13) % 7) + 0.5, float((i * 5) % 11), 1.0])
+            for i in range(n)
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    embs.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    fused = sorted(
+        map(tuple, cq.hybrid_retrieval_documents(spark, str(tmp_path)).collect())
+    )
+    wide = sorted(
+        map(tuple, cq.hybrid_retrieval_corpuswide(spark, str(tmp_path)).collect())
+    )
+    assert fused == wide
+    assert len(fused) == cq._RRF_TOP
