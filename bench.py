@@ -54,6 +54,24 @@ def main() -> None:
     run(qs[first](spark, sf_dir))
 
     timings: dict[str, float] = {}
+
+    # The near-dup family shares one session-cached LSH pair table
+    # (threshold-0 shingle->minhash->band->verify checkpoint); lazily
+    # built, its ~6-8 s cost lands on whichever family query runs
+    # FIRST in rotation order, so round-over-round per-query diffs
+    # misattribute it (VERDICT r03).  Build it outside any query's
+    # timer and report it as its own line.
+    try:
+        from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+            _lsh_pairs_cached,
+        )
+
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        run(_lsh_pairs_cached(spark, sf_dir, 0.0))
+        timings["_lsh_family_build"] = round(time.perf_counter() - t0, 4)
+    except Exception:
+        pass  # family queries then pay the build themselves, as before
     for name, fn in qs.items():
         # Release block-manager memory held by earlier queries'
         # localCheckpoints before timing (ContextCleaner only frees
@@ -96,14 +114,34 @@ def main() -> None:
     # Full per-query timing map to a committed file (VERDICT r02 ask
     # #7): the driver keeps only ~2000 chars of stdout, so complete
     # round-over-round diffs need the detail on disk.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as fh:
             json.dump(
                 {"value": total, "sf": sf, "queries": timings}, fh, indent=1
             )
+    except OSError:
+        pass
+    # Per-round snapshot, write-once (VERDICT r03 ask #4): the builder's
+    # close run creates BENCH_DETAIL_r{N}.json first; a later driver
+    # rerun overwrites only the mutable BENCH_DETAIL.json, never the
+    # committed round snapshot.  N = next round after the last recorded
+    # driver bench.
+    try:
+        import re
+
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        snap = os.path.join(here, f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json")
+        if not os.path.exists(snap):
+            with open(snap, "w") as fh:
+                json.dump(
+                    {"value": total, "sf": sf, "queries": timings}, fh, indent=1
+                )
     except OSError:
         pass
     spark.stop()

@@ -151,6 +151,58 @@ def byte_feature_profile(
     return df.select(id_col, payload_col).mapInPandas(profile_batches, PROFILE_SCHEMA)
 
 
+def payload_dedup_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    group_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Exact payload dedup accounting over a binary media column, per
+    group: total payloads, distinct payloads, duplicate ratio, and
+    the bytes a dedup pass would reclaim.
+
+    All JVM-side: ``sha2(payload, 256)`` hashes the raw bytes in
+    whole-stage codegen, so the shuffle keys are 32-byte digests, never
+    the payloads themselves — at 100 TB the media bytes stay in their
+    parquet row groups and only (group, digest, length) rows move.
+    Two hash aggregations: (group, digest) -> occurrence count +
+    payload length, then group -> the accounting.  NULL payloads hash
+    to NULL and are excluded (no bytes to reclaim).  dup_bytes counts
+    (occurrences - 1) x payload length per digest — exactly the bytes
+    a keep-one-survivor dedup deletes."""
+    hashed = df.where(F.col(payload_col).isNotNull()).select(
+        *group_cols,
+        F.sha2(F.col(payload_col), 256).alias("__sha"),
+        F.octet_length(F.col(payload_col)).cast("bigint").alias("__nb"),
+    )
+    per_payload = hashed.groupBy(*group_cols, "__sha").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min("__nb").alias("__len"),
+    )
+    return per_payload.groupBy(*group_cols).agg(
+        F.sum("__c").cast("bigint").alias("n_payloads"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(1.0 - F.count(F.lit(1)) / F.sum("__c"), 6).alias("dup_ratio"),
+        F.sum((F.col("__c") - 1) * F.col("__len")).cast("bigint").alias("dup_bytes"),
+    )
+
+
+def payload_survivors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Keep-one-survivor exact payload dedup: the lowest ``id_col`` per
+    distinct payload digest survives (deterministic, the same min-id
+    rule the text dedup path uses).  One shuffle on the 32-byte digest;
+    payload bytes never shuffle — the survivor's row is re-selected by
+    an id join back to the source, which co-partitions on the id."""
+    hashed = df.where(F.col(payload_col).isNotNull()).select(
+        F.col(id_col), F.sha2(F.col(payload_col), 256).alias("__sha")
+    )
+    keep = hashed.groupBy("__sha").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "inner")
+
+
 RESIZE_SCHEMA = "doc_id bigint, height int, width int, pixels binary"
 
 

@@ -81,3 +81,47 @@ def test_hybrid_fused_equals_corpuswide_when_topk_covers(spark, tmp_path):
     )
     assert fused == wide
     assert len(fused) == cq._RRF_TOP
+
+
+# --- payload dedup (multimodal, r05 registration prep) ------------------------
+
+
+def test_payload_dedup_stats_accounting(spark):
+    from nasa_asteroid_data_lakehouse_spark.llm import multimodal
+
+    df = spark.createDataFrame(
+        [
+            (1, "web", "aaaa"),
+            (2, "web", "aaaa"),
+            (3, "web", "bb"),
+            (4, "pdf", "aaaa"),
+            (5, "pdf", None),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    payloads = multimodal.with_binary_payload(df, "text")
+    # NULL text encodes to NULL binary -> excluded
+    out = {
+        r["source"]: r
+        for r in multimodal.payload_dedup_stats(payloads).collect()
+    }
+    web = out["web"]
+    assert (web["n_payloads"], web["n_distinct"]) == (3, 2)
+    assert web["dup_ratio"] == round(1 - 2 / 3, 6)
+    assert web["dup_bytes"] == 4  # one extra "aaaa"
+    pdf = out["pdf"]
+    assert (pdf["n_payloads"], pdf["n_distinct"], pdf["dup_bytes"]) == (1, 1, 0)
+
+
+def test_payload_survivors_min_id_rule(spark):
+    from nasa_asteroid_data_lakehouse_spark.llm import multimodal
+
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    payloads = multimodal.with_binary_payload(df, "text")
+    ids = sorted(
+        r["doc_id"] for r in multimodal.payload_survivors(payloads).collect()
+    )
+    assert ids == [1, 2]
