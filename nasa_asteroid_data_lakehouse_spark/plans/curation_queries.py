@@ -871,8 +871,17 @@ def _ranked_topk(df: DataFrame, score_col: str, rank_name: str, k: int) -> DataF
     by a single-row ``sort_array(collect_list(struct))`` + posexplode
     (bounded: k structs), so the executed plan contains NO Window node
     at all — an unpartitioned ``row_number`` over the corpus is a
-    single-partition sort at 100 TB (VERDICT r03)."""
-    top = df.orderBy(F.desc(score_col), F.asc("doc_id")).limit(k)
+    single-partition sort at 100 TB (VERDICT r03).
+
+    NULL scores are excluded up front (a NULL-scored row is a
+    non-match, not a rank): ``orderBy(desc)`` sorts NULLs last but
+    ``sort_array`` sorts NULL struct fields first, so letting them
+    through would rank them opposite ways in the two stages."""
+    top = (
+        df.where(F.col(score_col).isNotNull())
+        .orderBy(F.desc(score_col), F.asc("doc_id"))
+        .limit(k)
+    )
     arr = top.agg(
         F.sort_array(
             F.collect_list(
@@ -995,6 +1004,7 @@ def _hybrid_retrieval_sql() -> str:
 WITH bm25_scores AS ({BM25_SQL}),
 top_b AS (
   SELECT doc_id, bm25 FROM bm25_scores
+  WHERE bm25 IS NOT NULL
   ORDER BY bm25 DESC, doc_id ASC LIMIT {_RRF_SIDE_K}
 ),
 r_bm25 AS (
@@ -1013,6 +1023,7 @@ cos_scores AS (
 ),
 top_c AS (
   SELECT doc_id, cos FROM cos_scores
+  WHERE cos IS NOT NULL
   ORDER BY cos DESC, doc_id ASC LIMIT {_RRF_SIDE_K}
 ),
 r_cos AS (

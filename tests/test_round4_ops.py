@@ -125,3 +125,17 @@ def test_payload_survivors_min_id_rule(spark):
         r["doc_id"] for r in multimodal.payload_survivors(payloads).collect()
     )
     assert ids == [1, 2]
+
+
+def test_ranked_topk_excludes_null_scores(spark):
+    """NULL scores are non-matches: orderBy(desc) sorts them last but
+    sort_array sorts NULL struct fields first, so passing them through
+    would rank them opposite ways in the two stages."""
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, None), (3, 0.9)], "doc_id bigint, score double"
+    )
+    got = {
+        r["doc_id"]: r["rk"]
+        for r in cq._ranked_topk(df, "score", "rk", 10).collect()
+    }
+    assert got == {3: 1, 1: 2}
