@@ -41,7 +41,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (a
+    zero embedding — failed encoder, padding row — has no direction).
+    ``try_divide`` because the session runs ANSI: a raw ``/`` raises
+    DIVIDE_BY_ZERO at the first zero vector, while the DuckDB oracles'
+    ``x / 0.0`` is NULL — this pins both engines to the NULL."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -238,7 +243,7 @@ def embedding_near_dup_pairs(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
             F.round(
-                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+                F.try_divide(dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")),
                 round_to,
             ).alias("cosine_sim"),
             # Pushdown barrier: predicate pushdown only crosses fully
@@ -429,7 +434,7 @@ def semantic_dedup(
         .select(
             F.col(f"b.{id_col}").alias("__dup_id"),
             F.round(
-                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+                F.try_divide(dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")),
                 round_to,
             ).alias("__cos"),
             # pushdown barrier: keep the threshold filter above the
@@ -545,7 +550,7 @@ def hard_negatives(
         F.col("b.id").alias("negative_id"),
         F.col("b.lbl").alias("negative_label"),
         F.round(
-            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            F.try_divide(dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")), 6
         ).alias("cosine_sim"),
     )
     wk = Window.partitionBy("anchor_id").orderBy(
@@ -614,7 +619,7 @@ def ann_recall_lsh(
             F.col("b.id").alias("nbr"),
             F.col("b.bucket").alias("nbucket"),
             F.round(
-                dot(F.col("av"), F.col("b.v")) / (F.col("anrm") * F.col("b.nrm")), 6
+                F.try_divide(dot(F.col("av"), F.col("b.v")), F.col("anrm") * F.col("b.nrm")), 6
             ).alias("cos"),
         )
         .localCheckpoint(eager=False)  # scored once, ranked twice below
@@ -715,15 +720,19 @@ def quantized_recall(
             "anchor_id",
             F.col("b.id").alias("nbr"),
             F.round(
-                dot(F.col("av"), F.col("b.v")) / (F.col("anrm") * F.col("b.nrm")), 6
+                F.try_divide(dot(F.col("av"), F.col("b.v")), F.col("anrm") * F.col("b.nrm")), 6
             ).alias("cos"),
             F.round(
-                F.aggregate(
-                    F.zip_with(F.col("acodes"), F.col("b.codes"), lambda x, y: x * y),
-                    F.lit(0).cast("long"),
-                    lambda acc, p: acc + p,
-                ).cast("double")
-                / (F.col("aqnrm") * F.col("b.qnrm")),
+                F.try_divide(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("acodes"), F.col("b.codes"), lambda x, y: x * y
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, p: acc + p,
+                    ).cast("double"),
+                    F.col("aqnrm") * F.col("b.qnrm"),
+                ),
                 6,
             ).alias("qcos"),
         )
@@ -805,8 +814,10 @@ def vector_admit(
         .select(
             "b_id",
             F.round(
-                dot(F.col("b_v"), F.col("c_v"))
-                / (F.col("b_nrm") * F.col("c_nrm")),
+                F.try_divide(
+                    dot(F.col("b_v"), F.col("c_v")),
+                    F.col("b_nrm") * F.col("c_nrm"),
+                ),
                 round_to,
             ).alias("cos"),
         )
@@ -882,7 +893,7 @@ def knn_label_agreement(
         F.col("b.id").alias("nbr"),
         F.col("b.lbl").alias("nbr_lbl"),
         F.round(
-            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            F.try_divide(dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")), 6
         ).alias("cos"),
     )
     wk = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("nbr"))

@@ -8,6 +8,7 @@ Usage: python scripts/driver_sim.py [sf_dir] [--only name1,name2] [--plain]
        python scripts/driver_sim.py --empty   # zero-row robustness sweep
        python scripts/driver_sim.py --one     # single-row degenerate sweep
        python scripts/driver_sim.py --const   # 50 identical rows per table
+       python scripts/driver_sim.py --extreme # 3 rows at the value-domain edges
 """
 
 from __future__ import annotations
@@ -101,8 +102,112 @@ def main() -> int:
     empty = "--empty" in argv
     one = "--one" in argv
     const = "--const" in argv
-    args = [a for a in argv if a not in ("--plain", "--empty", "--one", "--const")]
+    extreme = "--extreme" in argv
+    args = [
+        a
+        for a in argv
+        if a not in ("--plain", "--empty", "--one", "--const", "--extreme")
+    ]
     sf = args[0] if args else "/root/testdata/sf0.01"
+    if extreme:
+        # --extreme = 3 rows per table at the legal edges of the value
+        # domain (round-4 gate): huge/tiny money and metric magnitudes,
+        # a zero embedding vector AS THE QUERY PROBE (vec_id 0), giant
+        # uniform and epsilon-scaled vectors, single-char / 2.4k-char /
+        # punctuation-only documents.  Dates and keys stay near the
+        # source row (offsets of hours/days) so calendar-spine queries
+        # cannot explode.  Everything both engines must agree on —
+        # ANSI overflow/divide edges, NULL-direction cosines, leading-
+        # digit and tokenizer degeneracies — shows up here first.
+        import tempfile
+
+        sf_src = args[0] if args else "/root/testdata/sf0.001"
+        sf = tempfile.mkdtemp(prefix="ndl_extreme_")
+        con0 = duckdb.connect()
+        first = "(SELECT * FROM read_parquet('{src}') ORDER BY 1 LIMIT 1)"
+        extreme_sql = {
+            "documents": """
+                WITH r AS {first}
+                SELECT v.doc_id, v.text, r.lang, r.source,
+                       length(v.text)::BIGINT AS n_chars
+                FROM r, (VALUES
+                  (1000001::BIGINT, 'a'),
+                  (1000002::BIGINT,
+                   repeat('spark query join merge window ', 80)),
+                  (1000003::BIGINT, '!!! ??? ;;; ... ---')
+                ) v(doc_id, text)
+            """,
+            "embeddings": """
+                WITH r AS {first}
+                SELECT 0::BIGINT AS vec_id,
+                       CAST(list_transform(r.embedding, x -> 0.0)
+                            AS FLOAT[]) AS embedding,
+                       r.label FROM r
+                UNION ALL
+                SELECT 1, CAST(list_transform(r.embedding, x -> 1000000.0)
+                               AS FLOAT[]), r.label FROM r
+                UNION ALL
+                SELECT 2, CAST(list_transform(r.embedding, x -> x * 0.000001)
+                               AS FLOAT[]), r.label FROM r
+            """,
+            "events": """
+                WITH r AS {first}
+                SELECT v.event_id, r.ts + v.k * INTERVAL 1 HOUR AS ts,
+                       r.user_id, r.event_type, v.value, r.props
+                FROM r, (VALUES
+                  (9000001::BIGINT, 0, 1e12),
+                  (9000002::BIGINT, 1, -1e12),
+                  (9000003::BIGINT, 2, 0.0)
+                ) v(event_id, k, value)
+            """,
+            "orders": """
+                WITH r AS {first}
+                SELECT v.okey AS o_orderkey, r.o_custkey, r.o_orderstatus,
+                       v.price AS o_totalprice,
+                       r.o_orderdate + v.k * INTERVAL 1 DAY AS o_orderdate,
+                       r.o_orderpriority
+                FROM r, (VALUES
+                  (8000001::BIGINT, 0.01, 0),
+                  (8000002::BIGINT, 1e12, 1),
+                  (8000003::BIGINT, 12345.67, 2)
+                ) v(okey, price, k)
+            """,
+            "lineitem": """
+                WITH r AS {first}
+                SELECT v.okey AS l_orderkey, r.l_partkey, r.l_suppkey,
+                       r.l_linenumber, v.qty AS l_quantity,
+                       v.price AS l_extendedprice, v.disc AS l_discount,
+                       r.l_tax, r.l_returnflag, r.l_linestatus, r.l_shipdate
+                FROM r, (VALUES
+                  (8000001::BIGINT, 1000000.0, 1e12, 0.0),
+                  (8000002::BIGINT, 1.0, 0.01, 0.99),
+                  (8000003::BIGINT, 50.0, 1000.0, 0.5)
+                ) v(okey, qty, price, disc)
+            """,
+            "customer": """
+                WITH r AS {first}
+                SELECT v.ck AS c_custkey, r.c_name, r.c_nationkey,
+                       v.bal AS c_acctbal, r.c_mktsegment
+                FROM r, (VALUES
+                  (7000001::BIGINT, -1e9),
+                  (7000002::BIGINT, 1e9),
+                  (7000003::BIGINT, 0.0)
+                ) v(ck, bal)
+            """,
+        }
+        for t in TABLES:
+            src_p = os.path.join(sf_src, f"{t}.parquet")
+            if not os.path.exists(src_p):
+                continue
+            if t in extreme_sql:
+                sql = extreme_sql[t].format(
+                    first=first.format(src=src_p)
+                )
+            else:
+                sql = f"SELECT * FROM read_parquet('{src_p}') ORDER BY 1 LIMIT 3"
+            con0.execute(
+                f"COPY ({sql}) TO '{sf}/{t}.parquet' (FORMAT PARQUET)"
+            )
     if empty or one or const:
         # Degenerate-cardinality copies of the tables (round-3
         # robustness gates): --empty = zero rows (every operator must
@@ -187,7 +292,7 @@ def main() -> int:
         else:
             print(f"  {name}: rows={len(actual)} MATCH")
     spark.stop()
-    if empty or one or const:
+    if empty or one or const or extreme:
         import shutil
 
         shutil.rmtree(sf, ignore_errors=True)

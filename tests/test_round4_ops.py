@@ -139,3 +139,30 @@ def test_ranked_topk_excludes_null_scores(spark):
         for r in cq._ranked_topk(df, "score", "rk", 10).collect()
     }
     assert got == {3: 1, 1: 2}
+
+
+# --- extreme-value totality (round-4 gate: driver_sim --extreme) --------------
+
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    """The session runs ANSI, where a raw double division raises
+    DIVIDE_BY_ZERO at the first zero-norm embedding (failed encoder,
+    padding row).  cosine() must yield NULL — the DuckDB oracles'
+    x/0.0 — for every zero-norm side.  Found by driver_sim --extreme
+    (counterfactual: the raw-division form crashes the sweep)."""
+    from nasa_asteroid_data_lakehouse_spark.llm.similarity import cosine
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], [1.0, 2.0]),
+            (1, [1.0, 2.0], [0.0, 0.0]),
+            (2, [1.0, 0.0], [1.0, 0.0]),
+        ],
+        "i bigint, a array<float>, b array<float>",
+    )
+    rows = {
+        r["i"]: r["c"]
+        for r in df.select("i", cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    }
+    assert rows[0] is None and rows[1] is None
+    assert abs(rows[2] - 1.0) < 1e-12
