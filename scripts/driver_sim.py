@@ -134,7 +134,8 @@ def main() -> int:
                   (1000001::BIGINT, 'a'),
                   (1000002::BIGINT,
                    repeat('spark query join merge window ', 80)),
-                  (1000003::BIGINT, '!!! ??? ;;; ... ---')
+                  (1000003::BIGINT, '!!! ??? ;;; ... ---'),
+                  (1000004::BIGINT, repeat('x', 2000))
                 ) v(doc_id, text)
             """,
             "embeddings": """
