@@ -131,10 +131,17 @@ def main() -> None:
     try:
         import re
 
+        # N = 1 + the last round the DRIVER recorded (BENCH_r* or
+        # CORRECTNESS_r* — either survives the other being skipped).
+        # Our own BENCH_DETAIL_r* snapshots never advance the counter:
+        # the current round's snapshot is written BEFORE the driver's
+        # files for that round exist, so counting it would leapfrog a
+        # round on every same-session re-run.  Write-once; a skipped
+        # write is logged to stderr (stdout's tail is driver-parsed).
         rounds = [
             int(m.group(1))
             for f in os.listdir(here)
-            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+            if (m := re.fullmatch(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json", f))
         ]
         snap = os.path.join(here, f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json")
         if not os.path.exists(snap):
@@ -142,6 +149,8 @@ def main() -> None:
                 json.dump(
                     {"value": total, "sf": sf, "queries": timings}, fh, indent=1
                 )
+        else:
+            print(f"bench: snapshot {snap} exists, not overwritten", file=sys.stderr)
     except OSError:
         pass
     spark.stop()

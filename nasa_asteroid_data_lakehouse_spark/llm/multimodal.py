@@ -193,14 +193,17 @@ def payload_survivors(
 ) -> DataFrame:
     """Keep-one-survivor exact payload dedup: the lowest ``id_col`` per
     distinct payload digest survives (deterministic, the same min-id
-    rule the text dedup path uses).  One shuffle on the 32-byte digest;
-    payload bytes never shuffle — the survivor's row is re-selected by
-    an id join back to the source, which co-partitions on the id."""
+    rule the text dedup path uses).  NULL payloads duplicate nothing
+    and pass through untouched — dedup removes duplicates, never
+    payload-less rows.  One shuffle on the 32-byte digest; payload
+    bytes never shuffle — the survivor's row is re-selected by an id
+    join back to the source, which co-partitions on the id."""
     hashed = df.where(F.col(payload_col).isNotNull()).select(
         F.col(id_col), F.sha2(F.col(payload_col), 256).alias("__sha")
     )
     keep = hashed.groupBy("__sha").agg(F.min(id_col).alias(id_col))
-    return df.join(keep.select(id_col), id_col, "inner")
+    survivors = df.join(keep.select(id_col), id_col, "left_semi")
+    return survivors.unionByName(df.where(F.col(payload_col).isNull()))
 
 
 RESIZE_SCHEMA = "doc_id bigint, height int, width int, pixels binary"

@@ -275,14 +275,19 @@ def kmeans_fit(
     nearest centroid (broadcast centroid literals, argmin over k dots),
     (2) recompute centroids via posexplode + groupBy(cluster, dim) avg.
     Only the k×d centroid matrix ever reaches the driver.  Init is the
-    k lowest ids (deterministic across runs/engines).
+    k lowest ids WITH a non-NULL vector (deterministic across
+    runs/engines; filtering before the limit means a NULL-headed table
+    still seeds from the valid rows further down instead of returning
+    zero centroids for a fittable table).
     """
     init_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        df.where(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
     )
-    centroids = [
-        list(map(float, r[vec_col])) for r in init_rows if r[vec_col] is not None
-    ]
+    centroids = [list(map(float, r[vec_col])) for r in init_rows]
     if not centroids:  # empty (or all-NULL-vector) input: nothing to fit
         return []
 
@@ -330,20 +335,22 @@ def with_ivf_assignment(
     when/otherwise chain instead re-nests every distance expression
     O(k²) times and plan compilation dominates runtime.
 
-    An empty centroid list is only legal when ``df`` is itself empty
-    (k-means over an empty table): the fallback single zero centroid
-    keeps the plan well-typed (``F.array()`` of zero columns is
-    NULL-typed and breaks ``array_position``) and the zero input rows
-    make the result empty anyway.  Empty centroids with a NON-empty
-    table (e.g. all-NULL seed vectors while valid rows exist) raise
-    instead of silently assigning every row to a dim-mismatched
-    cluster 0.
+    An empty centroid list is only legal when ``df`` has no non-NULL
+    vectors (k-means over an empty or all-NULL table): the fallback
+    single zero centroid keeps the plan well-typed (``F.array()`` of
+    zero columns is NULL-typed and breaks ``array_position``) and the
+    NULL vectors assign to a NULL cluster anyway.  Empty centroids
+    while assignable vectors EXIST raise instead of silently assigning
+    every row to a dim-mismatched cluster 0 — unreachable from
+    ``kmeans_fit`` since its seeds filter NULLs before the limit, so
+    this only fires on caller-supplied empty lists.
     """
     if not centroids:
-        if not df.isEmpty():
+        if not df.where(F.col(vec_col).isNotNull()).isEmpty():
             raise ValueError(
-                "empty centroid list with a non-empty DataFrame: fit "
-                "centroids first (kmeans_fit) or pass explicit centroids"
+                "empty centroid list while the DataFrame has non-NULL "
+                "vectors: fit centroids first (kmeans_fit) or pass "
+                "explicit centroids"
             )
         centroids = [[0.0]]
     dists = F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids])

@@ -873,12 +873,16 @@ def _ranked_topk(df: DataFrame, score_col: str, rank_name: str, k: int) -> DataF
     at all — an unpartitioned ``row_number`` over the corpus is a
     single-partition sort at 100 TB (VERDICT r03).
 
-    NULL scores are excluded up front (a NULL-scored row is a
+    NULL and NaN scores are excluded up front (a score-less row is a
     non-match, not a rank): ``orderBy(desc)`` sorts NULLs last but
-    ``sort_array`` sorts NULL struct fields first, so letting them
-    through would rank them opposite ways in the two stages."""
+    ``sort_array`` sorts NULL struct fields first — and NaN the other
+    way around (largest under orderBy, last under the negated
+    sort_array) — so letting either through would rank it opposite
+    ways in the two stages.  The oracles cannot produce NaN here
+    (DuckDB's 0/0 is NULL), so the engine-side NaN filter only guards
+    future score columns."""
     top = (
-        df.where(F.col(score_col).isNotNull())
+        df.where(F.col(score_col).isNotNull() & ~F.isnan(score_col))
         .orderBy(F.desc(score_col), F.asc("doc_id"))
         .limit(k)
     )
@@ -895,34 +899,21 @@ def _ranked_topk(df: DataFrame, score_col: str, rank_name: str, k: int) -> DataF
     )
 
 
-def hybrid_retrieval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid lexical+semantic retrieval: reciprocal-rank fusion of the
-    BM25 top-100 (fixed 4-term query) and the embedding-cosine top-100
-    (query vector = vec_id 0), ``score = 1/(K+r_bm25) + 1/(K+r_cos)``
-    — the standard fusion that needs no score normalization (Cormack
-    et al. 2009).  The two RRF terms add in fixed textual order (two
-    IEEE doubles — portable); a doc outside a side's top-k contributes
-    0 from that side, the textbook top-k-fused RRF.
-
-    This is the scale form (VERDICT r03): each side is a
-    ``TakeOrderedAndProject`` top-k (per-partition heaps, no global
-    sort), ranks come from the bounded k-row result (``_ranked_topk``
-    — no Window node anywhere in the plan), and the fusion is a full
-    outer join of two 100-row tables.  Both score scans are one pass
-    over their table; the cosine side would swap in the LSH/IVF probe
-    (similarity.lsh_topk/ivf_topk) where an index exists.  Embeddings
-    align to documents by id (vec_id = doc_id in the fixture star).
-    ``hybrid_retrieval_corpuswide`` keeps the exhaustive-ranking form
-    for parity."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+def _hybrid_scored_sides(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two scored (doc_id, score) sides both hybrid forms rank:
+    BM25 over the fixed 4-term query and embedding-cosine against the
+    vec_id-0 probe (embeddings align to documents by id in the fixture
+    star).  Shared so the fused and corpus-wide forms cannot drift."""
     from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
         _BM25_B,
         _BM25_K1,
         _BM25_TERMS,
     )
 
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     bm25 = text.bm25_scores(docs, "doc_id", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
-    r_bm25 = _ranked_topk(bm25, "bm25", "r_bm25", _RRF_SIDE_K)
 
     emb = read_table(spark, sf_dir, "embeddings")
     qvec = similarity.query_vector(emb, "vec_id", "embedding", 0)
@@ -931,8 +922,14 @@ def hybrid_retrieval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         F.round(similarity.cosine(F.col("embedding"), q), 6).alias("cos"),
     )
-    r_cos = _ranked_topk(scored, "cos", "r_cos", _RRF_SIDE_K)
+    return bm25, scored
 
+
+def _rrf_fuse(r_bm25: DataFrame, r_cos: DataFrame) -> DataFrame:
+    """RRF over two (doc_id, rank) tables: ``1/(K+r_bm25) +
+    1/(K+r_cos)`` added in fixed textual order (two IEEE doubles —
+    portable); a missing ranking contributes 0 (Cormack et al. 2009 —
+    no score normalization needed).  Shared by both hybrid forms."""
     fused = (
         r_bm25.join(r_cos, "doc_id", "full_outer")
         .select(
@@ -947,6 +944,27 @@ def hybrid_retrieval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_TOP)
+
+
+def hybrid_retrieval_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: reciprocal-rank fusion of the
+    BM25 top-100 and the embedding-cosine top-100; a doc outside a
+    side's top-k contributes 0 from that side — the textbook
+    top-k-fused RRF.
+
+    This is the scale form (VERDICT r03): each side is a
+    ``TakeOrderedAndProject`` top-k (per-partition heaps, no global
+    sort), ranks come from the bounded k-row result (``_ranked_topk``
+    — no Window node anywhere in the plan), and the fusion is a full
+    outer join of two 100-row tables.  Both score scans are one pass
+    over their table; the cosine side would swap in the LSH/IVF probe
+    (similarity.lsh_topk/ivf_topk) where an index exists.
+    ``hybrid_retrieval_corpuswide`` keeps the exhaustive-ranking form
+    for parity."""
+    bm25, scored = _hybrid_scored_sides(spark, sf_dir)
+    r_bm25 = _ranked_topk(bm25, "bm25", "r_bm25", _RRF_SIDE_K)
+    r_cos = _ranked_topk(scored, "cos", "r_cos", _RRF_SIDE_K)
+    return _rrf_fuse(r_bm25, r_cos)
 
 
 def hybrid_retrieval_corpuswide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,41 +978,12 @@ def hybrid_retrieval_corpuswide(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement where top-k coverage makes the two identical."""
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
-        _BM25_B,
-        _BM25_K1,
-        _BM25_TERMS,
-    )
-
-    bm25 = text.bm25_scores(docs, "doc_id", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+    bm25, scored = _hybrid_scored_sides(spark, sf_dir)
     w_b = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     r_bm25 = bm25.select("doc_id", F.row_number().over(w_b).alias("r_bm25"))
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    qvec = similarity.query_vector(emb, "vec_id", "embedding", 0)
-    q = F.array(*[F.lit(v) for v in qvec])
-    scored = emb.select(
-        F.col("vec_id").alias("doc_id"),
-        F.round(similarity.cosine(F.col("embedding"), q), 6).alias("cos"),
-    )
     w_c = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
     r_cos = scored.select("doc_id", F.row_number().over(w_c).alias("r_cos"))
-
-    fused = (
-        r_bm25.join(r_cos, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            "r_bm25",
-            "r_cos",
-            F.round(
-                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_bm25")), F.lit(0.0))
-                + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_cos")), F.lit(0.0)),
-                9,
-            ).alias("rrf_score"),
-        )
-    )
-    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_TOP)
+    return _rrf_fuse(r_bm25, r_cos)
 
 
 def _hybrid_retrieval_sql() -> str:

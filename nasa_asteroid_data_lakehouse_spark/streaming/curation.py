@@ -217,8 +217,20 @@ def read_scored(
     expect globally unique ids from a sink whose replay protection is
     per-batch, not cross-batch.  The window partitions on the id, so
     the shuffle is O(rows) on the id key and prunes nothing a consumer
-    filter pushed below it."""
-    df = spark.read.parquet(out_path)
+    filter pushed below it.  Reading before the first batch commits
+    (sink directory absent) returns an empty frame with the minimal
+    score schema (id, n_tokens, mean_surprisal, batch) — the full
+    schema also carries the source stream's columns, unknowable until
+    a batch lands; same no-table-yet totality as the module's other
+    sinks."""
+    try:
+        df = spark.read.parquet(out_path)
+    except AnalysisException:  # no batch committed yet
+        return spark.createDataFrame(
+            [],
+            f"{id_col} long, n_tokens bigint, mean_surprisal double, "
+            "batch int",
+        )
     if not latest_only:
         return df
     w = Window.partitionBy(id_col).orderBy(F.desc("batch"))

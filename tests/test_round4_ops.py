@@ -114,6 +114,9 @@ def test_payload_dedup_stats_accounting(spark):
 
 
 def test_payload_survivors_min_id_rule(spark):
+    """Min-id survivor per distinct payload; NULL-payload rows pass
+    through untouched — dedup removes duplicates, never payload-less
+    rows (round-4 review finding)."""
     from nasa_asteroid_data_lakehouse_spark.llm import multimodal
 
     df = spark.createDataFrame(
@@ -124,7 +127,7 @@ def test_payload_survivors_min_id_rule(spark):
     ids = sorted(
         r["doc_id"] for r in multimodal.payload_survivors(payloads).collect()
     )
-    assert ids == [1, 2]
+    assert ids == [1, 2, 4]
 
 
 def test_ranked_topk_excludes_null_scores(spark):
@@ -166,3 +169,54 @@ def test_cosine_zero_vector_is_null_not_crash(spark):
     }
     assert rows[0] is None and rows[1] is None
     assert abs(rows[2] - 1.0) < 1e-12
+
+
+def test_ranked_topk_excludes_nan_scores(spark):
+    """NaN ranks FIRST under orderBy(desc) but LAST under the negated
+    sort_array — excluded like NULL (round-4 review finding; oracles
+    cannot produce NaN, DuckDB's 0/0 is NULL)."""
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, float("nan")), (3, 0.9)], "doc_id bigint, score double"
+    )
+    got = {
+        r["doc_id"]: r["rk"]
+        for r in cq._ranked_topk(df, "score", "rk", 10).collect()
+    }
+    assert got == {3: 1, 1: 2}
+
+
+def test_kmeans_seeds_skip_null_headed_rows(spark):
+    """A table whose k lowest ids all carry NULL vectors must still fit
+    (seeds filter NULLs before the limit); with_ivf_assignment's
+    empty-centroid raise is then unreachable from kmeans_fit."""
+    from nasa_asteroid_data_lakehouse_spark.llm.similarity import (
+        kmeans_fit,
+        with_ivf_assignment,
+    )
+
+    rows = [(i, None) for i in range(4)] + [
+        (10, [1.0, 2.0]),
+        (11, [3.0, 4.0]),
+        (12, [1.1, 2.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = kmeans_fit(df, k=2, iters=2)
+    assert len(cents) == 2 and len(cents[0]) == 2
+    assigned = with_ivf_assignment(df, cents)
+    # NULL vectors get a NULL cluster; valid vectors a real one
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert got[0] is None and got[10] is not None
+    # all-NULL table: kmeans returns [], assignment stays total
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id bigint, embedding array<float>"
+    )
+    assert kmeans_fit(nulls, k=2) == []
+    assert with_ivf_assignment(nulls, []).count() == 1
+
+
+def test_read_scored_total_on_missing_sink(spark, tmp_path):
+    from nasa_asteroid_data_lakehouse_spark.streaming.curation import read_scored
+
+    df = read_scored(spark, str(tmp_path / "never_written"), latest_only=True)
+    assert df.count() == 0
+    assert "mean_surprisal" in df.columns and "batch" in df.columns
