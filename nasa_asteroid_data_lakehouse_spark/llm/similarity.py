@@ -17,6 +17,18 @@ Two paths:
   Lloyd's iterations as DataFrame jobs): assign-to-centroid replaces
   the bucket id and the search probes the ``nprobe`` nearest cells.
   Store the table partitioned by cluster to prune instead of filter.
+
+NULL-vector contract: a row whose vector column is NULL (failed
+encoder, missing modality) participates in NO vector operator — it has
+no direction, no bucket, and no cluster.  Every public operator here
+filters such rows at its scan (``IsNotNull`` pushes down to the
+source, so this costs nothing at scale), and the DuckDB oracles carry
+the same ``embedding IS NOT NULL`` predicate: DuckDB's
+``list_dot_product`` RAISES on a NULL list rather than returning NULL,
+so an unfiltered oracle cannot even run (adversarial NULL-vector
+sweep, round 4).  ``embedding_outliers`` (plans/curation_queries) is
+the deliberate exception: the hygiene query keeps NULL-vector rows
+visible with a NULL norm.
 """
 
 from __future__ import annotations
@@ -72,6 +84,7 @@ def cosine_topk(
     matvec is one BLAS call per batch.  Rounding is numpy's
     half-to-even, so use it for serving, not oracle diffs.
     """
+    df = df.where(F.col(vec_col).isNotNull())  # module NULL-vector contract
     if backend == "arrow":
         from pyspark.sql.functions import pandas_udf
 
@@ -164,8 +177,14 @@ def with_lsh_bucket(
     dim: int = 64,
     out: str = "bucket",
 ) -> DataFrame:
+    """Sign-LSH bucket column.  NULL-vector rows are dropped (module
+    contract): the when/otherwise sign chain would otherwise fold a
+    NULL dot product to bit 0 and silently pool every failed-encoder
+    row into bucket 0."""
     planes = hyperplane_coefficients(num_planes, dim)
-    return df.withColumn(out, bucket_id(F.col(vec_col), planes))
+    return df.where(F.col(vec_col).isNotNull()).withColumn(
+        out, bucket_id(F.col(vec_col), planes)
+    )
 
 
 def lsh_topk(
@@ -280,8 +299,9 @@ def kmeans_fit(
     still seeds from the valid rows further down instead of returning
     zero centroids for a fittable table).
     """
+    df = df.where(F.col(vec_col).isNotNull())  # module NULL-vector contract
     init_rows = (
-        df.where(F.col(vec_col).isNotNull())
+        df
         .select(id_col, vec_col)
         .orderBy(id_col)
         .limit(k)
@@ -381,6 +401,7 @@ def ivf_topk(
     ]
     probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:nprobe]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
+    df = df.where(F.col(vec_col).isNotNull())  # module NULL-vector contract
     assigned = with_ivf_assignment(df, centroids, vec_col)
     return (
         assigned.where(F.col("cluster").isin(probe))
@@ -421,6 +442,7 @@ def semantic_dedup(
     across runs, partitionings, and engines.  Returns the surviving
     rows as (id, cluster).
     """
+    df = df.where(F.col(vec_col).isNotNull())  # module NULL-vector contract
     assigned = (
         with_ivf_assignment(df, centroids, vec_col)
         .select(
@@ -546,7 +568,7 @@ def hard_negatives(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         F.col(label_col).alias("lbl"),
         norm(F.col(vec_col)).alias("nrm"),
-    ).where(F.col(id_col).isNotNull())
+    ).where(F.col(id_col).isNotNull() & F.col("v").isNotNull())
     anchors = base.where(F.col("id") < anchor_max_id).localCheckpoint(eager=False)
     pairs = broadcast(anchors.alias("a")).join(
         base.alias("b"),
@@ -606,7 +628,7 @@ def ann_recall_lsh(
             norm(F.col(vec_col)).alias("nrm"),
             bucket_id(F.col(vec_col), planes).alias("bucket"),
         )
-        .where(F.col(id_col).isNotNull())
+        .where(F.col(id_col).isNotNull() & F.col("v").isNotNull())
         .localCheckpoint(eager=False)
     )
     anchors = base.where(F.col("id") < anchor_max_id)
@@ -708,7 +730,7 @@ def quantized_recall(
                 ).cast("double")
             ),
         )
-        .where(F.col(id_col).isNotNull())
+        .where(F.col(id_col).isNotNull() & F.col("v").isNotNull())
         .drop("__scale")
         .localCheckpoint(eager=False)
     )
@@ -811,7 +833,7 @@ def vector_admit(
             ),
             norm(F.col(vec_col)).alias(f"{prefix}_nrm"),
             bucket_id(F.col(vec_col), planes).alias(f"{prefix}_bucket"),
-        ).where(F.col(id_col).isNotNull())
+        ).where(F.col(id_col).isNotNull() & F.col(f"{prefix}_v").isNotNull())
 
     b = prep(batch, "b").localCheckpoint(eager=False)  # joined + outer base
     c = prep(corpus, "c")
@@ -890,7 +912,7 @@ def knn_label_agreement(
             F.col(label_col).alias("lbl"),
             norm(F.col(vec_col)).alias("nrm"),
         )
-        .where(F.col(id_col).isNotNull())
+        .where(F.col(id_col).isNotNull() & F.col("v").isNotNull())
         .localCheckpoint(eager=False)
     )
     a, b = base.alias("a"), base.alias("b")

@@ -251,7 +251,7 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 HARD_NEGATIVES_SQL = f"""
 WITH base AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v, label AS lbl
-  FROM embeddings WHERE vec_id IS NOT NULL
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ),
 pairs AS (
   SELECT a.id AS anchor_id, a.lbl AS anchor_label,
@@ -298,7 +298,7 @@ ANN_RECALL_SQL = f"""
 WITH base AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v,
          {_bucket_sql(_AR_PLANES, "embedding")} AS bucket
-  FROM embeddings WHERE vec_id IS NOT NULL
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ),
 pairs AS (
   SELECT a.id AS anchor_id, a.bucket AS abucket, b.id AS nbr,
@@ -405,12 +405,16 @@ VECTOR_ADMIT_SQL = f"""
 WITH b AS (
   SELECT vec_id AS b_id, embedding::DOUBLE[] AS v,
          {_bucket_sql(_VA_PLANES, "embedding")} AS bucket
-  FROM embeddings WHERE vec_id % {_VA_MOD} = 0 AND vec_id IS NOT NULL
+  FROM embeddings
+  WHERE vec_id % {_VA_MOD} = 0 AND vec_id IS NOT NULL
+    AND embedding IS NOT NULL
 ),
 c AS (
   SELECT vec_id AS c_id, embedding::DOUBLE[] AS v,
          {_bucket_sql(_VA_PLANES, "embedding")} AS bucket
-  FROM embeddings WHERE vec_id % {_VA_MOD} <> 0 AND vec_id IS NOT NULL
+  FROM embeddings
+  WHERE vec_id % {_VA_MOD} <> 0 AND vec_id IS NOT NULL
+    AND embedding IS NOT NULL
 ),
 cands AS (
   SELECT b_id, COUNT(*) AS n_candidates,
@@ -510,7 +514,7 @@ WITH scaled AS (
     CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0.0
          THEN 127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
          ELSE 1.0 END AS scale
-  FROM embeddings WHERE vec_id IS NOT NULL
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ),
 base AS (
   SELECT id, v, codes,
@@ -1001,7 +1005,8 @@ r_bm25 AS (
     row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm25
   FROM top_b
 ),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = 0 AND embedding IS NOT NULL),
 cos_scores AS (
   SELECT vec_id AS doc_id,
     ROUND(list_dot_product(embedding::DOUBLE[], q.qv::DOUBLE[])
@@ -1009,6 +1014,7 @@ cos_scores AS (
              * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))),
           6) AS cos
   FROM embeddings, q
+  WHERE embedding IS NOT NULL
 ),
 top_c AS (
   SELECT doc_id, cos FROM cos_scores
@@ -1585,6 +1591,11 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares 6-decimal-rounded values so both engines see identical
     doubles."""
     emb = read_table(spark, sf_dir, "embeddings")
+    # NULL-vector rows stay VISIBLE here (the one exception to the
+    # similarity-module exclusion contract): a NULL embedding is a
+    # failed encode — the exact degeneracy this query hunts — so it
+    # reports vnorm NULL and is_outlier TRUE, rather than silently
+    # dropping the row or voting in the median.
     norms = emb.select(
         "vec_id",
         F.round(similarity.norm(F.col("embedding")), 6).alias("vnorm"),
@@ -1605,16 +1616,29 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vnorm",
             "med_norm",
             "mad_norm",
-            (F.col("__dev") > 3 * F.col("mad_norm")).alias("is_outlier"),
+            # NULL vnorm (failed encode) => outlier TRUE; the flag is
+            # never NULL (a tri-state boolean renders differently in
+            # pandas between engines — None vs nan — so the driver's
+            # value-hash could never match one).
+            F.when(F.col("vnorm").isNull(), F.lit(True))
+            .otherwise(F.col("__dev") > 3 * F.col("mad_norm"))
+            .alias("is_outlier"),
         )
     )
 
 
 EMBEDDING_OUTLIERS_SQL = """
 WITH norms AS (
+  -- CASE guard, NOT a filter: the hygiene query keeps NULL-vector
+  -- rows visible (vnorm/is_outlier NULL) — the one deliberate
+  -- exception to the NULL-vector exclusion contract.  The guard is
+  -- also load-bearing for DuckDB: list_dot_product RAISES when a
+  -- scanned chunk holds any NULL list.
   SELECT vec_id,
-    ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
-      AS vnorm
+    CASE WHEN embedding IS NULL THEN NULL
+         ELSE ROUND(sqrt(
+           list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+    END AS vnorm
   FROM embeddings
 ),
 med AS (SELECT ROUND(quantile_cont(vnorm, 0.5), 6) AS med_norm FROM norms),
@@ -1624,7 +1648,8 @@ dev AS (
 ),
 mad AS (SELECT ROUND(quantile_cont(d, 0.5), 6) AS mad_norm FROM dev)
 SELECT vec_id, vnorm, med_norm, mad_norm,
-       (d > 3 * mad_norm) AS is_outlier
+       CASE WHEN vnorm IS NULL THEN TRUE
+            ELSE (d > 3 * mad_norm) END AS is_outlier
 FROM dev, mad
 """
 

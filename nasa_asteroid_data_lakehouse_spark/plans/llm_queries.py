@@ -259,7 +259,9 @@ WHERE ROUND(common / least(sa.sz, sb.sz), 6) >= 0.2
 
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 most similar vectors to vec_id=0 (self included)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()  # NULL-vector contract (llm/similarity.py)
+    )
     query = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("query_vec")
     )
@@ -273,13 +275,19 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COSINE_TOPK_SQL = """
-WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0)
+-- Probe CTEs filter + cast INSIDE the CTE: DuckDB's list functions
+-- validity-check the whole scanned chunk, so a probe drawn unfiltered
+-- from a column with NULL lists raises even when the probe row itself
+-- is non-NULL (adversarial NULL-vector sweep, round 4).
+WITH q AS (SELECT embedding::DOUBLE[] AS query_vec FROM embeddings
+           WHERE vec_id = 0 AND embedding IS NOT NULL)
 SELECT vec_id,
   ROUND(list_dot_product(embedding::DOUBLE[], query_vec::DOUBLE[])
         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
            * sqrt(list_dot_product(query_vec::DOUBLE[], query_vec::DOUBLE[]))),
         6) AS cosine_sim
 FROM embeddings, q
+WHERE embedding IS NOT NULL
 ORDER BY cosine_sim DESC, vec_id
 LIMIT 20
 """
@@ -312,7 +320,7 @@ def _lsh_sql() -> str:
     bucket = " + ".join(terms)
     return f"""
 SELECT ({bucket})::BIGINT AS bucket, COUNT(*) AS n_vectors
-FROM embeddings GROUP BY 1
+FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1
 """
 
 
@@ -677,7 +685,7 @@ _COS_AB = (
 EMBEDDING_NEAR_DUP_SQL = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {_bucket_sql(_NEAR_DUP_PLANES, "embedding")} AS bucket
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND({_COS_AB}, 6) AS cosine_sim
@@ -716,12 +724,13 @@ _COS_EQ = (
 
 LSH_TOPK_SQL = f"""
 WITH q AS (
-  SELECT embedding AS qv, {_bucket_sql(_LSH_TOPK_PLANES, "embedding")} AS qbucket
-  FROM embeddings WHERE vec_id = 0
+  SELECT embedding::DOUBLE[] AS qv,
+         {_bucket_sql(_LSH_TOPK_PLANES, "embedding")} AS qbucket
+  FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL
 ),
 bucketed AS (
   SELECT vec_id, embedding, {_bucket_sql(_LSH_TOPK_PLANES, "embedding")} AS bucket
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT e.vec_id, e.bucket, ROUND({_COS_EQ}, 6) AS cosine_sim
 FROM bucketed e, q
@@ -748,12 +757,17 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible so the driver hash-checks the IVF plumbing.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    seeds = emb.orderBy("vec_id").limit(_IVF_K_CENTROIDS).collect()
-    centroids = [
-        [float(v) for v in r["embedding"]]
-        for r in seeds
-        if r["embedding"] is not None
-    ]
+    # Seeds are the K lowest-id rows WITH a vector (filter BEFORE the
+    # limit — a NULL-headed table still yields K centroids, and the
+    # centroid index then equals the seed's rank, matching the
+    # oracle's row_number()-based cluster label).
+    seeds = (
+        emb.where(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .limit(_IVF_K_CENTROIDS)
+        .collect()
+    )
+    centroids = [[float(v) for v in r["embedding"]] for r in seeds]
     qvec = similarity.query_vector(emb, "vec_id", "embedding", 0)
     return similarity.ivf_topk(
         emb, qvec, centroids, k=_IVF_TOPK, nprobe=_IVF_NPROBE
@@ -762,9 +776,12 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_TOPK_SQL = f"""
 WITH seeds AS (
-  SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < {_IVF_K_CENTROIDS}
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, cv FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+    WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {_IVF_K_CENTROIDS})
 ),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = 0 AND embedding IS NOT NULL),
 assign AS (
   SELECT e.vec_id, e.embedding, s.c,
     row_number() OVER (
@@ -772,6 +789,7 @@ assign AS (
       ORDER BY list_distance(e.embedding::DOUBLE[], s.cv::DOUBLE[]), s.c
     ) AS rn
   FROM embeddings e, seeds s
+  WHERE e.embedding IS NOT NULL
 ),
 probe AS (
   SELECT s.c FROM seeds s, q
@@ -1495,12 +1513,15 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans iters=0) keep the oracle SQL-expressible; the Lloyd-iterated
     quantizer is exercised in tests."""
     emb = read_table(spark, sf_dir, "embeddings")
-    seeds = emb.orderBy("vec_id").limit(_SEMDEDUP_K).collect()
-    centroids = [
-        [float(v) for v in r["embedding"]]
-        for r in seeds
-        if r["embedding"] is not None
-    ]
+    # Filter BEFORE the limit (same rank-vs-index alignment as
+    # ivf_topk_embeddings: centroid index == seed rank).
+    seeds = (
+        emb.where(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .limit(_SEMDEDUP_K)
+        .collect()
+    )
+    centroids = [[float(v) for v in r["embedding"]] for r in seeds]
     return similarity.semantic_dedup(
         emb, centroids, _SEMDEDUP_THRESHOLD
     ).orderBy("vec_id")
@@ -1514,7 +1535,9 @@ _COS_AB = (
 
 SEMDEDUP_SQL = f"""
 WITH seeds AS (
-  SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, cv FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+    WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {_SEMDEDUP_K})
 ),
 assign AS (
   SELECT e.vec_id, e.embedding, s.c,
@@ -1523,6 +1546,7 @@ assign AS (
       ORDER BY list_distance(e.embedding::DOUBLE[], s.cv::DOUBLE[]), s.c
     ) AS rn
   FROM embeddings e, seeds s
+  WHERE e.embedding IS NOT NULL
 ),
 a AS (SELECT vec_id, embedding, c FROM assign WHERE rn = 1),
 dropped AS (
@@ -1998,7 +2022,8 @@ def knn_label_agreement_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
 
 KNN_LABEL_SQL = f"""
 WITH blocked AS (
-  SELECT * FROM embeddings WHERE vec_id < {_KNN_BLOCK}
+  SELECT * FROM embeddings
+  WHERE vec_id < {_KNN_BLOCK} AND embedding IS NOT NULL
 ),
 pairs AS (
   SELECT a.vec_id AS id, a.label AS lbl, b.vec_id AS nbr, b.label AS nbr_lbl,

@@ -101,9 +101,15 @@ def build_mutated(dst: str) -> None:
         """,
         # NULL labels: the embedding-side label consumers (hard
         # negatives, kNN vote, label centroids) must agree with the
-        # oracle on whether NULL-labeled vectors pair/vote.
+        # oracle on whether NULL-labeled vectors pair/vote.  NULL
+        # VECTORS (~3%, round-4): failed-encoder rows — cosine/bucket/
+        # centroid paths must propagate NULL, not crash or pair them
+        # (vec_id 0, the query probe, stays non-NULL: the zero-probe
+        # case is the --extreme sweep's job).
         "embeddings": """
-            SELECT vec_id, embedding,
+            SELECT vec_id,
+                   CASE WHEN vec_id % 29 = 0 AND vec_id != 0
+                        THEN NULL ELSE embedding END AS embedding,
                    CASE WHEN vec_id % 13 = 0 THEN NULL ELSE label END AS label
             FROM read_parquet('{src}/embeddings.parquet')
         """,

@@ -220,3 +220,44 @@ def test_read_scored_total_on_missing_sink(spark, tmp_path):
     df = read_scored(spark, str(tmp_path / "never_written"), latest_only=True)
     assert df.count() == 0
     assert "mean_surprisal" in df.columns and "batch" in df.columns
+
+
+def test_null_vector_rows_excluded_from_vector_operators(spark):
+    """The similarity-module NULL-vector contract (round-4 adversarial
+    sweep): a row with a NULL embedding participates in NO vector
+    operator — no bucket (the sign chain would fold it to bucket 0),
+    no pair, no cluster, no vote — mirroring the oracles'
+    ``embedding IS NOT NULL``.  DuckDB can't even run the unfiltered
+    form (list_inner_product raises on a chunk with a NULL list)."""
+    from nasa_asteroid_data_lakehouse_spark.llm import similarity as sim
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], "a"),
+            (1, None, "a"),
+            (2, [0.9, 0.1], "b"),
+            (3, [-1.0, 0.0], "a"),
+        ],
+        "vec_id bigint, embedding array<float>, label string",
+    )
+    # bucketing: the NULL row is dropped, not pooled into bucket 0
+    assert {
+        r["vec_id"] for r in sim.with_lsh_bucket(df, num_planes=2, dim=2).collect()
+    } == {0, 2, 3}
+    # exact top-k: NULL row never scored
+    ids = {r["vec_id"] for r in sim.cosine_topk(df, [1.0, 0.0], k=10).collect()}
+    assert 1 not in ids and ids == {0, 2, 3}
+    # near-dup pairs: NULL row pairs with nothing
+    pairs = sim.embedding_near_dup_pairs(df, num_planes=2, threshold=-1.0).collect()
+    assert all(r["id_a"] != 1 and r["id_b"] != 1 for r in pairs)
+    # semantic dedup: NULL row is neither survivor nor dropped
+    surv = sim.semantic_dedup(df, [[1.0, 0.0], [-1.0, 0.0]], 0.99).collect()
+    assert 1 not in {r["vec_id"] for r in surv}
+    # kNN vote: NULL row neither votes nor is classified
+    conf = sim.knn_label_agreement(df, k=1).collect()
+    assert sum(r["n_vectors"] for r in conf) == 3
+    # admission: a NULL-vector batch row is not admitted (not a vector)
+    batch = df.where(F.col("vec_id") <= 1)
+    corpus = df.where(F.col("vec_id") >= 2)
+    admitted = sim.vector_admit(batch, corpus, threshold=0.99).collect()
+    assert {r["vec_id"] for r in admitted} == {0}
