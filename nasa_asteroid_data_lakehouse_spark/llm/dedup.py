@@ -80,7 +80,18 @@ def word_shingle_sequence(col: Column | str, k: int = 3) -> Column:
     """Word k-grams IN DOCUMENT ORDER, duplicates preserved — the
     positional form :func:`longest_common_spans` needs (element i is
     the k-gram starting at token i).  :func:`word_shingles` is the
-    distinct-set view of the same array."""
+    distinct-set view of the same array.
+
+    NULL text -> NULL (not ``['']``): a NULL payload is a fetch/decode
+    failure, distinct from an empty document.  Without the explicit
+    guard the short-doc fallback's ``concat_ws`` (which IGNORES null
+    args) would manufacture the ``''`` shingle for NULL docs, silently
+    pairing every failed-fetch row with every empty document — while
+    SQL engines' NULL propagation drops them.  NULL shingles cascade
+    NULL signatures / zero exploded rows, so NULL docs participate in
+    NO shingle-keyed operator (the text twin of the NULL-vector rule).
+    """
+    c = F.col(col) if isinstance(col, str) else col
     toks = tokens(normalized_text(col))
     n = F.size(toks)
     m = F.greatest(n - (k - 1), F.lit(0))  # shingle count when n >= k
@@ -88,7 +99,11 @@ def word_shingle_sequence(col: Column | str, k: int = 3) -> Column:
     grams = parts[0]
     for p in parts[1:]:
         grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("array<string>"))
+        .when(n >= k, grams)
+        .otherwise(F.array(F.concat_ws(" ", toks)))
+    )
 
 
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
@@ -376,7 +391,14 @@ def dup_span_coverage(
     in corpus shingle volume, unlike pairwise jaccard.
     """
     base = (
-        _fan_out(df.select(F.col(id_col).alias("doc"), text_col))
+        # NULL text = failed fetch: no span profile (the totals-side
+        # left join would otherwise retain such rows with NULL counts
+        # while every shingle-keyed engine drops them).
+        _fan_out(
+            df.select(F.col(id_col).alias("doc"), text_col).where(
+                F.col(text_col).isNotNull()
+            )
+        )
         .select("doc", word_shingles(text_col, shingle_k).alias("sh"))
         .localCheckpoint(eager=False)
     )

@@ -91,7 +91,16 @@ def extract_byte_features(
         for pdf in batches:
             ids, sizes, entropies, means, hists = [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                arr = np.frombuffer(payload or b"", dtype=np.uint8)
+                if payload is None:
+                    # NULL payload (failed fetch) -> NULL features; only
+                    # a real zero-byte object gets the empty profile.
+                    ids.append(doc_id)
+                    sizes.append(None)
+                    entropies.append(None)
+                    means.append(None)
+                    hists.append(None)
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
                 ids.append(doc_id)
                 sizes.append(int(arr.size))
                 if arr.size:
@@ -109,8 +118,8 @@ def extract_byte_features(
                 {
                     "doc_id": ids,
                     "n_bytes": sizes,
-                    "entropy": [round(e, 6) for e in entropies],
-                    "mean_byte": [round(m, 6) for m in means],
+                    "entropy": [None if e is None else round(e, 6) for e in entropies],
+                    "mean_byte": [None if m is None else round(m, 6) for m in means],
                     "histogram": hists,
                 }
             )
@@ -135,16 +144,24 @@ def byte_feature_profile(
 
     def profile_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [(p or b"") for p in pdf[payload_col]]
+            # NULL payload (failed fetch/decode) -> NULL features, NOT
+            # the empty-payload profile: b"" is a real zero-byte object
+            # with a well-defined sha256; None has no bytes to profile.
+            payloads = list(pdf[payload_col])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": [len(p) for p in payloads],
+                    "n_bytes": [None if p is None else len(p) for p in payloads],
                     # 0x20 never occurs inside a multi-byte UTF-8
                     # sequence, so the byte count equals the SQL
                     # character count of ' '.
-                    "n_spaces": [p.count(b" ") for p in payloads],
-                    "sha256_hex": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "n_spaces": [
+                        None if p is None else p.count(b" ") for p in payloads
+                    ],
+                    "sha256_hex": [
+                        None if p is None else hashlib.sha256(p).hexdigest()
+                        for p in payloads
+                    ],
                 }
             )
 
@@ -315,14 +332,24 @@ def byte_feature_profile_arrow(
     def profile_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
             ids = batch.column(0)
-            payloads = [(p.as_py() or b"") for p in batch.column(1)]
+            # None (NULL payload) propagates; b"" keeps its real profile.
+            payloads = [p.as_py() for p in batch.column(1)]
             yield pa.RecordBatch.from_arrays(
                 [
                     ids.cast(pa.int64()),
-                    pa.array([len(p) for p in payloads], pa.int64()),
-                    pa.array([p.count(b" ") for p in payloads], pa.int64()),
                     pa.array(
-                        [hashlib.sha256(p).hexdigest() for p in payloads],
+                        [None if p is None else len(p) for p in payloads],
+                        pa.int64(),
+                    ),
+                    pa.array(
+                        [None if p is None else p.count(b" ") for p in payloads],
+                        pa.int64(),
+                    ),
+                    pa.array(
+                        [
+                            None if p is None else hashlib.sha256(p).hexdigest()
+                            for p in payloads
+                        ],
                         pa.string(),
                     ),
                 ],

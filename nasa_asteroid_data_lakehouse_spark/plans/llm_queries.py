@@ -1438,7 +1438,13 @@ def balanced_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.functions import broadcast
 
-    return totals.join(broadcast(kept), "source").orderBy("source")
+    # Null-safe join key: a NULL source is a real stratum (both
+    # engines' GROUP BY keeps it); an equi-join would silently drop it.
+    return (
+        totals.join(broadcast(kept), totals["source"].eqNullSafe(kept["source"]))
+        .select(totals["source"], "n_total", "n_kept", "kept_id_sum")
+        .orderBy("source")
+    )
 
 
 BALANCED_MIXTURE_SQL = """

@@ -49,15 +49,21 @@ def build_mutated(dst: str) -> None:
                    o_orderdate, o_orderpriority
             FROM read_parquet('{src}/orders.parquet')
         """,
-        # empty, whitespace-only, and duplicated texts: tokenizers,
-        # shingles, dedup, quality scores.
+        # empty, whitespace-only, duplicated, and NULL texts (round-4:
+        # a NULL payload is a fetch/decode failure, distinct from an
+        # empty document) + NULL lang/source grouping attributes:
+        # tokenizers, shingles, dedup, quality scores, per-source aggs.
         "documents": """
             SELECT doc_id,
                    CASE WHEN doc_id % 23 = 0 THEN ''
                         WHEN doc_id % 29 = 0 THEN '   '
                         WHEN doc_id % 31 = 0 THEN text || ' '
+                        WHEN doc_id % 37 = 0 THEN NULL
                         ELSE text END AS text,
-                   lang, source, n_chars
+                   CASE WHEN doc_id % 41 = 0 THEN NULL ELSE lang END AS lang,
+                   CASE WHEN doc_id % 43 = 0 THEN NULL ELSE source END
+                     AS source,
+                   n_chars
             FROM read_parquet('{src}/documents.parquet')
         """,
         # NULL grouping attributes + NULL metrics: GROUP BY NULL keys,
@@ -237,4 +243,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -179,8 +179,10 @@ def test_byte_feature_profile_edges(spark):
     assert out[3]["n_bytes"] == len("naïve café".encode()) == 12
     assert out[3]["n_spaces"] == 1
     assert out[3]["sha256_hex"] == hashlib.sha256("naïve café".encode()).hexdigest()
-    # NULL text -> encode() yields NULL payload -> treated as empty
-    assert out[4]["n_bytes"] == 0
+    # NULL text -> encode() yields NULL payload -> NULL features (a
+    # failed fetch is NOT the empty payload; round-4b contract)
+    assert out[4]["n_bytes"] is None
+    assert out[4]["sha256_hex"] is None
 
 
 def test_multimodal_decode_stub():

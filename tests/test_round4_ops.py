@@ -261,3 +261,107 @@ def test_null_vector_rows_excluded_from_vector_operators(spark):
     corpus = df.where(F.col("vec_id") >= 2)
     admitted = sim.vector_admit(batch, corpus, threshold=0.99).collect()
     assert {r["vec_id"] for r in admitted} == {0}
+
+
+def test_null_text_rows_excluded_from_shingle_operators(spark):
+    """The text twin of the NULL-vector contract (round-4b adversarial
+    sweep, NULL-documents fixture): a NULL ``text`` is a failed
+    fetch/decode, distinct from an empty document.  Without the guard
+    in ``word_shingle_sequence`` the short-doc fallback's ``concat_ws``
+    (which ignores NULL args) manufactures the ``''`` shingle for NULL
+    docs, silently pairing every failed-fetch row with every EMPTY
+    document — while the oracle's NULL propagation drops them.  NULL
+    shingles cascade NULL signatures / zero exploded rows, so NULL
+    docs participate in NO shingle-keyed operator; empty docs keep
+    their (real) single-shingle behavior."""
+    from nasa_asteroid_data_lakehouse_spark.llm import dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, None),
+            (2, None),
+            (3, ""),
+            (4, ""),
+            (5, "alpha beta gamma delta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # shingles: NULL -> NULL, empty -> [''], short docs -> 1 shingle
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", dedup.word_shingles("text", 3).alias("sh")
+        ).collect()
+    }
+    assert sh[1] is None and sh[2] is None
+    assert sh[3] == [""] and sh[4] == [""]
+    assert len(sh[0]) == 2  # 4 tokens, k=3 -> 2 shingles
+    # minhash signature: NULL text -> NULL signature (not the [''] sig)
+    sigs = {
+        r["doc_id"]: r["minhash"]
+        for r in dedup.with_minhash_signature(df, num_hashes=4).collect()
+    }
+    assert sigs[1] is None and sigs[2] is None
+    assert sigs[3] == sigs[4] is not None  # empty docs share a real sig
+    # LSH pairs: the two NULL docs pair with NOTHING; the two empty
+    # docs and the two identical docs still pair with each other.
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_near_dup_pairs(
+            df, "doc_id", num_hashes=4, bands=2, jaccard_threshold=0.9
+        ).collect()
+    }
+    assert (0, 5) in pairs and (3, 4) in pairs
+    assert all(1 not in p and 2 not in p for p in pairs)
+    # span coverage: NULL docs excluded; all content docs profiled
+    cov = dedup.dup_span_coverage(df, "doc_id", shingle_k=3)
+    assert {r["doc_id"] for r in cov.collect()} == {0, 3, 4, 5}
+
+
+def test_null_payload_features_propagate(spark):
+    """NULL binary payload (failed fetch) -> NULL byte features in all
+    three Arrow-boundary profilers; a real zero-byte payload keeps its
+    well-defined profile (len 0, sha256 of b'').  Pandas and Arrow
+    twins stay byte-identical on the NULL-bearing input."""
+    import hashlib
+
+    from nasa_asteroid_data_lakehouse_spark.llm import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(0, b"ab cd"), (1, None), (2, b"")],
+        "doc_id bigint, payload binary",
+    )
+    for fn in (mm.byte_feature_profile, mm.byte_feature_profile_arrow):
+        rows = {r["doc_id"]: r for r in fn(df).collect()}
+        assert rows[1]["n_bytes"] is None
+        assert rows[1]["n_spaces"] is None
+        assert rows[1]["sha256_hex"] is None
+        assert rows[0]["n_bytes"] == 5 and rows[0]["n_spaces"] == 1
+        assert rows[2]["n_bytes"] == 0
+        assert rows[2]["sha256_hex"] == hashlib.sha256(b"").hexdigest()
+    feats = {r["doc_id"]: r for r in mm.extract_byte_features(df).collect()}
+    assert feats[1]["n_bytes"] is None and feats[1]["entropy"] is None
+    assert feats[1]["histogram"] is None
+    assert feats[2]["n_bytes"] == 0 and feats[2]["entropy"] == 0.0
+
+
+def test_balanced_mixture_keeps_null_stratum(spark, tmp_path):
+    """A NULL source is a real stratum: GROUP BY keeps it on both
+    engines, so the totals-to-kept join must be null-safe — a plain
+    equi-join silently drops the whole NULL group (round-4b
+    adversarial catch on the NULL-attributes documents fixture)."""
+    from nasa_asteroid_data_lakehouse_spark.plans import llm_queries as lq
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 3 == 0 else ("book" if i % 3 == 1 else None))
+         for i in range(12)],
+        "doc_id bigint, text_ignored string",
+    ).withColumnRenamed("text_ignored", "source")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = lq.balanced_mixture_documents(spark, str(tmp_path)).collect()
+    srcs = [r["source"] for r in out]
+    assert None in srcs and len(out) == 3
+    by_src = {r["source"]: r for r in out}
+    assert by_src[None]["n_total"] == 4
+    assert len({r["n_kept"] for r in out}) == 1  # all strata at min size
