@@ -180,6 +180,12 @@ class VersionedTable:
                 raise ValueError("table does not exist; call create() first")
             manifest = self._load_manifest(version)
             keys = manifest["keys"]
+            # Adopt the table's committed bucket count: re-opening with
+            # a different num_buckets default must not re-hash the
+            # merge — an incoming key would land in a new bucket while
+            # its old version stays in an untouched one, duplicating
+            # the key across the snapshot.
+            self.num_buckets = int(manifest.get("num_buckets", self.num_buckets))
 
             inc_bucketed = incoming.withColumn(
                 "__bucket",
@@ -231,7 +237,13 @@ class VersionedTable:
         if v is None:
             raise ValueError(f"no table at {self.root}")
         manifest = self._load_manifest(v)
-        files = [f for fs in manifest["buckets"].values() for f in fs]
+        return self._read_buckets(manifest, list(manifest["buckets"]))
+
+    def _read_buckets(self, manifest: dict, bucket_ids: list[str]) -> DataFrame:
+        """Read a snapshot restricted to the given bucket ids (the
+        whole snapshot when all ids are passed).  Zero files resolves
+        to an empty frame with the manifest's logical schema."""
+        files = [f for b in bucket_ids for f in manifest["buckets"].get(b, [])]
         if not files:
             schema_json = manifest.get("schema")
             if schema_json is not None:
@@ -302,50 +314,65 @@ class VersionedTable:
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Row-level diff between two snapshots keyed by the table keys.
 
-        Returns the newer image of each changed row plus
-        ``_change_type`` in {insert, update_postimage, delete} — the
-        Delta-style CDF surface, computed from snapshots (no log of row
-        changes is kept; cost is a key-join of the two versions).
+        Returns the newer image of each changed row (old image for
+        deletes) plus ``_change_type`` in {insert, update_postimage,
+        delete} — the Delta-style CDF surface, computed from snapshots
+        (no row-change log is kept).
+
+        Cost is O(changed buckets), not O(table): data files are
+        immutable (every write lands in a fresh txn directory, nothing
+        is rewritten in place), so a bucket whose manifest file list is
+        IDENTICAL in both versions is byte-identical and cannot contain
+        a change.  Only buckets whose file lists differ are read, and
+        they are diffed in ONE full-outer key join (insert / update /
+        delete classified in a single pass) instead of three separate
+        joins.  An upsert that touched 5 of 1000 buckets diffs 5.
         """
         to_v = self.latest_version() if to_version is None else to_version
-        keys = self._load_manifest(to_v)["keys"]
-        old = self.read(version=from_version)
-        new = self.read(version=to_v)
-
-        old_k = old.select(*keys).withColumn("__in_old", F.lit(1))
-        new_tagged = new.join(old_k, on=keys, how="left")
-        inserts = (
-            new_tagged.where(F.col("__in_old").isNull())
-            .drop("__in_old")
-            .withColumn("_change_type", F.lit("insert"))
+        from_m = self._load_manifest(from_version)
+        to_m = self._load_manifest(to_v)
+        keys = to_m["keys"]
+        changed = sorted(
+            b
+            for b in set(from_m["buckets"]) | set(to_m["buckets"])
+            if from_m["buckets"].get(b) != to_m["buckets"].get(b)
         )
+        old = self._read_buckets(from_m, changed)
+        new = self._read_buckets(to_m, changed)
 
-        # updates: key in both but any non-key column differs
         non_keys = [c for c in new.columns if c not in keys]
-        old_renamed = old.select(
-            *keys, *[F.col(c).alias(f"__old_{c}") for c in non_keys]
-        )
-        both = new.join(old_renamed, on=keys, how="inner")
-        diff_cond = None
-        for c in non_keys:
-            clause = ~(
-                F.col(c).eqNullSafe(F.col(f"__old_{c}"))
-            )
-            diff_cond = clause if diff_cond is None else diff_cond | clause
-        updates = (
-            both.where(diff_cond if diff_cond is not None else F.lit(False))
-            .select(*keys, *non_keys)
-            .withColumn("_change_type", F.lit("update_postimage"))
-        )
 
-        new_k = new.select(*keys).withColumn("__in_new", F.lit(1))
-        deletes = (
-            old.join(new_k, on=keys, how="left")
-            .where(F.col("__in_new").isNull())
-            .drop("__in_new")
-            .withColumn("_change_type", F.lit("delete"))
+        def _old_col(c: str) -> F.Column:
+            # schema evolution: a column added after from_version reads
+            # as NULL on the old side (as parquet mergeSchema would).
+            if c in old.columns:
+                return F.col(c)
+            return F.lit(None).cast(new.schema[c].dataType)
+
+        old_side = old.select(
+            *keys, *[_old_col(c).alias(f"__old_{c}") for c in non_keys]
+        ).withColumn("__in_old", F.lit(1))
+        new_side = new.select(*keys, *non_keys).withColumn("__in_new", F.lit(1))
+
+        # USING-join semantics coalesce the key columns across sides.
+        joined = new_side.join(old_side, on=keys, how="full_outer")
+        diff_cond = F.lit(False)
+        for c in non_keys:
+            diff_cond = diff_cond | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+        is_delete = F.col("__in_new").isNull()
+        change_type = (
+            F.when(F.col("__in_old").isNull(), F.lit("insert"))
+            .when(is_delete, F.lit("delete"))
+            .when(diff_cond, F.lit("update_postimage"))
         )
-        return inserts.unionByName(updates).unionByName(deletes)
+        image = [
+            F.when(is_delete, F.col(f"__old_{c}")).otherwise(F.col(c)).alias(c)
+            for c in non_keys
+        ]
+        return (
+            joined.select(*keys, *image, change_type.alias("_change_type"))
+            .where(F.col("_change_type").isNotNull())
+        )
 
     # --- maintenance ---------------------------------------------------------
 
@@ -358,6 +385,7 @@ class VersionedTable:
             raise ValueError("table does not exist")
         manifest = self._load_manifest(version)
         keys = manifest["keys"]
+        self.num_buckets = int(manifest.get("num_buckets", self.num_buckets))
         to_compact = {
             b: fs
             for b, fs in manifest["buckets"].items()

@@ -183,3 +183,92 @@ def test_create_order_by_picks_deterministic_survivor(spark, tmp_path):
     t.create(df, keys=["k"], order_by=[F.desc("m")])
     rows = {r["k"]: r["val"] for r in t.read().collect()}
     assert rows == {1: "new", 2: "only"}
+
+
+def test_changes_reads_only_changed_buckets(spark, tmp_path):
+    """CDF is O(changed buckets): data files are immutable, so buckets
+    with identical manifest file lists in both versions are skipped —
+    the diff's input files are exactly the changed bucket's old+new
+    files, not the whole table twice."""
+    t = VersionedTable(spark, str(tmp_path / "pruned"), num_buckets=64)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 1.0) for i in range(200)], ["k", "val", "m"]
+    )
+    t.create(df, keys=["k"])
+    t.upsert(spark.createDataFrame([(7, "NEW7", 7.7)], ["k", "val", "m"]))
+
+    ch = t.changes(0, 1)
+    rows = ch.collect()
+    assert len(rows) == 1
+    assert rows[0]["k"] == 7
+    assert rows[0]["val"] == "NEW7"
+    assert rows[0]["_change_type"] == "update_postimage"
+    # one touched bucket -> at most its v0 file + its v1 file are read
+    total_v0 = sum(len(fs) for fs in t._load_manifest(0)["buckets"].values())
+    read_files = set(ch.inputFiles())
+    assert len(read_files) <= 2, read_files
+    assert total_v0 > 10  # the pruning actually skipped something
+
+
+def test_changes_detects_deletes_with_old_image(spark, tmp_path):
+    """The delete branch of the single-pass CDF join: a version whose
+    manifest drops a bucket yields 'delete' rows carrying the OLD
+    image of every row in that bucket."""
+    t = VersionedTable(spark, str(tmp_path / "del"), num_buckets=4)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 1.0) for i in range(40)], ["k", "val", "m"]
+    )
+    t.create(df, keys=["k"])
+    m = t._load_manifest(0)
+    buckets = dict(m["buckets"])
+    dropped_bucket = sorted(buckets)[0]
+    dropped_files = buckets.pop(dropped_bucket)
+    t._commit(1, buckets, {"keys": m["keys"], "operation": "delete",
+                           "schema": m["schema"]})
+
+    dropped_keys = {
+        r["k"] for r in spark.read.parquet(*dropped_files).collect()
+    }
+    ch = {r["k"]: r for r in t.changes(0, 1).collect()}
+    assert set(ch) == dropped_keys and dropped_keys
+    for k, r in ch.items():
+        assert r["_change_type"] == "delete"
+        assert r["val"] == f"v{k}"  # old image survives on delete rows
+        assert r["m"] == k * 1.0
+
+
+def test_changes_across_schema_evolution(spark, table):
+    """changes() across an upsert that ADDED a column: the old side
+    reads the new column as NULL, so co-bucketed rows that were merely
+    rewritten with note=NULL do not spuriously appear as updates."""
+    widened = spark.createDataFrame(
+        [(5, "NEW5", 5.5, "extra")], ["k", "val", "m", "note"]
+    )
+    table.upsert(widened)
+    rows = table.changes(0, 1).collect()
+    assert len(rows) == 1
+    assert rows[0]["k"] == 5
+    assert rows[0]["note"] == "extra"
+    assert rows[0]["_change_type"] == "update_postimage"
+
+
+def test_reopened_table_adopts_committed_bucket_count(spark, tmp_path):
+    """Re-opening a table with a different num_buckets default must not
+    re-hash the merge: upsert adopts the manifest's committed bucket
+    count, otherwise an incoming key lands in a new bucket while its
+    old version survives in an untouched one (duplicate key)."""
+    root = str(tmp_path / "rebucket")
+    t1 = VersionedTable(spark, root, num_buckets=4)
+    t1.create(
+        spark.createDataFrame(
+            [(i, f"v{i}", i * 1.0) for i in range(50)], ["k", "val", "m"]
+        ),
+        keys=["k"],
+    )
+    t2 = VersionedTable(spark, root)  # default num_buckets=16
+    t2.upsert(spark.createDataFrame([(5, "NEW5", 5.5)], ["k", "val", "m"]))
+    assert t2.num_buckets == 4
+    df = t2.read()
+    assert df.count() == 50  # no duplicated key across buckets
+    assert df.where(F.col("k") == 5).collect()[0]["val"] == "NEW5"
+    assert df.select("k").distinct().count() == 50
