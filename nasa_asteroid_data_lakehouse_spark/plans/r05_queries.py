@@ -1,0 +1,209 @@
+"""Round-5 STAGED queries — built and gate-verified during round 4,
+NOT yet registered in ``__spark_entry__`` (the 190-query surface is
+frozen until CORRECTNESS_r04 confirms the round-4 driver window; see
+VERDICT r03 ask #1).  At round-5 start, merge STAGED_QUERIES /
+STAGED_ORACLES into the served registry.
+
+The batch gives the multimodal binary-payload path (llm/multimodal.py)
+its driver-checkable surface, per VERDICT r03 ask #6: payloads are
+opaque ``binary`` columns (here materialized from text via
+``encode(text,'UTF-8')`` — the same column type real media bytes get),
+and every query keeps the bytes in their parquet row groups: only
+(group, digest, length) or per-row scalar features ever shuffle.
+
+Oracle portability notes (docs/ROUND_NOTES.md rules applied):
+DuckDB ``md5(VARCHAR)`` / ``sha256(VARCHAR)`` hash the UTF-8 bytes, so
+they equal Spark ``md5/sha2(encode(text,'UTF-8'))`` (probe-verified in
+round 4, BASELINE.md); integer SUM/COUNT are CAST AS BIGINT; NULL text
+(failed fetch) propagates NULL payloads which join no dedup group and
+carry NULL features (the round-4b contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.llm import multimodal as mm
+
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict = {}
+
+
+# --- exact payload dedup accounting per source --------------------------------
+
+
+def payload_dedup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-payload dedup accounting per source: total payloads,
+    distinct payloads, duplicate ratio, and the bytes a keep-one dedup
+    pass reclaims (llm/multimodal.py: payload_dedup_stats).
+
+    Scale shape: sha2(payload,256) runs in whole-stage codegen over the
+    scan, so only (source, 32-byte digest, length) rows shuffle — the
+    media bytes never leave their row groups.  Two hash aggregations,
+    no joins.  NULL payloads (failed fetches) hash to NULL and are
+    excluded: no bytes to reclaim."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pl = mm.with_binary_payload(docs, "text")
+    return mm.payload_dedup_stats(pl, "payload", ("source",)).orderBy("source")
+
+
+PAYLOAD_DEDUP_SQL = """
+WITH per AS (
+  SELECT source, md5(text) AS sha,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         MIN(octet_length(encode(text))) AS len
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_payloads,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_ratio,
+       CAST(SUM((c - 1) * len) AS BIGINT) AS dup_bytes
+FROM per GROUP BY source ORDER BY source
+"""
+
+STAGED_QUERIES["payload_dedup_sources"] = payload_dedup_sources
+STAGED_ORACLES["payload_dedup_sources"] = PAYLOAD_DEDUP_SQL
+
+
+# --- keep-one-survivor payload dedup ------------------------------------------
+
+
+def payload_survivors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-survivor exact payload dedup over the binary column:
+    the lowest doc_id per distinct digest survives; NULL payloads pass
+    through untouched (dedup removes duplicates, never payload-less
+    rows).  One shuffle on the digest, survivor rows re-selected by a
+    doc_id semi-join — payload bytes never shuffle
+    (llm/multimodal.py: payload_survivors).  Output projects scalar
+    features only (binary columns don't value-hash portably)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pl = mm.with_binary_payload(docs, "text")
+    surv = mm.payload_survivors(pl, "doc_id", "payload")
+    return surv.select(
+        "doc_id",
+        "source",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+PAYLOAD_SURVIVORS_SQL = """
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY md5(text)
+)
+SELECT d.doc_id, d.source,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM keep) OR d.text IS NULL
+ORDER BY doc_id
+"""
+
+STAGED_QUERIES["payload_survivors_documents"] = payload_survivors_documents
+STAGED_ORACLES["payload_survivors_documents"] = PAYLOAD_SURVIVORS_SQL
+
+
+# --- typed media metadata row-level ------------------------------------------
+
+
+def media_metadata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level typed media metadata computed JVM-side over the binary
+    payload (llm/multimodal.py: with_media_metadata): byte length and
+    md5 checksum, no Python in the plan.  A failed fetch (NULL payload)
+    carries NULL length/checksum — the struct exists, its features
+    don't (round-4b contract).  Pure projection: zero shuffles."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pl = mm.with_binary_payload(docs, "text")
+    meta = mm.with_media_metadata(pl, "payload", media_type="text", fmt="utf-8")
+    return meta.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+        F.col("media_meta.media_type").alias("media_type"),
+    ).orderBy("doc_id")
+
+
+MEDIA_METADATA_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       'text' AS media_type
+FROM documents
+ORDER BY doc_id
+"""
+
+STAGED_QUERIES["media_metadata_documents"] = media_metadata_documents
+STAGED_ORACLES["media_metadata_documents"] = MEDIA_METADATA_SQL
+
+
+# --- deterministic frame-sampling manifest ------------------------------------
+
+
+def frame_sample_manifest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic video-frame sampling PLAN: treat each document as
+    a clip with ``n_frames = n_chars % 240 + 1`` synthetic frames and
+    emit the evenly-strided sample of up to 8 frame indices per clip —
+    ``frame_idx = floor(i * n_frames / k)``, the manifest a decode
+    stage (llm/multimodal.py: sample_frames) would fetch.  The decode
+    itself stays stubbed (no codecs in this container); the manifest
+    math, schema, and row explosion are the real Spark-side plumbing.
+
+    Scale shape: one narrow projection + explode(sequence()) — no
+    shuffle at all; the manifest can feed a decode ``mapInPandas``
+    partition-locally.  k >= 1 always (n_frames >= 1), so the division
+    needs no zero guard; negative n_chars rows (never produced, but a
+    descending sequence would diverge from range()) are filtered on
+    both sides."""
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .where(F.col("n_chars").isNotNull() & (F.col("n_chars") >= 0))
+    )
+    n_frames = (F.col("n_chars") % 240 + 1).cast("bigint")
+    v = docs.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.least(n_frames, F.lit(8)).cast("bigint").alias("k"),
+    )
+    ex = v.select(
+        "doc_id",
+        "n_frames",
+        "k",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("k") - 1)
+        ).alias("frame_i"),
+    )
+    return ex.select(
+        "doc_id",
+        "n_frames",
+        "frame_i",
+        F.floor(
+            (F.col("frame_i") * F.col("n_frames")).cast("double") / F.col("k")
+        )
+        .cast("bigint")
+        .alias("frame_idx"),
+    ).orderBy("doc_id", "frame_i")
+
+
+FRAME_SAMPLE_SQL = """
+WITH v AS (
+  SELECT doc_id,
+         CAST(n_chars % 240 + 1 AS BIGINT) AS n_frames,
+         CAST(LEAST(n_chars % 240 + 1, 8) AS BIGINT) AS k
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars >= 0
+),
+ex AS (SELECT doc_id, n_frames, k, unnest(range(k)) AS frame_i FROM v)
+SELECT doc_id, n_frames, CAST(frame_i AS BIGINT) AS frame_i,
+       CAST(FLOOR(CAST(frame_i * n_frames AS DOUBLE) / k) AS BIGINT)
+         AS frame_idx
+FROM ex
+ORDER BY doc_id, frame_i
+"""
+
+STAGED_QUERIES["frame_sample_manifest_documents"] = frame_sample_manifest_documents
+STAGED_ORACLES["frame_sample_manifest_documents"] = FRAME_SAMPLE_SQL

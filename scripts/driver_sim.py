@@ -103,10 +103,12 @@ def main() -> int:
     one = "--one" in argv
     const = "--const" in argv
     extreme = "--extreme" in argv
+    staged = "--staged" in argv
     args = [
         a
         for a in argv
-        if a not in ("--plain", "--empty", "--one", "--const", "--extreme")
+        if a
+        not in ("--plain", "--empty", "--one", "--const", "--extreme", "--staged")
     ]
     sf = args[0] if args else "/root/testdata/sf0.01"
     if extreme:
@@ -268,6 +270,15 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    if staged:
+        # round-(N+1) staging: gate queries built this round WITHOUT
+        # touching the frozen served surface (plans/r05_queries.py)
+        from nasa_asteroid_data_lakehouse_spark.plans import r05_queries
+
+        qs = {**qs, **r05_queries.STAGED_QUERIES}
+        oracles = {**oracles, **r05_queries.STAGED_ORACLES}
+        if only is None:
+            only = set(r05_queries.STAGED_QUERIES)
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue

@@ -1,0 +1,74 @@
+"""Pins for the round-5 STAGED query batch (plans/r05_queries.py) —
+gate-verified in round 4, registered at round-5 start once
+CORRECTNESS_r04 confirms the frozen 190-surface.  These tests keep the
+staged queries green in the meantime."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.plans import r05_queries as r5
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_staged_registry_shape():
+    assert set(r5.STAGED_QUERIES) == set(r5.STAGED_ORACLES)
+    assert len(r5.STAGED_QUERIES) == 4
+
+
+def test_payload_dedup_sources(spark):
+    out = r5.payload_dedup_sources(spark, SF).collect()
+    assert out  # one row per source
+    for r in out:
+        assert r["n_distinct"] <= r["n_payloads"]
+        assert 0.0 <= r["dup_ratio"] <= 1.0
+        assert r["dup_bytes"] >= 0
+
+
+def test_payload_survivors_matches_dedup_accounting(spark):
+    stats = r5.payload_dedup_sources(spark, SF).collect()
+    n_distinct_total = sum(r["n_distinct"] for r in stats)
+    surv = r5.payload_survivors_documents(spark, SF)
+    # survivors = one per distinct payload + every NULL-payload row
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_null = docs.where(F.col("text").isNull()).count()
+    assert surv.count() == n_distinct_total + n_null
+    # survivor ids are unique (one row per distinct payload)
+    ids = [r["doc_id"] for r in surv.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_media_metadata_row_level(spark):
+    out = r5.media_metadata_documents(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert out.count() == docs.count()
+    row = out.where(F.col("n_bytes").isNotNull()).first()
+    assert len(row["checksum"]) == 32  # md5 hex
+    assert row["media_type"] == "text"
+
+
+def test_frame_sample_manifest_bounds(spark):
+    out = r5.frame_sample_manifest_documents(spark, SF)
+    rows = out.collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, frames in by_doc.items():
+        k = len(frames)
+        assert 1 <= k <= 8
+        idxs = [f["frame_idx"] for f in sorted(frames, key=lambda f: f["frame_i"])]
+        n = frames[0]["n_frames"]
+        assert all(0 <= i < n for i in idxs)
+        assert idxs == sorted(idxs)  # strided sample is monotone
+        assert idxs[0] == 0  # always includes the first frame
+
+
+@pytest.mark.parametrize("name", sorted(r5.STAGED_QUERIES))
+def test_staged_plans_have_no_cartesian(spark, name):
+    plan = (
+        r5.STAGED_QUERIES[name](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
