@@ -799,6 +799,105 @@ def quantized_recall(
     )
 
 
+def truncated_dim_recall(
+    df: DataFrame,
+    anchor_max_id: int,
+    k: int = 10,
+    dims_keep: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: per anchor,
+    overlap@k of the top-k by cosine over the FIRST ``dims_keep``
+    dimensions vs the top-k by full-dimension exact cosine — the
+    measured answer to "can this corpus's ANN serve from a truncated
+    prefix of the embedding" (MRL-trained encoders promise yes; this
+    verifies it on the actual vectors, the audit a store runs before
+    shrinking its index 4x).
+
+    Same scale shape as :func:`quantized_recall`: the anchor side
+    broadcasts (|anchors| x N pairs, never N²), the pair table is
+    lazily checkpointed because two rankings consume it, and both
+    scores are ``try_divide`` cosines on the 6-decimal lattice — a
+    zero-norm prefix (all-zero leading dims) scores NULL and sinks to
+    the bottom of the DESC rank on both engines."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+        .withColumn("tv", F.slice(F.col("v"), 1, dims_keep))
+        .withColumn("tnrm", F.sqrt(dot(F.col("tv"), F.col("tv"))))
+        .where(F.col(id_col).isNotNull() & F.col("v").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        broadcast(
+            base.where(F.col("id") < anchor_max_id).select(
+                F.col("id").alias("anchor_id"),
+                F.col("v").alias("av"),
+                F.col("nrm").alias("anrm"),
+                F.col("tv").alias("atv"),
+                F.col("tnrm").alias("atnrm"),
+            )
+        )
+        .join(base.alias("b"), F.col("anchor_id") != F.col("b.id"))
+        .select(
+            "anchor_id",
+            F.col("b.id").alias("nbr"),
+            F.round(
+                F.try_divide(
+                    dot(F.col("av"), F.col("b.v")), F.col("anrm") * F.col("b.nrm")
+                ),
+                6,
+            ).alias("cos"),
+            F.round(
+                F.try_divide(
+                    dot(F.col("atv"), F.col("b.tv")),
+                    F.col("atnrm") * F.col("b.tnrm"),
+                ),
+                6,
+            ).alias("tcos"),
+        )
+        .localCheckpoint(eager=False)  # ranked twice below
+    )
+    w_exact = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("nbr"))
+    w_trunc = Window.partitionBy("anchor_id").orderBy(F.desc("tcos"), F.asc("nbr"))
+    exact = (
+        pairs.withColumn("__rk", F.row_number().over(w_exact))
+        .where(F.col("__rk") <= k)
+        .select("anchor_id", "nbr")
+    )
+    trunc = (
+        pairs.withColumn("__rk", F.row_number().over(w_trunc))
+        .where(F.col("__rk") <= k)
+        .select("anchor_id", "nbr")
+    )
+    hits = (
+        exact.join(trunc, ["anchor_id", "nbr"])
+        .groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(broadcast(hits), "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 6).alias(
+                "overlap_at_k"
+            ),
+        )
+    )
+
+
 def vector_admit(
     batch: DataFrame,
     corpus: DataFrame,

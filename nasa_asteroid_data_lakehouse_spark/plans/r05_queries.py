@@ -207,3 +207,139 @@ ORDER BY doc_id, frame_i
 
 STAGED_QUERIES["frame_sample_manifest_documents"] = frame_sample_manifest_documents
 STAGED_ORACLES["frame_sample_manifest_documents"] = FRAME_SAMPLE_SQL
+
+
+# --- streaming surprisal scoring replay ----------------------------------------
+
+
+def streaming_score_replay_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus scored by the CONTINUOUS quality-scoring
+    sink (streaming/curation.score_stream: per-micro-batch surprisal
+    vs a static reference LM, idempotent batch=<id> partition
+    overwrite), replayed over a 4-file stream and read back with the
+    dedup-on-read companion — must equal the one-shot batch
+    unigram-surprisal query bit-for-bit.  Per-doc scores are
+    batch-composition independent (the LM is static), so any
+    divergence is a sink/replay bug, the same argument
+    streaming_rollup_replay_events makes for the fold protocol.
+
+    KEY-UNIQUE PRECONDITION (same contract as dup_span_coverage):
+    score_stream dedups ids within a batch by design — duplicate ids
+    across source batches are the upstream deduper's job — so the
+    --const fixture's 50 copies score once while a batch engine counts
+    tokens 50x.  driver_sim skips it under --const.
+    """
+    import shutil
+    import tempfile
+
+    from nasa_asteroid_data_lakehouse_spark.streaming.curation import (
+        read_scored,
+        score_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="ndl_stream_score_")
+    try:
+        src = f"{tmp}/in"
+        docs.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = f"{tmp}/scored"
+        q = (
+            score_stream(spark, stream, docs, out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            read_scored(spark, out, latest_only=True)
+            .select("doc_id", "n_tokens", "mean_surprisal")
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# the batch twin's oracle IS the contract: the streamed scores must
+# hash-equal the one-shot corpus query (plans/llm_queries.py)
+from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (  # noqa: E402
+    UNIGRAM_SURPRISAL_SQL as _UNIGRAM_SQL,
+)
+
+STAGED_QUERIES["streaming_score_replay_documents"] = streaming_score_replay_documents
+STAGED_ORACLES["streaming_score_replay_documents"] = _UNIGRAM_SQL
+
+
+# --- Matryoshka dimension-truncation recall ------------------------------------
+
+_TDR_ANCHOR_MAX = 25
+_TDR_K = 10
+_TDR_DIMS = 16
+
+
+def truncated_dim_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap@10 between top-k by first-16-dimension cosine and top-k
+    by full 64-dimension cosine (llm/similarity.truncated_dim_recall)
+    — the Matryoshka-truncation audit an embedding store runs before
+    serving ANN from a 4x-smaller prefix index."""
+    from nasa_asteroid_data_lakehouse_spark.llm import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.truncated_dim_recall(
+        emb, anchor_max_id=_TDR_ANCHOR_MAX, k=_TDR_K, dims_keep=_TDR_DIMS
+    )
+
+
+TRUNCATED_DIM_RECALL_SQL = f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         list_slice(embedding::DOUBLE[], 1, {_TDR_DIMS}) AS tv
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+n AS (
+  SELECT id, v, tv,
+         sqrt(list_dot_product(v, v)) AS nrm,
+         sqrt(list_dot_product(tv, tv)) AS tnrm
+  FROM base
+),
+pairs AS (
+  SELECT a.id AS anchor_id, b.id AS nbr,
+    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos,
+    ROUND(list_dot_product(a.tv, b.tv) / (a.tnrm * b.tnrm), 6) AS tcos
+  FROM n a JOIN n b ON a.id <> b.id
+  WHERE a.id < {_TDR_ANCHOR_MAX}
+),
+exact AS (
+  SELECT anchor_id, nbr FROM (
+    SELECT anchor_id, nbr,
+      row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY cos DESC, nbr ASC) AS rk
+    FROM pairs) t
+  WHERE rk <= {_TDR_K}
+),
+trunc AS (
+  SELECT anchor_id, nbr FROM (
+    SELECT anchor_id, nbr,
+      row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY tcos DESC, nbr ASC) AS rk
+    FROM pairs) t
+  WHERE rk <= {_TDR_K}
+),
+hits AS (
+  SELECT e.anchor_id, COUNT(*) AS n_hits
+  FROM exact e JOIN trunc q ON q.anchor_id = e.anchor_id AND q.nbr = e.nbr
+  GROUP BY 1
+),
+ex AS (SELECT anchor_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+SELECT ex.anchor_id AS anchor_id, n_exact,
+       COALESCE(n_hits, 0) AS n_hits,
+       ROUND(COALESCE(n_hits, 0) / {_TDR_K}, 6) AS overlap_at_k
+FROM ex LEFT JOIN hits ON ex.anchor_id = hits.anchor_id
+"""
+
+STAGED_QUERIES["truncated_dim_recall_embeddings"] = truncated_dim_recall_embeddings
+STAGED_ORACLES["truncated_dim_recall_embeddings"] = TRUNCATED_DIM_RECALL_SQL

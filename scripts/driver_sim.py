@@ -37,6 +37,10 @@ TABLES = (
 KEY_UNIQUE_PRECONDITION = {
     "dup_span_coverage_documents",
     "semantic_dedup_embeddings",
+    # score_stream dedups ids within a micro-batch BY CONTRACT (cross-
+    # batch duplicates are the upstream deduper's job), so --const's 50
+    # copies score once while the batch oracle counts tokens 50x.
+    "streaming_score_replay_documents",
 }
 
 
