@@ -229,6 +229,79 @@ class VersionedTable:
                 continue  # re-read latest manifest and retry
         raise CommitConflict(f"gave up after {retries} conflicting commits")
 
+    def delete_where(self, condition, retries: int = 3) -> int:
+        """Delete rows matching ``condition`` (a Column or SQL string),
+        rewriting ONLY the buckets that contain matching rows — the
+        Delta-style ``DELETE WHERE`` that completes the write surface
+        (create / upsert / delete / compact / vacuum).
+
+        SQL semantics: a row is deleted iff the predicate is TRUE;
+        NULL-predicate rows are kept.  A bucket whose rows all match
+        simply disappears from the new manifest (zero files), which is
+        exactly how :meth:`changes` detects its rows as deletes.  If
+        nothing matches, no version is committed and the current
+        version is returned (a no-op delete should not spam history).
+        Returns the committed (or current) version."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        for _ in range(retries):
+            version = self.latest_version()
+            if version is None:
+                raise ValueError("table does not exist; call create() first")
+            manifest = self._load_manifest(version)
+            keys = manifest["keys"]
+            self.num_buckets = int(manifest.get("num_buckets", self.num_buckets))
+
+            files = [f for fs in manifest["buckets"].values() for f in fs]
+            if not files:
+                return version
+            # the partition-dir __bucket column is lost when reading
+            # concrete file paths; recompute it from the key hash (the
+            # exact expression _write_bucket_files assigns)
+            bucket_of = F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets)
+            )
+            snap = self.spark.read.option("mergeSchema", "true").parquet(*files)
+            touched = sorted(
+                r["__b"]
+                for r in snap.where(cond)
+                .select(bucket_of.alias("__b"))
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                return version
+            touched_set = {str(b) for b in touched}
+            touched_files = [
+                f for b in touched_set for f in manifest["buckets"].get(b, [])
+            ]
+            kept = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*touched_files)
+                .where(~F.coalesce(cond, F.lit(False)))
+            )
+            new_buckets = self._write_bucket_files(kept, keys)
+
+            combined = dict(manifest["buckets"])
+            for b in touched_set:
+                combined.pop(b, None)
+            combined.update(new_buckets)
+
+            try:
+                self._commit(
+                    version + 1,
+                    combined,
+                    {
+                        "keys": keys,
+                        "operation": "delete",
+                        "touched_buckets": sorted(touched_set),
+                        "schema": manifest.get("schema"),
+                    },
+                )
+                return version + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {retries} conflicting commits")
+
     # --- read paths ----------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:

@@ -272,3 +272,47 @@ def test_reopened_table_adopts_committed_bucket_count(spark, tmp_path):
     assert df.count() == 50  # no duplicated key across buckets
     assert df.where(F.col("k") == 5).collect()[0]["val"] == "NEW5"
     assert df.select("k").distinct().count() == 50
+
+
+def test_delete_where_prunes_and_feeds_cdf(spark, tmp_path):
+    """delete_where rewrites only buckets containing matching rows; the
+    deleted rows surface in changes() as 'delete' with their old image;
+    NULL-predicate rows are kept (SQL DELETE semantics); a no-op delete
+    commits nothing."""
+    t = VersionedTable(spark, str(tmp_path / "delw"), num_buckets=32)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", float(i) if i % 10 else None) for i in range(100)],
+        ["k", "val", "m"],
+    )
+    t.create(df, keys=["k"])
+    m0 = t._load_manifest(0)
+
+    v = t.delete_where(F.col("m") > 94.0)  # k in {95..99} minus k%10==0
+    assert v == 1
+    remaining = t.read()
+    assert remaining.count() == 95
+    assert {r["k"] for r in remaining.where(F.col("k") >= 95).collect()} <= {95, 96, 97, 98, 99}
+    # NULL predicate rows (m IS NULL, k%10==0) all survive
+    assert remaining.where(F.col("m").isNull()).count() == 10
+    # pruning: untouched buckets keep their v0 files verbatim
+    m1 = t._load_manifest(1)
+    untouched = set(m0["buckets"]) - set(m1["touched_buckets"])
+    assert untouched  # 5 keys can't touch all 32 buckets
+    for b in untouched:
+        assert m1["buckets"][b] == m0["buckets"][b]
+    # CDF: exactly the deleted keys, old image intact
+    ch = {r["k"]: r for r in t.changes(0, 1).collect()}
+    deleted = {r["k"] for r in df.where(F.col("m") > 94.0).collect()}
+    assert set(ch) == deleted
+    for k, r in ch.items():
+        assert r["_change_type"] == "delete"
+        assert r["val"] == f"v{k}"
+    # time travel still sees the pre-delete snapshot
+    assert t.read(version=0).count() == 100
+    # no-op delete: same version back, no new manifest
+    assert t.delete_where(F.col("m") > 1e9) == 1
+    assert t.latest_version() == 1
+    # SQL-string predicate form
+    v2 = t.delete_where("k = 3")
+    assert v2 == 2
+    assert t.read().where(F.col("k") == 3).count() == 0
