@@ -343,3 +343,62 @@ FROM ex LEFT JOIN hits ON ex.anchor_id = hits.anchor_id
 
 STAGED_QUERIES["truncated_dim_recall_embeddings"] = truncated_dim_recall_embeddings
 STAGED_ORACLES["truncated_dim_recall_embeddings"] = TRUNCATED_DIM_RECALL_SQL
+
+
+# --- DELETE WHERE through the lakehouse path ------------------------------------
+
+
+def versioned_table_delete_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DELETE through the lakehouse path: build a
+    VersionedTable from orders, ``delete_where(o_orderkey % 7 == 0)``
+    (bucket-pruned rewrite), then summarize the v1 -> v2 change feed —
+    the delete branch of the CDF, driver-hash-checked the same way
+    versioned_table_cdf_orders checks insert/update.  The predicate is
+    KEY-based on purpose: membership in the delete set is then
+    independent of which duplicate-key payload survived create's
+    merge, so the oracle can recompute it from the raw table
+    (key-only DISTINCT — the same trick the upsert CDF oracle uses).
+    NULL keys never match (NULL % 7 is NULL, SQL DELETE keeps
+    NULL-predicate rows) on both engines."""
+    import shutil
+    import tempfile
+
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_vtdel_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        v1 = t.create(orders, keys=["o_orderkey"])
+        v2 = t.delete_where(F.col("o_orderkey") % 7 == 0)
+        return (
+            t.changes(from_version=v1, to_version=v2)
+            .groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+            )
+            .orderBy("_change_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+VT_DELETE_CDF_SQL = """
+-- key-only DISTINCT mirrors the table's one-row-per-key invariant;
+-- the key-based predicate makes the delete set payload-independent
+WITH del AS (
+  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT 'delete' AS _change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM del
+HAVING COUNT(*) > 0
+"""
+
+STAGED_QUERIES["versioned_table_delete_cdf_orders"] = versioned_table_delete_cdf_orders
+STAGED_ORACLES["versioned_table_delete_cdf_orders"] = VT_DELETE_CDF_SQL

@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_staged_registry_shape():
     assert set(r5.STAGED_QUERIES) == set(r5.STAGED_ORACLES)
-    assert len(r5.STAGED_QUERIES) == 6
+    assert len(r5.STAGED_QUERIES) == 7
 
 
 def test_payload_dedup_sources(spark):
