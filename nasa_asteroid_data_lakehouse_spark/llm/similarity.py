@@ -18,17 +18,19 @@ Two paths:
   the bucket id and the search probes the ``nprobe`` nearest cells.
   Store the table partitioned by cluster to prune instead of filter.
 
-NULL-vector contract: a row whose vector column is NULL (failed
-encoder, missing modality) participates in NO vector operator — it has
-no direction, no bucket, and no cluster.  Every public operator here
-filters such rows at its scan (``IsNotNull`` pushes down to the
-source, so this costs nothing at scale), and the DuckDB oracles carry
-the same ``embedding IS NOT NULL`` predicate: DuckDB's
-``list_dot_product`` RAISES on a NULL list rather than returning NULL,
-so an unfiltered oracle cannot even run (adversarial NULL-vector
-sweep, round 4).  ``embedding_outliers`` (plans/curation_queries) is
-the deliberate exception: the hygiene query keeps NULL-vector rows
-visible with a NULL norm.
+Vector contract (:func:`vec_valid`): a row participates in a vector
+operator only if its vector is non-NULL AND every component is finite
+and non-NULL.  A NULL vector (failed encoder, missing modality) has no
+direction, no bucket, and no cluster; a NaN/Inf/NULL COMPONENT is a
+corrupted encode that poisons every dot product it touches (NaN-ranked
+top-k is garbage, and DuckDB's chunk-level list kernels RAISE on NULL
+lists/components, so an unfiltered oracle cannot even run — the
+round-4 NULL sweep and round-4c NaN sweep each caught this live).
+Every public operator filters at its scan; oracles carry the matching
+``embedding IS NOT NULL AND len(list_filter(...)) = 0`` predicate.
+``embedding_outliers`` and ``vector_stats`` (hygiene queries) are the
+deliberate exceptions: they keep invalid rows VISIBLE with NULL stats
+(outliers additionally flags them TRUE).
 """
 
 from __future__ import annotations
@@ -61,6 +63,26 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def vec_valid(col: Column | str) -> Column:
+    """The module's vector-participation predicate: non-NULL AND every
+    component finite AND no NULL component.  A NaN/Inf/NULL component
+    is a failed or corrupted encode — it poisons every dot product it
+    touches (NaN-ranked top-k is garbage on both engines, and DuckDB's
+    chunk-level list kernels RAISE on NULL components), so such rows
+    participate in NO vector operator, exactly like whole-NULL vectors
+    (round-4 contract; NaN extension from the round-4c sweep).  Oracles
+    carry the same predicate:
+    ``embedding IS NOT NULL AND len(list_filter(embedding,
+    x -> x IS NULL OR isnan(x) OR isinf(x))) = 0``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & ~F.exists(
+        c,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -84,7 +106,7 @@ def cosine_topk(
     matvec is one BLAS call per batch.  Rounding is numpy's
     half-to-even, so use it for serving, not oracle diffs.
     """
-    df = df.where(F.col(vec_col).isNotNull())  # module NULL-vector contract
+    df = df.where(vec_valid(F.col(vec_col)))  # module vector contract
     if backend == "arrow":
         from pyspark.sql.functions import pandas_udf
 
@@ -118,7 +140,7 @@ def vector_dim(df: DataFrame, vec_col: str) -> int:
     downstream result empty — the operators stay total on empty input
     instead of crashing on ``first()`` returning None."""
     row = (
-        df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+        df.where(vec_valid(F.col(vec_col))).select(vec_col).first()
     )
     return len(row[vec_col]) if row is not None else 1
 
@@ -136,7 +158,7 @@ def query_vector(
     planes and cosine then stay dimension-correct (cosine against a
     zero probe is NULL, not a silent 1-dim hash of d-dim vectors)."""
     row = (
-        df.where((F.col(id_col) == target_id) & F.col(vec_col).isNotNull())
+        df.where((F.col(id_col) == target_id) & vec_valid(F.col(vec_col)))
         .select(vec_col)
         .first()
     )
@@ -182,7 +204,7 @@ def with_lsh_bucket(
     NULL dot product to bit 0 and silently pool every failed-encoder
     row into bucket 0."""
     planes = hyperplane_coefficients(num_planes, dim)
-    return df.where(F.col(vec_col).isNotNull()).withColumn(
+    return df.where(vec_valid(F.col(vec_col))).withColumn(
         out, bucket_id(F.col(vec_col), planes)
     )
 
@@ -299,7 +321,7 @@ def kmeans_fit(
     still seeds from the valid rows further down instead of returning
     zero centroids for a fittable table).
     """
-    df = df.where(F.col(vec_col).isNotNull())  # module NULL-vector contract
+    df = df.where(vec_valid(F.col(vec_col)))  # module vector contract
     init_rows = (
         df
         .select(id_col, vec_col)
@@ -366,7 +388,7 @@ def with_ivf_assignment(
     this only fires on caller-supplied empty lists.
     """
     if not centroids:
-        if not df.where(F.col(vec_col).isNotNull()).isEmpty():
+        if not df.where(vec_valid(F.col(vec_col))).isEmpty():
             raise ValueError(
                 "empty centroid list while the DataFrame has non-NULL "
                 "vectors: fit centroids first (kmeans_fit) or pass "
@@ -401,7 +423,7 @@ def ivf_topk(
     ]
     probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:nprobe]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    df = df.where(F.col(vec_col).isNotNull())  # module NULL-vector contract
+    df = df.where(vec_valid(F.col(vec_col)))  # module vector contract
     assigned = with_ivf_assignment(df, centroids, vec_col)
     return (
         assigned.where(F.col("cluster").isin(probe))
@@ -442,7 +464,7 @@ def semantic_dedup(
     across runs, partitionings, and engines.  Returns the surviving
     rows as (id, cluster).
     """
-    df = df.where(F.col(vec_col).isNotNull())  # module NULL-vector contract
+    df = df.where(vec_valid(F.col(vec_col)))  # module vector contract
     assigned = (
         with_ivf_assignment(df, centroids, vec_col)
         .select(
@@ -514,28 +536,39 @@ def quantize_embeddings(
     Codes live on the :func:`int8_codes` lattice (shared with
     :func:`quantized_recall`).  Pure narrow projection: no shuffle, no
     UDF, whole-stage codegen end to end.  A zero vector gets scale 1.0
-    and all-zero codes.
+    and all-zero codes.  Row-preserving hygiene semantics: an INVALID
+    vector (NULL, or any NaN/Inf/NULL component — :func:`vec_valid`)
+    keeps its row with a fully-NULL profile; NaN must never leak into
+    scale/codes, where it would silently quantize to garbage.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     staged = df.select(
         F.col(id_col),
         v.alias("__v"),
-        int8_scale(v).alias("scale"),
+        int8_scale(v).alias("__scale"),
+        vec_valid(F.col(vec_col)).alias("__ok"),
     )
-    staged = staged.withColumn("__codes", int8_codes(F.col("__v"), F.col("scale")))
+    staged = staged.withColumn("__codes", int8_codes(F.col("__v"), F.col("__scale")))
     err = F.zip_with(
         F.col("__v"),
         F.col("__codes"),
-        lambda x, c: F.abs(c.cast("double") / F.col("scale") - x),
+        lambda x, c: F.abs(c.cast("double") / F.col("__scale") - x),
     )
+    ok = F.col("__ok")
     return staged.select(
         id_col,
-        "scale",
-        F.aggregate(
-            F.col("__codes"), F.lit(0).cast("long"), lambda acc, c: acc + c
+        F.when(ok, F.col("__scale")).alias("scale"),
+        F.when(
+            ok,
+            F.aggregate(
+                F.col("__codes"), F.lit(0).cast("long"), lambda acc, c: acc + c
+            ),
         ).alias("code_sum"),
-        F.size(F.filter(F.col("__codes"), lambda c: F.abs(c) == 127)).alias("n_sat"),
-        F.array_max(err).alias("max_abs_err"),
+        F.when(
+            ok,
+            F.size(F.filter(F.col("__codes"), lambda c: F.abs(c) == 127)),
+        ).alias("n_sat"),
+        F.when(ok, F.array_max(err)).alias("max_abs_err"),
     )
 
 
@@ -568,7 +601,7 @@ def hard_negatives(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         F.col(label_col).alias("lbl"),
         norm(F.col(vec_col)).alias("nrm"),
-    ).where(F.col(id_col).isNotNull() & F.col("v").isNotNull())
+    ).where(F.col(id_col).isNotNull() & vec_valid(F.col("v")))
     anchors = base.where(F.col("id") < anchor_max_id).localCheckpoint(eager=False)
     pairs = broadcast(anchors.alias("a")).join(
         base.alias("b"),
@@ -628,7 +661,7 @@ def ann_recall_lsh(
             norm(F.col(vec_col)).alias("nrm"),
             bucket_id(F.col(vec_col), planes).alias("bucket"),
         )
-        .where(F.col(id_col).isNotNull() & F.col("v").isNotNull())
+        .where(F.col(id_col).isNotNull() & vec_valid(F.col("v")))
         .localCheckpoint(eager=False)
     )
     anchors = base.where(F.col("id") < anchor_max_id)
@@ -730,7 +763,7 @@ def quantized_recall(
                 ).cast("double")
             ),
         )
-        .where(F.col(id_col).isNotNull() & F.col("v").isNotNull())
+        .where(F.col(id_col).isNotNull() & vec_valid(F.col("v")))
         .drop("__scale")
         .localCheckpoint(eager=False)
     )
@@ -833,7 +866,7 @@ def truncated_dim_recall(
         )
         .withColumn("tv", F.slice(F.col("v"), 1, dims_keep))
         .withColumn("tnrm", F.sqrt(dot(F.col("tv"), F.col("tv"))))
-        .where(F.col(id_col).isNotNull() & F.col("v").isNotNull())
+        .where(F.col(id_col).isNotNull() & vec_valid(F.col("v")))
         .localCheckpoint(eager=False)
     )
     pairs = (
@@ -932,7 +965,7 @@ def vector_admit(
             ),
             norm(F.col(vec_col)).alias(f"{prefix}_nrm"),
             bucket_id(F.col(vec_col), planes).alias(f"{prefix}_bucket"),
-        ).where(F.col(id_col).isNotNull() & F.col(f"{prefix}_v").isNotNull())
+        ).where(F.col(id_col).isNotNull() & vec_valid(F.col(f"{prefix}_v")))
 
     b = prep(batch, "b").localCheckpoint(eager=False)  # joined + outer base
     c = prep(corpus, "c")
@@ -1011,7 +1044,7 @@ def knn_label_agreement(
             F.col(label_col).alias("lbl"),
             norm(F.col(vec_col)).alias("nrm"),
         )
-        .where(F.col(id_col).isNotNull() & F.col("v").isNotNull())
+        .where(F.col(id_col).isNotNull() & vec_valid(F.col("v")))
         .localCheckpoint(eager=False)
     )
     a, b = base.alias("a"), base.alias("b")

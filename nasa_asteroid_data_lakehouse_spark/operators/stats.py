@@ -158,6 +158,17 @@ def chi_square_independence(
     )
 
 
+def finite(c: Column | str) -> Column:
+    """TRUE iff the double is non-NULL and finite.  The measure twin
+    of the vector contract (llm/similarity.vec_valid): a NaN/Inf
+    metric is a corrupt record — it has no cents rendering (ANSI
+    ``CAST(NaN AS BIGINT)`` raises where DuckDB's raises too), no
+    leading digit, and no magnitude — so exact-integer money math
+    filters it like a NULL.  Oracle twin: ``isfinite(col)``."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.isNotNull() & ~F.isnan(col) & (F.abs(col) != F.lit(float("inf")))
+
+
 def _leading_digit_cents(v: Column) -> Column:
     """First significant digit of a positive 2-decimal price, via the
     exact integer cents rendering (portable across engines — no
@@ -177,7 +188,10 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
     from pyspark.sql import Window
 
     digits = (
-        df.where(F.col(value_col) > 0)
+        # finite(): NaN > 0 is TRUE on both engines (NaN sorts above
+        # everything), so without the guard a NaN value reaches the
+        # cents cast and ANSI raises CAST_OVERFLOW.
+        df.where((F.col(value_col) > 0) & finite(value_col))
         .groupBy(_leading_digit_cents(F.col(value_col)).alias("digit"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -137,8 +137,17 @@ HAVING COUNT(*) > 0  -- empty-input alignment, see ROLLUP_SQL
 def stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate kit: stddev, variance, exact median,
     correlation, covariance per market segment."""
+    from nasa_asteroid_data_lakehouse_spark.operators import stats
+
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    # non-finite prices are corrupt records with no moments: one NaN
+    # makes every stddev/var/corr NaN (and DuckDB's STDDEV_SAMP
+    # raises), so the measure contract filters them like NULLs
+    # (operators/stats.finite); NULL rows keep their existing
+    # aggregate-ignores-NULL semantics.
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNull() | stats.finite("o_totalprice")
+    )
     joined = orders.join(
         broadcast(cust.select("c_custkey", "c_mktsegment", "c_acctbal")),
         F.col("o_custkey") == F.col("c_custkey"),
@@ -166,6 +175,7 @@ SELECT c_mktsegment,
        ROUND(corr(o_totalprice, c_acctbal), 6) AS price_acctbal_corr,
        ROUND(covar_samp(o_totalprice, c_acctbal), 2) AS price_acctbal_covar
 FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice IS NULL OR isfinite(o_totalprice)
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
@@ -414,8 +424,15 @@ QUALIFY rank <= 3
 
 def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding vectors via posexplode +
-    groupBy — the JVM-side building block the IVF quantizer uses."""
-    emb = _t(spark, sf_dir, "embeddings")
+    groupBy — the JVM-side building block the IVF quantizer uses.
+    Operator semantics, so the module vector contract applies: an
+    invalid vector (NULL, or any NaN/Inf/NULL component) votes in no
+    centroid — one NaN would poison a whole dimension's mean."""
+    from nasa_asteroid_data_lakehouse_spark.llm import similarity
+
+    emb = _t(spark, sf_dir, "embeddings").where(
+        similarity.vec_valid(F.col("embedding"))
+    )
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "val"))
         .groupBy("label", "dim")
@@ -426,6 +443,8 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 CENTROIDS_SQL = """
 SELECT label, i - 1 AS dim, ROUND(AVG(embedding[i]), 6) AS centroid_val
 FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+WHERE embedding IS NOT NULL
+  AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 GROUP BY 1, 2
 """
 
@@ -695,7 +714,15 @@ def price_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated shuffle regardless of row count."""
     lo, hi, nb = 0.0, 500_000.0, 20
     step = (hi - lo) / nb
-    orders = read_table(spark, sf_dir, "orders")
+    from nasa_asteroid_data_lakehouse_spark.operators import stats
+
+    # non-finite prices have no bucket (Spark's floor(NaN) lands in
+    # bucket 0 while DuckDB's NaN-is-greatest clamps to the top —
+    # divergent garbage either way); NULL prices keep their NULL-group
+    # row on both engines.
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNull() | stats.finite("o_totalprice")
+    )
     bucket = F.least(
         F.greatest(F.floor((F.col("o_totalprice") - lo) / step), F.lit(0)),
         F.lit(nb - 1),
@@ -717,6 +744,7 @@ SELECT CAST(least(greatest(floor(o_totalprice / 25000.0), 0), 19) AS INTEGER) AS
        ROUND(SUM(o_totalprice), 2) AS total_price,
        ROUND(CAST(least(greatest(floor(o_totalprice / 25000.0), 0), 19) AS INTEGER) * 25000.0, 2) AS bucket_lo
 FROM orders
+WHERE o_totalprice IS NULL OR isfinite(o_totalprice)
 GROUP BY 1
 ORDER BY 1
 """
@@ -932,8 +960,16 @@ def winsorized_prices_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders side never shuffles for the join."""
     from nasa_asteroid_data_lakehouse_spark.operators.robust import winsorize
 
+    from nasa_asteroid_data_lakehouse_spark.operators import stats
+
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    # measure contract: non-finite prices have no quantile rank (the
+    # two engines disagree on where NaN sorts within quantile_cont),
+    # so they filter like NULLs; NULL rows keep their existing
+    # percentile-ignores-NULL semantics.
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNull() | stats.finite("o_totalprice")
+    )
     joined = orders.join(
         broadcast(cust.select("c_custkey", "c_mktsegment")),
         F.col("o_custkey") == F.col("c_custkey"),
@@ -957,6 +993,7 @@ WINSORIZE_SQL = """
 WITH joined AS (
   SELECT c_mktsegment, o_totalprice
   FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_totalprice IS NULL OR isfinite(o_totalprice)
 ),
 bounds AS (
   SELECT c_mktsegment,
@@ -2851,8 +2888,10 @@ def psi_orders_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag — ONE conditional-aggregation pass bins both periods, no
     join; period totals are window sums over the bounded bin table.
     """
+    from nasa_asteroid_data_lakehouse_spark.operators import stats
+
     orders = _t(spark, sf_dir, "orders").where(
-        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+        stats.finite("o_totalprice") & F.col("o_orderdate").isNotNull()
     )
     ref = orders.where(F.col("o_orderdate") < _PSI_SPLIT)
     qs = [i / _PSI_BINS for i in range(1, _PSI_BINS)]
@@ -2925,7 +2964,7 @@ def _psi_sql() -> str:
     return f"""
 WITH base AS (
   SELECT o_totalprice, o_orderdate FROM orders
-  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+  WHERE isfinite(o_totalprice) AND o_orderdate IS NOT NULL
 ),
 ref AS (SELECT o_totalprice FROM base WHERE o_orderdate < '{_PSI_SPLIT}'),
 cur AS (SELECT o_totalprice FROM base WHERE o_orderdate >= '{_PSI_SPLIT}'),

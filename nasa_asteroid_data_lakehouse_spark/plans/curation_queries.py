@@ -205,10 +205,20 @@ def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUANTIZED_SQL = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+-- row-preserving hygiene semantics: invalid vectors (NULL, or any
+-- NaN/Inf/NULL component) keep their row with a fully-NULL profile
+WITH v AS (
+  SELECT vec_id,
+    CASE WHEN embedding IS NOT NULL
+          AND len(list_filter(embedding,
+                x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+         THEN embedding::DOUBLE[] END AS v
+  FROM embeddings
+),
 scaled AS (
   SELECT vec_id, v,
-    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0.0
+    CASE WHEN v IS NULL THEN NULL
+         WHEN list_max(list_transform(v, x -> abs(x))) > 0.0
          THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
          ELSE 1.0 END AS scale
   FROM v
@@ -251,7 +261,7 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 HARD_NEGATIVES_SQL = f"""
 WITH base AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v, label AS lbl
-  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ),
 pairs AS (
   SELECT a.id AS anchor_id, a.lbl AS anchor_label,
@@ -298,7 +308,7 @@ ANN_RECALL_SQL = f"""
 WITH base AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v,
          {_bucket_sql(_AR_PLANES, "embedding")} AS bucket
-  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ),
 pairs AS (
   SELECT a.id AS anchor_id, a.bucket AS abucket, b.id AS nbr,
@@ -407,14 +417,14 @@ WITH b AS (
          {_bucket_sql(_VA_PLANES, "embedding")} AS bucket
   FROM embeddings
   WHERE vec_id % {_VA_MOD} = 0 AND vec_id IS NOT NULL
-    AND embedding IS NOT NULL
+    AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ),
 c AS (
   SELECT vec_id AS c_id, embedding::DOUBLE[] AS v,
          {_bucket_sql(_VA_PLANES, "embedding")} AS bucket
   FROM embeddings
   WHERE vec_id % {_VA_MOD} <> 0 AND vec_id IS NOT NULL
-    AND embedding IS NOT NULL
+    AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ),
 cands AS (
   SELECT b_id, COUNT(*) AS n_candidates,
@@ -514,7 +524,7 @@ WITH scaled AS (
     CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0.0
          THEN 127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
          ELSE 1.0 END AS scale
-  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ),
 base AS (
   SELECT id, v, codes,
@@ -1006,7 +1016,7 @@ r_bm25 AS (
   FROM top_b
 ),
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
-      WHERE vec_id = 0 AND embedding IS NOT NULL),
+      WHERE vec_id = 0 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
 cos_scores AS (
   SELECT vec_id AS doc_id,
     ROUND(list_dot_product(embedding::DOUBLE[], q.qv::DOUBLE[])
@@ -1014,7 +1024,7 @@ cos_scores AS (
              * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))),
           6) AS cos
   FROM embeddings, q
-  WHERE embedding IS NOT NULL
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ),
 top_c AS (
   SELECT doc_id, cos FROM cos_scores
@@ -1160,9 +1170,19 @@ def mad_by_segment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    seg = orders.join(
-        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
-    ).select("c_mktsegment", "o_totalprice")
+    seg = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .select("c_mktsegment", "o_totalprice")
+        # measure contract: non-finite prices filter like NULLs (the
+        # engines disagree on NaN's quantile rank); NULL rows keep
+        # their row (n_orders counts them, percentile ignores them).
+        .where(
+            F.col("o_totalprice").isNull()
+            | (~F.isnan("o_totalprice") & (F.abs("o_totalprice") != float("inf")))
+        )
+    )
     med = seg.groupBy("c_mktsegment").agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("__med"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -1188,6 +1208,7 @@ MAD_SQL = """
 WITH seg AS (
   SELECT c_mktsegment, o_totalprice
   FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_totalprice IS NULL OR isfinite(o_totalprice)
 ),
 med AS (
   SELECT c_mktsegment,
@@ -1371,7 +1392,7 @@ upd AS (
     CAST(COUNT(*) AS BIGINT) AS n_rows,
     CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
   FROM (SELECT DISTINCT o_orderkey FROM orders
-        WHERE o_orderkey % 10 = 0 AND o_totalprice IS NOT NULL)
+        WHERE o_orderkey % 10 = 0 AND isfinite(o_totalprice))
 )
 SELECT * FROM ins WHERE n_rows > 0
 UNION ALL
@@ -1591,14 +1612,18 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares 6-decimal-rounded values so both engines see identical
     doubles."""
     emb = read_table(spark, sf_dir, "embeddings")
-    # NULL-vector rows stay VISIBLE here (the one exception to the
-    # similarity-module exclusion contract): a NULL embedding is a
-    # failed encode — the exact degeneracy this query hunts — so it
-    # reports vnorm NULL and is_outlier TRUE, rather than silently
-    # dropping the row or voting in the median.
+    # Invalid-vector rows stay VISIBLE here (the exception to the
+    # similarity-module exclusion contract): a NULL embedding or a
+    # NaN/Inf/NULL component is a failed encode — the exact degeneracy
+    # this query hunts — so it reports vnorm NULL and is_outlier TRUE,
+    # rather than silently dropping the row, voting in the median, or
+    # leaking a NaN norm the engines would render/rank divergently.
     norms = emb.select(
         "vec_id",
-        F.round(similarity.norm(F.col("embedding")), 6).alias("vnorm"),
+        F.when(
+            similarity.vec_valid(F.col("embedding")),
+            F.round(similarity.norm(F.col("embedding")), 6),
+        ).alias("vnorm"),
     )
     med = norms.agg(
         F.round(F.expr("percentile(vnorm, 0.5)"), 6).alias("med_norm")
@@ -1629,14 +1654,17 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_OUTLIERS_SQL = """
 WITH norms AS (
-  -- CASE guard, NOT a filter: the hygiene query keeps NULL-vector
-  -- rows visible (vnorm/is_outlier NULL) — the one deliberate
-  -- exception to the NULL-vector exclusion contract.  The guard is
-  -- also load-bearing for DuckDB: list_dot_product RAISES when a
-  -- scanned chunk holds any NULL list.
+  -- CASE guard, NOT a filter: the hygiene query keeps invalid-vector
+  -- rows visible (vnorm NULL, flagged TRUE below) — the deliberate
+  -- exception to the vector exclusion contract.  The guard is also
+  -- load-bearing for DuckDB: list_dot_product RAISES when a scanned
+  -- chunk holds any NULL list, and a NaN component would otherwise
+  -- leak a NaN norm into the quantile votes.
   SELECT vec_id,
-    CASE WHEN embedding IS NULL THEN NULL
-         ELSE ROUND(sqrt(
+    CASE WHEN embedding IS NOT NULL
+          AND len(list_filter(embedding,
+                x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+         THEN ROUND(sqrt(
            list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
     END AS vnorm
   FROM embeddings

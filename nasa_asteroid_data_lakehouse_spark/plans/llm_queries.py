@@ -260,7 +260,7 @@ WHERE ROUND(common / least(sa.sz, sb.sz), 6) >= 0.2
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 most similar vectors to vec_id=0 (self included)."""
     emb = read_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()  # NULL-vector contract (llm/similarity.py)
+        similarity.vec_valid(F.col("embedding"))  # vector contract (llm/similarity.py)
     )
     query = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("query_vec")
@@ -280,14 +280,14 @@ COSINE_TOPK_SQL = """
 -- from a column with NULL lists raises even when the probe row itself
 -- is non-NULL (adversarial NULL-vector sweep, round 4).
 WITH q AS (SELECT embedding::DOUBLE[] AS query_vec FROM embeddings
-           WHERE vec_id = 0 AND embedding IS NOT NULL)
+           WHERE vec_id = 0 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)
 SELECT vec_id,
   ROUND(list_dot_product(embedding::DOUBLE[], query_vec::DOUBLE[])
         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
            * sqrt(list_dot_product(query_vec::DOUBLE[], query_vec::DOUBLE[]))),
         6) AS cosine_sim
 FROM embeddings, q
-WHERE embedding IS NOT NULL
+WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ORDER BY cosine_sim DESC, vec_id
 LIMIT 20
 """
@@ -320,7 +320,7 @@ def _lsh_sql() -> str:
     bucket = " + ".join(terms)
     return f"""
 SELECT ({bucket})::BIGINT AS bucket, COUNT(*) AS n_vectors
-FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1
+FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0 GROUP BY 1
 """
 
 
@@ -685,7 +685,7 @@ _COS_AB = (
 EMBEDDING_NEAR_DUP_SQL = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {_bucket_sql(_NEAR_DUP_PLANES, "embedding")} AS bucket
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND({_COS_AB}, 6) AS cosine_sim
@@ -726,11 +726,11 @@ LSH_TOPK_SQL = f"""
 WITH q AS (
   SELECT embedding::DOUBLE[] AS qv,
          {_bucket_sql(_LSH_TOPK_PLANES, "embedding")} AS qbucket
-  FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL
+  FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ),
 bucketed AS (
   SELECT vec_id, embedding, {_bucket_sql(_LSH_TOPK_PLANES, "embedding")} AS bucket
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 )
 SELECT e.vec_id, e.bucket, ROUND({_COS_EQ}, 6) AS cosine_sim
 FROM bucketed e, q
@@ -762,7 +762,7 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroid index then equals the seed's rank, matching the
     # oracle's row_number()-based cluster label).
     seeds = (
-        emb.where(F.col("embedding").isNotNull())
+        emb.where(similarity.vec_valid(F.col("embedding")))
         .orderBy("vec_id")
         .limit(_IVF_K_CENTROIDS)
         .collect()
@@ -778,10 +778,10 @@ IVF_TOPK_SQL = f"""
 WITH seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, cv FROM (
     SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
-    WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {_IVF_K_CENTROIDS})
+    WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0 ORDER BY vec_id LIMIT {_IVF_K_CENTROIDS})
 ),
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
-      WHERE vec_id = 0 AND embedding IS NOT NULL),
+      WHERE vec_id = 0 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
 assign AS (
   SELECT e.vec_id, e.embedding, s.c,
     row_number() OVER (
@@ -789,7 +789,7 @@ assign AS (
       ORDER BY list_distance(e.embedding::DOUBLE[], s.cv::DOUBLE[]), s.c
     ) AS rn
   FROM embeddings e, seeds s
-  WHERE e.embedding IS NOT NULL
+  WHERE e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ),
 probe AS (
   SELECT s.c FROM seeds s, q
@@ -1187,17 +1187,37 @@ def vector_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x)
     total = F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x)
     mx = F.array_max(dv)
+    # hygiene semantics: every vector keeps its row, but an invalid
+    # vector (NULL, or any NaN/Inf/NULL component) gets NULL stats —
+    # NaN must never reach the output (engines render/rank it
+    # divergently), same rule as embedding_outliers.
+    ok = similarity.vec_valid(v)
+
+    def g(c):  # noqa: ANN001 — guard a stat behind the validity flag
+        return F.when(ok, c)
+
     return emb.select(
         "vec_id",
-        F.round(F.sqrt(sq), 6).alias("l2_norm"),
-        F.round(total / F.size(v), 6).alias("mean_component"),
-        F.round(F.array_min(dv), 6).alias("min_component"),
-        F.round(mx, 6).alias("max_component"),
-        F.array_position(dv, mx).cast("int").alias("argmax_1based"),
+        g(F.round(F.sqrt(sq), 6)).alias("l2_norm"),
+        g(F.round(total / F.size(v), 6)).alias("mean_component"),
+        g(F.round(F.array_min(dv), 6)).alias("min_component"),
+        g(F.round(mx, 6)).alias("max_component"),
+        g(F.array_position(dv, mx).cast("int")).alias("argmax_1based"),
     ).orderBy("vec_id")
 
 
 VECTOR_STATS_SQL = """
+-- hygiene semantics: invalid vectors (NULL, or any NaN/Inf/NULL
+-- component) keep their row with NULL stats; the CASE-guarded CTE
+-- NULLs the vector so every stat propagates NULL
+WITH g AS (
+  SELECT vec_id,
+    CASE WHEN embedding IS NOT NULL
+          AND len(list_filter(embedding,
+                x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+         THEN embedding END AS embedding
+  FROM embeddings
+)
 SELECT vec_id,
   ROUND(sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')), 6) AS l2_norm,
   ROUND(list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'sum') / len(embedding), 6) AS mean_component,
@@ -1205,7 +1225,7 @@ SELECT vec_id,
   ROUND(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS max_component,
   CAST(list_position(list_transform(embedding, x -> x::DOUBLE),
                      list_max(list_transform(embedding, x -> x::DOUBLE))) AS INTEGER) AS argmax_1based
-FROM embeddings
+FROM g
 ORDER BY vec_id
 """
 
@@ -1522,7 +1542,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Filter BEFORE the limit (same rank-vs-index alignment as
     # ivf_topk_embeddings: centroid index == seed rank).
     seeds = (
-        emb.where(F.col("embedding").isNotNull())
+        emb.where(similarity.vec_valid(F.col("embedding")))
         .orderBy("vec_id")
         .limit(_SEMDEDUP_K)
         .collect()
@@ -1543,7 +1563,7 @@ SEMDEDUP_SQL = f"""
 WITH seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, cv FROM (
     SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
-    WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {_SEMDEDUP_K})
+    WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0 ORDER BY vec_id LIMIT {_SEMDEDUP_K})
 ),
 assign AS (
   SELECT e.vec_id, e.embedding, s.c,
@@ -1552,7 +1572,7 @@ assign AS (
       ORDER BY list_distance(e.embedding::DOUBLE[], s.cv::DOUBLE[]), s.c
     ) AS rn
   FROM embeddings e, seeds s
-  WHERE e.embedding IS NOT NULL
+  WHERE e.embedding IS NOT NULL AND len(list_filter(e.embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ),
 a AS (SELECT vec_id, embedding, c FROM assign WHERE rn = 1),
 dropped AS (
@@ -2029,7 +2049,7 @@ def knn_label_agreement_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
 KNN_LABEL_SQL = f"""
 WITH blocked AS (
   SELECT * FROM embeddings
-  WHERE vec_id < {_KNN_BLOCK} AND embedding IS NOT NULL
+  WHERE vec_id < {_KNN_BLOCK} AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ),
 pairs AS (
   SELECT a.vec_id AS id, a.label AS lbl, b.vec_id AS nbr, b.label AS nbr_lbl,

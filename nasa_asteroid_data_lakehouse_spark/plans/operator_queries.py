@@ -442,7 +442,14 @@ def zorder_keys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF, no extra shuffle."""
     from nasa_asteroid_data_lakehouse_spark.lake.zorder import morton_interleave
 
-    orders = _t(spark, sf_dir, "orders")
+    from nasa_asteroid_data_lakehouse_spark.operators import stats
+
+    # NaN/Inf prices have no width bucket (the cents/floor cast would
+    # raise under ANSI and in DuckDB); NULL prices keep their existing
+    # NULL-group semantics, so exclude ONLY non-finite values.
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNull() | stats.finite("o_totalprice")
+    )
     b1 = (F.col("o_custkey") % 256).cast("long")
     b2 = F.least(F.floor(F.col("o_totalprice") / 2500), F.lit(255)).cast("long")
     return (
@@ -466,6 +473,7 @@ WITH b AS (
          o_custkey % 256 AS b1,
          least(CAST(floor(o_totalprice / 2500) AS BIGINT), 255) AS b2
   FROM orders
+  WHERE o_totalprice IS NULL OR isfinite(o_totalprice)
 )
 SELECT {_Z_TERMS} AS zkey,
        COUNT(*) AS n_orders,

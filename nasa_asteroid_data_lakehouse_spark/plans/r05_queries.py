@@ -298,7 +298,7 @@ TRUNCATED_DIM_RECALL_SQL = f"""
 WITH base AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v,
          list_slice(embedding::DOUBLE[], 1, {_TDR_DIMS}) AS tv
-  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ),
 n AS (
   SELECT id, v, tv,

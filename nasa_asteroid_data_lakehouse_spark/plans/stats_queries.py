@@ -121,7 +121,8 @@ def equidepth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
         read_table(spark, sf_dir, "orders")
         .select("o_totalprice")
-        .where(F.col("o_totalprice").isNotNull())
+        # finite == isNotNull AND NaN/Inf-free (measure contract)
+        .where(stats.finite("o_totalprice"))
     )
     return stats.equidepth_histogram(orders, "o_totalprice", buckets=10)
 
@@ -133,12 +134,13 @@ WITH bounds AS (
              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
            b -> round(b, 4)) AS bs
   FROM orders
+  WHERE isfinite(o_totalprice)
 ),
 assigned AS (
   SELECT o_totalprice AS v,
          CAST(len(list_filter(bs, b -> o_totalprice > b)) AS INTEGER) AS bucket
   FROM orders, bounds
-  WHERE o_totalprice IS NOT NULL
+  WHERE isfinite(o_totalprice)
 )
 SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -226,7 +228,7 @@ WITH digits AS (
   SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
               AS INTEGER) AS digit,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM orders WHERE o_totalprice > 0
+  FROM orders WHERE o_totalprice > 0 AND isfinite(o_totalprice)
   GROUP BY 1
 ),
 t AS (SELECT *, SUM(n) OVER () AS total FROM digits),
@@ -618,7 +620,7 @@ def lorenz_deciles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     table), which is the documented bound; the fact scan itself only
     feeds a hash aggregate."""
     orders = read_table(spark, sf_dir, "orders").where(
-        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+        F.col("o_custkey").isNotNull() & stats.finite("o_totalprice")
     )
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
@@ -656,7 +658,7 @@ WITH per_cust AS (
   SELECT o_custkey,
          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders
-  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  WHERE o_custkey IS NOT NULL AND isfinite(o_totalprice)
   GROUP BY o_custkey
 ),
 tiled AS (
@@ -874,7 +876,7 @@ def cohort_ltv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions of exact integers."""
     orders = read_table(spark, sf_dir, "orders").where(
         F.col("o_custkey").isNotNull()
-        & F.col("o_totalprice").isNotNull()
+        & stats.finite("o_totalprice")
         & F.col("o_orderdate").isNotNull()
     )
     midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
@@ -918,7 +920,7 @@ WITH base AS (
            + EXTRACT(month FROM o_orderdate) - 1 AS midx,
          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders
-  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  WHERE o_custkey IS NOT NULL AND isfinite(o_totalprice)
     AND o_orderdate IS NOT NULL
 ),
 first AS (SELECT o_custkey, MIN(midx) AS cohort_idx FROM base GROUP BY 1),

@@ -44,8 +44,9 @@ def build_mutated(dst: str) -> None:
                    CASE WHEN o_orderkey % 37 = 0 THEN NULL ELSE o_custkey END
                      AS o_custkey,
                    o_orderstatus,
-                   CASE WHEN o_orderkey % 41 = 0 THEN NULL ELSE o_totalprice END
-                     AS o_totalprice,
+                   CASE WHEN o_orderkey % 41 = 0 THEN NULL
+                        WHEN o_orderkey % 73 = 0 THEN 'nan'::DOUBLE
+                        ELSE o_totalprice END AS o_totalprice,
                    o_orderdate, o_orderpriority
             FROM read_parquet('{src}/orders.parquet')
         """,
@@ -96,8 +97,9 @@ def build_mutated(dst: str) -> None:
                    CASE WHEN event_id % 43 = 0 THEN NULL ELSE user_id END
                      AS user_id,
                    event_type,
-                   CASE WHEN event_id % 47 = 0 THEN NULL ELSE value END
-                     AS value,
+                   CASE WHEN event_id % 47 = 0 THEN NULL
+                        WHEN event_id % 71 = 0 THEN 'nan'::DOUBLE
+                        ELSE value END AS value,
                    props
             FROM read_parquet('{src}/events.parquet')
             UNION ALL
@@ -112,10 +114,19 @@ def build_mutated(dst: str) -> None:
         # centroid paths must propagate NULL, not crash or pair them
         # (vec_id 0, the query probe, stays non-NULL: the zero-probe
         # case is the --extreme sweep's job).
+        # NaN COMPONENTS (~1/37, round-4c): corrupted-encoder rows —
+        # the vector contract (llm/similarity.vec_valid) excludes them
+        # from every operator; hygiene queries keep them with NULL
+        # stats (a NaN must never reach an output or a rank).
         "embeddings": """
             SELECT vec_id,
                    CASE WHEN vec_id % 29 = 0 AND vec_id != 0
-                        THEN NULL ELSE embedding END AS embedding,
+                        THEN NULL
+                        WHEN vec_id % 37 = 0 AND vec_id != 0
+                        THEN CAST(list_append(
+                               embedding[1:len(embedding) - 1],
+                               'nan'::FLOAT) AS FLOAT[])
+                        ELSE embedding END AS embedding,
                    CASE WHEN vec_id % 13 = 0 THEN NULL ELSE label END AS label
             FROM read_parquet('{src}/embeddings.parquet')
         """,

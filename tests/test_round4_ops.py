@@ -365,3 +365,82 @@ def test_balanced_mixture_keeps_null_stratum(spark, tmp_path):
     by_src = {r["source"]: r for r in out}
     assert by_src[None]["n_total"] == 4
     assert len({r["n_kept"] for r in out}) == 1  # all strata at min size
+
+
+def test_nan_vector_rows_excluded_from_vector_operators(spark):
+    """Round-4c NaN sweep contract: a vector with ANY non-finite or
+    NULL component participates in NO vector operator (vec_valid) —
+    Spark ranks NaN cosines as LARGEST, so one corrupted encode would
+    otherwise take over every top-k; DuckDB's list kernels raise."""
+    from nasa_asteroid_data_lakehouse_spark.llm import similarity as sim
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [nan, 1.0, 1.0]),
+            (2, [1.0, inf, 1.0]),
+            (3, None),
+            (4, [0.9, 0.1, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    # vec_valid as a predicate
+    ok = {r["vec_id"] for r in df.where(sim.vec_valid("embedding")).collect()}
+    assert ok == {0, 4}
+    # NULL component also invalid
+    df2 = spark.createDataFrame(
+        [(9, [1.0, None, 1.0])], "vec_id bigint, embedding array<float>"
+    )
+    assert df2.where(sim.vec_valid("embedding")).count() == 0
+    # top-k: the NaN row must never rank
+    top = sim.cosine_topk(df, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 4]
+    # bucketing: invalid rows get no bucket
+    b = sim.with_lsh_bucket(df, num_planes=2, dim=3)
+    assert {r["vec_id"] for r in b.collect()} == {0, 4}
+
+
+def test_nan_vector_hygiene_rows_keep_null_stats(spark):
+    """Hygiene exceptions keep invalid-vector ROWS but with NULL stats
+    (NaN must never reach an output: engines render/rank it
+    divergently) — quantize profile, vector stats, outlier flag."""
+    import math
+
+    from nasa_asteroid_data_lakehouse_spark.llm import similarity as sim
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [nan, 2.0]), (2, None)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in sim.quantize_embeddings(df).collect()}
+    assert len(rows) == 3
+    assert rows[0]["scale"] is not None and rows[0]["code_sum"] is not None
+    for bad in (1, 2):
+        assert rows[bad]["scale"] is None
+        assert rows[bad]["code_sum"] is None
+        assert rows[bad]["n_sat"] is None
+        assert rows[bad]["max_abs_err"] is None
+    for r in rows.values():  # no NaN anywhere in the output
+        for v in r:
+            assert not (isinstance(v, float) and math.isnan(v))
+
+
+def test_finite_measure_guard(spark):
+    """operators/stats.finite — the measure twin of vec_valid: NaN/Inf
+    metrics filter like NULLs (ANSI CAST(NaN AS BIGINT) raises; the
+    cents idiom must never see one).  benford_profile is the pinned
+    consumer: NaN > 0 is TRUE on both engines, so without the guard
+    the digit cast crashes."""
+    from nasa_asteroid_data_lakehouse_spark.operators import stats
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(123.45,), (nan,), (inf,), (None,), (678.9,)], "v double"
+    )
+    kept = df.where(stats.finite("v")).collect()
+    assert sorted(r["v"] for r in kept) == [123.45, 678.9]
+    digits = stats.benford_profile(df, "v").collect()
+    assert {r["digit"] for r in digits} == {1, 6}
+    assert sum(r["n"] for r in digits) == 2
