@@ -832,6 +832,114 @@ def quantized_recall(
     )
 
 
+def ivf_recall(
+    df: DataFrame,
+    centroids: list[list[float]],
+    anchor_max_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of IVF cell-probing against the exact
+    brute-force ranking, per anchor — completes the recall triptych
+    (LSH: :func:`ann_recall_lsh`, int8: :func:`quantized_recall`,
+    IVF: here): does probing ``nprobe`` cells actually find the true
+    neighbors, or just same-cell ones?
+
+    Per anchor (``id < anchor_max_id``): exact top-k by cosine over
+    all valid vectors, vs top-k restricted to the anchor's ``nprobe``
+    nearest cells.  The probe table is anchors x centroids — bounded
+    (|anchors|·|cells| rows), ranked by squared distance with the
+    cluster-index tiebreak (the same assignment contract
+    :func:`with_ivf_assignment` / the ivf_topk oracle use).  Cost is
+    |anchors| x N with the anchor side broadcast, the
+    :func:`ann_recall_lsh` shape."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    valid = df.where(F.col(id_col).isNotNull() & vec_valid(F.col(vec_col)))
+    assigned = with_ivf_assignment(valid, centroids, vec_col)
+    base = assigned.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+        F.col("cluster"),
+    ).localCheckpoint(eager=False)
+    anchors = base.where(F.col("id") < anchor_max_id).select(
+        F.col("id").alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+
+    spark = df.sparkSession
+    cent_rows = spark.createDataFrame(
+        [(j, [float(x) for x in cvec]) for j, cvec in enumerate(centroids)],
+        "c int, cv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("av"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(F.asc("__d2"), F.asc("c"))
+    probes = (
+        broadcast(anchors.select("anchor_id", "av"))
+        .crossJoin(broadcast(cent_rows))
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(wp))
+        .where(F.col("__rn") <= nprobe)
+        .select("anchor_id", F.col("c").alias("cluster"))
+    )
+
+    pairs = (
+        broadcast(anchors)
+        .join(base.alias("b"), F.col("anchor_id") != F.col("b.id"))
+        .select(
+            "anchor_id",
+            F.col("b.id").alias("nbr"),
+            F.col("b.cluster").alias("cluster"),
+            F.round(
+                F.try_divide(
+                    dot(F.col("av"), F.col("b.v")), F.col("anrm") * F.col("b.nrm")
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .localCheckpoint(eager=False)  # ranked twice below
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("nbr"))
+    exact = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("anchor_id", "nbr")
+    )
+    approx = (
+        pairs.join(broadcast(probes), ["anchor_id", "cluster"])
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("anchor_id", "nbr")
+    )
+    hits = (
+        exact.join(approx, ["anchor_id", "nbr"])
+        .groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(broadcast(hits), "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
 def truncated_dim_recall(
     df: DataFrame,
     anchor_max_id: int,

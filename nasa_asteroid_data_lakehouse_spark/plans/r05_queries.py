@@ -402,3 +402,115 @@ HAVING COUNT(*) > 0
 
 STAGED_QUERIES["versioned_table_delete_cdf_orders"] = versioned_table_delete_cdf_orders
 STAGED_ORACLES["versioned_table_delete_cdf_orders"] = VT_DELETE_CDF_SQL
+
+
+# --- IVF cell-probing recall ----------------------------------------------------
+
+_IVFR_ANCHOR_MAX = 25
+_IVFR_K = 10
+_IVFR_NPROBE = 2
+_IVFR_CENTROIDS = 8
+
+_VOK = (
+    "embedding IS NOT NULL AND len(list_filter(embedding, "
+    "x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
+)
+
+
+def ivf_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of 2-cell IVF probing vs the exact ranking, per anchor
+    (llm/similarity.ivf_recall) — completes the measured recall
+    triptych (LSH: ann_recall, int8: quantized_recall, IVF: here).
+    Seed quantizer (8 lowest valid ids, kmeans iters=0) keeps the
+    oracle SQL-expressible, same contract as ivf_topk_embeddings."""
+    from pyspark.sql import functions as SF
+
+    from nasa_asteroid_data_lakehouse_spark.llm import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.where(similarity.vec_valid(SF.col("embedding")))
+        .orderBy("vec_id")
+        .limit(_IVFR_CENTROIDS)
+        .collect()
+    )
+    centroids = [[float(v) for v in r["embedding"]] for r in seeds]
+    if not centroids:
+        centroids = [[0.0]]
+    return similarity.ivf_recall(
+        emb,
+        centroids,
+        anchor_max_id=_IVFR_ANCHOR_MAX,
+        k=_IVFR_K,
+        nprobe=_IVFR_NPROBE,
+    )
+
+
+IVF_RECALL_SQL = f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, cv FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+    WHERE {_VOK} ORDER BY vec_id LIMIT {_IVFR_CENTROIDS})
+),
+valid AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id IS NOT NULL AND {_VOK}
+),
+assign AS (
+  SELECT id, v, c FROM (
+    SELECT e.id, e.v, s.c,
+      row_number() OVER (
+        PARTITION BY e.id ORDER BY list_distance(e.v, s.cv), s.c
+      ) AS rn
+    FROM valid e, seeds s) t
+  WHERE rn = 1
+),
+anchors AS (SELECT id AS anchor_id, v AS av FROM valid
+            WHERE id < {_IVFR_ANCHOR_MAX}),
+probe AS (
+  SELECT anchor_id, c FROM (
+    SELECT a.anchor_id, s.c,
+      row_number() OVER (
+        PARTITION BY a.anchor_id ORDER BY list_distance(a.av, s.cv), s.c
+      ) AS rn
+    FROM anchors a, seeds s) t
+  WHERE rn <= {_IVFR_NPROBE}
+),
+pairs AS (
+  SELECT a.anchor_id, b.id AS nbr, b.c AS cluster,
+    ROUND(list_dot_product(a.av, b.v)
+          / (sqrt(list_dot_product(a.av, a.av))
+             * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM anchors a JOIN assign b ON a.anchor_id <> b.id
+),
+exact AS (
+  SELECT anchor_id, nbr FROM (
+    SELECT anchor_id, nbr,
+      row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY cos DESC, nbr ASC) AS rk
+    FROM pairs) t
+  WHERE rk <= {_IVFR_K}
+),
+approx AS (
+  SELECT anchor_id, nbr FROM (
+    SELECT p.anchor_id, p.nbr,
+      row_number() OVER (PARTITION BY p.anchor_id
+                         ORDER BY p.cos DESC, p.nbr ASC) AS rk
+    FROM pairs p JOIN probe pr
+      ON p.anchor_id = pr.anchor_id AND p.cluster = pr.c) t
+  WHERE rk <= {_IVFR_K}
+),
+hits AS (
+  SELECT e.anchor_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx q ON q.anchor_id = e.anchor_id AND q.nbr = e.nbr
+  GROUP BY 1
+),
+ex AS (SELECT anchor_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+SELECT ex.anchor_id AS anchor_id, n_exact,
+       COALESCE(n_hits, 0) AS n_hits,
+       ROUND(COALESCE(n_hits, 0) / {_IVFR_K}, 6) AS recall_at_k
+FROM ex LEFT JOIN hits ON ex.anchor_id = hits.anchor_id
+"""
+
+STAGED_QUERIES["ivf_recall_embeddings"] = ivf_recall_embeddings
+STAGED_ORACLES["ivf_recall_embeddings"] = IVF_RECALL_SQL

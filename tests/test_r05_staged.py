@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_staged_registry_shape():
     assert set(r5.STAGED_QUERIES) == set(r5.STAGED_ORACLES)
-    assert len(r5.STAGED_QUERIES) == 7
+    assert len(r5.STAGED_QUERIES) == 8
 
 
 def test_payload_dedup_sources(spark):
@@ -84,6 +84,22 @@ def test_streaming_score_replay_equals_batch(spark):
         assert r["mean_surprisal"] == batch[d]["mean_surprisal"]
 
 
+def test_ivf_recall_bounds(spark):
+    """nprobe = all cells must be a perfect recall (the probe set is
+    then the whole corpus); nprobe=1 is bounded by it."""
+    from nasa_asteroid_data_lakehouse_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seeds = emb.orderBy("vec_id").limit(4).collect()
+    cents = [[float(v) for v in r["embedding"]] for r in seeds]
+    full = similarity.ivf_recall(emb, cents, anchor_max_id=5, k=10, nprobe=4)
+    assert all(r["recall_at_k"] == 1.0 for r in full.collect())
+    narrow = similarity.ivf_recall(emb, cents, anchor_max_id=5, k=10, nprobe=1)
+    for r in narrow.collect():
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_exact"] == 10
+
+
 def test_truncated_dim_recall_bounds(spark):
     from nasa_asteroid_data_lakehouse_spark.llm import similarity
 
@@ -108,7 +124,7 @@ _PLAN_CHECK = sorted(set(r5.STAGED_QUERIES) - {"streaming_score_replay_documents
 
 # bounded broadcast-anchor non-equi join (25 anchors x N), the same
 # audited shape test_plan_quality allows for quantized_recall
-_BNLJ_ALLOWED = {"truncated_dim_recall_embeddings"}
+_BNLJ_ALLOWED = {"truncated_dim_recall_embeddings", "ivf_recall_embeddings"}
 
 
 @pytest.mark.parametrize("name", _PLAN_CHECK)

@@ -444,3 +444,29 @@ def test_finite_measure_guard(spark):
     digits = stats.benford_profile(df, "v").collect()
     assert {r["digit"] for r in digits} == {1, 6}
     assert sum(r["n"] for r in digits) == 2
+
+
+def test_ragged_dim_vectors_keep_engine_total(spark):
+    """Mixed-length vectors in one table (corrupted store / schema
+    drift) are OUT OF ORACLE CONTRACT (DuckDB's list_dot_product
+    raises on a length mismatch; the fixtures are fixed-dim) but the
+    ENGINE must stay total: zip_with pads the short side with NULL, so
+    the dot and cosine come back NULL and the row simply never ranks —
+    no crash, no garbage score."""
+    from nasa_asteroid_data_lakehouse_spark.llm import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.5, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    top = sim.cosine_topk(df, [1.0, 0.0, 0.0], k=3).collect()
+    ids = [r["vec_id"] for r in top]
+    # the short vector's cosine is NULL -> sorts below every real score
+    assert ids[:2] == [0, 2]
+    assert top[0]["cosine_sim"] == 1.0
+    by_id = {r["vec_id"]: r["cosine_sim"] for r in top}
+    assert by_id.get(1) is None or 1 not in by_id
+    # pair operators: the ragged row produces NULL sims, never a crash
+    pairs = sim.embedding_near_dup_pairs(df, threshold=0.1, num_planes=1)
+    got = pairs.collect()  # total: no exception
+    assert all(r["id_a"] != 1 and r["id_b"] != 1 or r["cos"] is None for r in got)
