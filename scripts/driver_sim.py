@@ -9,6 +9,7 @@ Usage: python scripts/driver_sim.py [sf_dir] [--only name1,name2] [--plain]
        python scripts/driver_sim.py --one     # single-row degenerate sweep
        python scripts/driver_sim.py --const   # 50 identical rows per table
        python scripts/driver_sim.py --extreme # 3 rows at the value-domain edges
+       python scripts/driver_sim.py --dup     # duplicate keys, conflicting payloads
 """
 
 from __future__ import annotations
@@ -41,6 +42,15 @@ KEY_UNIQUE_PRECONDITION = {
     # batch duplicates are the upstream deduper's job), so --const's 50
     # copies score once while the batch oracle counts tokens 50x.
     "streaming_score_replay_documents",
+    # --dup additions (duplicate keys with CONFLICTING payloads): these
+    # assume one row per id — either per-identity semantics (which text
+    # belongs to doc X) or id-ordered determinism (ORDER BY id is not a
+    # total order under duplicate ids, so seed/packing selection becomes
+    # arbitrary on BOTH engines).  Clean stores guarantee unique ids;
+    # duplicate ids are the upstream exact-dedup's job.
+    "minhash_error_pairs_documents",
+    "ivf_topk_embeddings",
+    "pack_documents_for_training",
 }
 
 
@@ -108,11 +118,20 @@ def main() -> int:
     const = "--const" in argv
     extreme = "--extreme" in argv
     staged = "--staged" in argv
+    dup = "--dup" in argv
     args = [
         a
         for a in argv
         if a
-        not in ("--plain", "--empty", "--one", "--const", "--extreme", "--staged")
+        not in (
+            "--plain",
+            "--empty",
+            "--one",
+            "--const",
+            "--extreme",
+            "--staged",
+            "--dup",
+        )
     ]
     sf = args[0] if args else "/root/testdata/sf0.01"
     if extreme:
@@ -215,6 +234,56 @@ def main() -> int:
             con0.execute(
                 f"COPY ({sql}) TO '{sf}/{t}.parquet' (FORMAT PARQUET)"
             )
+    if dup:
+        # --dup = duplicate keys with CONFLICTING payloads (~2-3% of
+        # doc/vec/order keys re-appear with a different text / scaled
+        # vector / shifted price).  Distinct from --const (identical
+        # copies): this is the shape where per-identity semantics and
+        # id-ordered determinism break — queries in
+        # KEY_UNIQUE_PRECONDITION are skipped (documented contract:
+        # duplicate ids are the upstream exact-dedup's job); every
+        # OTHER query must still match its oracle.
+        import tempfile
+
+        sf_src = args[0] if args else "/root/testdata/sf0.001"
+        sf = tempfile.mkdtemp(prefix="ndl_dup_")
+        con0 = duckdb.connect()
+        dup_sql = {
+            "documents": """
+                SELECT * FROM read_parquet('{src}/documents.parquet')
+                UNION ALL
+                SELECT doc_id, text || ' trailing-variant', lang,
+                       'dupsrc' AS source, n_chars + 17
+                FROM read_parquet('{src}/documents.parquet')
+                WHERE doc_id % 31 = 0
+            """,
+            "embeddings": """
+                SELECT * FROM read_parquet('{src}/embeddings.parquet')
+                UNION ALL
+                SELECT vec_id,
+                       CAST(list_transform(embedding, x -> x * 0.5)
+                            AS FLOAT[]),
+                       label
+                FROM read_parquet('{src}/embeddings.parquet')
+                WHERE vec_id % 41 = 0 AND vec_id > 0
+            """,
+            "orders": """
+                SELECT * FROM read_parquet('{src}/orders.parquet')
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice + 11.11, o_orderdate, o_orderpriority
+                FROM read_parquet('{src}/orders.parquet')
+                WHERE o_orderkey % 53 = 0
+            """,
+        }
+        for t in TABLES:
+            src_p = os.path.join(sf_src, f"{t}.parquet")
+            if not os.path.exists(src_p):
+                continue
+            sql = dup_sql.get(t, f"SELECT * FROM read_parquet('{src_p}')").format(
+                src=sf_src
+            )
+            con0.execute(f"COPY ({sql}) TO '{sf}/{t}.parquet' (FORMAT PARQUET)")
     if empty or one or const:
         # Degenerate-cardinality copies of the tables (round-3
         # robustness gates): --empty = zero rows (every operator must
@@ -286,7 +355,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue
-        if const and name in KEY_UNIQUE_PRECONDITION:
+        if (const or dup) and name in KEY_UNIQUE_PRECONDITION:
             print(f"  {name}: SKIP (key-unique input precondition)")
             continue
         try:
@@ -308,7 +377,7 @@ def main() -> int:
         else:
             print(f"  {name}: rows={len(actual)} MATCH")
     spark.stop()
-    if empty or one or const or extreme:
+    if empty or one or const or extreme or dup:
         import shutil
 
         shutil.rmtree(sf, ignore_errors=True)

@@ -7,8 +7,9 @@
 4. driver_sim --one (single-row degeneracy)
 5. driver_sim --const (all-identical rows: ties + duplicate keys)
 6. driver_sim --extreme (value-domain edges: zero vectors, huge/tiny magnitudes)
-7. adversarial_sim (NULL/dup pass + unicode pass)
-8. pytest tests/ (full suite)
+7. driver_sim --dup (duplicate keys with conflicting payloads)
+8. adversarial_sim (NULL/NaN/dup pass + unicode pass)
+9. pytest tests/ (full suite)
 
 Usage: python scripts/run_gates.py [--fast]
   --fast skips the sf0.1 pass and the full pytest suite (keeps the
@@ -54,6 +55,7 @@ def main() -> int:
         ("driver_sim --one", [py, "scripts/driver_sim.py", "--one"]),
         ("driver_sim --const", [py, "scripts/driver_sim.py", "--const"]),
         ("driver_sim --extreme", [py, "scripts/driver_sim.py", "--extreme"]),
+        ("driver_sim --dup", [py, "scripts/driver_sim.py", "--dup"]),
         ("adversarial_sim (2 passes)", [py, "scripts/adversarial_sim.py"]),
     ]
     if not fast:
