@@ -51,6 +51,10 @@ KEY_UNIQUE_PRECONDITION = {
     "minhash_error_pairs_documents",
     "ivf_topk_embeddings",
     "pack_documents_for_training",
+    # staged: same ORDER-BY-id seed selection as ivf_topk, and the
+    # exact∩approx hits join fans out when a duplicated nbr id appears
+    # in both top-k lists.
+    "ivf_recall_embeddings",
 }
 
 
