@@ -514,3 +514,133 @@ FROM ex LEFT JOIN hits ON ex.anchor_id = hits.anchor_id
 
 STAGED_QUERIES["ivf_recall_embeddings"] = ivf_recall_embeddings
 STAGED_ORACLES["ivf_recall_embeddings"] = IVF_RECALL_SQL
+
+
+# --- streaming session-window replay ---------------------------------------------
+
+
+def streaming_session_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute session windows maintained by a REAL
+    Structured Streaming job (withWatermark + session_window, append
+    mode) over a time-ordered 4-file replay, read back and
+    hash-checked against the batch gaps-and-islands oracle — the third
+    streaming replay (rollup: algebraic fold; score: stream-static
+    join; here: WATERMARK-EXPIRED MERGING STATE, the semantics the
+    other two don't touch).
+
+    Determinism engineering, in order of importance:
+    * batches are TIME-QUARTILE ordered and written sequentially as
+      single files (coalesce(1), mode=append), so the file source's
+      oldest-first processing can never drop a "late" event — batch
+      b+1's minimum ts >= batch b's maximum, and the 1-minute
+      watermark delay covers boundary ties;
+    * a per-user SENTINEL event 30 days after the corpus max drives
+      the final watermark past every real session (append mode emits a
+      session only when the watermark passes its end) while the
+      sentinel sessions themselves never emit — they self-exclude;
+    * sum_value re-rounds to the 6-decimal lattice on read-back, the
+      same absorption the batch query relies on across engines.
+    """
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from pyspark.sql import Window
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        # watermarks reject TIMESTAMP_NTZ; the session is UTC-pinned so
+        # the LTZ cast is value-identical (cast back on read-out)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    )
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint, sum_value double"
+    )
+    max_row = ev.agg(F.max("ts").alias("m")).collect()[0]
+    if max_row["m"] is None:  # zero events: stay total
+        return spark.createDataFrame([], out_schema)
+    sentinel_ts = max_row["m"] + timedelta(days=30)
+
+    tmp = tempfile.mkdtemp(prefix="ndl_stream_sess_")
+    try:
+        src = f"{tmp}/in"
+        batched = ev.withColumn(
+            "__b", F.ntile(4).over(Window.orderBy("ts"))
+        )
+        for b in range(1, 5):
+            (
+                batched.where(F.col("__b") == b)
+                .drop("__b")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        (
+            ev.select("user_id")
+            .distinct()
+            .select(
+                "user_id",
+                F.lit(sentinel_ts).alias("ts"),
+                F.lit(None).cast("double").alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sessions = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        out = f"{tmp}/sessions"
+        q = (
+            sessions.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .format("parquet")
+            .start(out)
+        )
+        q.awaitTermination()
+        try:
+            got = spark.read.parquet(out)
+        except Exception:  # no session emitted (e.g. single-user tiny input)
+            got = spark.createDataFrame([], out_schema)
+        return (
+            got.select(
+                "user_id",
+                F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+                F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+                "n_events",
+                F.round("sum_value", 6).alias("sum_value"),
+            )
+            .orderBy("user_id", "session_start")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+from nasa_asteroid_data_lakehouse_spark.plans.analytics_queries import (  # noqa: E402
+    NATIVE_SESSION_SQL as _NATIVE_SESSION_SQL,
+)
+
+STAGED_QUERIES["streaming_session_replay_events"] = streaming_session_replay_events
+STAGED_ORACLES["streaming_session_replay_events"] = _NATIVE_SESSION_SQL

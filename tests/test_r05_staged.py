@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_staged_registry_shape():
     assert set(r5.STAGED_QUERIES) == set(r5.STAGED_ORACLES)
-    assert len(r5.STAGED_QUERIES) == 8
+    assert len(r5.STAGED_QUERIES) == 9
 
 
 def test_payload_dedup_sources(spark):
@@ -84,6 +84,38 @@ def test_streaming_score_replay_equals_batch(spark):
         assert r["mean_surprisal"] == batch[d]["mean_surprisal"]
 
 
+def test_streaming_session_replay_equals_batch(spark):
+    """The watermark-driven streaming session table equals the batch
+    native session_window aggregation row-for-row (sentinel flush
+    emits every real session; sentinel sessions never emit)."""
+    from pyspark.sql import functions as F
+
+    streamed = r5.streaming_session_replay_events(spark, SF)
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("ts").isNotNull())
+    )
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
+    key = lambda r: (r["user_id"], r["session_start"])
+    srows = {key(r): r for r in streamed.collect()}
+    brows = {key(r): r for r in batch.collect()}
+    assert set(srows) == set(brows) and srows
+    for k, r in srows.items():
+        assert r["n_events"] == brows[k]["n_events"]
+        assert r["session_end"] == brows[k]["session_end"]
+        assert r["sum_value"] == brows[k]["sum_value"]
+
+
 def test_ivf_recall_bounds(spark):
     """nprobe = all cells must be a perfect recall (the probe set is
     then the whole corpus); nprobe=1 is bounded by it."""
@@ -120,7 +152,10 @@ def test_truncated_dim_recall_bounds(spark):
 
 # the streaming replay runs a real multi-batch job; its plan is the
 # sink's, not a single query plan — exclude from the static plan check
-_PLAN_CHECK = sorted(set(r5.STAGED_QUERIES) - {"streaming_score_replay_documents"})
+_PLAN_CHECK = sorted(
+    set(r5.STAGED_QUERIES)
+    - {"streaming_score_replay_documents", "streaming_session_replay_events"}
+)
 
 # bounded broadcast-anchor non-equi join (25 anchors x N), the same
 # audited shape test_plan_quality allows for quantized_recall
