@@ -107,39 +107,6 @@ STAGED_QUERIES["payload_survivors_documents"] = payload_survivors_documents
 STAGED_ORACLES["payload_survivors_documents"] = PAYLOAD_SURVIVORS_SQL
 
 
-# --- typed media metadata row-level ------------------------------------------
-
-
-def media_metadata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level typed media metadata computed JVM-side over the binary
-    payload (llm/multimodal.py: with_media_metadata): byte length and
-    md5 checksum, no Python in the plan.  A failed fetch (NULL payload)
-    carries NULL length/checksum — the struct exists, its features
-    don't (round-4b contract).  Pure projection: zero shuffles."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pl = mm.with_binary_payload(docs, "text")
-    meta = mm.with_media_metadata(pl, "payload", media_type="text", fmt="utf-8")
-    return meta.select(
-        "doc_id",
-        F.col("media_meta.n_bytes").alias("n_bytes"),
-        F.col("media_meta.checksum").alias("checksum"),
-        F.col("media_meta.media_type").alias("media_type"),
-    ).orderBy("doc_id")
-
-
-MEDIA_METADATA_SQL = """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS checksum,
-       'text' AS media_type
-FROM documents
-ORDER BY doc_id
-"""
-
-STAGED_QUERIES["media_metadata_documents"] = media_metadata_documents
-STAGED_ORACLES["media_metadata_documents"] = MEDIA_METADATA_SQL
-
-
 # --- deterministic frame-sampling manifest ------------------------------------
 
 

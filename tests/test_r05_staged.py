@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_staged_registry_shape():
     assert set(r5.STAGED_QUERIES) == set(r5.STAGED_ORACLES)
-    assert len(r5.STAGED_QUERIES) == 9
+    assert len(r5.STAGED_QUERIES) == 8
 
 
 def test_payload_dedup_sources(spark):
@@ -36,15 +36,6 @@ def test_payload_survivors_matches_dedup_accounting(spark):
     # survivor ids are unique (one row per distinct payload)
     ids = [r["doc_id"] for r in surv.select("doc_id").collect()]
     assert len(ids) == len(set(ids))
-
-
-def test_media_metadata_row_level(spark):
-    out = r5.media_metadata_documents(spark, SF)
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
-    assert out.count() == docs.count()
-    row = out.where(F.col("n_bytes").isNotNull()).first()
-    assert len(row["checksum"]) == 32  # md5 hex
-    assert row["media_type"] == "text"
 
 
 def test_frame_sample_manifest_bounds(spark):
