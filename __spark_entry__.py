@@ -26,6 +26,14 @@ from nasa_asteroid_data_lakehouse_spark.plans import queries as plans
 
 SF0001 = "/root/testdata/sf0.001"
 
+# Round-5 registration switch: flip to True once CORRECTNESS_r04
+# confirms the frozen 190-surface (VERDICT r03 ask #1), which lifts the
+# freeze and serves plans/r05_queries.py's staged batch (gate-verified
+# in round 4 via driver_sim --staged; see the round-4c SKILL notes for
+# the companion checklist — KEY_UNIQUE and _BNLJ_ALLOWED entries are
+# already pre-wired).
+REGISTER_R05 = False
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -180,6 +188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(stats_queries.QUERIES)
     out.update(neows_queries.QUERIES)
     out.update(streaming_queries.QUERIES)
+    if REGISTER_R05:
+        from nasa_asteroid_data_lakehouse_spark.plans import r05_queries
+
+        out.update(r05_queries.STAGED_QUERIES)
     return _rotate(out)
 
 
@@ -198,4 +210,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(stats_queries.ORACLES)
     out.update(neows_queries.ORACLES)
     out.update(streaming_queries.ORACLES)
+    if REGISTER_R05:
+        from nasa_asteroid_data_lakehouse_spark.plans import r05_queries
+
+        out.update(r05_queries.STAGED_ORACLES)
     return _rotate(out)

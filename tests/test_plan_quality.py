@@ -22,6 +22,10 @@ _BNLJ_ALLOWED = {
     # jsd's pair skeleton: inequality self-join over the O(groups)
     # totals table — bounded broadcast-anchor shape by construction.
     "jsd_source_pairs",
+    # r05 staged (no effect until REGISTER_R05): bounded broadcast-
+    # anchor recall audits, same shape as quantized_recall
+    "truncated_dim_recall_embeddings",
+    "ivf_recall_embeddings",
     # single-row grand-total broadcast (share-of-total projection)
     "hourly_seasonality_events",
     "profile_documents",
