@@ -512,8 +512,6 @@ def streaming_session_replay_events(spark: SparkSession, sf_dir: str) -> DataFra
     import tempfile
     from datetime import timedelta
 
-    from pyspark.sql import Window
-
     ev = (
         read_table(spark, sf_dir, "events")
         .where(F.col("ts").isNotNull())
@@ -533,9 +531,22 @@ def streaming_session_replay_events(spark: SparkSession, sf_dir: str) -> DataFra
     tmp = tempfile.mkdtemp(prefix="ndl_stream_sess_")
     try:
         src = f"{tmp}/in"
-        batched = ev.withColumn(
-            "__b", F.ntile(4).over(Window.orderBy("ts"))
-        )
+        # time-quartile batch assignment via percentile CUTS, not a
+        # global NTILE window (an unpartitioned rank-all window is the
+        # module's banned scale shape — the cuts are one aggregation
+        # and the assignment is embarrassingly parallel)
+        cut_row = ev.agg(
+            F.expr(
+                "percentile(cast(ts as double), array(0.25, 0.5, 0.75))"
+            ).alias("cs")
+        ).collect()[0]
+        cuts = list(cut_row["cs"]) if cut_row["cs"] is not None else []
+        b_col = F.lit(1)
+        for c in cuts:
+            b_col = b_col + F.when(
+                F.col("ts").cast("double") > F.lit(c), 1
+            ).otherwise(0)
+        batched = ev.withColumn("__b", b_col)
         for b in range(1, 5):
             (
                 batched.where(F.col("__b") == b)
