@@ -17,6 +17,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import (
     curation_queries,
     llm_queries,
     neows_queries,
+    r05b_queries,
     streaming_queries,
     operator_queries,
     stats_queries,
@@ -32,7 +33,7 @@ SF0001 = "/root/testdata/sf0.001"
 # in round 4 via driver_sim --staged; see the round-4c SKILL notes for
 # the companion checklist — KEY_UNIQUE and _BNLJ_ALLOWED entries are
 # already pre-wired).
-REGISTER_R05 = False
+REGISTER_R05 = True
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -188,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(stats_queries.QUERIES)
     out.update(neows_queries.QUERIES)
     out.update(streaming_queries.QUERIES)
+    out.update(r05b_queries.QUERIES)
     if REGISTER_R05:
         from nasa_asteroid_data_lakehouse_spark.plans import r05_queries
 
@@ -210,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(stats_queries.ORACLES)
     out.update(neows_queries.ORACLES)
     out.update(streaming_queries.ORACLES)
+    out.update(r05b_queries.ORACLES)
     if REGISTER_R05:
         from nasa_asteroid_data_lakehouse_spark.plans import r05_queries
 

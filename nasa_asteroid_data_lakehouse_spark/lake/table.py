@@ -127,6 +127,40 @@ class VersionedTable:
                     buckets[b] = sorted(files)
         return buckets
 
+    def _buckets_of_key_values(
+        self, manifest: dict, keys: list[str], key_values: list[tuple]
+    ) -> set[int]:
+        """Bucket ids the given key tuples hash to — evaluated with the
+        writer's own ``pmod(xxhash64(keys), n)`` expression on an
+        O(|tuples|) driver-built frame, typed from the snapshot schema
+        (``xxhash64`` is type-sensitive: hashing an int where the table
+        stores bigint would prune the WRONG buckets)."""
+        from pyspark.sql.types import StructField, StructType
+
+        schema_json = manifest.get("schema")
+        if schema_json is None:
+            # pre-schema manifest: no reliable key typing — no pruning
+            return set(range(self.num_buckets))
+        full = StructType.fromJson(schema_json)
+        by_name = {f.name: f for f in full.fields}
+        key_schema = StructType(
+            [StructField(k, by_name[k].dataType, True) for k in keys]
+        )
+        rows = [tuple(kv) if isinstance(kv, (tuple, list)) else (kv,)
+                for kv in key_values]
+        probe = self.spark.createDataFrame(rows, key_schema)
+        return {
+            r["__b"]
+            for r in probe.select(
+                F.pmod(
+                    F.xxhash64(*[F.col(k) for k in keys]),
+                    F.lit(self.num_buckets),
+                ).alias("__b")
+            )
+            .distinct()
+            .collect()
+        }
+
     def create(
         self,
         df: DataFrame,
@@ -229,7 +263,7 @@ class VersionedTable:
                 continue  # re-read latest manifest and retry
         raise CommitConflict(f"gave up after {retries} conflicting commits")
 
-    def delete_where(self, condition, retries: int = 3) -> int:
+    def delete_where(self, condition, retries: int = 3, key_values=None) -> int:
         """Delete rows matching ``condition`` (a Column or SQL string),
         rewriting ONLY the buckets that contain matching rows — the
         Delta-style ``DELETE WHERE`` that completes the write surface
@@ -241,7 +275,19 @@ class VersionedTable:
         exactly how :meth:`changes` detects its rows as deletes.  If
         nothing matches, no version is committed and the current
         version is returned (a no-op delete should not spam history).
-        Returns the committed (or current) version."""
+        Returns the committed (or current) version.
+
+        Cost (ADVICE r04): discovering WHICH buckets contain matches
+        requires one O(table) scan per attempt (and per optimistic
+        retry) for an arbitrary predicate — only the rewrite is
+        bucket-pruned.  For the common key-targeted delete, pass
+        ``key_values`` (an iterable of key tuples, one value per key
+        column in manifest order): candidate buckets are then computed
+        by hashing those literals — the same ``pmod(xxhash64(keys), n)``
+        expression the writer assigns, evaluated on an O(|tuples|)
+        driver-built frame — and both the discovery scan and the
+        rewrite read only those buckets' files.  ``condition`` still
+        decides which rows actually delete."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         for _ in range(retries):
             version = self.latest_version()
@@ -260,6 +306,20 @@ class VersionedTable:
             bucket_of = F.pmod(
                 F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets)
             )
+            if key_values is not None:
+                # Key-pruned path: hash the caller's key literals with
+                # the writer's own expression (typed via the snapshot
+                # schema, since xxhash64(int) != xxhash64(bigint)).
+                candidates = self._buckets_of_key_values(
+                    manifest, keys, list(key_values)
+                )
+                files = [
+                    f
+                    for b in sorted(candidates)
+                    for f in manifest["buckets"].get(str(b), [])
+                ]
+                if not files:
+                    return version
             snap = self.spark.read.option("mergeSchema", "true").parquet(*files)
             touched = sorted(
                 r["__b"]
@@ -413,19 +473,27 @@ class VersionedTable:
         old = self._read_buckets(from_m, changed)
         new = self._read_buckets(to_m, changed)
 
-        non_keys = [c for c in new.columns if c not in keys]
+        # Diff the UNION of both snapshots' columns (ADVICE r04): a
+        # column present only in from_version (dropped by to_version)
+        # still participates — a row changed only there classifies as
+        # update, and delete images keep the old-only values.  The
+        # side missing a column reads it as typed NULL, symmetrically
+        # (as parquet mergeSchema would).
+        non_keys = [c for c in new.columns if c not in keys] + [
+            c for c in old.columns if c not in keys and c not in new.columns
+        ]
 
-        def _old_col(c: str) -> F.Column:
-            # schema evolution: a column added after from_version reads
-            # as NULL on the old side (as parquet mergeSchema would).
-            if c in old.columns:
+        def _side_col(df: DataFrame, c: str, other: DataFrame) -> F.Column:
+            if c in df.columns:
                 return F.col(c)
-            return F.lit(None).cast(new.schema[c].dataType)
+            return F.lit(None).cast(other.schema[c].dataType)
 
         old_side = old.select(
-            *keys, *[_old_col(c).alias(f"__old_{c}") for c in non_keys]
+            *keys, *[_side_col(old, c, new).alias(f"__old_{c}") for c in non_keys]
         ).withColumn("__in_old", F.lit(1))
-        new_side = new.select(*keys, *non_keys).withColumn("__in_new", F.lit(1))
+        new_side = new.select(
+            *keys, *[_side_col(new, c, old).alias(c) for c in non_keys]
+        ).withColumn("__in_new", F.lit(1))
 
         # USING-join semantics coalesce the key columns across sides.
         joined = new_side.join(old_side, on=keys, how="full_outer")

@@ -147,16 +147,17 @@ def vector_dim(df: DataFrame, vec_col: str) -> int:
 
 def query_vector(
     df: DataFrame, id_col: str, vec_col: str, target_id: int = 0
-) -> list[float]:
+) -> list[float] | None:
     """The vector of ``target_id`` as Python floats — the driver-side
-    probe for the top-k query plans.
+    probe for the top-k query plans — or ``None`` when no valid probe
+    row exists (id absent, or its vector NULL/NaN/Inf).
 
-    Degenerate inputs are distinguished: an empty / all-NULL table
-    degrades to ``[0.0]`` (downstream is empty anyway, and any plane
-    count types the plan), while a MISSING id in a non-empty table
-    returns a zero vector of the table's TRUE dimensionality — LSH
-    planes and cosine then stay dimension-correct (cosine against a
-    zero probe is NULL, not a silent 1-dim hash of d-dim vectors)."""
+    ``None`` (not a zero-vector fallback) is the contract: a probe
+    query whose probe is missing has an EMPTY answer, exactly like the
+    oracles' ``q`` CTE filtered by the same validity predicate
+    (ADVICE r04 medium — the zero-vector fallback produced k rows of
+    NULL cosine while the oracle produced none).  Callers short-circuit
+    to an empty result of the query's output schema."""
     row = (
         df.where((F.col(id_col) == target_id) & vec_valid(F.col(vec_col)))
         .select(vec_col)
@@ -164,7 +165,7 @@ def query_vector(
     )
     if row is not None:
         return [float(v) for v in row[vec_col]]
-    return [0.0] * vector_dim(df, vec_col)
+    return None
 
 
 def _plane_coef(plane: int, dim: int) -> float:
@@ -645,7 +646,9 @@ def ann_recall_lsh(
     For each anchor (``id < anchor_max_id``): the exact top-k by
     cosine over the whole corpus, the top-k restricted to buckets
     within ``probe_hamming`` of the anchor's bucket, and
-    ``recall = |approx ∩ exact| / k``.  The anchor side broadcasts, so
+    ``recall = |approx ∩ exact| / least(k, n_exact)`` (the denominator
+    caps at the achievable neighbor count — ADVICE r04).  The anchor
+    side broadcasts, so
     cost is |anchors| x N with the LSH side further pruned by the
     bucket filter.  Recall is a division of two exact integers.
     """
@@ -713,7 +716,7 @@ def ann_recall_lsh(
             "anchor_id",
             "n_exact",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 6).alias("recall_at_k"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.least(F.lit(k), F.col("n_exact")), 6).alias("recall_at_k"),
         )
     )
 
@@ -825,7 +828,7 @@ def quantized_recall(
             "anchor_id",
             "n_exact",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 6).alias(
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.least(F.lit(k), F.col("n_exact")), 6).alias(
                 "overlap_at_k"
             ),
         )
@@ -933,7 +936,7 @@ def ivf_recall(
             "anchor_id",
             "n_exact",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 6).alias(
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.least(F.lit(k), F.col("n_exact")), 6).alias(
                 "recall_at_k"
             ),
         )
@@ -1032,7 +1035,7 @@ def truncated_dim_recall(
             "anchor_id",
             "n_exact",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 6).alias(
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.least(F.lit(k), F.col("n_exact")), 6).alias(
                 "overlap_at_k"
             ),
         )

@@ -341,7 +341,7 @@ hits AS (
 ex AS (SELECT anchor_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
 SELECT ex.anchor_id AS anchor_id, n_exact,
        COALESCE(n_hits, 0) AS n_hits,
-       ROUND(COALESCE(n_hits, 0) / {_AR_K}, 6) AS recall_at_k
+       ROUND(COALESCE(n_hits, 0) / LEAST({_AR_K}, n_exact), 6) AS recall_at_k
 FROM ex LEFT JOIN hits ON ex.anchor_id = hits.anchor_id
 """
 
@@ -565,7 +565,7 @@ hits AS (
 ex AS (SELECT anchor_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
 SELECT ex.anchor_id AS anchor_id, n_exact,
        COALESCE(n_hits, 0) AS n_hits,
-       ROUND(COALESCE(n_hits, 0) / {_QR_K}, 6) AS overlap_at_k
+       ROUND(COALESCE(n_hits, 0) / LEAST({_QR_K}, n_exact), 6) AS overlap_at_k
 FROM ex LEFT JOIN hits ON ex.anchor_id = hits.anchor_id
 """
 
@@ -931,6 +931,15 @@ def _hybrid_scored_sides(
 
     emb = read_table(spark, sf_dir, "embeddings")
     qvec = similarity.query_vector(emb, "vec_id", "embedding", 0)
+    if qvec is None:
+        # Missing/invalid probe ⇒ the cosine side contributes nothing,
+        # mirroring the oracle's empty q CTE (ADVICE r04 medium); RRF
+        # then ranks on BM25 alone via the full-outer fuse.
+        scored = emb.limit(0).select(
+            F.col("vec_id").alias("doc_id"),
+            F.lit(None).cast("double").alias("cos"),
+        )
+        return bm25, scored
     q = F.array(*[F.lit(v) for v in qvec])
     scored = emb.select(
         F.col("vec_id").alias("doc_id"),

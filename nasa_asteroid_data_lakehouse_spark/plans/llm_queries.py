@@ -707,6 +707,14 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     within Hamming distance 2 of the query's bucket."""
     emb = read_table(spark, sf_dir, "embeddings")
     qvec = similarity.query_vector(emb, "vec_id", "embedding", 0)
+    if qvec is None:
+        # No valid probe row (vec_id 0 absent or NULL/NaN vector): the
+        # oracle's q CTE is empty, so the answer is empty (ADVICE r04).
+        return emb.limit(0).select(
+            "vec_id",
+            F.lit(None).cast("long").alias("bucket"),
+            F.lit(None).cast("double").alias("cosine_sim"),
+        )
     return similarity.lsh_topk(
         emb,
         qvec,
@@ -769,6 +777,14 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = [[float(v) for v in r["embedding"]] for r in seeds]
     qvec = similarity.query_vector(emb, "vec_id", "embedding", 0)
+    if qvec is None or not centroids:
+        # No valid probe (or no valid vectors at all to seed): the
+        # oracle's q CTE is empty, so the answer is empty (ADVICE r04).
+        return emb.limit(0).select(
+            "vec_id",
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("cosine_sim"),
+        )
     return similarity.ivf_topk(
         emb, qvec, centroids, k=_IVF_TOPK, nprobe=_IVF_NPROBE
     )

@@ -304,7 +304,7 @@ hits AS (
 ex AS (SELECT anchor_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
 SELECT ex.anchor_id AS anchor_id, n_exact,
        COALESCE(n_hits, 0) AS n_hits,
-       ROUND(COALESCE(n_hits, 0) / {_TDR_K}, 6) AS overlap_at_k
+       ROUND(COALESCE(n_hits, 0) / LEAST({_TDR_K}, n_exact), 6) AS overlap_at_k
 FROM ex LEFT JOIN hits ON ex.anchor_id = hits.anchor_id
 """
 
@@ -475,7 +475,7 @@ hits AS (
 ex AS (SELECT anchor_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
 SELECT ex.anchor_id AS anchor_id, n_exact,
        COALESCE(n_hits, 0) AS n_hits,
-       ROUND(COALESCE(n_hits, 0) / {_IVFR_K}, 6) AS recall_at_k
+       ROUND(COALESCE(n_hits, 0) / LEAST({_IVFR_K}, n_exact), 6) AS recall_at_k
 FROM ex LEFT JOIN hits ON ex.anchor_id = hits.anchor_id
 """
 

@@ -39,6 +39,7 @@ def main() -> None:
         curation_queries,
         llm_queries,
         neows_queries,
+        r05b_queries,
         streaming_queries,
         operator_queries,
         stats_queries,
@@ -57,6 +58,11 @@ def main() -> None:
     full.update(stats_queries.QUERIES)
     full.update(neows_queries.QUERIES)
     full.update(streaming_queries.QUERIES)
+    full.update(r05b_queries.QUERIES)
+    if getattr(entry, "REGISTER_R05", False):
+        from nasa_asteroid_data_lakehouse_spark.plans import r05_queries
+
+        full.update(r05_queries.STAGED_QUERIES)
 
     red, green = entry._driver_history()
     seen = set(red) | set(green)

@@ -39,15 +39,19 @@ def test_vector_dim_empty_and_null(spark, empty_vecs):
 def test_query_vector_missing_id(spark, empty_vecs):
     from nasa_asteroid_data_lakehouse_spark.llm.similarity import query_vector
 
-    assert query_vector(empty_vecs, "vec_id", "embedding", 0) == [0.0]
+    assert query_vector(empty_vecs, "vec_id", "embedding", 0) is None
     real = spark.createDataFrame(
         [(0, [0.5, 1.5])], "vec_id bigint, embedding array<float>"
     )
     assert query_vector(real, "vec_id", "embedding", 0) == [0.5, 1.5]
-    # Missing id in a NON-empty table: zero vector of the table's TRUE
-    # dim (ADVICE r03) — LSH planes / cosine typing stay d-dimensional
-    # instead of silently hashing d-dim vectors with 1-dim planes.
-    assert query_vector(real, "vec_id", "embedding", 99) == [0.0, 0.0]
+    # Missing id (any reason: absent, NULL, NaN vector): None — the
+    # probe query's answer is EMPTY, matching the oracle's empty q CTE
+    # (ADVICE r04 medium; callers short-circuit to an empty frame).
+    assert query_vector(real, "vec_id", "embedding", 99) is None
+    nan = spark.createDataFrame(
+        [(0, [float("nan"), 1.0])], "vec_id bigint, embedding array<float>"
+    )
+    assert query_vector(nan, "vec_id", "embedding", 0) is None
 
 
 def test_ivf_assignment_empty_centroids_nonempty_df_raises(spark):
