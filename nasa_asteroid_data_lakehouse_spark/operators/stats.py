@@ -350,3 +350,252 @@ def cusum(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
 
 # Benford expectations for driver-side assertions in tests
 _BENFORD_EXPECTED = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+# --- classical two-sample tests ---------------------------------------------
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups, as ONE
+    hash-aggregate pass (conditional sums) — no per-group subqueries,
+    no second scan.  At any scale this is a map-side-combinable
+    aggregate: 6 partial sums per partition, merged on the driver.
+
+    Moments come from the sum / sum-of-squares identities computed in
+    the SAME textual order as the DuckDB oracle (the repo's
+    fixed-order float rule; the regression/Pearson queries set the
+    precedent).  Non-finite values are excluded by the caller's
+    filter contract (operators/stats.finite).  Degenerate guards:
+    either group with n < 2 (or zero pooled variance) yields NULL
+    t/df, never an ANSI divide error."""
+    a, b = F.lit(group_a), F.lit(group_b)
+    v = F.col(value_col).cast("double")
+    is_a = F.col(group_col) == a
+    is_b = F.col(group_col) == b
+    agg = df.where(is_a | is_b).agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(is_b, 1)).alias("n_b"),
+        F.coalesce(F.sum(F.when(is_a, v)), F.lit(0.0)).alias("s_a"),
+        F.coalesce(F.sum(F.when(is_b, v)), F.lit(0.0)).alias("s_b"),
+        F.coalesce(F.sum(F.when(is_a, v * v)), F.lit(0.0)).alias("ss_a"),
+        F.coalesce(F.sum(F.when(is_b, v * v)), F.lit(0.0)).alias("ss_b"),
+    )
+    m_a = F.try_divide(F.col("s_a"), F.col("n_a"))
+    m_b = F.try_divide(F.col("s_b"), F.col("n_b"))
+    var_a = F.try_divide(
+        F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a"),
+        F.col("n_a") - 1,
+    )
+    var_b = F.try_divide(
+        F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b"),
+        F.col("n_b") - 1,
+    )
+    se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
+    t = F.try_divide(m_a - m_b, F.sqrt(se2))
+    dof = F.try_divide(
+        se2 * se2,
+        (var_a / F.col("n_a")) * (var_a / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        + (var_b / F.col("n_b")) * (var_b / F.col("n_b"))
+        / (F.col("n_b") - 1),
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return agg.select(
+        F.col("n_a").alias("n_a"),
+        F.col("n_b").alias("n_b"),
+        F.round(m_a, 6).alias("mean_a"),
+        F.round(m_b, 6).alias("mean_b"),
+        F.round(F.when(ok, t), 6).alias("t_stat"),
+        F.round(F.when(ok, dof), 4).alias("welch_df"),
+    )
+
+
+def rank_table_two_sample(
+    df: DataFrame, group_col: str, value_col: str, group_a: str, group_b: str
+) -> DataFrame:
+    """Shared skeleton for rank statistics (Mann-Whitney, KS): one row
+    per DISTINCT value with per-group counts and the running totals.
+
+    The running-total window is unpartitioned BUT over the distinct
+    value domain only — O(|distinct values|) rows (2-decimal metrics:
+    bounded thousands), not O(events); the raw table never funnels
+    through a single partition."""
+    a, b = F.lit(group_a), F.lit(group_b)
+    v = F.col(value_col).cast("double")
+    per_v = (
+        df.where((F.col(group_col) == a) | (F.col(group_col) == b))
+        .groupBy(v.alias("v"))
+        .agg(
+            F.count(F.when(F.col(group_col) == a, 1)).alias("c_a"),
+            F.count(F.when(F.col(group_col) == b, 1)).alias("c_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_v.select(
+        "v",
+        "c_a",
+        "c_b",
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+        F.sum(F.col("c_a") + F.col("c_b")).over(w).alias("cum_all"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame, group_col: str, value_col: str, group_a: str, group_b: str
+) -> DataFrame:
+    """Mann-Whitney U (rank-sum) with the normal approximation and tie
+    correction.  Average ranks come from the distinct-value running
+    totals, so every product ``c_a * avg_rank`` is an exact multiple
+    of 0.5 — the rank-sum reduction is order-independent in IEEE
+    doubles (no float-order divergence between engines by
+    construction)."""
+    rt = rank_table_two_sample(df, group_col, value_col, group_a, group_b)
+    avg_rank = (F.col("cum_all") - (F.col("c_a") + F.col("c_b"))) + (
+        F.col("c_a") + F.col("c_b") + 1
+    ) / F.lit(2.0)
+    t_group = F.col("c_a") + F.col("c_b")
+    agg = rt.agg(
+        F.coalesce(F.sum(F.col("c_a")), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.sum(F.col("c_b")), F.lit(0)).cast("bigint").alias("n_b"),
+        F.coalesce(F.sum(F.col("c_a") * avg_rank), F.lit(0.0)).alias("r_a"),
+        F.coalesce(
+            F.sum(t_group * t_group * t_group - t_group), F.lit(0)
+        ).cast("bigint").alias("tie_sum"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / F.lit(2.0)
+    mu = F.col("n_a") * F.col("n_b") / F.lit(2.0)
+    sigma = F.sqrt(
+        F.col("n_a") * F.col("n_b") / F.lit(12.0)
+        * ((n + 1) - F.col("tie_sum") / (n * (n - 1)))
+    )
+    ok = (F.col("n_a") >= 1) & (F.col("n_b") >= 1) & (n >= 2)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 2).alias("u_stat"),
+        F.round(F.when(ok, F.try_divide(u_a - mu, sigma)), 6).alias("z_score"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame, group_col: str, value_col: str, group_a: str, group_b: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D over the distinct-value ECDF
+    table (same bounded skeleton as Mann-Whitney).  D is a MAX of
+    per-row |F_a - F_b| terms — reduction-order-free; each term is
+    the same two exact-integer divisions on both engines.  The group
+    totals are bounded scalars (two ints), collected driver-side like
+    every other grand-total in the repo."""
+    import math as _math
+
+    rt = rank_table_two_sample(df, group_col, value_col, group_a, group_b)
+    totals = rt.agg(
+        F.coalesce(F.sum("c_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.sum("c_b"), F.lit(0)).cast("bigint").alias("n_b"),
+    ).collect()[0]
+    n_a, n_b = int(totals["n_a"]), int(totals["n_b"])
+    if n_a == 0 or n_b == 0:
+        return df.sparkSession.createDataFrame(
+            [(n_a, n_b, None, None)],
+            "n_a bigint, n_b bigint, d_stat double, ks_scaled double",
+        )
+    d = rt.agg(
+        F.max(
+            F.abs(
+                F.col("cum_a") / F.lit(float(n_a))
+                - F.col("cum_b") / F.lit(float(n_b))
+            )
+        ).alias("d_raw")
+    )
+    scale = _math.sqrt(n_a * n_b / (n_a + n_b))
+    return d.select(
+        F.lit(n_a).cast("bigint").alias("n_a"),
+        F.lit(n_b).cast("bigint").alias("n_b"),
+        F.round(F.col("d_raw"), 6).alias("d_stat"),
+        F.round(F.col("d_raw") * F.lit(scale), 6).alias("ks_scaled"),
+    )
+
+
+def theil_sen_slope(
+    daily: DataFrame, day_col: str = "day", y_col: str = "y"
+) -> DataFrame:
+    """Theil-Sen robust trend: the median of all pairwise slopes over
+    an already-aggregated daily series.  The O(d²) pair join runs on
+    the O(days) table — bounded by the calendar, never by the event
+    count (the same contract as the repo's other daily statistics);
+    the raw table is reduced FIRST.  Slopes divide by exact integer
+    day gaps; the median interpolates the same IEEE doubles on both
+    engines."""
+    a = daily.select(F.col(day_col).alias("d1"), F.col(y_col).alias("y1"))
+    b = daily.select(F.col(day_col).alias("d2"), F.col(y_col).alias("y2"))
+    pairs = broadcast(a).join(b, F.col("d1") < F.col("d2"))
+    slopes = pairs.select(
+        F.try_divide(
+            F.col("y2") - F.col("y1"), F.datediff(F.col("d2"), F.col("d1"))
+        ).alias("slope")
+    )
+    return slopes.agg(
+        F.count("slope").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("sen_slope"),
+    )
+
+
+def binary_changepoint(
+    daily: DataFrame, day_col: str = "day", y_col: str = "y"
+) -> DataFrame:
+    """Single best change-point by between-segment sum-of-squares gain
+    (binary segmentation, one split) over a daily series.
+
+    The running total is a window cumsum in day order, LATTICE-ROUNDED
+    (repo rule for iterative/cumulative float state): DuckDB evaluates
+    window sums with a segment tree, Spark with a running accumulator
+    — rounding the cumsum to 1e-4 absorbs the reduction-order noise so
+    every downstream gain is computed from identical inputs.  Gains
+    use the identity  cs²/i + (S−cs)²/(n−i) − S²/n  in fixed textual
+    order; the argmax orders by the rounded gain with the day as the
+    deterministic tie-break."""
+    from pyspark.sql import Window
+
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.coalesce(F.sum(y_col), F.lit(0.0)), 4).alias("s"),
+    ).collect()[0]
+    n, s = int(tot["n"]), float(tot["s"])
+    spark = daily.sparkSession
+    if n < 2:
+        return spark.createDataFrame(
+            [], "split_day date, n_left bigint, gain double"
+        )
+    w = Window.orderBy(day_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        F.col(day_col).alias("split_day"),
+        F.row_number().over(Window.orderBy(day_col)).alias("i"),
+        F.round(F.sum(y_col).over(w), 4).alias("cs"),
+    ).where(F.col("i") < n)
+    gain = (
+        F.col("cs") * F.col("cs") / F.col("i")
+        + (F.lit(s) - F.col("cs")) * (F.lit(s) - F.col("cs"))
+        / (F.lit(n) - F.col("i"))
+        - F.lit(s) * F.lit(s) / F.lit(n)
+    )
+    return (
+        cum.select(
+            "split_day",
+            F.col("i").cast("bigint").alias("n_left"),
+            F.round(gain, 6).alias("gain"),
+        )
+        .orderBy(F.desc("gain"), F.asc("split_day"))
+        .limit(1)
+    )

@@ -341,3 +341,357 @@ GROUP BY ex.doc_id
 
 QUERIES["ngram_novelty_documents"] = ngram_novelty_documents
 ORACLES["ngram_novelty_documents"] = NGRAM_NOVELTY_SQL
+
+
+# === classical statistics over events / orders ===============================
+
+from nasa_asteroid_data_lakehouse_spark.operators import stats as ops_stats
+
+# finite-measure filter twin (round-4c NaN rule)
+_FIN_VAL = "value IS NOT NULL AND isfinite(value)"
+_FIN_PRICE = "o_totalprice IS NOT NULL AND isfinite(o_totalprice)"
+
+
+def _events_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.where(finite(F.col("value")))
+
+
+def welch_ttest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between click and view event values — one conditional
+    hash aggregate (operators/stats.welch_ttest); moments via the
+    fixed-textual-order sum identities shared with the oracle."""
+    return ops_stats.welch_ttest(
+        _events_finite(spark, sf_dir), "event_type", "value", "click", "view"
+    )
+
+
+WELCH_TTEST_SQL = f"""
+WITH f AS (
+  SELECT event_type, value FROM events
+  WHERE {_FIN_VAL} AND event_type IN ('click', 'view')
+),
+agg AS (
+  SELECT COUNT(*) FILTER (event_type = 'click') AS n_a,
+         COUNT(*) FILTER (event_type = 'view') AS n_b,
+         COALESCE(SUM(value) FILTER (event_type = 'click'), 0.0) AS s_a,
+         COALESCE(SUM(value) FILTER (event_type = 'view'), 0.0) AS s_b,
+         COALESCE(SUM(value * value) FILTER (event_type = 'click'), 0.0) AS ss_a,
+         COALESCE(SUM(value * value) FILTER (event_type = 'view'), 0.0) AS ss_b
+  FROM f
+),
+m AS (
+  SELECT n_a, n_b, s_a / n_a AS m_a, s_b / n_b AS m_b,
+         (ss_a - s_a * s_a / n_a) / (n_a - 1) AS var_a,
+         (ss_b - s_b * s_b / n_b) / (n_b - 1) AS var_b
+  FROM agg
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+    ROUND((m_a - m_b) / sqrt(var_a / n_a + var_b / n_b), 6) END AS t_stat,
+  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+    ROUND((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+          / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+             + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 4) END AS welch_df
+FROM m
+"""
+
+QUERIES["welch_ttest_events"] = welch_ttest_events
+ORACLES["welch_ttest_events"] = WELCH_TTEST_SQL
+
+
+def mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum z between click and view values
+    (operators/stats.mann_whitney_u): distinct-value rank table, exact
+    half-integer rank sums, tie-corrected normal approximation."""
+    return ops_stats.mann_whitney_u(
+        _events_finite(spark, sf_dir), "event_type", "value", "click", "view"
+    )
+
+
+MANNWHITNEY_SQL = f"""
+WITH f AS (
+  SELECT event_type, value FROM events
+  WHERE {_FIN_VAL} AND event_type IN ('click', 'view')
+),
+per_v AS (
+  SELECT value AS v,
+         COUNT(*) FILTER (event_type = 'click') AS c_a,
+         COUNT(*) FILTER (event_type = 'view') AS c_b
+  FROM f GROUP BY value
+),
+rt AS (
+  SELECT c_a, c_b,
+         SUM(c_a + c_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_all
+  FROM per_v
+),
+agg AS (
+  SELECT CAST(COALESCE(SUM(c_a), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(c_b), 0) AS BIGINT) AS n_b,
+         COALESCE(SUM(c_a * ((cum_all - (c_a + c_b)) + (c_a + c_b + 1) / 2.0)),
+                  0.0) AS r_a,
+         CAST(COALESCE(SUM((c_a + c_b) * (c_a + c_b) * (c_a + c_b)
+                           - (c_a + c_b)), 0) AS BIGINT) AS tie_sum
+  FROM rt
+)
+SELECT n_a, n_b,
+  ROUND(r_a - n_a * (n_a + 1) / 2.0, 2) AS u_stat,
+  CASE WHEN n_a >= 1 AND n_b >= 1 AND n_a + n_b >= 2 THEN
+    ROUND((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+          / NULLIF(sqrt(n_a * n_b / 12.0
+              * ((n_a + n_b + 1)
+                 - tie_sum / ((n_a + n_b) * (n_a + n_b - 1)))), 0.0), 6)
+  END AS z_score
+FROM agg
+"""
+
+QUERIES["mannwhitney_events"] = mannwhitney_events
+ORACLES["mannwhitney_events"] = MANNWHITNEY_SQL
+
+
+def ks_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between click and view values
+    (operators/stats.ks_two_sample) over the bounded distinct-value
+    ECDF table."""
+    return ops_stats.ks_two_sample(
+        _events_finite(spark, sf_dir), "event_type", "value", "click", "view"
+    )
+
+
+KS_TEST_SQL = f"""
+WITH f AS (
+  SELECT event_type, value FROM events
+  WHERE {_FIN_VAL} AND event_type IN ('click', 'view')
+),
+per_v AS (
+  SELECT value AS v,
+         COUNT(*) FILTER (event_type = 'click') AS c_a,
+         COUNT(*) FILTER (event_type = 'view') AS c_b
+  FROM f GROUP BY value
+),
+rt AS (
+  SELECT SUM(c_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(c_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM per_v
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(c_a), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(c_b), 0) AS BIGINT) AS n_b
+  FROM per_v
+),
+d AS (
+  SELECT MAX(ABS(rt.cum_a / CAST(tot.n_a AS DOUBLE)
+              - rt.cum_b / CAST(tot.n_b AS DOUBLE))) AS d_raw
+  FROM rt, tot
+)
+SELECT tot.n_a, tot.n_b,
+  CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+       THEN ROUND(d.d_raw, 6) END AS d_stat,
+  CASE WHEN tot.n_a > 0 AND tot.n_b > 0
+       THEN ROUND(d.d_raw * sqrt(tot.n_a * tot.n_b / (tot.n_a + tot.n_b)), 6)
+  END AS ks_scaled
+FROM tot, d
+"""
+
+QUERIES["ks_test_events"] = ks_test_events
+ORACLES["ks_test_events"] = KS_TEST_SQL
+
+
+# --- robust daily-trend estimators -------------------------------------------
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite event values, NULL-ts excluded, day totals on the cents
+    lattice (reduction-order noise dies at round 2 long before it)."""
+    ev = read_table(spark, sf_dir, "events").where(
+        finite(F.col("value")) & F.col("ts").isNotNull()
+    )
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("y")
+    )
+
+
+_DAILY_SQL = f"""
+  SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS y
+  FROM events WHERE {_FIN_VAL} AND ts IS NOT NULL
+  GROUP BY CAST(ts AS DATE)
+"""
+
+
+def theil_sen_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of daily revenue
+    (operators/stats.theil_sen_slope): O(days²) pair median on the
+    O(days) aggregate — bounded by the calendar, not the event count."""
+    return ops_stats.theil_sen_slope(
+        _daily_revenue(spark, sf_dir), "day", "y"
+    )
+
+
+THEIL_SEN_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+slopes AS (
+  SELECT (b.y - a.y) / date_diff('day', a.day, b.day) AS slope
+  FROM daily a JOIN daily b ON a.day < b.day
+)
+SELECT CAST(COUNT(slope) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(slope, 0.5), 6) AS sen_slope
+FROM slopes
+"""
+
+QUERIES["theil_sen_daily_events"] = theil_sen_daily_events
+ORACLES["theil_sen_daily_events"] = THEIL_SEN_SQL
+
+
+def changepoint_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single change-point in daily revenue by between-segment
+    sum-of-squares gain (operators/stats.binary_changepoint) —
+    lattice-rounded cumsums so segment-tree vs running-sum float noise
+    cannot flip the argmax."""
+    return ops_stats.binary_changepoint(
+        _daily_revenue(spark, sf_dir), "day", "y"
+    )
+
+
+CHANGEPOINT_SQL = f"""
+WITH daily AS ({_DAILY_SQL}),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(COALESCE(SUM(y), 0.0), 4) AS s
+  FROM daily
+),
+cum AS (
+  SELECT day AS split_day,
+         row_number() OVER (ORDER BY day) AS i,
+         ROUND(SUM(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 4) AS cs
+  FROM daily
+)
+SELECT c.split_day, CAST(c.i AS BIGINT) AS n_left,
+  ROUND(c.cs * c.cs / c.i
+        + (t.s - c.cs) * (t.s - c.cs) / (t.n - c.i)
+        - t.s * t.s / t.n, 6) AS gain
+FROM cum c, tot t
+WHERE c.i < t.n AND t.n >= 2
+ORDER BY gain DESC, split_day ASC
+LIMIT 1
+"""
+
+QUERIES["changepoint_daily_events"] = changepoint_daily_events
+ORACLES["changepoint_daily_events"] = CHANGEPOINT_SQL
+
+
+# --- robust spread estimators over orders ------------------------------------
+
+
+def winsorized_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/stddev of order value per status: per-group
+    p01/p99 (exact interior percentiles — swap percentile_approx at
+    scale), broadcast join-back (eqNullSafe: NULL groups are real),
+    clamp, one aggregate.  Finite-measure filter per the NaN rule."""
+    o = read_table(spark, sf_dir, "orders").where(
+        finite(F.col("o_totalprice"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    pct = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("p01"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+    j = o.join(
+        broadcast(pct.withColumnRenamed("o_orderstatus", "__st")),
+        F.col("o_orderstatus").eqNullSafe(F.col("__st")),
+    )
+    clamp = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("p01"), 2).alias("p01"),
+        F.round(F.min("p99"), 2).alias("p99"),
+        F.round(F.avg(clamp), 2).alias("wins_mean"),
+        F.round(F.stddev_samp(clamp), 2).alias("wins_std"),
+    )
+
+
+WINSORIZED_SQL = f"""
+WITH f AS (
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE {_FIN_PRICE}
+),
+pct AS (
+  SELECT o_orderstatus AS st,
+         quantile_cont(o_totalprice, 0.01) AS p01,
+         quantile_cont(o_totalprice, 0.99) AS p99
+  FROM f GROUP BY o_orderstatus
+),
+j AS (
+  SELECT f.o_orderstatus, pct.p01, pct.p99,
+         LEAST(GREATEST(f.o_totalprice, pct.p01), pct.p99) AS cp
+  FROM f JOIN pct ON f.o_orderstatus IS NOT DISTINCT FROM pct.st
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(p01), 2) AS p01, ROUND(MIN(p99), 2) AS p99,
+       ROUND(AVG(cp), 2) AS wins_mean,
+       ROUND(STDDEV_SAMP(cp), 2) AS wins_std
+FROM j GROUP BY o_orderstatus
+"""
+
+QUERIES["winsorized_stats_orders"] = winsorized_stats_orders
+ORACLES["winsorized_stats_orders"] = WINSORIZED_SQL
+
+
+def iqr_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per order priority: q1/q3, 1.5·IQR
+    fences, outlier count and share.  Same bounded join-back shape as
+    the winsorized stats; counts are exact integers."""
+    o = read_table(spark, sf_dir, "orders").where(
+        finite(F.col("o_totalprice"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    pct = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    j = o.join(
+        broadcast(pct.withColumnRenamed("o_orderpriority", "__pr")),
+        F.col("o_orderpriority").eqNullSafe(F.col("__pr")),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    is_out = (F.col("o_totalprice") < lo) | (F.col("o_totalprice") > hi)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(lo), 2).alias("fence_lo"),
+        F.round(F.min(hi), 2).alias("fence_hi"),
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+        F.round(
+            F.try_divide(F.count(F.when(is_out, 1)), F.count(F.lit(1))), 6
+        ).alias("outlier_ratio"),
+    )
+
+
+IQR_OUTLIERS_SQL = f"""
+WITH f AS (
+  SELECT o_orderpriority, o_totalprice FROM orders WHERE {_FIN_PRICE}
+),
+pct AS (
+  SELECT o_orderpriority AS pr,
+         quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM f GROUP BY o_orderpriority
+),
+j AS (
+  SELECT f.o_orderpriority, f.o_totalprice,
+         pct.q1 - 1.5 * (pct.q3 - pct.q1) AS lo,
+         pct.q3 + 1.5 * (pct.q3 - pct.q1) AS hi
+  FROM f JOIN pct ON f.o_orderpriority IS NOT DISTINCT FROM pct.pr
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(lo), 2) AS fence_lo, ROUND(MIN(hi), 2) AS fence_hi,
+       CAST(COUNT(*) FILTER (o_totalprice < lo OR o_totalprice > hi)
+            AS BIGINT) AS n_outliers,
+       ROUND(COUNT(*) FILTER (o_totalprice < lo OR o_totalprice > hi)
+             / NULLIF(COUNT(*), 0), 6) AS outlier_ratio
+FROM j GROUP BY o_orderpriority
+"""
+
+QUERIES["iqr_outliers_orders"] = iqr_outliers_orders
+ORACLES["iqr_outliers_orders"] = IQR_OUTLIERS_SQL

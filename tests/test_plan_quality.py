@@ -26,6 +26,9 @@ _BNLJ_ALLOWED = {
     # anchor recall audits, same shape as quantized_recall
     "truncated_dim_recall_embeddings",
     "ivf_recall_embeddings",
+    # r05b: O(days) pair table for the Theil-Sen median — bounded
+    # broadcast inequality self-join by construction
+    "theil_sen_daily_events",
     # single-row grand-total broadcast (share-of-total projection)
     "hourly_seasonality_events",
     "profile_documents",
