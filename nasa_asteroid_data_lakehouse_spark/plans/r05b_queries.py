@@ -695,3 +695,195 @@ FROM j GROUP BY o_orderpriority
 
 QUERIES["iqr_outliers_orders"] = iqr_outliers_orders
 ORACLES["iqr_outliers_orders"] = IQR_OUTLIERS_SQL
+
+
+# === event-stream funnels and as-of joins ====================================
+
+
+def funnel_steps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view -> first click AFTER the first view
+    -> first purchase AFTER that click) with per-stage user counts and
+    conversion rates.
+
+    Three stacked min-windows over the SAME user partitioning — one
+    shuffle, reused across all three stages (the plan keeps a single
+    Exchange), then one bounded summary row.  The classic self-join
+    formulation re-shuffles the events table once per stage; this form
+    scans once.  NULL user/ts excluded (the conversion_latency
+    convention)."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
+    w = Window.partitionBy("user_id")
+    d1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    d2 = d1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    d3 = d2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = d3.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+        F.round(F.try_divide(F.count("t_click"), F.count("t_view")), 6).alias(
+            "view_to_click"
+        ),
+        F.round(
+            F.try_divide(F.count("t_purchase"), F.count("t_click")), 6
+        ).alias("click_to_purchase"),
+    )
+
+
+FUNNEL_STEPS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+u AS (
+  SELECT user_id, MIN(ts) FILTER (event_type = 'view') AS t_view
+  FROM e GROUP BY user_id
+),
+c AS (
+  SELECT u.user_id, u.t_view, MIN(e.ts) AS t_click
+  FROM u LEFT JOIN e
+    ON e.user_id = u.user_id AND e.event_type = 'click'
+   AND e.ts > u.t_view
+  GROUP BY u.user_id, u.t_view
+),
+p AS (
+  SELECT c.user_id, c.t_view, c.t_click, MIN(e.ts) AS t_purchase
+  FROM c LEFT JOIN e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+   AND e.ts > c.t_click
+  GROUP BY c.user_id, c.t_view, c.t_click
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(t_view) AS BIGINT) AS n_view,
+       CAST(COUNT(t_click) AS BIGINT) AS n_click,
+       CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase,
+       ROUND(COUNT(t_click) / NULLIF(COUNT(t_view), 0), 6) AS view_to_click,
+       ROUND(COUNT(t_purchase) / NULLIF(COUNT(t_click), 0), 6)
+         AS click_to_purchase
+FROM p
+"""
+
+QUERIES["funnel_steps_events"] = funnel_steps_events
+ORACLES["funnel_steps_events"] = FUNNEL_STEPS_SQL
+
+
+def dwell_percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event dwell-time percentiles per event type: the gap from
+    each user's previous event (any type) to the current one, diffed
+    at MICROSECOND (exact integers on both engines), interpolated
+    percentiles per the percentile/quantile_cont contract.
+
+    One lag window partitioned by user (duplicated timestamps
+    tie-broken by event_id — the round-2 adversarial lesson), one hash
+    aggregate on the bounded event-type domain.  The NULL-user
+    partition is real and identical on both engines."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.withColumn("__prev", F.lag("ts").over(w))
+    g = d.select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, __prev, ts)").alias("gap"),
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        F.round(F.expr("percentile(gap, 0.5)"), 1).alias("p50_us"),
+        F.round(F.expr("percentile(gap, 0.9)"), 1).alias("p90_us"),
+    )
+
+
+DWELL_PERCENTILES_SQL = """
+WITH g AS (
+  SELECT event_type,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap, 0.5), 1) AS p50_us,
+       ROUND(quantile_cont(gap, 0.9), 1) AS p90_us
+FROM g GROUP BY event_type
+"""
+
+QUERIES["dwell_percentiles_events"] = dwell_percentiles_events
+ORACLES["dwell_percentiles_events"] = DWELL_PERCENTILES_SQL
+
+
+def asof_last_error_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join expressed as a carry-forward window: for every click,
+    the microseconds since the same user's most recent PRIOR error —
+    the point-in-time enrichment pattern (no range join, no self-join:
+    ``last(..., ignorenulls)`` over (user, ts, event_id) order carries
+    the error timestamp forward in one pass).
+
+    At scale this is the canonical distributed as-of join: partition
+    by the entity key, sort within partition, single window — the
+    shuffle is one hash exchange on user_id.  Clicks with no prior
+    error keep a NULL gap (visible, not dropped)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = ev.withColumn(
+        "__last_err",
+        F.last(
+            F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return d.where(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, __last_err, ts)").alias(
+            "us_since_error"
+        ),
+    )
+
+
+ASOF_LAST_ERROR_SQL = """
+WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+d AS (
+  SELECT event_id, user_id, event_type, ts,
+         last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_err
+  FROM e
+)
+SELECT event_id, user_id,
+       date_diff('microsecond', last_err, ts) AS us_since_error
+FROM d WHERE event_type = 'click'
+"""
+
+QUERIES["asof_last_error_events"] = asof_last_error_events
+ORACLES["asof_last_error_events"] = ASOF_LAST_ERROR_SQL
