@@ -887,3 +887,242 @@ FROM d WHERE event_type = 'click'
 
 QUERIES["asof_last_error_events"] = asof_last_error_events
 ORACLES["asof_last_error_events"] = ASOF_LAST_ERROR_SQL
+
+
+# === embedding diagnostics ===================================================
+
+from nasa_asteroid_data_lakehouse_spark.llm import similarity
+
+_VEC_VALID_SQL = (
+    "embedding IS NOT NULL AND len(list_filter(embedding, "
+    "x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
+)
+
+
+def dim_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments of the embedding matrix (n / mean / min /
+    max / sample stddev) — the collapse/anisotropy screen run before
+    trusting an encoder.  posexplode -> one hash aggregate keyed on
+    the bounded dimension index; vectors under the module validity
+    contract only."""
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        similarity.vec_valid(F.col("embedding"))
+    )
+    ex = emb.select(
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "x")
+    )
+    return ex.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 6).alias("mean_val"),
+        F.round(F.min("x"), 6).alias("min_val"),
+        F.round(F.max("x"), 6).alias("max_val"),
+        F.round(F.stddev_samp("x"), 6).alias("std_val"),
+    )
+
+
+DIM_STATS_SQL = f"""
+WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+           WHERE {_VEC_VALID_SQL}),
+ex AS (
+  -- no WITH ORDINALITY in DuckDB: index the list explicitly
+  SELECT CAST(g.i - 1 AS BIGINT) AS dim, v.e[g.i] AS x
+  FROM v, UNNEST(range(1, len(v.e) + 1)) AS g(i)
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(x), 6) AS mean_val,
+       ROUND(MIN(x), 6) AS min_val,
+       ROUND(MAX(x), 6) AS max_val,
+       ROUND(STDDEV_SAMP(x), 6) AS std_val
+FROM ex GROUP BY dim
+"""
+
+QUERIES["dim_stats_embeddings"] = dim_stats_embeddings
+ORACLES["dim_stats_embeddings"] = DIM_STATS_SQL
+
+
+# --- product quantization ----------------------------------------------------
+
+_PQ_M = 4
+_PQ_K = 8
+
+
+def _pq_geometry(d: int) -> list[tuple[int, int]]:
+    """(lo, hi) 0-based half-open bounds per subspace: contiguous
+    blocks of ceil(d/m); trailing subspaces may be short or empty when
+    d < m·ceil(d/m) — both engines then score the empty slice 0 for
+    every centroid and the tie falls to centroid 0."""
+    import math
+
+    sub = max(1, math.ceil(d / _PQ_M))
+    return [(s * sub, min((s + 1) * sub, d)) for s in range(_PQ_M)]
+
+
+def _pq_seed_centroids(emb: DataFrame) -> list[list[float]]:
+    """K lowest-id valid vectors (the same seed quantizer convention
+    as ivf_topk — kmeans iters=0 keeps the oracle SQL-expressible).
+    KEY-UNIQUE precondition: duplicate ids make 'the vector of id i'
+    ambiguous (documented driver_sim skip, like ivf_topk)."""
+    rows = (
+        emb.where(similarity.vec_valid(F.col("embedding")))
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    return [[float(v) for v in r["embedding"]] for r in rows]
+
+
+def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment: m=4 contiguous subspaces,
+    per-subspace argmin over 8 seed centroids — the storage half of a
+    PQ index (codes are 4 small ints per vector instead of 64 floats:
+    a 64x memory cut at serving time).
+
+    The assignment is a pure projection (centroid subvectors inlined
+    as literals, k·m squared-distance folds per row, no shuffle, no
+    join) — at 100 TB this is a map-only pass writing the code table
+    partitioned however the serving layer wants it."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    valid = emb.where(similarity.vec_valid(F.col("embedding")))
+    cents = _pq_seed_centroids(emb)
+    if not cents:
+        return valid.select(
+            "vec_id",
+            *[F.lit(None).cast("int").alias(f"c{s}") for s in range(_PQ_M)],
+        )
+    d = len(cents[0])
+    vcol = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cols = [F.col("vec_id")]
+    for s, (lo, hi) in enumerate(_pq_geometry(d)):
+        if hi <= lo:
+            cols.append(F.lit(0).cast("int").alias(f"c{s}"))
+            continue
+        sub = F.slice(vcol, lo + 1, hi - lo)
+        dists = F.array(
+            *[similarity._sq_dist(sub, c[lo:hi]) for c in cents]
+        )
+        cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"c{s}")
+        )
+    return valid.select(*cols)
+
+
+def _pq_d2_sql(vec: str, cent: str, lo: str, hi: str) -> str:
+    """Squared distance over v[lo+1..hi] in SEQUENTIAL fold order —
+    the exact textual twin of llm/similarity._sq_dist (COALESCE: an
+    empty slice folds to 0.0 like the engine's empty aggregate)."""
+    return (
+        f"COALESCE(list_sum(list_transform(range({lo} + 1, {hi} + 1), "
+        f"j -> ({vec}[j] - {cent}[j]) * ({vec}[j] - {cent}[j]))), 0.0)"
+    )
+
+
+def _pq_sub_bounds_sql(s: int) -> tuple[str, str]:
+    sub = "GREATEST(1, CAST(ceil(len(e.v) / 4.0) AS INT))"
+    return (f"({s} * {sub})", f"LEAST(({s} + 1) * {sub}, len(e.v))")
+
+
+PQ_CODES_SQL = f"""
+WITH valid AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE {_VEC_VALID_SQL}
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM (SELECT vec_id, v FROM valid ORDER BY vec_id LIMIT {_PQ_K})
+),
+assign AS (
+  SELECT e.vec_id, sub.s, seeds.c,
+    row_number() OVER (
+      PARTITION BY e.vec_id, sub.s
+      ORDER BY
+        CASE sub.s
+          {" ".join(
+              f"WHEN {s} THEN " + _pq_d2_sql(
+                  "e.v", "seeds.cv", _pq_sub_bounds_sql(s)[0],
+                  _pq_sub_bounds_sql(s)[1]
+              )
+              for s in range(_PQ_M)
+          )}
+        END,
+        seeds.c
+    ) AS rn
+  FROM valid e, (SELECT unnest(range({_PQ_M})) AS s) sub, seeds
+)
+SELECT vec_id,
+  {", ".join(
+      f"CAST(MAX(CASE WHEN s = {s} THEN c END) AS INTEGER) AS c{s}"
+      for s in range(_PQ_M)
+  )}
+FROM assign WHERE rn = 1
+GROUP BY vec_id
+"""
+
+QUERIES["pq_codes_embeddings"] = pq_codes_embeddings
+ORACLES["pq_codes_embeddings"] = PQ_CODES_SQL
+
+
+def centroid_inertia_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size and inertia (sum of squared distance to the
+    assigned centroid) under the 8-seed quantizer — the k-means
+    quality gauge at iteration 0 (kmeans_fit's Lloyd loop is
+    pytest-pinned; the seed form keeps the oracle expressible).
+
+    Distances fold sequentially on both engines and are
+    lattice-rounded (1e-6) BEFORE the per-cluster sum, which is then
+    rounded at 1e-4 — reduction-order noise dies two orders below
+    each rounding step.  Same map-only assignment projection as PQ;
+    the aggregate is keyed on the bounded cluster id."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    valid = emb.where(similarity.vec_valid(F.col("embedding")))
+    cents = _pq_seed_centroids(emb)
+    if not cents:
+        return valid.select(
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("bigint").alias("n"),
+            F.lit(None).cast("double").alias("inertia"),
+        ).limit(0)
+    vcol = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dists = F.array(*[similarity._sq_dist(vcol, c) for c in cents])
+    assigned = valid.select(
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.round(F.array_min(dists), 6).alias("d2"),
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("d2"), 4).alias("inertia"),
+    )
+
+
+_CI_D2 = _pq_d2_sql("e.v", "seeds.cv", "0", "len(e.v)")
+
+CENTROID_INERTIA_SQL = f"""
+WITH valid AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE {_VEC_VALID_SQL}
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM (SELECT vec_id, v FROM valid ORDER BY vec_id LIMIT {_PQ_K})
+),
+assign AS (
+  SELECT e.vec_id, seeds.c, ROUND({_CI_D2}, 6) AS d2,
+    row_number() OVER (
+      PARTITION BY e.vec_id ORDER BY {_CI_D2}, seeds.c
+    ) AS rn
+  FROM valid e, seeds
+)
+SELECT CAST(c AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(d2), 4) AS inertia
+FROM assign WHERE rn = 1
+GROUP BY c
+"""
+
+QUERIES["centroid_inertia_embeddings"] = centroid_inertia_embeddings
+ORACLES["centroid_inertia_embeddings"] = CENTROID_INERTIA_SQL

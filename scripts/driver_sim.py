@@ -55,6 +55,9 @@ KEY_UNIQUE_PRECONDITION = {
     # exact∩approx hits join fans out when a duplicated nbr id appears
     # in both top-k lists.
     "ivf_recall_embeddings",
+    # r05b: ORDER-BY-id seed quantizer (same ambiguity as ivf_topk)
+    "pq_codes_embeddings",
+    "centroid_inertia_embeddings",
 }
 
 
