@@ -1126,3 +1126,285 @@ GROUP BY c
 
 QUERIES["centroid_inertia_embeddings"] = centroid_inertia_embeddings
 ORACLES["centroid_inertia_embeddings"] = CENTROID_INERTIA_SQL
+
+
+# === lakehouse write paths: schema evolution, key-pruned delete, compaction ==
+
+
+def versioned_table_schema_evolution_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive schema evolution through the lakehouse path: create
+    from orders (key, custkey), then upsert a frame carrying a NEW
+    ``seg`` column for 1/4 of the keys plus synthetic inserts — old
+    rows read back NULL-padded (parquet mergeSchema semantics), and
+    the v0->v1 CDF classifies inserts vs updates across the evolved
+    schema (changes() diffs the UNION of both snapshots' columns —
+    the ADVICE r04 fix, driver-checked here).
+
+    Every output is KEY-derived (membership and the new column's value
+    are functions of the key), so duplicate-key payload ambiguity
+    cannot leak in — the versioned_table_cdf oracle trick."""
+    import shutil
+    import tempfile
+
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey").isNotNull())
+        .select("o_orderkey", "o_custkey")
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_vtevo_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        v0 = t.create(base, keys=["o_orderkey"])
+        keys = base.select("o_orderkey").distinct()
+        upsert = (
+            keys.where(F.col("o_orderkey") % 4 == 0)
+            .unionByName(
+                keys.where(F.col("o_orderkey") % 9 == 0).select(
+                    (F.col("o_orderkey") + 10000000).alias("o_orderkey")
+                )
+            )
+            .select(
+                "o_orderkey",
+                (F.col("o_orderkey") % 100).alias("o_custkey"),
+                F.concat(F.lit("S"), (F.col("o_orderkey") % 3).cast("string"))
+                .alias("seg"),
+            )
+        )
+        v1 = t.upsert(upsert)
+        snap = t.read()
+        ch = t.changes(from_version=v0, to_version=v1)
+        out = snap.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("seg").isNull(), 1)).alias("n_nullpad"),
+            F.count("seg").alias("n_with_seg"),
+        ).crossJoin(
+            ch.agg(
+                F.count(
+                    F.when(F.col("_change_type") == "insert", 1)
+                ).alias("cdf_inserts"),
+                F.count(
+                    F.when(F.col("_change_type") == "update_postimage", 1)
+                ).alias("cdf_updates"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+VT_SCHEMA_EVOLUTION_SQL = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderkey IS NOT NULL
+),
+up AS (SELECT key FROM k WHERE key % 4 = 0),
+ins AS (SELECT key + 10000000 AS key FROM k WHERE key % 9 = 0)
+SELECT
+  CAST((SELECT COUNT(*) FROM k) + (SELECT COUNT(*) FROM ins) AS BIGINT)
+    AS n_rows,
+  CAST((SELECT COUNT(*) FROM k) - (SELECT COUNT(*) FROM up) AS BIGINT)
+    AS n_nullpad,
+  CAST((SELECT COUNT(*) FROM up) + (SELECT COUNT(*) FROM ins) AS BIGINT)
+    AS n_with_seg,
+  CAST((SELECT COUNT(*) FROM ins) AS BIGINT) AS cdf_inserts,
+  CAST((SELECT COUNT(*) FROM up) AS BIGINT) AS cdf_updates
+"""
+
+QUERIES["versioned_table_schema_evolution_orders"] = (
+    versioned_table_schema_evolution_orders
+)
+ORACLES["versioned_table_schema_evolution_orders"] = VT_SCHEMA_EVOLUTION_SQL
+
+
+def versioned_table_key_delete_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Key-targeted DELETE through the pruned path (ADVICE r04 low,
+    driver-checked): ``delete_where(key_values=...)`` computes the
+    candidate buckets from the typed key hash — an O(|keys|) probe
+    frame instead of the O(table) discovery scan — then rewrites only
+    those buckets.  Outputs are key-derived (count + key sum of the
+    delete CDF, survivor count)."""
+    import shutil
+    import tempfile
+
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey").isNotNull())
+        .select("o_orderkey", "o_custkey")
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_vtkdel_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        v0 = t.create(base, keys=["o_orderkey"])
+        targets = [
+            int(r["o_orderkey"])
+            for r in base.select("o_orderkey")
+            .distinct()
+            .where(F.col("o_orderkey") % 997 == 0)
+            .collect()
+        ]
+        v1 = t.delete_where(
+            F.col("o_orderkey") % 997 == 0,
+            key_values=[(k,) for k in targets],
+        )
+        ch = t.changes(from_version=v0, to_version=v1)
+        out = ch.where(F.col("_change_type") == "delete").agg(
+            F.count(F.lit(1)).alias("n_deleted"),
+            F.coalesce(F.sum("o_orderkey"), F.lit(0))
+            .cast("bigint")
+            .alias("deleted_key_sum"),
+        ).crossJoin(
+            t.read().agg(F.count(F.lit(1)).alias("n_remaining"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+VT_KEY_DELETE_SQL = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderkey IS NOT NULL
+),
+del AS (SELECT key FROM k WHERE key % 997 = 0)
+SELECT CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_deleted,
+       CAST((SELECT COALESCE(SUM(key), 0) FROM del) AS BIGINT)
+         AS deleted_key_sum,
+       CAST((SELECT COUNT(*) FROM k) - (SELECT COUNT(*) FROM del) AS BIGINT)
+         AS n_remaining
+"""
+
+QUERIES["versioned_table_key_delete_orders"] = versioned_table_key_delete_orders
+ORACLES["versioned_table_key_delete_orders"] = VT_KEY_DELETE_SQL
+
+
+def compaction_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files maintenance end-to-end: create + two bucket-touching
+    upserts accumulate multiple files per bucket; ``compact()``
+    consolidates to one file per bucket WITHOUT changing data — pinned
+    by the row count (key-derived), the post-compact max files per
+    bucket (1 by contract), and an EMPTY compact CDF (0 changes).
+    File-count deltas are hash-placement-dependent and deliberately
+    not emitted (the oracle cannot evaluate xxhash64)."""
+    import shutil
+    import tempfile
+
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey").isNotNull())
+        .select("o_orderkey", "o_custkey")
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_vtcomp_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        t.create(base, keys=["o_orderkey"])
+        keys = base.select("o_orderkey").distinct()
+        for mod in (5, 7):
+            t.upsert(
+                keys.where(F.col("o_orderkey") % mod == 0).select(
+                    "o_orderkey",
+                    (F.col("o_orderkey") % mod).alias("o_custkey"),
+                )
+            )
+        v_pre = t.latest_version()
+        v_post = t.compact(target_files_per_bucket=1)
+        manifest = t._load_manifest(v_post)
+        max_files = max(
+            (len(fs) for fs in manifest["buckets"].values()), default=0
+        )
+        n_changes = (
+            t.changes(from_version=v_pre, to_version=v_post).count()
+            if v_post > v_pre
+            else 0
+        )
+        out = t.read().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(max_files).cast("int").alias("max_files_per_bucket"),
+            F.lit(n_changes).cast("bigint").alias("n_compact_changes"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+COMPACTION_ROUNDTRIP_SQL = """
+SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_rows,
+       CASE WHEN COUNT(DISTINCT o_orderkey) > 0 THEN 1 ELSE 0 END
+         AS max_files_per_bucket,
+       CAST(0 AS BIGINT) AS n_compact_changes
+FROM orders WHERE o_orderkey IS NOT NULL
+"""
+
+QUERIES["compaction_roundtrip_orders"] = compaction_roundtrip_orders
+ORACLES["compaction_roundtrip_orders"] = COMPACTION_ROUNDTRIP_SQL
+
+
+# === broadcast range join: overlapping promo windows =========================
+
+_PROMOS = [
+    ("launch95", "1995-03-01", "1996-02-28"),
+    ("longtail", "1995-09-01", "1997-12-31"),
+    ("y98", "1998-01-01", "1998-12-31"),
+    ("millennium", "2000-06-01", "2001-06-30"),
+]
+
+
+def promo_window_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: orders against 4 OVERLAPPING literal promo
+    windows — overlap is what makes this a genuine range join (a
+    width_bucket equi-rewrite cannot express multi-membership).  The
+    promo dim is a bounded broadcast side, so the non-equi join is a
+    BroadcastNestedLoopJoin over 4 rows — the sanctioned bounded-dim
+    shape (at scale the dim stays tiny; the fact side streams).
+    Finite-price filter per the NaN rule."""
+    o = read_table(spark, sf_dir, "orders").where(
+        finite(F.col("o_totalprice")) & F.col("o_orderdate").isNotNull()
+    )
+    from pyspark.sql.functions import broadcast
+
+    promos = spark.createDataFrame(
+        _PROMOS, "promo string, d_start string, d_end string"
+    ).select(
+        "promo",
+        F.col("d_start").cast("date").alias("d_start"),
+        F.col("d_end").cast("date").alias("d_end"),
+    )
+    j = o.join(
+        broadcast(promos),
+        (F.to_date("o_orderdate") >= F.col("d_start"))
+        & (F.to_date("o_orderdate") <= F.col("d_end")),
+    )
+    return j.groupBy("promo").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+_PROMO_VALUES = ", ".join(
+    f"('{p}', DATE '{a}', DATE '{b}')" for p, a, b in _PROMOS
+)
+
+PROMO_WINDOW_JOIN_SQL = f"""
+WITH promos(promo, d_start, d_end) AS (VALUES {_PROMO_VALUES}),
+f AS (
+  SELECT o_orderdate, o_totalprice FROM orders
+  WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+    AND o_orderdate IS NOT NULL
+)
+SELECT p.promo, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(f.o_totalprice), 2) AS revenue
+FROM f JOIN promos p
+  ON CAST(f.o_orderdate AS DATE) >= p.d_start
+ AND CAST(f.o_orderdate AS DATE) <= p.d_end
+GROUP BY p.promo
+"""
+
+QUERIES["promo_window_join_orders"] = promo_window_join_orders
+ORACLES["promo_window_join_orders"] = PROMO_WINDOW_JOIN_SQL

@@ -29,6 +29,9 @@ _BNLJ_ALLOWED = {
     # r05b: O(days) pair table for the Theil-Sen median — bounded
     # broadcast inequality self-join by construction
     "theil_sen_daily_events",
+    # r05b: 4-row literal promo dim, overlapping ranges — bounded
+    # broadcast range-join shape by construction
+    "promo_window_join_orders",
     # single-row grand-total broadcast (share-of-total projection)
     "hourly_seasonality_events",
     "profile_documents",
