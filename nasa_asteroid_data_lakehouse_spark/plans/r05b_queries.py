@@ -1408,3 +1408,221 @@ GROUP BY p.promo
 
 QUERIES["promo_window_join_orders"] = promo_window_join_orders
 ORACLES["promo_window_join_orders"] = PROMO_WINDOW_JOIN_SQL
+
+
+# --- silhouette score under the seed quantizer -------------------------------
+
+
+def silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per cluster (centroid form: a = distance
+    to own centroid, b = distance to the nearest OTHER centroid,
+    s = (b-a)/max(a,b)) under the 8-seed quantizer — the
+    separation-vs-cohesion gauge that complements inertia.
+
+    Pure projection again: the k distances are one array; a and b are
+    the two smallest after sort.  Both are lattice-rounded (1e-6)
+    before the ratio so the two engines rank and divide identical
+    inputs.  Mean silhouette aggregates per bounded cluster id."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    valid = emb.where(similarity.vec_valid(F.col("embedding")))
+    cents = _pq_seed_centroids(emb)
+    if not cents:
+        return valid.select(
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("bigint").alias("n"),
+            F.lit(None).cast("double").alias("mean_silhouette"),
+        ).limit(0)
+    vcol = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dists = F.array(*[similarity._sq_dist(vcol, c) for c in cents])
+    srt = F.array_sort(dists)
+    a = F.round(F.element_at(srt, 1), 6)
+    # try_element_at: a single-centroid quantizer (one valid vector)
+    # has no "nearest other" — b and s degrade to NULL on both engines
+    b = F.round(F.try_element_at(srt, F.lit(2)), 6)
+    s = F.round(F.try_divide(b - a, F.greatest(a, b)), 6)
+    assigned = valid.select(
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster"),
+        s.alias("s"),
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("s"), 6).alias("mean_silhouette"),
+    )
+
+
+SILHOUETTE_SQL = f"""
+WITH valid AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE {_VEC_VALID_SQL}
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM (SELECT vec_id, v FROM valid ORDER BY vec_id LIMIT {_PQ_K})
+),
+assign AS (
+  SELECT e.vec_id, seeds.c, {_CI_D2} AS d2,
+    row_number() OVER (
+      PARTITION BY e.vec_id ORDER BY {_CI_D2}, seeds.c
+    ) AS rn
+  FROM valid e, seeds
+),
+ab AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN c END) AS cluster,
+         ROUND(MAX(CASE WHEN rn = 1 THEN d2 END), 6) AS a,
+         ROUND(MAX(CASE WHEN rn = 2 THEN d2 END), 6) AS b
+  FROM assign WHERE rn <= 2 GROUP BY vec_id
+)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(ROUND((b - a) / NULLIF(GREATEST(a, b), 0.0), 6)), 6)
+         AS mean_silhouette
+FROM ab GROUP BY cluster
+"""
+
+QUERIES["silhouette_embeddings"] = silhouette_embeddings
+ORACLES["silhouette_embeddings"] = SILHOUETTE_SQL
+
+
+# --- label balance -----------------------------------------------------------
+
+
+def label_balance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance census of the embedding store: per label (NULL is
+    a real class — unlabeled rows), row count, corpus share, how many
+    carry a valid vector, and the mean norm of those vectors.  One
+    hash aggregate on the bounded label domain; the grand total is a
+    bounded driver-side scalar."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    total = emb.count()
+    valid = similarity.vec_valid(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.try_divide(F.count(F.lit(1)), F.lit(total).cast("bigint")), 6
+        ).alias("share"),
+        F.count(F.when(valid, 1)).alias("n_valid_vec"),
+        F.round(
+            F.avg(
+                F.when(valid, similarity.norm(
+                    F.transform(F.col("embedding"), lambda x: x.cast("double"))
+                ))
+            ),
+            6,
+        ).alias("mean_norm"),
+    )
+
+
+LABEL_BALANCE_SQL = f"""
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(COUNT(*) / NULLIF((SELECT COUNT(*) FROM embeddings), 0), 6) AS share,
+  CAST(COUNT(*) FILTER ({_VEC_VALID_SQL}) AS BIGINT) AS n_valid_vec,
+  ROUND(AVG(CASE WHEN {_VEC_VALID_SQL}
+        THEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        END), 6) AS mean_norm
+FROM embeddings GROUP BY label
+"""
+
+QUERIES["label_balance_embeddings"] = label_balance_embeddings
+ORACLES["label_balance_embeddings"] = LABEL_BALANCE_SQL
+
+
+# --- leading-dimension covariance --------------------------------------------
+
+_COV_DIMS = 8
+
+
+def dim_covariance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance/correlation of the first 8 embedding dimensions (28
+    unordered pairs) — the redundancy screen before dimension
+    truncation (a high |corr| pair means truncation is cheap).
+
+    posexplode restricted to the leading dims, self-join on vec_id
+    (28-way fan-out per vector, bounded by the dim constant), one hash
+    aggregate per pair; moments via the fixed-textual-order sum
+    identities."""
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        similarity.vec_valid(F.col("embedding"))
+    )
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.slice(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                1,
+                _COV_DIMS,
+            )
+        ).alias("dim", "x"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.vec_id") == F.col("b.vec_id"))
+        & (F.col("a.dim") < F.col("b.dim")),
+    )
+    g = pairs.groupBy(
+        F.col("a.dim").cast("bigint").alias("dim_i"),
+        F.col("b.dim").cast("bigint").alias("dim_j"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a.x")).alias("sx"),
+        F.sum(F.col("b.x")).alias("sy"),
+        F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+        F.sum(F.col("a.x") * F.col("a.x")).alias("sxx"),
+        F.sum(F.col("b.x") * F.col("b.x")).alias("syy"),
+    )
+    n = F.col("n")
+    cov = F.try_divide(
+        F.col("sxy") - F.col("sx") * F.col("sy") / n, n - 1
+    )
+    var_i = F.try_divide(
+        F.col("sxx") - F.col("sx") * F.col("sx") / n, n - 1
+    )
+    var_j = F.try_divide(
+        F.col("syy") - F.col("sy") * F.col("sy") / n, n - 1
+    )
+    # Lattice-round the variances before the ratio: on degenerate
+    # (all-identical) input the sum identities leave ~1e-12 residuals
+    # that differ per engine; rounded to 0 they make corr NULL on both
+    # sides instead of dividing by different near-zeros.  `+ 0.0`
+    # normalizes IEEE -0.0 (renders differently under exact hashing).
+    var_i_r = F.round(var_i, 9)
+    var_j_r = F.round(var_j, 9)
+    return g.select(
+        "dim_i",
+        "dim_j",
+        n.alias("n"),
+        (F.round(cov, 6) + F.lit(0.0)).alias("cov"),
+        (F.round(F.try_divide(cov, F.sqrt(var_i_r * var_j_r)), 6)
+         + F.lit(0.0)).alias("corr"),
+    )
+
+
+DIM_COVARIANCE_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           WHERE {_VEC_VALID_SQL}),
+ex AS (
+  SELECT vec_id, CAST(g.i - 1 AS BIGINT) AS dim, v.e[g.i] AS x
+  FROM v, UNNEST(range(1, LEAST(len(v.e), {_COV_DIMS}) + 1)) AS g(i)
+),
+g AS (
+  SELECT a.dim AS dim_i, b.dim AS dim_j, COUNT(*) AS n,
+         SUM(a.x) AS sx, SUM(b.x) AS sy, SUM(a.x * b.x) AS sxy,
+         SUM(a.x * a.x) AS sxx, SUM(b.x * b.x) AS syy
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim < b.dim
+  GROUP BY a.dim, b.dim
+)
+SELECT dim_i, dim_j, CAST(n AS BIGINT) AS n,
+  ROUND((sxy - sx * sy / n) / NULLIF(n - 1, 0), 6) + 0.0 AS cov,
+  ROUND(((sxy - sx * sy / n) / NULLIF(n - 1, 0))
+        / NULLIF(sqrt(ROUND((sxx - sx * sx / n) / NULLIF(n - 1, 0), 9)
+                      * ROUND((syy - sy * sy / n) / NULLIF(n - 1, 0), 9)),
+                 0.0), 6) + 0.0
+    AS corr
+FROM g
+"""
+
+QUERIES["dim_covariance_embeddings"] = dim_covariance_embeddings
+ORACLES["dim_covariance_embeddings"] = DIM_COVARIANCE_SQL

@@ -58,6 +58,7 @@ KEY_UNIQUE_PRECONDITION = {
     # r05b: ORDER-BY-id seed quantizer (same ambiguity as ivf_topk)
     "pq_codes_embeddings",
     "centroid_inertia_embeddings",
+    "silhouette_embeddings",
 }
 
 
