@@ -1181,3 +1181,108 @@ def knn_label_agreement(
         pred.groupBy(F.col("lbl").alias(label_col), "pred_label")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+# --- product-quantization ADC recall ----------------------------------------
+
+
+def pq_adc_recall(
+    df: DataFrame,
+    centroids: list[list[float]],
+    bounds: list[tuple[int, int]],
+    anchor_max_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of PQ asymmetric-distance (ADC) inner-product search
+    against the exact inner-product ranking — the end-to-end quality
+    gauge of the PQ serving path (codes store 4 small ints per vector;
+    ADC scores a query against RECONSTRUCTED vectors, i.e. the sum of
+    per-subspace dots with the coded centroid).
+
+    Everything is a projection + one broadcast anchor join: codes are
+    argmin folds over centroid-subvector literals (no shuffle), the
+    ADC score adds the m per-subspace dot terms in fixed textual
+    order, and both rankings are per-anchor windows (distributed via
+    InferWindowGroupLimit).  Empty trailing subspaces (d < m·sublen)
+    contribute a literal 0.0 on both engines.
+
+    KEY-UNIQUE precondition (seed quantizer + pair fan-out, like
+    ivf_recall)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    base = (
+        df.where(F.col(id_col).isNotNull() & vec_valid(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # per-vector PQ codes (argmin over centroid subvectors, map-only)
+    coded = base
+    live = [(s, lo, hi) for s, (lo, hi) in enumerate(bounds) if hi > lo]
+    for s, lo, hi in live:
+        sub = F.slice(F.col("v"), lo + 1, hi - lo)
+        dists = F.array(*[_sq_dist(sub, c[lo:hi]) for c in centroids])
+        coded = coded.withColumn(
+            f"__c{s}",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+    anchors = base.where(F.col("id") < anchor_max_id).select(
+        F.col("id").alias("aid"), F.col("v").alias("av")
+    )
+    pairs = broadcast(anchors).join(coded, F.col("aid") != F.col("id"))
+    # exact MIPS score and the ADC approximation, fixed term order
+    exact_score = dot(F.col("av"), F.col("v"))
+    adc = F.lit(0.0)
+    for s, lo, hi in live:
+        a_sub = F.slice(F.col("av"), lo + 1, hi - lo)
+        cent_subs = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c[lo:hi]]) for c in centroids]
+        )
+        adc = adc + dot(a_sub, F.element_at(cent_subs, F.col(f"__c{s}") + 1))
+    scored = pairs.select(
+        "aid",
+        F.col("id").alias("nbr"),
+        exact_score.alias("exact_score"),
+        adc.alias("adc_score"),
+    ).localCheckpoint(eager=False)
+    w_exact = Window.partitionBy("aid").orderBy(
+        F.desc("exact_score"), F.asc("nbr")
+    )
+    w_adc = Window.partitionBy("aid").orderBy(
+        F.desc("adc_score"), F.asc("nbr")
+    )
+    exact = (
+        scored.withColumn("__rk", F.row_number().over(w_exact))
+        .where(F.col("__rk") <= k)
+        .select("aid", "nbr")
+    )
+    approx = (
+        scored.withColumn("__rk", F.row_number().over(w_adc))
+        .where(F.col("__rk") <= k)
+        .select("aid", "nbr")
+    )
+    hits = (
+        exact.join(approx, ["aid", "nbr"])
+        .groupBy("aid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("aid")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(broadcast(hits), "aid", "left")
+        .select(
+            F.col("aid").alias("anchor_id"),
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / F.least(F.lit(k), F.col("n_exact")),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )

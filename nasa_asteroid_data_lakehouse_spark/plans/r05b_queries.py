@@ -1020,9 +1020,9 @@ def _pq_d2_sql(vec: str, cent: str, lo: str, hi: str) -> str:
     )
 
 
-def _pq_sub_bounds_sql(s: int) -> tuple[str, str]:
-    sub = "GREATEST(1, CAST(ceil(len(e.v) / 4.0) AS INT))"
-    return (f"({s} * {sub})", f"LEAST(({s} + 1) * {sub}, len(e.v))")
+def _pq_sub_bounds_sql(s: int, vec: str = "e.v") -> tuple[str, str]:
+    sub = f"GREATEST(1, CAST(ceil(len({vec}) / 4.0) AS INT))"
+    return (f"({s} * {sub})", f"LEAST(({s} + 1) * {sub}, len({vec}))")
 
 
 PQ_CODES_SQL = f"""
@@ -1626,3 +1626,286 @@ FROM g
 
 QUERIES["dim_covariance_embeddings"] = dim_covariance_embeddings
 ORACLES["dim_covariance_embeddings"] = DIM_COVARIANCE_SQL
+
+
+# === customer / behavioral segmentation ======================================
+
+
+def rfm_segments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary,
+    median-split into 8 segments, segment census.  The split uses
+    FIXED global thresholds (three bounded driver-side scalars), not a
+    per-row NTILE — the unpartitioned-rank-all cliff documented in
+    BASELINE.md is exactly what this avoids at scale.  Finite-price
+    and non-NULL customer/date filters per repo contract."""
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+        & finite(F.col("o_totalprice"))
+    )
+    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("d")).collect()[0]["d"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(maxd), F.max(F.to_date("o_orderdate"))).alias(
+            "recency"
+        ),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    th = per_cust.agg(
+        F.expr("percentile(recency, 0.5)").alias("rm"),
+        F.expr("percentile(freq, 0.5)").alias("fm"),
+        F.expr("percentile(monetary, 0.5)").alias("mm"),
+    ).collect()[0]
+    seg = F.concat(
+        F.when(F.col("recency") <= F.lit(th["rm"]), F.lit("R1")).otherwise(
+            F.lit("R0")
+        ),
+        F.when(F.col("freq") >= F.lit(th["fm"]), F.lit("F1")).otherwise(
+            F.lit("F0")
+        ),
+        F.when(F.col("monetary") >= F.lit(th["mm"]), F.lit("M1")).otherwise(
+            F.lit("M0")
+        ),
+    )
+    return per_cust.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH f AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+),
+pc AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(d), (SELECT MAX(d) FROM f)) AS recency,
+         COUNT(*) AS freq,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM f GROUP BY o_custkey
+),
+th AS (
+  SELECT quantile_cont(recency, 0.5) AS rm,
+         quantile_cont(freq, 0.5) AS fm,
+         quantile_cont(monetary, 0.5) AS mm
+  FROM pc
+)
+SELECT (CASE WHEN pc.recency <= th.rm THEN 'R1' ELSE 'R0' END
+        || CASE WHEN pc.freq >= th.fm THEN 'F1' ELSE 'F0' END
+        || CASE WHEN pc.monetary >= th.mm THEN 'M1' ELSE 'M0' END)
+         AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(AVG(pc.monetary), 2) AS avg_monetary
+FROM pc, th
+GROUP BY segment
+"""
+
+QUERIES["rfm_segments_orders"] = rfm_segments_orders
+ORACLES["rfm_segments_orders"] = RFM_SEGMENTS_SQL
+
+
+def type_cooccurrence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence at the user grain: for each unordered
+    type pair, how many users emit BOTH, plus the Jaccard overlap of
+    the two user sets — the feature-correlation screen for behavioral
+    models.  Distinct (user, type) first (the shuffle shrinks to the
+    user-type lattice), self-join on user, bounded pair aggregate,
+    per-type totals broadcast back."""
+    from pyspark.sql.functions import broadcast
+
+    ut = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    nb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(broadcast(na), "type_a")
+        .join(broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.try_divide(
+                    F.col("n_both"),
+                    F.col("n_a") + F.col("n_b") - F.col("n_both"),
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+TYPE_COOCCURRENCE_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+per_type AS (
+  SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(na.n_t AS BIGINT) AS n_a,
+       CAST(nb.n_t AS BIGINT) AS n_b,
+       ROUND(p.n_both / NULLIF(na.n_t + nb.n_t - p.n_both, 0), 6) AS jaccard
+FROM pairs p
+JOIN per_type na ON na.event_type = p.type_a
+JOIN per_type nb ON nb.event_type = p.type_b
+"""
+
+QUERIES["type_cooccurrence_events"] = type_cooccurrence_events
+ORACLES["type_cooccurrence_events"] = TYPE_COOCCURRENCE_SQL
+
+
+# --- PQ asymmetric-distance recall (completes the recall quartet) ------------
+
+_ADC_ANCHOR_MAX = 10
+_ADC_K = 10
+
+
+def pq_adc_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ-ADC inner-product search vs the exact ranking
+    (llm/similarity.pq_adc_recall) — the fourth member of the measured
+    recall family (LSH: ann_recall, int8: quantized_recall, IVF:
+    ivf_recall, PQ: here)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _pq_seed_centroids(emb)
+    if not cents:
+        return emb.limit(0).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.lit(None).cast("bigint").alias("n_exact"),
+            F.lit(None).cast("bigint").alias("n_hits"),
+            F.lit(None).cast("double").alias("recall_at_k"),
+        )
+    return similarity.pq_adc_recall(
+        emb,
+        cents,
+        _pq_geometry(len(cents[0])),
+        anchor_max_id=_ADC_ANCHOR_MAX,
+        k=_ADC_K,
+    )
+
+
+def _adc_term_sql(s: int) -> str:
+    lo_a, hi_a = _pq_sub_bounds_sql(s, "a.av")
+    return (
+        f"COALESCE(list_dot_product("
+        f"a.av[{lo_a} + 1:{hi_a}], s2.cv[{lo_a} + 1:{hi_a}]), 0.0)"
+    )
+
+
+PQ_ADC_RECALL_SQL = f"""
+WITH valid AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id IS NOT NULL AND {_VEC_VALID_SQL}
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM (SELECT vec_id, v FROM valid ORDER BY vec_id LIMIT {_PQ_K})
+),
+assign AS (
+  SELECT e.vec_id, sub.s, seeds.c,
+    row_number() OVER (
+      PARTITION BY e.vec_id, sub.s
+      ORDER BY
+        CASE sub.s
+          {" ".join(
+              f"WHEN {sp} THEN " + _pq_d2_sql(
+                  "e.v", "seeds.cv", _pq_sub_bounds_sql(sp)[0],
+                  _pq_sub_bounds_sql(sp)[1]
+              )
+              for sp in range(_PQ_M)
+          )}
+        END,
+        seeds.c
+    ) AS rn
+  FROM valid e, (SELECT unnest(range({_PQ_M})) AS s) sub, seeds
+),
+codes AS (SELECT vec_id, s, c FROM assign WHERE rn = 1),
+anchors AS (
+  SELECT vec_id AS aid, v AS av FROM valid WHERE vec_id < {_ADC_ANCHOR_MAX}
+),
+terms AS (
+  SELECT a.aid, cd.vec_id AS nbr, cd.s,
+    CASE cd.s
+      {" ".join(f"WHEN {sp} THEN " + _adc_term_sql(sp) for sp in range(_PQ_M))}
+    END AS term
+  FROM anchors a
+  JOIN codes cd ON cd.vec_id != a.aid
+  JOIN seeds s2 ON s2.c = cd.c
+),
+adc AS (
+  SELECT aid, nbr,
+    {" + ".join(
+        f"COALESCE(MAX(CASE WHEN s = {sp} THEN term END), 0.0)"
+        for sp in range(_PQ_M)
+    )} AS adc_score
+  FROM terms GROUP BY aid, nbr
+),
+exact AS (
+  SELECT a.aid, e.vec_id AS nbr,
+         list_dot_product(a.av, e.v) AS exact_score
+  FROM anchors a JOIN valid e ON e.vec_id != a.aid
+),
+exact_top AS (
+  SELECT aid, nbr FROM (
+    SELECT aid, nbr, row_number() OVER (
+      PARTITION BY aid ORDER BY exact_score DESC, nbr ASC) AS rk
+    FROM exact) WHERE rk <= {_ADC_K}
+),
+adc_top AS (
+  SELECT aid, nbr FROM (
+    SELECT aid, nbr, row_number() OVER (
+      PARTITION BY aid ORDER BY adc_score DESC, nbr ASC) AS rk
+    FROM adc) WHERE rk <= {_ADC_K}
+),
+hits AS (
+  SELECT e.aid, COUNT(*) AS n_hits
+  FROM exact_top e JOIN adc_top p ON e.aid = p.aid AND e.nbr = p.nbr
+  GROUP BY e.aid
+),
+n_ex AS (SELECT aid, COUNT(*) AS n_exact FROM exact_top GROUP BY aid)
+SELECT n_ex.aid AS anchor_id,
+       CAST(n_ex.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(hits.n_hits, 0)
+             / LEAST({_ADC_K}, n_ex.n_exact), 6) AS recall_at_k
+FROM n_ex LEFT JOIN hits ON hits.aid = n_ex.aid
+"""
+
+QUERIES["pq_adc_recall_embeddings"] = pq_adc_recall_embeddings
+ORACLES["pq_adc_recall_embeddings"] = PQ_ADC_RECALL_SQL

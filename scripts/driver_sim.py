@@ -59,6 +59,7 @@ KEY_UNIQUE_PRECONDITION = {
     "pq_codes_embeddings",
     "centroid_inertia_embeddings",
     "silhouette_embeddings",
+    "pq_adc_recall_embeddings",
 }
 
 

@@ -32,6 +32,9 @@ _BNLJ_ALLOWED = {
     # r05b: 4-row literal promo dim, overlapping ranges — bounded
     # broadcast range-join shape by construction
     "promo_window_join_orders",
+    # r05b: bounded broadcast-anchor recall audit (same shape as
+    # ann_recall / quantized_recall)
+    "pq_adc_recall_embeddings",
     # single-row grand-total broadcast (share-of-total projection)
     "hourly_seasonality_events",
     "profile_documents",
