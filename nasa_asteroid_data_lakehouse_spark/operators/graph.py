@@ -141,3 +141,40 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration k-core peel: repeatedly drop nodes of degree
+    < k (and their edges), ``iters`` rounds — the dense-cluster
+    extractor over the near-dup graph (a boilerplate clique survives
+    peeling; chains of coincidental collisions dissolve).
+
+    Each round is one endpoint-explode aggregate + two semi-joins on
+    the node key; the edge list is checkpointed per round so the plan
+    stays flat.  A FIXED iteration count (not loop-until-fixpoint)
+    keeps the computation deterministic and oracle-expressible; k-core
+    converges in few rounds on bounded-component dedup graphs.
+    Returns one row: (n_nodes, n_edges) of the surviving subgraph."""
+    cur = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    for _ in range(iters):
+        deg = (
+            cur.select(F.explode(F.array("lo", "hi")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).select("node")
+        cur = (
+            cur.join(keep, cur["lo"] == keep["node"], "left_semi")
+            .join(keep, cur["hi"] == keep["node"], "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    nodes = cur.select(F.explode(F.array("lo", "hi")).alias("node")).agg(
+        F.count_distinct("node").alias("n_nodes")
+    )
+    return nodes.crossJoin(cur.agg(F.count(F.lit(1)).alias("n_edges")))

@@ -1909,3 +1909,407 @@ FROM n_ex LEFT JOIN hits ON hits.aid = n_ex.aid
 
 QUERIES["pq_adc_recall_embeddings"] = pq_adc_recall_embeddings
 ORACLES["pq_adc_recall_embeddings"] = PQ_ADC_RECALL_SQL
+
+
+# === corpus distribution profiles ============================================
+
+
+def doc_length_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per language: 100-char buckets capped
+    at 20 (exact integer arithmetic — no float log boundaries), NULL
+    text a visible NULL-bucket group, NULL lang a real group.  One
+    projection + hash aggregate on the bounded (lang, bucket)
+    lattice."""
+    docs = read_table(spark, sf_dir, "documents").select("lang", "text")
+    # floor, not cast: DuckDB CAST(double AS BIGINT) ROUNDS where
+    # Spark's cast truncates — floor() agrees on both engines
+    bucket = F.least(
+        F.floor(F.length("text") / F.lit(100)), F.lit(20).cast("bigint")
+    )
+    return docs.groupBy(
+        "lang", bucket.alias("len_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+DOC_LENGTH_HISTOGRAM_SQL = """
+SELECT lang,
+       LEAST(CAST(floor(length(text) / 100) AS BIGINT), 20) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang, LEAST(CAST(floor(length(text) / 100) AS BIGINT), 20)
+"""
+
+QUERIES["doc_length_histogram_documents"] = doc_length_histogram_documents
+ORACLES["doc_length_histogram_documents"] = DOC_LENGTH_HISTOGRAM_SQL
+
+
+def token_length_distribution_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-length distribution (capped at 15) over the normalized
+    corpus — the tokenizer-design input (where does the subword
+    budget go).  Explode + hash aggregate on the bounded length
+    domain."""
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.explode(text.tokens(text.normalized_text("text"))).alias("tok")
+    )
+    return toks.groupBy(
+        F.least(F.length("tok").cast("bigint"), F.lit(15).cast("bigint")).alias(
+            "tok_len"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
+TOKEN_LENGTH_DISTRIBUTION_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents WHERE text IS NOT NULL
+)
+SELECT LEAST(CAST(length(tok) AS BIGINT), 15) AS tok_len,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM toks GROUP BY LEAST(CAST(length(tok) AS BIGINT), 15)
+"""
+
+QUERIES["token_length_distribution_documents"] = (
+    token_length_distribution_documents
+)
+ORACLES["token_length_distribution_documents"] = TOKEN_LENGTH_DISTRIBUTION_SQL
+
+
+def numeric_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-token share per source (all-digit tokens / total) — a
+    boilerplate/table-content signal.  NULL source is a real group;
+    NULL text contributes no tokens."""
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select(
+        "source",
+        F.explode(text.tokens(text.normalized_text("text"))).alias("tok"),
+    )
+    is_num = F.col("tok").rlike("^[0-9]+$")
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(is_num, 1)).alias("n_numeric"),
+        F.round(
+            F.try_divide(F.count(F.when(is_num, 1)), F.count(F.lit(1))), 6
+        ).alias("numeric_ratio"),
+    )
+
+
+NUMERIC_TOKEN_STATS_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS tok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (regexp_full_match(tok, '[0-9]+')) AS BIGINT)
+         AS n_numeric,
+       ROUND(COUNT(*) FILTER (regexp_full_match(tok, '[0-9]+'))
+             / NULLIF(COUNT(*), 0), 6) AS numeric_ratio
+FROM toks GROUP BY source
+"""
+
+QUERIES["numeric_token_stats_documents"] = numeric_token_stats_documents
+ORACLES["numeric_token_stats_documents"] = NUMERIC_TOKEN_STATS_SQL
+
+
+# --- pointwise mutual information over adjacent bigrams ----------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+def bigram_pmi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent bigrams by PMI (count >= 5) — collocation
+    mining on top of the BPE pair-count machinery
+    (llm/tokenizer.pair_counts_from_tokens).  Two hash aggregates
+    (pairs, unigrams) + two equi-joins keyed on the token; the corpus
+    totals are bounded driver-side scalars.  Ranking orders by the
+    ROUNDED score with the pair as tie-break (float-order-safe)."""
+    from nasa_asteroid_data_lakehouse_spark.llm import tokenizer
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        text.tokens(text.normalized_text("text")).alias("toks")
+    )
+    pairs = tokenizer.pair_counts_from_tokens(toks)
+    uni = toks.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = pairs.agg(
+        F.coalesce(F.sum("pair_count"), F.lit(0)).alias("np")
+    ).collect()[0]
+    n_pairs = int(totals["np"])
+    n_toks = int(
+        uni.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nt")).collect()[0]["nt"]
+    )
+    if n_pairs == 0 or n_toks == 0:
+        return pairs.limit(0).select(
+            "a", "b", F.col("pair_count"),
+            F.lit(None).cast("double").alias("pmi"),
+        )
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        pairs.where(F.col("pair_count") >= _PMI_MIN_COUNT)
+        .join(ua, "a")
+        .join(ub, "b")
+        .select(
+            "a",
+            "b",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.lit(float(n_pairs)))
+                    / (
+                        (F.col("ca") / F.lit(float(n_toks)))
+                        * (F.col("cb") / F.lit(float(n_toks)))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "a", "b").limit(_PMI_TOP)
+
+
+BIGRAM_PMI_SQL = f"""
+WITH toks AS (
+  SELECT {_TOKS} AS t FROM documents WHERE text IS NOT NULL
+),
+prs AS (
+  SELECT t[i] AS a, t[i + 1] AS b
+  FROM toks, UNNEST(range(1, len(t))) AS g(i)
+  WHERE len(t) >= 2
+),
+pc AS (SELECT a, b, COUNT(*) AS pair_count FROM prs GROUP BY a, b),
+uni AS (
+  SELECT unnest(t) AS tok FROM toks
+),
+uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+np AS (SELECT CAST(COALESCE(SUM(pair_count), 0) AS DOUBLE) AS v FROM pc),
+nt AS (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) AS v FROM uc),
+scored AS (
+  SELECT pc.a, pc.b, pc.pair_count,
+    ROUND(ln((pc.pair_count / np.v)
+             / ((ua.c / nt.v) * (ub.c / nt.v))), 6) AS pmi
+  FROM pc
+  JOIN uc ua ON ua.tok = pc.a
+  JOIN uc ub ON ub.tok = pc.b, np, nt
+  WHERE pc.pair_count >= {_PMI_MIN_COUNT}
+)
+SELECT a, b, CAST(pair_count AS BIGINT) AS pair_count, pmi
+FROM scored ORDER BY pmi DESC, a, b LIMIT {_PMI_TOP}
+"""
+
+QUERIES["bigram_pmi_documents"] = bigram_pmi_documents
+ORACLES["bigram_pmi_documents"] = BIGRAM_PMI_SQL
+
+
+# --- Heaps-law vocabulary growth ---------------------------------------------
+
+_VG_BUCKETS = 20
+
+
+def vocab_growth_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps' law) over 20 id-range buckets: tokens
+    FIRST seen in each bucket, plus the running vocabulary size.  The
+    min-id reduction runs on the token shuffle key; the cumulative
+    window covers only the 20-row bucket table (never the corpus).
+    Bucket boundaries are exact integer arithmetic off the max id (a
+    bounded driver scalar)."""
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    if mx is None:
+        return spark.createDataFrame(
+            [], "bucket bigint, new_tokens bigint, cum_vocab bigint"
+        )
+    toks = docs.select(
+        "doc_id",
+        F.explode(text.tokens(text.normalized_text("text"))).alias("tok"),
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = first.groupBy(
+        F.least(
+            F.floor(F.col("first_doc") * _VG_BUCKETS / F.lit(int(mx) + 1)),
+            F.lit(_VG_BUCKETS - 1).cast("bigint"),
+        ).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket",
+        "new_tokens",
+        F.sum("new_tokens").over(w).alias("cum_vocab"),
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+),
+first AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+mx AS (SELECT MAX(doc_id) AS m FROM documents WHERE doc_id IS NOT NULL),
+per_bucket AS (
+  SELECT LEAST(CAST(floor(first.first_doc * {_VG_BUCKETS} / (mx.m + 1))
+                    AS BIGINT),
+               {_VG_BUCKETS - 1}) AS bucket,
+         COUNT(*) AS new_tokens
+  FROM first, mx
+  GROUP BY 1
+)
+SELECT bucket, CAST(new_tokens AS BIGINT) AS new_tokens,
+       CAST(SUM(new_tokens) OVER (
+         ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM per_bucket
+"""
+
+QUERIES["vocab_growth_documents"] = vocab_growth_documents
+ORACLES["vocab_growth_documents"] = VOCAB_GROWTH_SQL
+
+
+# === order cadence and lineitem pricing ======================================
+
+
+def order_gap_summary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap summary: per customer, days between consecutive
+    orders (lag window over the customer partition, date-ordered with
+    the order key as tie-break), reduced to one bounded row (count,
+    median, p90, mean).  Gaps are exact day integers."""
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey"
+    )
+    g = o.select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).alias("gap")
+    )
+    return g.agg(
+        F.count("gap").alias("n_gaps"),
+        F.round(F.expr("percentile(gap, 0.5)"), 1).alias("p50_days"),
+        F.round(F.expr("percentile(gap, 0.9)"), 1).alias("p90_days"),
+        F.round(F.avg("gap"), 4).alias("mean_days"),
+    )
+
+
+ORDER_GAP_SUMMARY_SQL = """
+WITH g AS (
+  SELECT date_diff('day',
+           lag(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+)
+SELECT CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap, 0.5), 1) AS p50_days,
+       ROUND(quantile_cont(gap, 0.9), 1) AS p90_days,
+       ROUND(AVG(gap), 4) AS mean_days
+FROM g
+"""
+
+QUERIES["order_gap_summary_orders"] = order_gap_summary_orders
+ORACLES["order_gap_summary_orders"] = ORDER_GAP_SUMMARY_SQL
+
+
+def discount_band_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and volume per discount band (exact integer cents-pct
+    band — no float group keys), the pricing-curve profile.  NULL
+    discount is a visible NULL band; finite-price filter per the NaN
+    rule.  One projection + hash aggregate on the bounded band
+    domain."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        finite(F.col("l_extendedprice"))
+    )
+    # cast metrics to DOUBLE up front: a DECIMAL-typed quantity column
+    # would otherwise surface as Decimal in avg() while the oracle
+    # returns DOUBLE (type, not value, divergence)
+    price = F.col("l_extendedprice").cast("double")
+    disc = F.col("l_discount").cast("double")
+    qty = F.col("l_quantity").cast("double")
+    band = F.round(disc * 100).cast("int")
+    return li.groupBy(band.alias("discount_pct")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(price * (1 - disc)), 2).alias("net_revenue"),
+        F.round(F.avg(qty), 4).alias("avg_quantity"),
+    )
+
+
+DISCOUNT_BAND_SQL = """
+SELECT CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS INTEGER) AS discount_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
+                 * (1 - CAST(l_discount AS DOUBLE))), 2) AS net_revenue,
+       ROUND(AVG(CAST(l_quantity AS DOUBLE)), 4) AS avg_quantity
+FROM lineitem
+WHERE l_extendedprice IS NOT NULL AND isfinite(CAST(l_extendedprice AS DOUBLE))
+GROUP BY CAST(ROUND(CAST(l_discount AS DOUBLE) * 100) AS INTEGER)
+"""
+
+QUERIES["discount_band_lineitem"] = discount_band_lineitem
+ORACLES["discount_band_lineitem"] = DISCOUNT_BAND_SQL
+
+
+# === k-core peel over the near-dup graph =====================================
+
+
+def kcore_peel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core (k=2) peel of the MinHash-LSH near-dup graph
+    (operators/graph.kcore_peel over the session-shared verified pair
+    table): surviving node/edge counts — the dense-boilerplate-cluster
+    detector (cliques survive, coincidental chains dissolve)."""
+    from nasa_asteroid_data_lakehouse_spark.operators.graph import kcore_peel
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _CLUSTER_THRESHOLD,
+        _lsh_pairs_cached,
+    )
+
+    pairs = _lsh_pairs_cached(spark, sf_dir, _CLUSTER_THRESHOLD)
+    return kcore_peel(pairs, src="id_a", dst="id_b", k=2, iters=3)
+
+
+def _kcore_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _CLUSTER_THRESHOLD,
+        _minhash_lsh_sql,
+    )
+
+    peels = []
+    prev = "c0"
+    for i in (1, 2, 3):
+        peels.append(f"""
+d{i} AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT lo AS node FROM {prev} UNION ALL SELECT hi FROM {prev})
+  GROUP BY node
+),
+k{i} AS (SELECT node FROM d{i} WHERE deg >= 2),
+c{i} AS (
+  SELECT e.lo, e.hi FROM {prev} e
+  JOIN k{i} a ON a.node = e.lo
+  JOIN k{i} b ON b.node = e.hi
+)""")
+        prev = f"c{i}"
+    return f"""
+WITH pairs AS ({_minhash_lsh_sql(_CLUSTER_THRESHOLD)}),
+c0 AS (
+  SELECT DISTINCT LEAST(id_a, id_b) AS lo, GREATEST(id_a, id_b) AS hi
+  FROM pairs WHERE id_a <> id_b
+),{",".join(peels)}
+SELECT
+  CAST((SELECT COUNT(DISTINCT node) FROM (
+     SELECT lo AS node FROM c3 UNION ALL SELECT hi FROM c3)) AS BIGINT)
+    AS n_nodes,
+  CAST((SELECT COUNT(*) FROM c3) AS BIGINT) AS n_edges
+"""
+
+
+QUERIES["kcore_peel_documents"] = kcore_peel_documents
+ORACLES["kcore_peel_documents"] = _kcore_sql()

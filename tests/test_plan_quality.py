@@ -35,6 +35,8 @@ _BNLJ_ALLOWED = {
     # r05b: bounded broadcast-anchor recall audit (same shape as
     # ann_recall / quantized_recall)
     "pq_adc_recall_embeddings",
+    # r05b: two single-row aggregates cross-joined (node/edge counts)
+    "kcore_peel_documents",
     # single-row grand-total broadcast (share-of-total projection)
     "hourly_seasonality_events",
     "profile_documents",
