@@ -35,6 +35,16 @@ SF0001 = "/root/testdata/sf0.001"
 # already pre-wired).
 REGISTER_R05 = True
 
+# Round-6 registration switch: flip to True at round-6 start once
+# CORRECTNESS_r05 lands; serves plans/r06_queries.py's staged batch
+# (gate-verified in round 5 via driver_sim --staged).  On flip, add
+# the batch's BNLJ-allowlist entries to tests/test_plan_quality.py
+# (stl_decomposition_daily_events, stump_split_events,
+# pca_power_iteration_embeddings, markov_stationary_events,
+# stylometry_delta_sources, ndcg_lsh_embeddings — all bounded
+# single-row / broadcast-anchor shapes) and bench entries.
+REGISTER_R06 = False
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -194,6 +204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from nasa_asteroid_data_lakehouse_spark.plans import r05_queries
 
         out.update(r05_queries.STAGED_QUERIES)
+    if REGISTER_R06:
+        from nasa_asteroid_data_lakehouse_spark.plans import r06_queries
+
+        out.update(r06_queries.STAGED_QUERIES)
     return _rotate(out)
 
 
@@ -217,4 +231,8 @@ def oracle_sql() -> dict[str, str]:
         from nasa_asteroid_data_lakehouse_spark.plans import r05_queries
 
         out.update(r05_queries.STAGED_ORACLES)
+    if REGISTER_R06:
+        from nasa_asteroid_data_lakehouse_spark.plans import r06_queries
+
+        out.update(r06_queries.STAGED_ORACLES)
     return _rotate(out)

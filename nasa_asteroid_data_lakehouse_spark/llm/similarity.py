@@ -721,6 +721,143 @@ def ann_recall_lsh(
     )
 
 
+def dcg_weights(k: int) -> tuple[list[float], list[float]]:
+    """(w, cum_w) for binary-relevance DCG@k: ``w[r-1] = 1/log2(r+1)``
+    and its prefix sums — computed ONCE in Python so engine and oracle
+    share the exact IEEE doubles (the repo's repr() constant rule)."""
+    import math
+
+    ws = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+    cum, s = [], 0.0
+    for w in ws:
+        s += w
+        cum.append(s)
+    return ws, cum
+
+
+def ndcg_lsh(
+    df: DataFrame,
+    anchor_max_id: int,
+    k: int = 10,
+    num_planes: int = 6,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """NDCG@k and MRR of the sign-LSH probe ranking against the exact
+    cosine ranking, per anchor — recall@k (``ann_recall_lsh``) says
+    *whether* the true neighbors are found; this says whether they are
+    found *early* (rank-weighted), the metric that actually moves
+    retrieval-augmented training quality.
+
+    Binary relevance (approx result ∈ exact top-k).  The DCG sum is a
+    FIXED-TEXTUAL-ORDER expression over per-rank hit flags (h₁·w₁ +
+    … + h_k·w_k, constants via :func:`dcg_weights`) — never a SUM()
+    over term rows, so float reduction order cannot diverge between
+    engines.  IDCG is a constant lookup on ``least(k, n_exact)``.
+    Same cost shape as ``ann_recall_lsh``: |anchors| × N broadcast
+    scoring, two group-limit windows, then O(anchors) arithmetic.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    ws, cum = dcg_weights(k)
+    dim = vector_dim(df, vec_col)
+    planes = hyperplane_coefficients(num_planes, dim)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+            bucket_id(F.col(vec_col), planes).alias("bucket"),
+        )
+        .where(F.col(id_col).isNotNull() & vec_valid(F.col("v")))
+        .localCheckpoint(eager=False)
+    )
+    anchors = base.where(F.col("id") < anchor_max_id)
+    pairs = (
+        broadcast(
+            anchors.select(
+                F.col("id").alias("anchor_id"),
+                F.col("v").alias("av"),
+                F.col("nrm").alias("anrm"),
+                F.col("bucket").alias("abucket"),
+            )
+        )
+        .join(base.alias("b"), F.col("anchor_id") != F.col("b.id"))
+        .select(
+            "anchor_id",
+            "abucket",
+            F.col("b.id").alias("nbr"),
+            F.col("b.bucket").alias("nbucket"),
+            F.round(
+                F.try_divide(
+                    dot(F.col("av"), F.col("b.v")),
+                    F.col("anrm") * F.col("b.nrm"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("nbr"))
+    exact = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("anchor_id", "nbr")
+    )
+    approx = (
+        pairs.where(
+            F.bit_count(F.col("nbucket").bitwiseXOR(F.col("abucket")))
+            <= probe_hamming
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("anchor_id", "nbr", "rk")
+    )
+    hit = approx.join(exact, ["anchor_id", "nbr"], "left_semi")
+    flags = hit.groupBy("anchor_id").agg(
+        F.min("rk").alias("first_hit"),
+        *[
+            F.max(F.when(F.col("rk") == r, 1).otherwise(0)).alias(f"h{r}")
+            for r in range(1, k + 1)
+        ],
+    )
+    dcg = F.lit(0.0)
+    for r in range(1, k + 1):
+        dcg = dcg + F.col(f"h{r}") * F.lit(ws[r - 1])
+    # build ascending so the LARGEST threshold lands outermost: the
+    # final expression checks >= k first, then >= k-1, ... (a
+    # descending build puts >= 1 outermost, which always matches)
+    idcg = F.lit(None).cast("double")
+    for j in range(1, k + 1):
+        idcg = F.when(
+            F.least(F.lit(k), F.col("n_exact")) >= j, F.lit(cum[j - 1])
+        ).otherwise(idcg)
+    n_exact = exact.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        n_exact.join(broadcast(flags), "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "n_exact",
+            F.round(
+                F.try_divide(
+                    F.coalesce(dcg, F.lit(0.0)), idcg
+                ),
+                6,
+            ).alias("ndcg_at_k"),
+            F.round(
+                F.coalesce(
+                    F.try_divide(F.lit(1.0), F.col("first_hit")), F.lit(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+        )
+    )
+
+
 def quantized_recall(
     df: DataFrame,
     anchor_max_id: int,

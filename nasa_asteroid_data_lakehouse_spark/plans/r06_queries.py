@@ -1,0 +1,981 @@
+"""Round-6 staged batch (gate-verified behind ``driver_sim --staged``;
+registered by flipping ``REGISTER_R06`` in ``__spark_entry__`` at
+round-6 start, after CORRECTNESS_r05 lands).
+
+Families: seasonal decomposition (STL-style trend/seasonal/residual),
+survival analysis (Kaplan–Meier over inter-order gaps), score
+calibration (reliability diagram of a quality score vs exact-dup
+membership), decision-stump information gain, stylometric authorship
+distance (Burrows' Delta), iterative linear algebra (PCA power
+iteration, Markov stationary distribution — both lattice-rounded per
+iteration, the pagerank discipline), and rank-quality retrieval
+metrics (NDCG@k / MRR of the LSH probe vs the exact ranking).
+
+Portability contract as everywhere in this repo: integer SUMs cast to
+BIGINT, data-derived denominators try_divide / NULLIF on both sides,
+multi-term float sums in fixed textual order (never SUM over term
+rows) unless the pagerank lattice argument applies, iterative
+algorithms round to a fixed lattice EVERY iteration, NULL
+grouping attributes are real groups or excluded identically on both
+sides, NaN filtered via operators/stats.finite where a metric feeds
+entropy/quantiles.
+
+No reference analog for any of these: the reference
+(``src/etl/silver_to_gold.py``) stops at null-count profiling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.llm import similarity, text
+from nasa_asteroid_data_lakehouse_spark.operators.stats import finite
+
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict = {}
+
+# DuckDB twin of llm/text.normalized_text (NULL propagates)
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# DuckDB twin of llm/text.tokens(normalized_text): blank -> [], NULL -> NULL
+_TOKS = (
+    f"CASE WHEN {_NORM} = '' THEN []::VARCHAR[] "
+    f"ELSE string_split({_NORM}, ' ') END"
+)
+_VEC_VALID_SQL = (
+    "embedding IS NOT NULL AND len(list_filter(embedding,"
+    " x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
+)
+
+
+# === STL-style seasonal decomposition ========================================
+
+
+def stl_decomposition_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive seasonal decomposition of the daily value series:
+    trend = centered 7-row moving average (NULL at the edges where the
+    frame is short), seasonal = mean-centered day-of-week average of
+    the detrended series, residual = detrended - seasonal.
+
+    One shuffle (the daily aggregate); every window and join after
+    that runs on the O(days) bounded table — the same scale contract
+    as theil_sen / changepoint / cusum_daily.  Day-of-week is pinned
+    to ISO (Mon=0) on both engines."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & finite(F.col("value"))
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("ds")).agg(
+        F.round(F.sum("value"), 6).alias("total")
+    )
+    w7 = Window.orderBy("ds").rowsBetween(-3, 3)
+    t = daily.select(
+        "ds",
+        "total",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7, F.round(F.avg("total").over(w7), 6)
+        ).alias("trend"),
+        F.expr("weekday(ds)").cast("bigint").alias("dow"),
+    ).withColumn("detrended", F.round(F.col("total") - F.col("trend"), 6))
+    sea_raw = (
+        t.where(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(F.round(F.avg("detrended"), 9).alias("sea_raw"))
+    )
+    grand = sea_raw.agg(F.round(F.avg("sea_raw"), 9).alias("g"))
+    sea = sea_raw.crossJoin(F.broadcast(grand)).select(
+        "dow", F.round(F.col("sea_raw") - F.col("g"), 6).alias("seasonal")
+    )
+    return (
+        t.join(F.broadcast(sea), "dow", "left")
+        .select(
+            "ds",
+            "total",
+            "trend",
+            F.when(F.col("trend").isNotNull(), F.col("seasonal")).alias(
+                "seasonal"
+            ),
+            F.when(
+                F.col("trend").isNotNull(),
+                F.round(F.col("detrended") - F.col("seasonal"), 6),
+            ).alias("residual"),
+        )
+    )
+
+
+STL_DECOMPOSITION_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS ds, ROUND(SUM(value), 6) AS total
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value)
+  GROUP BY CAST(ts AS DATE)
+),
+t AS (
+  SELECT ds, total,
+    CASE WHEN COUNT(*) OVER w7 = 7
+         THEN ROUND(AVG(total) OVER w7, 6) END AS trend,
+    CAST(isodow(ds) - 1 AS BIGINT) AS dow
+  FROM daily
+  WINDOW w7 AS (ORDER BY ds ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+t2 AS (SELECT *, ROUND(total - trend, 6) AS detrended FROM t),
+sea_raw AS (
+  SELECT dow, ROUND(AVG(detrended), 9) AS sea_raw
+  FROM t2 WHERE trend IS NOT NULL GROUP BY dow
+),
+grand AS (SELECT ROUND(AVG(sea_raw), 9) AS g FROM sea_raw),
+sea AS (
+  SELECT dow, ROUND(sea_raw - grand.g, 6) AS seasonal FROM sea_raw, grand
+)
+SELECT t2.ds, t2.total, t2.trend,
+       CASE WHEN t2.trend IS NOT NULL THEN sea.seasonal END AS seasonal,
+       CASE WHEN t2.trend IS NOT NULL
+            THEN ROUND(t2.detrended - sea.seasonal, 6) END AS residual
+FROM t2 LEFT JOIN sea ON sea.dow = t2.dow
+"""
+
+STAGED_QUERIES["stl_decomposition_daily_events"] = (
+    stl_decomposition_daily_events
+)
+STAGED_ORACLES["stl_decomposition_daily_events"] = STL_DECOMPOSITION_SQL
+
+
+# === Kaplan–Meier survival over inter-order gaps =============================
+
+
+def kaplan_meier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over inter-order gaps: per gap
+    value (exact day integers from the per-customer lag window), the
+    at-risk count (suffix sum — all gaps >= this one), the event count,
+    and S(t) = prod over gap times <= t of (1 - d/n).
+
+    The cumulative product runs as exp(sum(ln(factor))) over the
+    bounded distinct-gap table (O(calendar-span) rows), with a
+    zero-factor flag: Spark log(0) is NULL while DuckDB ln(0) is
+    -inf, so the d = n tail is pinned to survival 0.0 explicitly on
+    both sides."""
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey"
+    )
+    gaps = o.select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    risk = gaps.groupBy(F.col("gap").alias("gap_days")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w_suffix = Window.orderBy("gap_days").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("gap_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = risk.select(
+        "gap_days",
+        "n_events",
+        F.sum("n_events").over(w_suffix).alias("n_at_risk"),
+    )
+    factor = F.round(
+        F.lit(1.0) - F.try_divide(F.col("n_events"), F.col("n_at_risk")), 9
+    )
+    r2 = r.select(
+        "gap_days",
+        "n_events",
+        "n_at_risk",
+        factor.alias("f"),
+    )
+    zero_seen = F.max(F.when(F.col("f") == 0.0, 1).otherwise(0)).over(w_cum)
+    ln_sum = F.sum(F.when(F.col("f") > 0.0, F.log("f"))).over(w_cum)
+    return r2.select(
+        "gap_days",
+        "n_events",
+        "n_at_risk",
+        F.when(zero_seen == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(ln_sum), 6))
+        .alias("survival"),
+    )
+
+
+KAPLAN_MEIER_SQL = """
+WITH g AS (
+  SELECT date_diff('day',
+           lag(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+),
+risk AS (
+  SELECT gap AS gap_days, COUNT(*) AS n_events
+  FROM g WHERE gap IS NOT NULL GROUP BY gap
+),
+r AS (
+  SELECT gap_days, n_events,
+    SUM(n_events) OVER (ORDER BY gap_days
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_at_risk
+  FROM risk
+),
+r2 AS (
+  SELECT gap_days, n_events, n_at_risk,
+    ROUND(1.0 - n_events / n_at_risk, 9) AS f
+  FROM r
+)
+SELECT gap_days, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CASE WHEN MAX(CASE WHEN f = 0.0 THEN 1 ELSE 0 END) OVER w_cum = 1
+            THEN 0.0
+            ELSE ROUND(exp(SUM(CASE WHEN f > 0.0 THEN ln(f) END)
+                           OVER w_cum), 6) END AS survival
+FROM r2
+WINDOW w_cum AS (ORDER BY gap_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+STAGED_QUERIES["kaplan_meier_orders"] = kaplan_meier_orders
+STAGED_ORACLES["kaplan_meier_orders"] = KAPLAN_MEIER_SQL
+
+
+# === quality-score calibration (reliability diagram) =========================
+
+
+def calibration_curve_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram: does a cheap quality score predict
+    NON-duplication?  Score = 0.4·min(1, n_tokens/100) + 0.3·type-token
+    ratio + 0.3·alpha-char ratio (fixed textual order); label = the
+    doc's normalized text appears more than once (exact-dup member).
+    Bucketed into 10 fixed-width score bins: n, dup count, dup rate.
+
+    Two shuffles: the dup-count aggregate keyed on sha2(normalized
+    text) and the final bounded-bin aggregate.  NULL text rows carry
+    no score and are excluded on both sides (they cannot be dup-group
+    members per the round-4b NULL-text contract)."""
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    nt = text.normalized_text("text")
+    toks = text.tokens(nt)
+    scored = docs.select(
+        F.sha2(nt, 256).alias("key"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (
+            F.length(nt)
+            - F.length(F.regexp_replace(nt, "[a-z]", ""))
+        ).alias("n_alpha"),
+        F.length(nt).alias("n_chars"),
+    ).select(
+        "key",
+        F.round(
+            F.lit(0.4)
+            * F.least(
+                F.lit(1.0), F.col("n_tok").cast("double") / F.lit(100.0)
+            )
+            + F.lit(0.3)
+            * F.coalesce(
+                F.try_divide(F.col("n_distinct"), F.col("n_tok")), F.lit(0.0)
+            )
+            + F.lit(0.3)
+            * F.coalesce(
+                F.try_divide(F.col("n_alpha"), F.col("n_chars")), F.lit(0.0)
+            ),
+            6,
+        ).alias("score"),
+    )
+    dups = (
+        scored.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("key", (F.col("c") > 1).alias("is_dup"))
+    )
+    joined = scored.join(dups, "key")
+    b = F.least(F.floor(F.col("score") * 10).cast("bigint"), F.lit(9))
+    return joined.groupBy(b.alias("score_bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("is_dup"), 1)).alias("n_dups"),
+        F.round(
+            F.try_divide(F.count(F.when(F.col("is_dup"), 1)), F.count(F.lit(1))),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+CALIBRATION_CURVE_SQL = f"""
+WITH scored AS (
+  SELECT sha256({_NORM}) AS key,
+    ROUND(0.4 * LEAST(1.0, len({_TOKS}) / 100.0)
+          + 0.3 * COALESCE(len(list_distinct({_TOKS}))
+                           / NULLIF(CAST(len({_TOKS}) AS DOUBLE), 0.0), 0.0)
+          + 0.3 * COALESCE((length({_NORM})
+                            - length(regexp_replace({_NORM}, '[a-z]', '', 'g')))
+                           / NULLIF(CAST(length({_NORM}) AS DOUBLE), 0.0), 0.0),
+          6) AS score
+  FROM documents WHERE text IS NOT NULL
+),
+dups AS (
+  SELECT key, COUNT(*) > 1 AS is_dup FROM scored GROUP BY key
+)
+SELECT LEAST(CAST(floor(s.score * 10) AS BIGINT), 9) AS score_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (d.is_dup) AS BIGINT) AS n_dups,
+       ROUND(COUNT(*) FILTER (d.is_dup) / NULLIF(COUNT(*), 0), 6) AS dup_rate
+FROM scored s JOIN dups d ON d.key = s.key
+GROUP BY LEAST(CAST(floor(s.score * 10) AS BIGINT), 9)
+"""
+
+STAGED_QUERIES["calibration_curve_documents"] = calibration_curve_documents
+STAGED_ORACLES["calibration_curve_documents"] = CALIBRATION_CURVE_SQL
+
+
+# === decision-stump information gain =========================================
+
+_STUMP_GRID = 20
+
+
+def stump_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-split scan for a one-feature decision stump: 19 evenly
+    spaced thresholds over [min(value), max(value)], information gain
+    of each split against the binary target ``event_type =
+    'purchase'``.  The feature-importance primitive (is `value`
+    predictive of purchases, and where is the cut).
+
+    The grid comes from ONE single-row min/max aggregate broadcast
+    against the scan (19× map-side expansion — no driver round-trip,
+    no second scan barrier), then a hash aggregate on the bounded
+    threshold domain.  Entropies are fixed-textual-order expressions
+    with the 0·log0 branches pinned by CASE on both engines."""
+    ev = read_table(spark, sf_dir, "events").where(
+        finite(F.col("value"))
+    )
+    mm = ev.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    grid = mm.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_STUMP_GRID - 1))).alias("i"),
+        "mn",
+        "mx",
+    ).select(
+        (
+            F.col("mn")
+            + F.col("i").cast("double")
+            * (F.col("mx") - F.col("mn"))
+            / F.lit(float(_STUMP_GRID))
+        ).alias("t")
+    )
+    tgt = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    j = ev.select("value", tgt.alias("y")).crossJoin(F.broadcast(grid))
+    g = j.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("pos"),
+        F.count(F.when(F.col("value") <= F.col("t"), 1)).alias("n_l"),
+        F.sum(F.when(F.col("value") <= F.col("t"), F.col("y")).otherwise(0)).alias(
+            "pos_l"
+        ),
+    )
+
+    def _h(c, n):
+        p = F.try_divide(c.cast("double"), n.cast("double"))
+        q = F.try_divide((n - c).cast("double"), n.cast("double"))
+        return F.when(
+            (n == 0) | (c == 0) | (c == n), F.lit(0.0)
+        ).otherwise(-(p * F.log2(p)) - (q * F.log2(q)))
+
+    n, pos = F.col("n"), F.col("pos")
+    n_l, pos_l = F.col("n_l"), F.col("pos_l")
+    n_r, pos_r = n - n_l, pos - pos_l
+    gain = F.round(
+        _h(pos, n)
+        - F.try_divide(n_l.cast("double"), n.cast("double")) * _h(pos_l, n_l)
+        - F.try_divide(n_r.cast("double"), n.cast("double")) * _h(pos_r, n_r),
+        6,
+    )
+    return g.select(
+        F.round("t", 6).alias("threshold"),
+        "n_l",
+        (n - n_l).alias("n_r"),
+        F.round(F.try_divide(pos_l, n_l), 6).alias("purchase_rate_left"),
+        F.round(F.try_divide(pos - pos_l, n - n_l), 6).alias(
+            "purchase_rate_right"
+        ),
+        gain.alias("info_gain"),
+    )
+
+
+def _stump_h_sql(c: str, n: str) -> str:
+    p = f"({c} / CAST({n} AS DOUBLE))"
+    q = f"(({n} - {c}) / CAST({n} AS DOUBLE))"
+    return (
+        f"CASE WHEN {n} = 0 OR {c} = 0 OR {c} = {n} THEN 0.0 "
+        f"ELSE -({p} * log2({p})) - ({q} * log2({q})) END"
+    )
+
+
+STUMP_SPLIT_SQL = f"""
+WITH ev AS (
+  SELECT value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL AND isfinite(value)
+),
+mm AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev),
+grid AS (
+  SELECT mm.mn + CAST(g.i AS DOUBLE) * (mm.mx - mm.mn)
+           / {float(_STUMP_GRID)!r} AS t
+  FROM mm, UNNEST(range(1, {_STUMP_GRID})) AS g(i)
+  WHERE mm.mn IS NOT NULL
+),
+agg AS (
+  SELECT grid.t, COUNT(*) AS n, SUM(ev.y) AS pos,
+         COUNT(*) FILTER (ev.value <= grid.t) AS n_l,
+         COALESCE(SUM(ev.y) FILTER (ev.value <= grid.t), 0) AS pos_l
+  FROM ev, grid
+  GROUP BY grid.t
+)
+SELECT ROUND(t, 6) AS threshold,
+  CAST(n_l AS BIGINT) AS n_l,
+  CAST(n - n_l AS BIGINT) AS n_r,
+  ROUND(pos_l / NULLIF(CAST(n_l AS DOUBLE), 0.0), 6) AS purchase_rate_left,
+  ROUND((pos - pos_l) / NULLIF(CAST(n - n_l AS DOUBLE), 0.0), 6)
+    AS purchase_rate_right,
+  ROUND({_stump_h_sql("pos", "n")}
+        - (n_l / CAST(n AS DOUBLE)) * {_stump_h_sql("pos_l", "n_l")}
+        - ((n - n_l) / CAST(n AS DOUBLE))
+          * {_stump_h_sql("(pos - pos_l)", "(n - n_l)")},
+        6) AS info_gain
+FROM agg
+"""
+
+STAGED_QUERIES["stump_split_events"] = stump_split_events
+STAGED_ORACLES["stump_split_events"] = STUMP_SPLIT_SQL
+
+
+# === Burrows' Delta stylometric distance =====================================
+
+_DELTA_TOP = 30
+
+
+def stylometry_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between sources: relative frequencies of the
+    top-30 corpus tokens per source, z-scored per token across
+    sources, delta(a, b) = mean |z_a - z_b| — the classical
+    authorship / register distance (do two crawl sources "write
+    alike").
+
+    Top-30 by corpus count (count desc, token asc — deterministic),
+    broadcast everywhere after; the dense source×token matrix is
+    bounded (|sources| × 30).  Z-scores use the explicit sum
+    identities (never engine-native stddev — reduction formulas
+    differ), 9-lattice rounded; zero-variance tokens contribute 0.
+    NULL source is excluded on both sides (pair joins drop NULL keys
+    silently — the divergence-prone shape)."""
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    toks = docs.select(
+        "source", F.explode(text.tokens(text.normalized_text("text"))).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_DELTA_TOP)
+        .select("tok")
+    )
+    per_source_total = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("tot")
+    )
+    counts = (
+        toks.join(F.broadcast(top), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dense = (
+        per_source_total.crossJoin(F.broadcast(top))
+        .join(counts, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.round(
+                F.try_divide(F.coalesce(F.col("c"), F.lit(0)), F.col("tot")), 9
+            ).alias("f"),
+        )
+    )
+    stats = dense.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("f").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).alias("sff"),
+    )
+    mean = F.try_divide(F.col("sf"), F.col("ns"))
+    var = F.try_divide(
+        F.col("sff") - F.col("sf") * F.col("sf") / F.col("ns"),
+        F.col("ns") - 1,
+    )
+    z_stats = stats.select(
+        "tok",
+        F.round(mean, 9).alias("mu"),
+        F.round(F.sqrt(F.round(var, 12)), 9).alias("sd"),
+    )
+    z = dense.join(F.broadcast(z_stats), "tok").select(
+        "source",
+        "tok",
+        F.coalesce(
+            F.try_divide(F.col("f") - F.col("mu"), F.col("sd")), F.lit(0.0)
+        ).alias("z"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.source") < F.col("b.source")),
+    )
+    return pairs.groupBy(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+    ).agg(
+        F.round(F.avg(F.abs(F.col("a.z") - F.col("b.z"))), 6).alias("delta")
+    )
+
+
+STYLOMETRY_DELTA_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS tok
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+top AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ORDER BY c DESC, tok ASC LIMIT {_DELTA_TOP})
+),
+tot AS (SELECT source, COUNT(*) AS tot FROM toks GROUP BY source),
+counts AS (
+  SELECT t.source, t.tok, COUNT(*) AS c
+  FROM toks t JOIN top ON top.tok = t.tok
+  GROUP BY t.source, t.tok
+),
+dense AS (
+  SELECT tot.source, top.tok,
+    ROUND(COALESCE(c.c, 0) / NULLIF(CAST(tot.tot AS DOUBLE), 0.0), 9) AS f
+  FROM tot CROSS JOIN top
+  LEFT JOIN counts c ON c.source = tot.source AND c.tok = top.tok
+),
+stats AS (
+  SELECT tok, COUNT(*) AS ns, SUM(f) AS sf, SUM(f * f) AS sff
+  FROM dense GROUP BY tok
+),
+z_stats AS (
+  SELECT tok,
+    ROUND(sf / NULLIF(CAST(ns AS DOUBLE), 0.0), 9) AS mu,
+    ROUND(sqrt(ROUND((sff - sf * sf / ns) / NULLIF(ns - 1, 0), 12)), 9) AS sd
+  FROM stats
+),
+z AS (
+  SELECT d.source, d.tok,
+    COALESCE((d.f - zs.mu) / NULLIF(zs.sd, 0.0), 0.0) AS z
+  FROM dense d JOIN z_stats zs ON zs.tok = d.tok
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       ROUND(AVG(abs(a.z - b.z)), 6) AS delta
+FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+STAGED_QUERIES["stylometry_delta_sources"] = stylometry_delta_sources
+STAGED_ORACLES["stylometry_delta_sources"] = STYLOMETRY_DELTA_SQL
+
+
+# === PCA leading component via power iteration ===============================
+
+_PCA_DIMS = 8
+_PCA_ITERS = 8
+_PCA_V0 = 1.0 / (8.0 ** 0.5)  # uniform unit start over 8 dims
+
+
+def pca_power_iteration_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leading principal component of the first 8 embedding dimensions
+    by power iteration on the sample covariance matrix — 8
+    fixed-count iterations (u = C·v, v = u/|u|), every intermediate
+    rounded to the 1e-9 lattice (the pagerank discipline: reduction-
+    order float noise cannot compound across iterations).
+
+    The corpus is touched ONCE (the moment aggregate); all 8
+    iterations run on the bounded 8×8 matrix DataFrame —
+    O(d²)-per-iteration work that is identical on 1 or 1000 executors.
+    Sign is fixed deterministically (first nonzero loading positive).
+    Output: per dim, the loading plus the Rayleigh eigenvalue and its
+    share of total variance."""
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        similarity.vec_valid(F.col("embedding"))
+    )
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.slice(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                1,
+                _PCA_DIMS,
+            )
+        ).alias("dim", "x"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    g = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .groupBy(
+            F.col("a.dim").cast("bigint").alias("i"),
+            F.col("b.dim").cast("bigint").alias("j"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a.x")).alias("sx"),
+            F.sum(F.col("b.x")).alias("sy"),
+            F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.try_divide(
+                    F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"),
+                    F.col("n") - 1,
+                ),
+                9,
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    m = g.unionByName(
+        g.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    ).localCheckpoint()
+    v = m.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(_PCA_V0).alias("x")
+    )
+    for _ in range(_PCA_ITERS):
+        u = (
+            m.join(v, m["j"] == v["dim"])
+            .groupBy(F.col("i").alias("d"))
+            .agg(F.round(F.sum(F.col("c") * F.col("x")), 9).alias("ux"))
+        )
+        nrm = u.agg(
+            F.round(F.sqrt(F.sum(F.col("ux") * F.col("ux"))), 9).alias("nrm")
+        )
+        v = (
+            u.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("d").alias("dim"),
+                F.round(F.try_divide(F.col("ux"), F.col("nrm")), 9).alias("x"),
+            )
+            .localCheckpoint()
+        )
+    first_nz = (
+        v.where(F.col("x").isNotNull() & (F.col("x") != 0.0))
+        .orderBy("dim")
+        .limit(1)
+        .select(
+            F.when(F.col("x") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("s")
+        )
+    )
+    sgn = first_nz.agg(F.coalesce(F.max("s"), F.lit(1.0)).alias("s"))
+    vj = v.select(F.col("dim").alias("jd"), F.col("x").alias("xj"))
+    vi = v.select(F.col("dim").alias("id"), F.col("x").alias("xi"))
+    lam = (
+        m.join(vj, m["j"] == vj["jd"])
+        .join(vi, m["i"] == vi["id"])
+        .agg(
+            F.round(
+                F.sum(F.col("xi") * F.col("c") * F.col("xj")), 9
+            ).alias("lam")
+        )
+    )
+    trace = g.where(F.col("i") == F.col("j")).agg(
+        F.round(F.sum("c"), 9).alias("tr")
+    )
+    scalars = lam.crossJoin(F.broadcast(trace)).select(
+        F.round("lam", 6).alias("eigenvalue"),
+        F.round(F.try_divide(F.col("lam"), F.col("tr")), 6).alias(
+            "explained_share"
+        ),
+    )
+    return (
+        v.crossJoin(F.broadcast(sgn))
+        .select(
+            "dim",
+            F.round(F.col("s") * F.col("x"), 6).alias("loading"),
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
+
+
+def _pca_sql() -> str:
+    iters = []
+    prev = "v0"
+    for t in range(1, _PCA_ITERS + 1):
+        iters.append(f"""
+u{t} AS MATERIALIZED (
+  SELECT m.i AS d, ROUND(SUM(m.c * v.x), 9) AS ux
+  FROM m JOIN {prev} v ON v.dim = m.j GROUP BY m.i
+),
+n{t} AS MATERIALIZED (SELECT ROUND(sqrt(SUM(ux * ux)), 9) AS nrm FROM u{t}),
+v{t} AS MATERIALIZED (SELECT d AS dim, ROUND(ux / NULLIF(n{t}.nrm, 0.0), 9) AS x
+         FROM u{t}, n{t})""")
+        prev = f"v{t}"
+    return f"""
+WITH ex AS (
+  SELECT vec_id, CAST(g.i - 1 AS BIGINT) AS dim, e.emb[g.i] AS x
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        WHERE {_VEC_VALID_SQL}) e,
+       UNNEST(range(1, LEAST(len(e.emb), {_PCA_DIMS}) + 1)) AS g(i)
+),
+g AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+    ROUND((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
+          / NULLIF(COUNT(*) - 1, 0), 9) AS c
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY a.dim, b.dim
+),
+m AS MATERIALIZED (
+  SELECT i, j, c FROM g
+  UNION ALL SELECT j, i, c FROM g WHERE i < j
+),
+v0 AS MATERIALIZED (SELECT DISTINCT i AS dim, {_PCA_V0!r} AS x FROM m),{",".join(iters)},
+sgn AS (
+  SELECT COALESCE(MAX(s), 1.0) AS s FROM (
+    SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+    FROM {prev} WHERE x IS NOT NULL AND x <> 0.0
+    ORDER BY dim LIMIT 1)
+),
+lam AS (
+  SELECT ROUND(SUM(vi.x * m.c * vj.x), 9) AS lam
+  FROM m JOIN {prev} vj ON vj.dim = m.j
+         JOIN {prev} vi ON vi.dim = m.i
+),
+tr AS (SELECT ROUND(SUM(c), 9) AS tr FROM g WHERE i = j)
+SELECT v.dim, ROUND(sgn.s * v.x, 6) AS loading,
+       ROUND(lam.lam, 6) AS eigenvalue,
+       ROUND(lam.lam / NULLIF(tr.tr, 0.0), 6) AS explained_share
+FROM {prev} v, sgn, lam, tr
+"""
+
+
+STAGED_QUERIES["pca_power_iteration_embeddings"] = (
+    pca_power_iteration_embeddings
+)
+STAGED_ORACLES["pca_power_iteration_embeddings"] = _pca_sql()
+
+
+# === Markov stationary distribution over event-type transitions ==============
+
+_MK_ITERS = 10
+
+
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    by power iteration: row-normalized transition matrix over
+    consecutive (prev_type → type) pairs, π iterated 10 times from
+    uniform with per-iteration renormalization, every value on the
+    1e-9 lattice.
+
+    States are the types that appear as a transition SOURCE;
+    transitions into sink-only types are dropped and the per-iteration
+    renormalization redistributes the mass (documented chain
+    restriction — identical on both engines).  One corpus shuffle (the
+    lag window); the 10 iterations run on the bounded |types|² matrix."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).where(F.col("src").isNotNull())
+    states = tr.select(F.col("src").alias("state")).distinct()
+    tr_r = tr.join(
+        F.broadcast(states), tr["dst"] == states["state"], "left_semi"
+    )
+    counts = tr_r.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("src").agg(F.sum("c").alias("tot"))
+    p = (
+        counts.join(F.broadcast(totals), "src")
+        .select(
+            "src",
+            "dst",
+            F.round(F.try_divide(F.col("c"), F.col("tot")), 9).alias("p"),
+        )
+        .localCheckpoint()
+    )
+    n_states = states.agg(F.count(F.lit(1)).alias("ns"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "state",
+        F.round(F.try_divide(F.lit(1.0), F.col("ns")), 9).alias("pi"),
+    )
+    for _ in range(_MK_ITERS):
+        u = (
+            p.join(pi, p["src"] == pi["state"])
+            .groupBy(F.col("dst").alias("d"))
+            .agg(F.round(F.sum(F.col("pi") * F.col("p")), 9).alias("u"))
+        )
+        s = u.agg(F.round(F.sum("u"), 9).alias("s"))
+        pi = (
+            u.crossJoin(F.broadcast(s))
+            .select(
+                F.col("d").alias("state"),
+                F.round(F.try_divide(F.col("u"), F.col("s")), 9).alias("pi"),
+            )
+            .localCheckpoint()
+        )
+    return pi.select(
+        F.col("state").alias("event_type"),
+        F.round("pi", 6).alias("stationary_prob"),
+    )
+
+
+def _markov_sql() -> str:
+    iters = []
+    prev = "pi0"
+    for t in range(1, _MK_ITERS + 1):
+        iters.append(f"""
+u{t} AS MATERIALIZED (
+  SELECT p.dst AS d, ROUND(SUM(pi.pi * p.p), 9) AS u
+  FROM p JOIN {prev} pi ON pi.state = p.src GROUP BY p.dst
+),
+s{t} AS MATERIALIZED (SELECT ROUND(SUM(u), 9) AS s FROM u{t}),
+pi{t} AS MATERIALIZED (SELECT d AS state, ROUND(u / NULLIF(s{t}.s, 0.0), 9) AS pi
+          FROM u{t}, s{t})""")
+        prev = f"pi{t}"
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+),
+tr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM ev
+),
+tr2 AS (SELECT src, dst FROM tr WHERE src IS NOT NULL),
+states AS (SELECT DISTINCT src AS state FROM tr2),
+tr_r AS (
+  SELECT t.src, t.dst FROM tr2 t JOIN states s ON s.state = t.dst
+),
+counts AS (SELECT src, dst, COUNT(*) AS c FROM tr_r GROUP BY src, dst),
+totals AS (SELECT src, SUM(c) AS tot FROM counts GROUP BY src),
+p AS MATERIALIZED (
+  SELECT c.src, c.dst,
+    ROUND(c.c / NULLIF(CAST(t.tot AS DOUBLE), 0.0), 9) AS p
+  FROM counts c JOIN totals t ON t.src = c.src
+),
+ns AS (SELECT COUNT(*) AS ns FROM states),
+pi0 AS MATERIALIZED (
+  SELECT state, ROUND(1.0 / NULLIF(CAST(ns.ns AS DOUBLE), 0.0), 9) AS pi
+  FROM states, ns
+),{",".join(iters)}
+SELECT state AS event_type, ROUND(pi, 6) AS stationary_prob FROM {prev}
+"""
+
+
+STAGED_QUERIES["markov_stationary_events"] = markov_stationary_events
+STAGED_ORACLES["markov_stationary_events"] = _markov_sql()
+
+
+# === NDCG@k / MRR of the LSH probe ranking ===================================
+
+_NDCG_ANCHOR_MAX = 25
+_NDCG_K = 10
+_NDCG_PLANES = 6
+_NDCG_HAMMING = 1
+
+
+def ndcg_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 and MRR of the sign-LSH probe vs the exact cosine
+    ranking per anchor (llm/similarity.ndcg_lsh) — recall says whether
+    the true neighbors are found, this says whether they are found
+    EARLY."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ndcg_lsh(
+        emb,
+        anchor_max_id=_NDCG_ANCHOR_MAX,
+        k=_NDCG_K,
+        num_planes=_NDCG_PLANES,
+        probe_hamming=_NDCG_HAMMING,
+    )
+
+
+def _ndcg_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import _bucket_sql
+
+    ws, cum = similarity.dcg_weights(_NDCG_K)
+    dcg_terms = " + ".join(
+        f"h{r} * {ws[r - 1]!r}" for r in range(1, _NDCG_K + 1)
+    )
+    idcg_chain = " ".join(
+        f"WHEN LEAST({_NDCG_K}, n_exact) >= {j} THEN {cum[j - 1]!r}"
+        for j in range(_NDCG_K, 0, -1)
+    )
+    flag_cols = ",\n         ".join(
+        f"MAX(CASE WHEN a.rk = {r} THEN 1 ELSE 0 END) AS h{r}"
+        for r in range(1, _NDCG_K + 1)
+    )
+    cos_ab = (
+        "list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         {_bucket_sql(_NDCG_PLANES, "embedding")} AS bucket
+  FROM embeddings WHERE vec_id IS NOT NULL AND {_VEC_VALID_SQL}
+),
+pairs AS MATERIALIZED (
+  SELECT a.id AS anchor_id, a.bucket AS abucket, b.id AS nbr,
+         b.bucket AS nbucket,
+         ROUND({cos_ab}, 6) AS cos
+  FROM base a JOIN base b ON a.id <> b.id
+  WHERE a.id < {_NDCG_ANCHOR_MAX}
+),
+exact AS MATERIALIZED (
+  SELECT anchor_id, nbr FROM (
+    SELECT anchor_id, nbr,
+      row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY cos DESC, nbr ASC) AS rk
+    FROM pairs) t
+  WHERE rk <= {_NDCG_K}
+),
+approx AS (
+  SELECT anchor_id, nbr, rk FROM (
+    SELECT anchor_id, nbr,
+      row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY cos DESC, nbr ASC) AS rk
+    FROM pairs WHERE bit_count(xor(nbucket, abucket)) <= {_NDCG_HAMMING}) t
+  WHERE rk <= {_NDCG_K}
+),
+flags AS (
+  SELECT a.anchor_id, MIN(a.rk) AS first_hit,
+         {flag_cols}
+  FROM approx a JOIN exact e
+    ON e.anchor_id = a.anchor_id AND e.nbr = a.nbr
+  GROUP BY a.anchor_id
+),
+ex AS (SELECT anchor_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+SELECT ex.anchor_id, CAST(n_exact AS BIGINT) AS n_exact,
+  ROUND(COALESCE(0.0 + {dcg_terms}, 0.0)
+        / (CASE {idcg_chain} END), 6) AS ndcg_at_k,
+  ROUND(COALESCE(1.0 / first_hit, 0.0), 6) AS mrr
+FROM ex LEFT JOIN flags ON flags.anchor_id = ex.anchor_id
+"""
+
+
+STAGED_QUERIES["ndcg_lsh_embeddings"] = ndcg_lsh_embeddings
+STAGED_ORACLES["ndcg_lsh_embeddings"] = _ndcg_sql()

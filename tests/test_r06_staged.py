@@ -1,0 +1,286 @@
+"""Pins for the round-6 STAGED query batch (plans/r06_queries.py) —
+gate-verified in round 5 behind ``driver_sim --staged``, registered at
+round-6 start by flipping ``REGISTER_R06``.  These tests keep the
+staged queries (and the operators underneath) green in the meantime.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.llm import similarity
+from nasa_asteroid_data_lakehouse_spark.plans import r06_queries as r6
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_staged_registry_shape():
+    assert set(r6.STAGED_QUERIES) == set(r6.STAGED_ORACLES)
+    assert len(r6.STAGED_QUERIES) == 8
+
+
+def _write(df, tmp_path, table):
+    out = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+    return out
+
+
+# --- NDCG / MRR ---------------------------------------------------------------
+
+
+def test_ndcg_perfect_index_is_one(spark):
+    """probe_hamming covering every bucket ⇒ approx ranking == exact
+    ranking ⇒ NDCG 1.0 and MRR 1.0.  Regression pin for the idcg
+    when-chain direction: a descending build made `>= 1` outermost and
+    idcg collapsed to 1.0 (NDCG > 1) — caught by the staged oracle
+    gate in round 5."""
+    embs = spark.createDataFrame(
+        [(i, [1.0 + i, 2.0, 3.0]) for i in range(8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = similarity.ndcg_lsh(
+        embs, anchor_max_id=1, k=10, num_planes=4, probe_hamming=4
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_exact"] == 7
+    assert out[0]["ndcg_at_k"] == 1.0
+    assert out[0]["mrr"] == 1.0
+
+
+def test_ndcg_bounded_on_real_data(spark):
+    rows = r6.ndcg_lsh_embeddings(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0
+        assert 0.0 <= r["mrr"] <= 1.0
+
+
+def test_dcg_weights_prefix_sums():
+    ws, cum = similarity.dcg_weights(10)
+    assert ws[0] == 1.0
+    assert all(a > b for a, b in zip(ws, ws[1:]))  # strictly decreasing
+    assert abs(cum[-1] - sum(ws)) == 0.0  # same summation order
+
+
+# --- Kaplan-Meier --------------------------------------------------------------
+
+
+def test_km_survival_hits_zero_at_max_gap(spark, tmp_path):
+    """One customer, orders 10 days apart: every gap is 10, d = n at
+    the single risk row, so survival is pinned 0.0 (the Spark
+    log(0)=NULL vs DuckDB ln(0)=-inf divergence guard)."""
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 10.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 1, "O", 10.0, dt.datetime(2024, 1, 11), "1-URGENT"),
+            (3, 1, "O", 10.0, dt.datetime(2024, 1, 21), "1-URGENT"),
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    sf = _write(orders, tmp_path, "orders")
+    rows = r6.kaplan_meier_orders(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["gap_days"] == 10
+    assert rows[0]["n_events"] == 2
+    assert rows[0]["n_at_risk"] == 2
+    assert rows[0]["survival"] == 0.0
+
+
+def test_km_monotone_on_real_data(spark):
+    rows = (
+        r6.kaplan_meier_orders(spark, SF)
+        .orderBy("gap_days")
+        .collect()
+    )
+    assert rows
+    surv = [r["survival"] for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))  # non-increasing
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    # suffix-sum risk sets are non-increasing in gap order too
+    risk = [r["n_at_risk"] for r in rows]
+    assert all(a >= b for a, b in zip(risk, risk[1:]))
+
+
+# --- STL decomposition ---------------------------------------------------------
+
+
+def test_stl_constant_series_decomposes_to_zero(spark, tmp_path):
+    """14 consecutive constant days: trend = the constant on the
+    middle 8 days (NULL at the 3-row edges), seasonal and residual
+    exactly 0 there."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i), 1, "view", 5.0, None)
+        for i in range(14)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    sf = _write(ev, tmp_path, "events")
+    out = {r["ds"].day: r for r in r6.stl_decomposition_daily_events(spark, sf).collect()}
+    assert len(out) == 14
+    for day, r in out.items():
+        if 4 <= day <= 11:  # full 7-row frame
+            assert r["trend"] == 5.0
+            assert r["seasonal"] == 0.0
+            assert r["residual"] == 0.0
+        else:
+            assert r["trend"] is None
+            assert r["seasonal"] is None
+            assert r["residual"] is None
+
+
+# --- decision stump -------------------------------------------------------------
+
+
+def test_stump_perfect_split_gain_is_parent_entropy(spark, tmp_path):
+    """value 1..100, purchase iff value > 50: the 50.5 grid threshold
+    splits perfectly, info gain = H(0.5) = 1.0 bit."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1), 1,
+         "purchase" if i > 50 else "view", float(i), None)
+        for i in range(1, 101)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    sf = _write(ev, tmp_path, "events")
+    out = r6.stump_split_events(spark, sf).collect()
+    assert len(out) == 19
+    best = max(out, key=lambda r: r["info_gain"])
+    assert best["info_gain"] == 1.0
+    assert best["n_l"] == 50 and best["n_r"] == 50
+    assert best["purchase_rate_left"] == 0.0
+    assert best["purchase_rate_right"] == 1.0
+    assert all(0.0 <= r["info_gain"] <= 1.0 for r in out)
+
+
+# --- Markov stationary ----------------------------------------------------------
+
+
+def test_markov_two_state_alternating_chain(spark, tmp_path):
+    """A->B->A->B...: P is the swap matrix, the uniform start is
+    already stationary: both states at 0.5."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i), 1,
+         "click" if i % 2 == 0 else "view", 1.0, None)
+        for i in range(20)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    sf = _write(ev, tmp_path, "events")
+    out = {
+        r["event_type"]: r["stationary_prob"]
+        for r in r6.markov_stationary_events(spark, sf).collect()
+    }
+    assert out == {"click": 0.5, "view": 0.5}
+
+
+def test_markov_sums_to_one_on_real_data(spark):
+    rows = r6.markov_stationary_events(spark, SF).collect()
+    assert rows
+    assert abs(sum(r["stationary_prob"] for r in rows) - 1.0) < 1e-4
+
+
+# --- PCA power iteration --------------------------------------------------------
+
+
+def test_pca_axis_aligned_variance(spark, tmp_path):
+    """Variance concentrated on dim 0 (other 7 leading dims constant):
+    the leading component is ±e0, sign-fixed positive, explaining all
+    the leading-block variance."""
+    vecs = [
+        (i, [float(i)] + [1.0] * 63) for i in range(40)
+    ]
+    embs = spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>"
+    )
+    sf = _write(embs.withColumn("label", F.lit(0)), tmp_path, "embeddings")
+    rows = {r["dim"]: r for r in r6.pca_power_iteration_embeddings(spark, sf).collect()}
+    assert len(rows) == 8
+    assert rows[0]["loading"] == 1.0
+    for d in range(1, 8):
+        assert rows[d]["loading"] == 0.0
+    assert rows[0]["explained_share"] == 1.0
+
+
+def test_pca_unit_norm_on_real_data(spark):
+    rows = r6.pca_power_iteration_embeddings(spark, SF).collect()
+    assert len(rows) == 8
+    nrm2 = sum(r["loading"] ** 2 for r in rows)
+    assert abs(nrm2 - 1.0) < 1e-3
+    assert 0.0 <= rows[0]["explained_share"] <= 1.0 + 1e-9
+    # deterministic sign: first nonzero loading is positive
+    first_nz = next(
+        r["loading"] for r in sorted(rows, key=lambda r: r["dim"])
+        if r["loading"] != 0.0
+    )
+    assert first_nz > 0
+
+
+# --- calibration curve ----------------------------------------------------------
+
+
+def test_calibration_bins_bounded(spark):
+    rows = r6.calibration_curve_documents(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["score_bin"] <= 9
+        assert 0 <= r["n_dups"] <= r["n_docs"]
+        assert 0.0 <= r["dup_rate"] <= 1.0
+
+
+def test_calibration_exact_dups_flagged(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "same text here", "en", "a", 14),
+            (2, "same text here", "en", "b", 14),
+            (3, "a unique document", "en", "a", 17),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    sf = _write(docs, tmp_path, "documents")
+    rows = r6.calibration_curve_documents(spark, sf).collect()
+    assert sum(r["n_docs"] for r in rows) == 3
+    assert sum(r["n_dups"] for r in rows) == 2
+
+
+# --- stylometry -----------------------------------------------------------------
+
+
+def test_stylometry_pairs_ordered_and_nonnegative(spark):
+    rows = r6.stylometry_delta_sources(spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert (r["source_a"], r["source_b"]) not in seen
+        seen.add((r["source_a"], r["source_b"]))
+        assert r["delta"] >= 0.0
+
+
+def test_stylometry_identical_sources_zero_delta(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "s1", 16),
+            (2, "alpha beta gamma", "en", "s2", 16),
+            (3, "delta epsilon zeta", "en", "s3", 18),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    sf = _write(docs, tmp_path, "documents")
+    rows = {
+        (r["source_a"], r["source_b"]): r["delta"]
+        for r in r6.stylometry_delta_sources(spark, sf).collect()
+    }
+    assert rows[("s1", "s2")] == 0.0  # identical token profiles
+    assert rows[("s1", "s3")] > 0.0
