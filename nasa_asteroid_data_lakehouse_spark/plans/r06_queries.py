@@ -492,6 +492,14 @@ def stylometry_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # EVERY aggregate in this query is integer-exact: relative
+    # frequencies land on an integer 1e-7 lattice (f_int), so the
+    # mean/variance sums, and later the per-pair |z| sums, are BIGINT
+    # arithmetic — reduction order cannot move ANY value, and the
+    # scalar math downstream (divisions, sqrt, clamp, round) is
+    # deterministic IEEE over identical operands on both engines.  A
+    # float-sum version of mu/sd produced 1-ulp boundary mismatches
+    # at BOTH sf0.01 and sf0.1 (different rows) before this.
     dense = (
         per_source_total.crossJoin(F.broadcast(top))
         .join(counts, ["source", "tok"], "left")
@@ -499,31 +507,45 @@ def stylometry_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "tok",
             F.round(
-                F.try_divide(F.coalesce(F.col("c"), F.lit(0)), F.col("tot")), 9
-            ).alias("f"),
+                F.try_divide(F.coalesce(F.col("c"), F.lit(0)), F.col("tot"))
+                * F.lit(1e7)
+            )
+            .cast("bigint")
+            .alias("fi"),
         )
     )
     stats = dense.groupBy("tok").agg(
         F.count(F.lit(1)).alias("ns"),
-        F.sum("f").alias("sf"),
-        F.sum(F.col("f") * F.col("f")).alias("sff"),
+        F.sum("fi").alias("sf"),
+        F.sum(F.col("fi") * F.col("fi")).alias("sff"),
     )
-    mean = F.try_divide(F.col("sf"), F.col("ns"))
+    mean = F.try_divide(F.col("sf").cast("double"), F.col("ns"))
     var = F.try_divide(
-        F.col("sff") - F.col("sf") * F.col("sf") / F.col("ns"),
+        F.col("sff").cast("double")
+        - F.col("sf").cast("double") * F.col("sf").cast("double")
+        / F.col("ns"),
         F.col("ns") - 1,
     )
     z_stats = stats.select(
         "tok",
-        F.round(mean, 9).alias("mu"),
-        F.round(F.sqrt(F.round(var, 12)), 9).alias("sd"),
+        mean.alias("mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("sd"),
+    )
+    # z on a clamped INTEGER 1e-9 lattice; sd == 0 -> try_divide NULL
+    # -> 0 contribution.  Clamp at ±1e6 keeps z_int within BIGINT sums
+    # even for degenerate sd.  (fi - mu)/sd is scale-invariant, so the
+    # 1e7 frequency scaling cancels.
+    zf = F.coalesce(
+        F.try_divide(F.col("fi") - F.col("mu"), F.col("sd")), F.lit(0.0)
     )
     z = dense.join(F.broadcast(z_stats), "tok").select(
         "source",
         "tok",
-        F.coalesce(
-            F.try_divide(F.col("f") - F.col("mu"), F.col("sd")), F.lit(0.0)
-        ).alias("z"),
+        F.round(
+            F.least(F.greatest(zf, F.lit(-1e6)), F.lit(1e6)) * F.lit(1e9)
+        )
+        .cast("bigint")
+        .alias("z"),
     )
     a, b = z.alias("a"), z.alias("b")
     pairs = a.join(
@@ -535,7 +557,13 @@ def stylometry_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.source").alias("source_a"),
         F.col("b.source").alias("source_b"),
     ).agg(
-        F.round(F.avg(F.abs(F.col("a.z") - F.col("b.z"))), 6).alias("delta")
+        F.round(
+            F.try_divide(
+                F.sum(F.abs(F.col("a.z") - F.col("b.z"))),
+                F.count(F.lit(1)) * F.lit(1e9),
+            ),
+            6,
+        ).alias("delta")
     )
 
 
@@ -557,27 +585,36 @@ counts AS (
 ),
 dense AS (
   SELECT tot.source, top.tok,
-    ROUND(COALESCE(c.c, 0) / NULLIF(CAST(tot.tot AS DOUBLE), 0.0), 9) AS f
+    CAST(ROUND(COALESCE(c.c, 0) / NULLIF(CAST(tot.tot AS DOUBLE), 0.0)
+               * 10000000.0) AS BIGINT) AS fi
   FROM tot CROSS JOIN top
   LEFT JOIN counts c ON c.source = tot.source AND c.tok = top.tok
 ),
 stats AS (
-  SELECT tok, COUNT(*) AS ns, SUM(f) AS sf, SUM(f * f) AS sff
+  SELECT tok, COUNT(*) AS ns,
+         CAST(SUM(fi) AS BIGINT) AS sf,
+         CAST(SUM(fi * fi) AS BIGINT) AS sff
   FROM dense GROUP BY tok
 ),
 z_stats AS (
   SELECT tok,
-    ROUND(sf / NULLIF(CAST(ns AS DOUBLE), 0.0), 9) AS mu,
-    ROUND(sqrt(ROUND((sff - sf * sf / ns) / NULLIF(ns - 1, 0), 12)), 9) AS sd
+    CAST(sf AS DOUBLE) / NULLIF(CAST(ns AS DOUBLE), 0.0) AS mu,
+    sqrt(GREATEST(
+      (CAST(sff AS DOUBLE)
+       - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE) / ns)
+      / NULLIF(ns - 1, 0), 0.0)) AS sd
   FROM stats
 ),
 z AS (
   SELECT d.source, d.tok,
-    COALESCE((d.f - zs.mu) / NULLIF(zs.sd, 0.0), 0.0) AS z
+    CAST(ROUND(LEAST(GREATEST(
+      COALESCE((d.fi - zs.mu) / NULLIF(zs.sd, 0.0), 0.0),
+      -1000000.0), 1000000.0) * 1000000000.0) AS BIGINT) AS z
   FROM dense d JOIN z_stats zs ON zs.tok = d.tok
 )
 SELECT a.source AS source_a, b.source AS source_b,
-       ROUND(AVG(abs(a.z - b.z)), 6) AS delta
+       ROUND(SUM(abs(a.z - b.z))
+             / (COUNT(*) * 1000000000.0), 6) AS delta
 FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
 GROUP BY a.source, b.source
 """
@@ -979,3 +1016,362 @@ FROM ex LEFT JOIN flags ON flags.anchor_id = ex.anchor_id
 
 STAGED_QUERIES["ndcg_lsh_embeddings"] = ndcg_lsh_embeddings
 STAGED_ORACLES["ndcg_lsh_embeddings"] = _ndcg_sql()
+
+
+# === pairwise Kolmogorov–Smirnov matrix over sources =========================
+
+
+def ks_matrix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-sample KS distance between sources over the
+    document-length distribution: D(a, b) = max |ECDF_a - ECDF_b|
+    evaluated exactly on the union support — the distribution-drift
+    matrix a crawl pipeline watches when a source changes its
+    boilerplate.
+
+    One shuffle to the (source, len) counts; the dense
+    sources × distinct-lengths grid (bounded: |L| ≤ distinct doc
+    lengths) gets per-source cumulative ECDFs via one window, then the
+    bounded source-pair join takes the max.  ECDFs are exact integer
+    ratios on the 1e-9 lattice."""
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    lens = docs.select("source", F.length("text").alias("len"))
+    counts = lens.groupBy("source", "len").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    support = counts.select("len").distinct()
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    grid = (
+        totals.crossJoin(support)
+        .join(counts, ["source", "len"], "left")
+        .select(
+            "source",
+            "len",
+            "tot",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("len").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ecdf = grid.select(
+        "source",
+        "len",
+        F.round(
+            F.try_divide(F.sum("c").over(w), F.col("tot")), 9
+        ).alias("f"),
+    )
+    a, b = ecdf.alias("a"), ecdf.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.len") == F.col("b.len"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.round(F.max(F.abs(F.col("a.f") - F.col("b.f"))), 6).alias(
+                "ks_d"
+            )
+        )
+    )
+
+
+KS_MATRIX_SQL = """
+WITH lens AS (
+  SELECT source, length(text) AS len FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+),
+counts AS (SELECT source, len, COUNT(*) AS c FROM lens GROUP BY source, len),
+support AS (SELECT DISTINCT len FROM counts),
+totals AS (SELECT source, SUM(c) AS tot FROM counts GROUP BY source),
+grid AS (
+  SELECT t.source, s.len, t.tot, COALESCE(c.c, 0) AS c
+  FROM totals t CROSS JOIN support s
+  LEFT JOIN counts c ON c.source = t.source AND c.len = s.len
+),
+ecdf AS (
+  SELECT source, len,
+    ROUND(SUM(c) OVER (PARTITION BY source ORDER BY len
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          / NULLIF(CAST(tot AS DOUBLE), 0.0), 9) AS f
+  FROM grid
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       ROUND(MAX(abs(a.f - b.f)), 6) AS ks_d
+FROM ecdf a JOIN ecdf b ON a.len = b.len AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+STAGED_QUERIES["ks_matrix_sources"] = ks_matrix_sources
+STAGED_ORACLES["ks_matrix_sources"] = KS_MATRIX_SQL
+
+
+# === empirical-Bayes shrunk duplicate rates ==================================
+
+_EB_PRIOR_STRENGTH = 20
+
+
+def shrunk_dup_rates_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-count (empirical-Bayes flavored) shrinkage of per-source
+    exact-dup rates toward the pooled corpus rate: shrunk =
+    (x + m·μ) / (n + m) with m = 20 and μ = pooled rate — the
+    small-source stabilizer (a 3-doc source with 1 dup should not read
+    as a 33% dup-rate source).
+
+    Dup membership is corpus-wide (normalized-text group size > 1,
+    keyed on sha2 — the calibration query's label).  Two shuffles
+    (dup groups, per-source rollup); μ is one bounded scalar
+    broadcast.  NULL source is a real group (grouping, not a join)."""
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    keyed = docs.select(
+        "source", F.sha2(text.normalized_text("text"), 256).alias("key")
+    )
+    dups = (
+        keyed.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("key", (F.col("c") > 1).alias("is_dup"))
+    )
+    flagged = keyed.join(dups, "key")
+    per_source = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("is_dup"), 1)).alias("n_dups"),
+    )
+    pooled = per_source.agg(
+        F.round(
+            F.try_divide(F.sum("n_dups"), F.sum("n_docs")), 9
+        ).alias("mu")
+    )
+    m = F.lit(float(_EB_PRIOR_STRENGTH))
+    return per_source.crossJoin(F.broadcast(pooled)).select(
+        "source",
+        "n_docs",
+        "n_dups",
+        F.round(F.try_divide(F.col("n_dups"), F.col("n_docs")), 6).alias(
+            "raw_rate"
+        ),
+        F.round(
+            F.try_divide(
+                F.col("n_dups") + m * F.col("mu"), F.col("n_docs") + m
+            ),
+            6,
+        ).alias("shrunk_rate"),
+    )
+
+
+SHRUNK_DUP_RATES_SQL = f"""
+WITH keyed AS (
+  SELECT source, sha256({_NORM}) AS key
+  FROM documents WHERE text IS NOT NULL
+),
+dups AS (SELECT key, COUNT(*) > 1 AS is_dup FROM keyed GROUP BY key),
+per_source AS (
+  SELECT k.source, COUNT(*) AS n_docs,
+         COUNT(*) FILTER (d.is_dup) AS n_dups
+  FROM keyed k JOIN dups d ON d.key = k.key
+  GROUP BY k.source
+),
+pooled AS (
+  SELECT ROUND(SUM(n_dups) / NULLIF(CAST(SUM(n_docs) AS DOUBLE), 0.0), 9)
+    AS mu
+  FROM per_source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_dups AS BIGINT) AS n_dups,
+       ROUND(n_dups / NULLIF(CAST(n_docs AS DOUBLE), 0.0), 6) AS raw_rate,
+       ROUND((n_dups + {float(_EB_PRIOR_STRENGTH)!r} * pooled.mu)
+             / (n_docs + {float(_EB_PRIOR_STRENGTH)!r}), 6) AS shrunk_rate
+FROM per_source, pooled
+"""
+
+STAGED_QUERIES["shrunk_dup_rates_sources"] = shrunk_dup_rates_sources
+STAGED_ORACLES["shrunk_dup_rates_sources"] = SHRUNK_DUP_RATES_SQL
+
+
+# === simhash vs minhash pair-set agreement ===================================
+
+
+def simhash_vs_minhash_agreement_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Agreement audit between the two near-dup detectors: the
+    verified MinHash-LSH pair set vs the SimHash Hamming pair set —
+    pair counts on each side, the intersection, and the pair-set
+    Jaccard.  The detector-selection evidence (which families does
+    each miss).
+
+    Reuses both session-cached pipelines (the LSH pair table and the
+    simhash signature table); the comparison itself is one equi-join
+    on the canonical (lo, hi) pair key."""
+    from nasa_asteroid_data_lakehouse_spark.plans import llm_queries as lq
+
+    mh = (
+        lq.minhash_lsh_pairs_documents(spark, sf_dir)
+        .select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .distinct()
+    )
+    sh = (
+        lq.simhash_pairs_documents(spark, sf_dir)
+        .select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .distinct()
+    )
+    n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
+    n_sh = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
+    n_both = mh.join(sh, ["lo", "hi"]).agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    return (
+        n_mh.crossJoin(F.broadcast(n_sh))
+        .crossJoin(F.broadcast(n_both))
+        .select(
+            "n_minhash",
+            "n_simhash",
+            "n_both",
+            F.round(
+                F.try_divide(
+                    F.col("n_both"),
+                    F.col("n_minhash") + F.col("n_simhash") - F.col("n_both"),
+                ),
+                6,
+            ).alias("pair_jaccard"),
+        )
+    )
+
+
+def _agreement_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _LSHMH_THRESHOLD,
+        _minhash_lsh_sql,
+        _SIMHASH_BITS,
+        _SIMHASH_MAX_HAMMING,
+        _SIMHASH_PREFIX,
+        _simhash_sql_core,
+    )
+
+    return f"""
+WITH {_simhash_sql_core()},
+blocked AS (
+  SELECT doc_id, simhash,
+         simhash >> {_SIMHASH_BITS - _SIMHASH_PREFIX} AS block
+  FROM sim
+),
+shp_q AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS lo,
+                  GREATEST(a.doc_id, b.doc_id) AS hi
+  FROM blocked a JOIN blocked b
+    ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+),
+mhp_q AS MATERIALIZED (
+  SELECT DISTINCT LEAST(id_a, id_b) AS lo, GREATEST(id_a, id_b) AS hi
+  FROM ({_minhash_lsh_sql(_LSHMH_THRESHOLD)})
+),
+nm AS (SELECT COUNT(*) AS n_minhash FROM mhp_q),
+nsh AS (SELECT COUNT(*) AS n_simhash FROM shp_q),
+nb AS (
+  SELECT COUNT(*) AS n_both
+  FROM mhp_q JOIN shp_q
+    ON shp_q.lo = mhp_q.lo AND shp_q.hi = mhp_q.hi
+)
+SELECT CAST(n_minhash AS BIGINT) AS n_minhash,
+       CAST(n_simhash AS BIGINT) AS n_simhash,
+       CAST(n_both AS BIGINT) AS n_both,
+       ROUND(n_both / NULLIF(
+         CAST(n_minhash + n_simhash - n_both AS DOUBLE), 0.0), 6)
+         AS pair_jaccard
+FROM nm, nsh, nb
+"""
+
+
+STAGED_QUERIES["simhash_vs_minhash_agreement_documents"] = (
+    simhash_vs_minhash_agreement_documents
+)
+STAGED_ORACLES["simhash_vs_minhash_agreement_documents"] = _agreement_sql()
+
+
+# === conformal-style coverage bands ==========================================
+
+_CB_LO = 0.05
+_CB_HI = 0.95
+
+
+def conformal_band_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal style coverage audit: per event type, the
+    [q05, q95] band fit on the even-event_id half, and the observed
+    coverage of that band on the odd half — the honest answer to "do
+    my per-type value bands actually hold out of sample".
+
+    The split is a deterministic id-parity hash (no randomness), the
+    band is one percentile aggregate per type, and coverage is a
+    broadcast join of the bounded band table back to the odd half.
+    Finite-value filter per the NaN rule; NULL event_id rows are
+    excluded (no deterministic side)."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & finite(F.col("value"))
+    )
+    train = ev.where(F.col("event_id") % 2 == 0)
+    test = ev.where(F.col("event_id") % 2 == 1)
+    bands = train.groupBy("event_type").agg(
+        F.round(F.expr(f"percentile(value, {_CB_LO!r})"), 6).alias("lo"),
+        F.round(F.expr(f"percentile(value, {_CB_HI!r})"), 6).alias("hi"),
+    )
+    cov = (
+        test.join(F.broadcast(bands), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(
+                F.try_divide(
+                    F.count(
+                        F.when(
+                            (F.col("value") >= F.col("lo"))
+                            & (F.col("value") <= F.col("hi")),
+                            1,
+                        )
+                    ),
+                    F.count(F.lit(1)),
+                ),
+                6,
+            ).alias("coverage"),
+        )
+    )
+    return cov
+
+
+CONFORMAL_BAND_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL AND isfinite(value)
+),
+bands AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, {_CB_LO!r}), 6) AS lo,
+         ROUND(quantile_cont(value, {_CB_HI!r}), 6) AS hi
+  FROM ev WHERE event_id % 2 = 0 GROUP BY event_type
+)
+SELECT t.event_type, b.lo, b.hi,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(COUNT(*) FILTER (t.value >= b.lo AND t.value <= b.hi)
+             / NULLIF(COUNT(*), 0), 6) AS coverage
+FROM ev t JOIN bands b ON b.event_type = t.event_type
+WHERE t.event_id % 2 = 1
+GROUP BY t.event_type, b.lo, b.hi
+"""
+
+STAGED_QUERIES["conformal_band_events"] = conformal_band_events
+STAGED_ORACLES["conformal_band_events"] = CONFORMAL_BAND_SQL

@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_staged_registry_shape():
     assert set(r6.STAGED_QUERIES) == set(r6.STAGED_ORACLES)
-    assert len(r6.STAGED_QUERIES) == 8
+    assert len(r6.STAGED_QUERIES) == 12
 
 
 def _write(df, tmp_path, table):
@@ -284,3 +284,82 @@ def test_stylometry_identical_sources_zero_delta(spark, tmp_path):
     }
     assert rows[("s1", "s2")] == 0.0  # identical token profiles
     assert rows[("s1", "s3")] > 0.0
+
+
+# --- KS matrix ------------------------------------------------------------------
+
+
+def test_ks_matrix_bounds_and_identical_sources(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa", "en", "s1", 4),
+            (2, "bbbb", "en", "s2", 4),
+            (3, "cccccccc", "en", "s3", 8),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    sf = _write(docs, tmp_path, "documents")
+    rows = {
+        (r["source_a"], r["source_b"]): r["ks_d"]
+        for r in r6.ks_matrix_sources(spark, sf).collect()
+    }
+    assert rows[("s1", "s2")] == 0.0  # identical length distributions
+    assert rows[("s1", "s3")] == 1.0  # disjoint supports
+    assert all(0.0 <= d <= 1.0 for d in rows.values())
+
+
+def test_ks_matrix_real_data_shape(spark):
+    rows = r6.ks_matrix_sources(spark, SF).collect()
+    assert rows
+    assert all(0.0 <= r["ks_d"] <= 1.0 for r in rows)
+    assert all(r["source_a"] < r["source_b"] for r in rows)
+
+
+# --- shrunk dup rates -----------------------------------------------------------
+
+
+def test_shrunk_rates_pull_toward_pooled(spark):
+    rows = r6.shrunk_dup_rates_sources(spark, SF).collect()
+    assert rows
+    pooled = sum(r["n_dups"] for r in rows) / sum(r["n_docs"] for r in rows)
+    for r in rows:
+        raw, shrunk = r["raw_rate"], r["shrunk_rate"]
+        assert 0.0 <= shrunk <= 1.0
+        # shrinkage moves every estimate toward (or onto) the pooled rate
+        assert abs(shrunk - pooled) <= abs(raw - pooled) + 1e-9
+
+
+# --- simhash vs minhash agreement -----------------------------------------------
+
+
+def test_agreement_counts_consistent(spark):
+    row = r6.simhash_vs_minhash_agreement_documents(spark, SF).collect()[0]
+    assert row["n_both"] <= min(row["n_minhash"], row["n_simhash"])
+    union = row["n_minhash"] + row["n_simhash"] - row["n_both"]
+    if union:
+        assert row["pair_jaccard"] == round(row["n_both"] / union, 6)
+
+
+# --- conformal bands ------------------------------------------------------------
+
+
+def test_conformal_coverage_bounds(spark):
+    rows = r6.conformal_band_events(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["lo"] <= r["hi"]
+        assert 0.0 <= r["coverage"] <= 1.0
+        assert r["n_test"] > 0
+
+
+def test_conformal_split_is_disjoint_and_deterministic(spark):
+    a = {
+        (r["event_type"]): (r["lo"], r["hi"], r["n_test"], r["coverage"])
+        for r in r6.conformal_band_events(spark, SF).collect()
+    }
+    b = {
+        (r["event_type"]): (r["lo"], r["hi"], r["n_test"], r["coverage"])
+        for r in r6.conformal_band_events(spark, SF).collect()
+    }
+    assert a == b  # id-parity split, no randomness
