@@ -626,7 +626,7 @@ STAGED_ORACLES["stylometry_delta_sources"] = STYLOMETRY_DELTA_SQL
 # === PCA leading component via power iteration ===============================
 
 _PCA_DIMS = 8
-_PCA_ITERS = 8
+_PCA_ITERS = 12
 _PCA_V0 = 1.0 / (8.0 ** 0.5)  # uniform unit start over 8 dims
 
 
@@ -643,8 +643,17 @@ def pca_power_iteration_embeddings(
     iterations run on the bounded 8×8 matrix DataFrame —
     O(d²)-per-iteration work that is identical on 1 or 1000 executors.
     Sign is fixed deterministically (first nonzero loading positive).
-    Output: per dim, the loading plus the Rayleigh eigenvalue and its
-    share of total variance."""
+
+    The iteration runs on the TRACE-NORMALIZED matrix C/tr: raw
+    covariances can be ~1e12 on value-domain-edge inputs, where a
+    1e-9 lattice is a no-op and sum-order noise (relative 1e-16 =
+    absolute 1e-4) leaks straight through a 6-decimal output — caught
+    live by the --extreme gate on the two-component variant.
+    Normalizing first puts every matrix entry, iterate, and the
+    Rayleigh quotient in O(1) where the lattice actually absorbs
+    reduction-order noise.  Output: per dim, the loading plus the
+    component's share of total variance (λ/tr — dimensionless; a raw
+    eigenvalue at 1e12 cannot hold 6 decimals in a double at all)."""
     emb = read_table(spark, sf_dir, "embeddings").where(
         similarity.vec_valid(F.col("embedding"))
     )
@@ -688,11 +697,30 @@ def pca_power_iteration_embeddings(
         )
         .localCheckpoint()
     )
-    m = g.unionByName(
-        g.where(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+    trace = g.where(F.col("i") == F.col("j")).agg(
+        F.sum("c").alias("tr")
+    )
+    m = (
+        g.unionByName(
+            g.where(F.col("i") < F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "c"
+            )
         )
-    ).localCheckpoint()
+        .crossJoin(F.broadcast(trace))
+        .select(
+            "i",
+            "j",
+            # CASE-guard, not NULLIF: a -0.0 trace must become NULL,
+            # never a divisor (x / -0.0 = -inf)
+            F.round(
+                F.try_divide(
+                    F.col("c"), F.when(F.col("tr") > 0, F.col("tr"))
+                ),
+                9,
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
     v = m.select(F.col("i").alias("dim")).distinct().select(
         "dim", F.lit(_PCA_V0).alias("x")
     )
@@ -729,18 +757,9 @@ def pca_power_iteration_embeddings(
         .join(vi, m["i"] == vi["id"])
         .agg(
             F.round(
-                F.sum(F.col("xi") * F.col("c") * F.col("xj")), 9
-            ).alias("lam")
+                F.sum(F.col("xi") * F.col("c") * F.col("xj")), 6
+            ).alias("explained_share")
         )
-    )
-    trace = g.where(F.col("i") == F.col("j")).agg(
-        F.round(F.sum("c"), 9).alias("tr")
-    )
-    scalars = lam.crossJoin(F.broadcast(trace)).select(
-        F.round("lam", 6).alias("eigenvalue"),
-        F.round(F.try_divide(F.col("lam"), F.col("tr")), 6).alias(
-            "explained_share"
-        ),
     )
     return (
         v.crossJoin(F.broadcast(sgn))
@@ -748,7 +767,7 @@ def pca_power_iteration_embeddings(
             "dim",
             F.round(F.col("s") * F.col("x"), 6).alias("loading"),
         )
-        .crossJoin(F.broadcast(scalars))
+        .crossJoin(F.broadcast(lam))
     )
 
 
@@ -779,9 +798,11 @@ g AS MATERIALIZED (
   FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
   GROUP BY a.dim, b.dim
 ),
+tr AS (SELECT SUM(c) AS tr FROM g WHERE i = j),
 m AS MATERIALIZED (
-  SELECT i, j, c FROM g
-  UNION ALL SELECT j, i, c FROM g WHERE i < j
+  SELECT i, j, ROUND(c / (CASE WHEN tr.tr > 0 THEN tr.tr END), 9) AS c
+  FROM (SELECT i, j, c FROM g
+        UNION ALL SELECT j, i, c FROM g WHERE i < j) raw, tr
 ),
 v0 AS MATERIALIZED (SELECT DISTINCT i AS dim, {_PCA_V0!r} AS x FROM m),{",".join(iters)},
 sgn AS (
@@ -791,15 +812,13 @@ sgn AS (
     ORDER BY dim LIMIT 1)
 ),
 lam AS (
-  SELECT ROUND(SUM(vi.x * m.c * vj.x), 9) AS lam
+  SELECT ROUND(SUM(vi.x * m.c * vj.x), 6) AS explained_share
   FROM m JOIN {prev} vj ON vj.dim = m.j
          JOIN {prev} vi ON vi.dim = m.i
-),
-tr AS (SELECT ROUND(SUM(c), 9) AS tr FROM g WHERE i = j)
+)
 SELECT v.dim, ROUND(sgn.s * v.x, 6) AS loading,
-       ROUND(lam.lam, 6) AS eigenvalue,
-       ROUND(lam.lam / NULLIF(tr.tr, 0.0), 6) AS explained_share
-FROM {prev} v, sgn, lam, tr
+       lam.explained_share
+FROM {prev} v, sgn, lam
 """
 
 
@@ -1375,3 +1394,486 @@ GROUP BY t.event_type, b.lo, b.hi
 
 STAGED_QUERIES["conformal_band_events"] = conformal_band_events
 STAGED_ORACLES["conformal_band_events"] = CONFORMAL_BAND_SQL
+
+
+# === two-component PCA via deflation =========================================
+
+
+def pca_two_components_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First TWO principal components of the leading 8 embedding
+    dimensions: power iteration for PC1, Hotelling deflation
+    (M₂ = M − λ₁·v₁v₁ᵀ, 9-lattice), power iteration again for PC2 —
+    the dimensionality-reduction preview (how much of the block do two
+    axes carry).
+
+    Same execution contract as the single-component query: ONE corpus
+    shuffle for the moments, every iteration on the bounded
+    TRACE-NORMALIZED 8×8 matrix (see the single-component docstring —
+    raw 1e12-scale covariances leak sum-order noise through 6-decimal
+    outputs; the --extreme gate caught it on this very query) with
+    eager per-iteration checkpoints.  Output per dim: both sign-fixed
+    loadings, plus both components' variance shares (λ/tr)."""
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        similarity.vec_valid(F.col("embedding"))
+    )
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.slice(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                1,
+                _PCA_DIMS,
+            )
+        ).alias("dim", "x"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    g = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.dim") <= F.col("b.dim")),
+        )
+        .groupBy(
+            F.col("a.dim").cast("bigint").alias("i"),
+            F.col("b.dim").cast("bigint").alias("j"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a.x")).alias("sx"),
+            F.sum(F.col("b.x")).alias("sy"),
+            F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.try_divide(
+                    F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"),
+                    F.col("n") - 1,
+                ),
+                9,
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    trace = g.where(F.col("i") == F.col("j")).agg(F.sum("c").alias("tr"))
+    m = (
+        g.unionByName(
+            g.where(F.col("i") < F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "c"
+            )
+        )
+        .crossJoin(F.broadcast(trace))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.try_divide(
+                    F.col("c"), F.when(F.col("tr") > 0, F.col("tr"))
+                ),
+                9,
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+
+    def _power(mat):
+        v = mat.select(F.col("i").alias("dim")).distinct().select(
+            "dim", F.lit(_PCA_V0).alias("x")
+        )
+        for _ in range(_PCA_ITERS):
+            u = (
+                mat.join(v, mat["j"] == v["dim"])
+                .groupBy(F.col("i").alias("d"))
+                .agg(F.round(F.sum(F.col("c") * F.col("x")), 9).alias("ux"))
+            )
+            nrm = u.agg(
+                F.round(F.sqrt(F.sum(F.col("ux") * F.col("ux"))), 9).alias(
+                    "nrm"
+                )
+            )
+            v = (
+                u.crossJoin(F.broadcast(nrm))
+                .select(
+                    F.col("d").alias("dim"),
+                    F.round(F.try_divide(F.col("ux"), F.col("nrm")), 9).alias(
+                        "x"
+                    ),
+                )
+                .localCheckpoint()
+            )
+        first_nz = (
+            v.where(F.col("x").isNotNull() & (F.col("x") != 0.0))
+            .orderBy("dim")
+            .limit(1)
+            .select(
+                F.when(F.col("x") < 0, F.lit(-1.0))
+                .otherwise(F.lit(1.0))
+                .alias("s")
+            )
+        )
+        sgn = first_nz.agg(F.coalesce(F.max("s"), F.lit(1.0)).alias("s"))
+        v = (
+            v.crossJoin(F.broadcast(sgn))
+            .select("dim", F.round(F.col("s") * F.col("x"), 9).alias("x"))
+            .localCheckpoint()
+        )
+        vj = v.select(F.col("dim").alias("jd"), F.col("x").alias("xj"))
+        vi = v.select(F.col("dim").alias("id"), F.col("x").alias("xi"))
+        lam = (
+            mat.join(vj, mat["j"] == vj["jd"])
+            .join(vi, mat["i"] == vi["id"])
+            .agg(
+                F.round(F.sum(F.col("xi") * F.col("c") * F.col("xj")), 9).alias(
+                    "lam"
+                )
+            )
+        )
+        return v, lam
+
+    v1, lam1 = _power(m)
+    m2 = (
+        m.join(
+            v1.select(F.col("dim").alias("i"), F.col("x").alias("xi")), "i"
+        )
+        .join(
+            v1.select(F.col("dim").alias("j"), F.col("x").alias("xj")), "j"
+        )
+        .crossJoin(F.broadcast(lam1))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("c") - F.col("lam") * F.col("xi") * F.col("xj"), 9
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    v2, lam2 = _power(m2)
+    return (
+        v1.select("dim", F.round("x", 6).alias("pc1"))
+        .join(v2.select("dim", F.round("x", 6).alias("pc2")), "dim")
+        .crossJoin(
+            F.broadcast(lam1.select(F.round("lam", 6).alias("share_1")))
+        )
+        .crossJoin(
+            F.broadcast(lam2.select(F.round("lam", 6).alias("share_2")))
+        )
+    )
+
+
+def _pca2_power_sql(mat: str, tag: str) -> str:
+    """Unrolled power-iteration CTE block over matrix CTE ``mat``;
+    final sign-fixed vector lands in CTE ``w{tag}`` with eigenvalue in
+    ``lam{tag}``."""
+    parts = []
+    prev = f"v{tag}0"
+    parts.append(
+        f"v{tag}0 AS MATERIALIZED (SELECT DISTINCT i AS dim, {_PCA_V0!r} AS x"
+        f" FROM {mat})"
+    )
+    for t in range(1, _PCA_ITERS + 1):
+        parts.append(f"""
+u{tag}{t} AS MATERIALIZED (
+  SELECT m.i AS d, ROUND(SUM(m.c * v.x), 9) AS ux
+  FROM {mat} m JOIN {prev} v ON v.dim = m.j GROUP BY m.i
+),
+n{tag}{t} AS MATERIALIZED (SELECT ROUND(sqrt(SUM(ux * ux)), 9) AS nrm
+  FROM u{tag}{t}),
+v{tag}{t} AS MATERIALIZED (
+  SELECT d AS dim, ROUND(ux / NULLIF(n{tag}{t}.nrm, 0.0), 9) AS x
+  FROM u{tag}{t}, n{tag}{t})""")
+        prev = f"v{tag}{t}"
+    parts.append(f"""
+sgn{tag} AS (
+  SELECT COALESCE(MAX(s), 1.0) AS s FROM (
+    SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+    FROM {prev} WHERE x IS NOT NULL AND x <> 0.0
+    ORDER BY dim LIMIT 1)
+),
+w{tag} AS MATERIALIZED (
+  SELECT dim, ROUND(sgn{tag}.s * x, 9) AS x FROM {prev}, sgn{tag}
+),
+lam{tag} AS MATERIALIZED (
+  SELECT ROUND(SUM(vi.x * m.c * vj.x), 9) AS lam
+  FROM {mat} m JOIN w{tag} vj ON vj.dim = m.j
+               JOIN w{tag} vi ON vi.dim = m.i
+)""")
+    return ",".join(parts)
+
+
+def _pca2_sql() -> str:
+    return f"""
+WITH ex AS (
+  SELECT vec_id, CAST(g.i - 1 AS BIGINT) AS dim, e.emb[g.i] AS x
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        WHERE {_VEC_VALID_SQL}) e,
+       UNNEST(range(1, LEAST(len(e.emb), {_PCA_DIMS}) + 1)) AS g(i)
+),
+g AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+    ROUND((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
+          / NULLIF(COUNT(*) - 1, 0), 9) AS c
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY a.dim, b.dim
+),
+tr AS (SELECT SUM(c) AS tr FROM g WHERE i = j),
+m AS MATERIALIZED (
+  SELECT i, j, ROUND(c / (CASE WHEN tr.tr > 0 THEN tr.tr END), 9) AS c
+  FROM (SELECT i, j, c FROM g
+        UNION ALL SELECT j, i, c FROM g WHERE i < j) raw, tr
+),
+{_pca2_power_sql("m", "a")},
+m2 AS MATERIALIZED (
+  SELECT m.i, m.j,
+    ROUND(m.c - lama.lam * wi.x * wj.x, 9) AS c
+  FROM m JOIN wa wi ON wi.dim = m.i
+         JOIN wa wj ON wj.dim = m.j, lama
+),
+{_pca2_power_sql("m2", "b")}
+SELECT wa.dim, ROUND(wa.x, 6) AS pc1, ROUND(wb.x, 6) AS pc2,
+       ROUND(lama.lam, 6) AS share_1,
+       ROUND(lamb.lam, 6) AS share_2
+FROM wa JOIN wb ON wb.dim = wa.dim, lama, lamb
+"""
+
+
+STAGED_QUERIES["pca_two_components_embeddings"] = (
+    pca_two_components_embeddings
+)
+STAGED_ORACLES["pca_two_components_embeddings"] = _pca2_sql()
+
+
+# === Good-Turing frequency spectrum ==========================================
+
+_GT_MAX_R = 5
+
+
+def good_turing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing smoothing inputs over the corpus BIGRAM-frequency
+    spectrum: for r = 1..5, the type count N_r, the adjusted count
+    r* = (r+1)·N_{r+1}/N_r, and the unseen-probability mass
+    p₀ = N₁/N — the language-model-coverage estimator (how much
+    probability belongs to bigrams the corpus has never seen).
+    Bigrams, not unigrams: the synthetic fixture's unigram vocabulary
+    is tiny and dense (31 types, min count 26 at sf0.01), so the
+    low-frequency unigram spectrum is empty at every SF — a 0-row
+    query proves nothing.
+
+    Everything is an exact integer ratio (pair counts, spectrum
+    counts) — no float aggregation anywhere.  Two bounded hash
+    aggregates after the adjacent-pair expansion
+    (llm/tokenizer.pair_counts_from_tokens — the BPE machinery)."""
+    from nasa_asteroid_data_lakehouse_spark.llm import tokenizer
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        text.tokens(text.normalized_text("text")).alias("toks")
+    )
+    counts = tokenizer.pair_counts_from_tokens(toks).select(
+        F.col("pair_count").alias("c")
+    )
+    spectrum = (
+        counts.where(F.col("c") <= _GT_MAX_R + 1)
+        .groupBy(F.col("c").alias("r"))
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    total = counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_tokens")
+    )
+    nxt = spectrum.select(
+        (F.col("r") - 1).alias("r"), F.col("n_types").alias("n_types_next")
+    )
+    return (
+        spectrum.where(F.col("r") <= _GT_MAX_R)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r",
+            "n_types",
+            F.round(
+                F.try_divide(
+                    (F.col("r") + 1) * F.coalesce("n_types_next", F.lit(0)),
+                    F.col("n_types"),
+                ),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.try_divide(
+                    F.when(F.col("r") == 1, F.col("n_types")).otherwise(
+                        F.lit(None)
+                    ).cast("bigint"),
+                    F.col("n_tokens"),
+                ),
+                6,
+            ).alias("p0_unseen_mass"),
+        )
+    )
+
+
+GOOD_TURING_SQL = f"""
+WITH tk AS (
+  SELECT {_TOKS} AS t FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT COUNT(*) AS c FROM (
+    SELECT t[i] AS a, t[i + 1] AS b
+    FROM tk, UNNEST(range(1, len(t))) AS g(i)
+    WHERE len(t) >= 2)
+  GROUP BY a, b
+),
+spectrum AS (
+  SELECT c AS r, COUNT(*) AS n_types FROM counts
+  WHERE c <= {_GT_MAX_R + 1} GROUP BY c
+),
+total AS (SELECT COALESCE(SUM(c), 0) AS n_tokens FROM counts)
+SELECT s.r, CAST(s.n_types AS BIGINT) AS n_types,
+  ROUND((s.r + 1) * COALESCE(nx.n_types, 0)
+        / NULLIF(CAST(s.n_types AS DOUBLE), 0.0), 6) AS r_star,
+  ROUND(CASE WHEN s.r = 1 THEN s.n_types END
+        / NULLIF(CAST(total.n_tokens AS DOUBLE), 0.0), 6)
+    AS p0_unseen_mass
+FROM spectrum s
+LEFT JOIN spectrum nx ON nx.r = s.r + 1, total
+WHERE s.r <= {_GT_MAX_R}
+"""
+
+STAGED_QUERIES["good_turing_documents"] = good_turing_documents
+STAGED_ORACLES["good_turing_documents"] = GOOD_TURING_SQL
+
+
+# === Gumbel (EV-I) fit of daily maxima =======================================
+
+_EULER_GAMMA = 0.5772156649015329
+_SQRT6_OVER_PI = 0.779696801233676
+
+
+def gumbel_fit_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments Gumbel (EV-I) fit of the daily block maxima
+    of event values: scale = std·√6/π, location = mean − γ·scale —
+    the extreme-value tail model (what daily peak should capacity
+    planning expect).
+
+    One shuffle to the bounded daily-maxima table; moments via the
+    fixed sum identities over its O(days) rows; the fit itself is
+    scalar arithmetic with shared repr() constants."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & finite(F.col("value"))
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("ds")).agg(
+        F.max("value").alias("mx")
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("mx").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).alias("ss"),
+    )
+    mean = F.try_divide(F.col("s"), F.col("n_days"))
+    var = F.try_divide(
+        F.col("ss") - F.col("s") * F.col("s") / F.col("n_days"),
+        F.col("n_days") - 1,
+    )
+    scale = F.sqrt(F.greatest(var, F.lit(0.0))) * F.lit(_SQRT6_OVER_PI)
+    return mom.where(F.col("n_days") > 0).select(
+        "n_days",
+        F.round(mean, 6).alias("mean_daily_max"),
+        F.round(scale, 6).alias("gumbel_scale"),
+        F.round(mean - F.lit(_EULER_GAMMA) * scale, 6).alias("gumbel_loc"),
+    )
+
+
+GUMBEL_FIT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS ds, MAX(value) AS mx
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value)
+  GROUP BY CAST(ts AS DATE)
+),
+mom AS (
+  SELECT COUNT(*) AS n_days, SUM(mx) AS s, SUM(mx * mx) AS ss FROM daily
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+  ROUND(s / NULLIF(CAST(n_days AS DOUBLE), 0.0), 6) AS mean_daily_max,
+  ROUND(sqrt(GREATEST((ss - s * s / n_days) / NULLIF(n_days - 1, 0), 0.0))
+        * {_SQRT6_OVER_PI!r}, 6) AS gumbel_scale,
+  ROUND(s / NULLIF(CAST(n_days AS DOUBLE), 0.0)
+        - {_EULER_GAMMA!r}
+          * sqrt(GREATEST((ss - s * s / n_days)
+                          / NULLIF(n_days - 1, 0), 0.0))
+          * {_SQRT6_OVER_PI!r}, 6) AS gumbel_loc
+FROM mom
+WHERE n_days > 0
+"""
+
+STAGED_QUERIES["gumbel_fit_daily_events"] = gumbel_fit_daily_events
+STAGED_ORACLES["gumbel_fit_daily_events"] = GUMBEL_FIT_SQL
+
+
+# === Hill tail-index estimator ===============================================
+
+_HILL_K = 50
+
+
+def hill_tail_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the price tail index: over the top-50 order
+    totals (deterministic (price, key) order), the mean log-excess
+    over the 50th value; alpha = 1/hill — the heavy-tail gauge
+    (is revenue concentration Pareto-like, and how heavy).
+
+    Top-k is TakeOrderedAndProject (never a corpus sort); the k-th
+    value is one single-row broadcast; the 49-term log sum follows the
+    daily-table float-aggregate convention (round 6)."""
+    o = read_table(spark, sf_dir, "orders").where(
+        finite(F.col("o_totalprice")) & (F.col("o_totalprice") > 0)
+    )
+    top = (
+        o.select("o_totalprice", "o_orderkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(_HILL_K)
+        .localCheckpoint()
+    )
+    kth = top.agg(F.min("o_totalprice").alias("xk"))
+    n_top = top.count()
+    excess = (
+        top.crossJoin(F.broadcast(kth))
+        .where(F.col("o_totalprice") > F.col("xk"))
+        .select(
+            (F.log("o_totalprice") - F.log("xk")).alias("lx"), "xk"
+        )
+    )
+    agg = excess.groupBy("xk").agg(
+        F.count(F.lit(1)).alias("n_excess"),
+        F.round(F.avg("lx"), 6).alias("hill"),
+    )
+    return agg.select(
+        F.lit(n_top).cast("bigint").alias("k"),
+        F.round("xk", 2).alias("x_k"),
+        "n_excess",
+        "hill",
+        F.round(F.try_divide(F.lit(1.0), F.col("hill")), 6).alias("alpha"),
+    )
+
+
+HILL_TAIL_SQL = f"""
+WITH top AS (
+  SELECT o_totalprice FROM orders
+  WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+    AND o_totalprice > 0
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {_HILL_K}
+),
+kth AS (SELECT MIN(o_totalprice) AS xk, COUNT(*) AS k FROM top),
+excess AS (
+  SELECT ln(t.o_totalprice) - ln(kth.xk) AS lx, kth.xk, kth.k
+  FROM top t, kth WHERE t.o_totalprice > kth.xk
+)
+SELECT CAST(k AS BIGINT) AS k, ROUND(xk, 2) AS x_k,
+       CAST(COUNT(*) AS BIGINT) AS n_excess,
+       ROUND(AVG(lx), 6) AS hill,
+       ROUND(1.0 / NULLIF(ROUND(AVG(lx), 6), 0.0), 6) AS alpha
+FROM excess GROUP BY k, xk
+"""
+
+STAGED_QUERIES["hill_tail_index_orders"] = hill_tail_index_orders
+STAGED_ORACLES["hill_tail_index_orders"] = HILL_TAIL_SQL

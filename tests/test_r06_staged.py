@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_staged_registry_shape():
     assert set(r6.STAGED_QUERIES) == set(r6.STAGED_ORACLES)
-    assert len(r6.STAGED_QUERIES) == 12
+    assert len(r6.STAGED_QUERIES) == 16
 
 
 def _write(df, tmp_path, table):
@@ -363,3 +363,79 @@ def test_conformal_split_is_disjoint_and_deterministic(spark):
         for r in r6.conformal_band_events(spark, SF).collect()
     }
     assert a == b  # id-parity split, no randomness
+
+
+# --- two-component PCA ----------------------------------------------------------
+
+
+def test_pca2_components_orthogonal_unit(spark):
+    rows = r6.pca_two_components_embeddings(spark, SF).collect()
+    assert len(rows) == 8
+    n1 = sum(r["pc1"] ** 2 for r in rows)
+    n2 = sum(r["pc2"] ** 2 for r in rows)
+    dot = sum(r["pc1"] * r["pc2"] for r in rows)
+    assert abs(n1 - 1.0) < 1e-3 and abs(n2 - 1.0) < 1e-3
+    # FIXED-iteration power iteration (deterministic, oracle-matched)
+    # is not the exact eigenvector on near-isotropic data; deflation
+    # inherits v1's residual error, so orthogonality is approximate.
+    assert abs(dot) < 0.15
+    ev1 = rows[0]["share_1"]
+    ev2 = rows[0]["share_2"]
+    assert ev1 >= ev2 >= 0.0
+    assert ev1 + ev2 <= 1.0 + 1e-6  # variance shares
+
+
+def test_pca2_two_axes_fixture(spark, tmp_path):
+    """Variance on dims 0 (large) and 1 (small), others constant:
+    PC1 = e0, PC2 = e1, eigenvalues in that order."""
+    vecs = [
+        (i, [float(i), float(i % 4), 1.0] + [1.0] * 61) for i in range(40)
+    ]
+    embs = spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>"
+    )
+    sf = _write(embs.withColumn("label", F.lit(0)), tmp_path, "embeddings")
+    rows = {r["dim"]: r for r in r6.pca_two_components_embeddings(spark, sf).collect()}
+    assert abs(rows[0]["pc1"]) >= 0.999
+    assert abs(rows[1]["pc2"]) >= 0.99
+    assert rows[0]["share_1"] > rows[0]["share_2"] > 0.0
+
+
+# --- Good-Turing ----------------------------------------------------------------
+
+
+def test_good_turing_integer_exact(spark):
+    rows = {r["r"]: r for r in r6.good_turing_documents(spark, SF).collect()}
+    assert rows  # bigram spectrum is nonempty on the fixture
+    for r, row in rows.items():
+        assert 1 <= r <= 5
+        assert row["n_types"] >= 1
+        if r == 1:
+            assert row["p0_unseen_mass"] is not None
+            assert 0.0 <= row["p0_unseen_mass"] <= 1.0
+        else:
+            assert row["p0_unseen_mass"] is None
+
+
+# --- Gumbel fit -----------------------------------------------------------------
+
+
+def test_gumbel_fit_loc_below_mean(spark):
+    row = r6.gumbel_fit_daily_events(spark, SF).collect()[0]
+    assert row["n_days"] > 0
+    assert row["gumbel_scale"] >= 0.0
+    # loc = mean - gamma*scale <= mean
+    assert row["gumbel_loc"] <= row["mean_daily_max"]
+
+
+# --- Hill tail index ------------------------------------------------------------
+
+
+def test_hill_positive_and_alpha_inverse(spark):
+    rows = r6.hill_tail_index_orders(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k"] <= 50
+    assert r["n_excess"] < r["k"]
+    assert r["hill"] > 0.0
+    assert r["alpha"] == round(1.0 / r["hill"], 6)
