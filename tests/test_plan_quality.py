@@ -37,6 +37,21 @@ _BNLJ_ALLOWED = {
     "pq_adc_recall_embeddings",
     # r05b: two single-row aggregates cross-joined (node/edge counts)
     "kcore_peel_documents",
+    # r06 staged (inert until REGISTER_R06): bounded single-row /
+    # broadcast-anchor crossJoin shapes, audited at staging time
+    "stl_decomposition_daily_events",   # 1-row grand-mean broadcast
+    "stump_split_events",               # 19-row threshold grid broadcast
+    "pca_power_iteration_embeddings",   # per-iteration 1-row norm + sign
+    "pca_two_components_embeddings",    # same, twice (deflation)
+    "markov_stationary_events",         # per-iteration 1-row mass + count
+    "ndcg_lsh_embeddings",              # broadcast anchors x corpus (as ann_recall)
+    "simhash_vs_minhash_agreement_documents",  # three 1-row count joins
+    "shrunk_dup_rates_sources",         # 1-row pooled-rate broadcast
+    "good_turing_documents",            # 1-row token-total broadcast
+    "hill_tail_index_orders",           # 1-row k-th-value broadcast
+    "gumbel_fit_daily_events",          # single-row aggregate output
+    "ks_matrix_sources",                # sources x distinct-lens dense grid (bounded)
+    "stylometry_delta_sources",         # sources x top-30 dense grid (bounded)
     # single-row grand-total broadcast (share-of-total projection)
     "hourly_seasonality_events",
     "profile_documents",
