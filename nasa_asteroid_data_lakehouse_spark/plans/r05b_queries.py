@@ -1539,39 +1539,46 @@ def dim_covariance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered pairs) — the redundancy screen before dimension
     truncation (a high |corr| pair means truncation is cheap).
 
-    posexplode restricted to the leading dims, self-join on vec_id
-    (28-way fan-out per vector, bounded by the dim constant), one hash
-    aggregate per pair; moments via the fixed-textual-order sum
-    identities."""
+    MAP-SIDE pair expansion: all 28 (i, j) pair products are fixed
+    projection expressions per vector feeding partial aggregation —
+    zero data shuffle, 28 partial rows per partition.  (The original
+    self-joined the posexploded corpus on vec_id — a full 2x corpus
+    shuffle that the 1M-vector probe showed dominating the plan; the
+    r06 PCA queries hit the same wall and share this shape now.)
+    Ragged vectors contribute only pairs with j < len(v), exactly like
+    the oracle's LEAST(len, dims) unnest."""
     emb = read_table(spark, sf_dir, "embeddings").where(
         similarity.vec_valid(F.col("embedding"))
     )
-    ex = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.slice(
-                F.transform(F.col("embedding"), lambda x: x.cast("double")),
-                1,
-                _COV_DIMS,
-            )
-        ).alias("dim", "x"),
+    vecs = emb.select(
+        F.slice(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            1,
+            _COV_DIMS,
+        ).alias("v")
+    ).select("v", F.size("v").alias("sz"))
+    pair_structs = [
+        F.struct(
+            F.lit(i).cast("bigint").alias("dim_i"),
+            F.lit(j).cast("bigint").alias("dim_j"),
+            F.col("v")[i].alias("xi"),
+            F.col("v")[j].alias("xj"),
+        )
+        for i in range(_COV_DIMS)
+        for j in range(i + 1, _COV_DIMS)
+    ]
+    ex = (
+        vecs.select(F.explode(F.array(*pair_structs)).alias("p"), "sz")
+        .where(F.col("p.dim_j") < F.col("sz"))
+        .select("p.*")
     )
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.vec_id") == F.col("b.vec_id"))
-        & (F.col("a.dim") < F.col("b.dim")),
-    )
-    g = pairs.groupBy(
-        F.col("a.dim").cast("bigint").alias("dim_i"),
-        F.col("b.dim").cast("bigint").alias("dim_j"),
-    ).agg(
+    g = ex.groupBy("dim_i", "dim_j").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("a.x")).alias("sx"),
-        F.sum(F.col("b.x")).alias("sy"),
-        F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
-        F.sum(F.col("a.x") * F.col("a.x")).alias("sxx"),
-        F.sum(F.col("b.x") * F.col("b.x")).alias("syy"),
+        F.sum("xi").alias("sx"),
+        F.sum("xj").alias("sy"),
+        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("xj") * F.col("xj")).alias("syy"),
     )
     n = F.col("n")
     cov = F.try_divide(
@@ -1601,18 +1608,26 @@ def dim_covariance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DIM_COVARIANCE_SQL = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
            WHERE {_VEC_VALID_SQL}),
 ex AS (
-  SELECT vec_id, CAST(g.i - 1 AS BIGINT) AS dim, v.e[g.i] AS x
-  FROM v, UNNEST(range(1, LEAST(len(v.e), {_COV_DIMS}) + 1)) AS g(i)
+  -- ROW-WISE pair expansion (two lateral unnests over the same row),
+  -- mirroring the engine's map-side shape: a self-join on vec_id
+  -- would quadratically cross-multiply rows under duplicate ids
+  -- (the --const/--dup catch when the engine moved off the join)
+  SELECT CAST(g.i - 1 AS BIGINT) AS dim_i,
+         CAST(h.j - 1 AS BIGINT) AS dim_j,
+         v.e[g.i] AS xi, v.e[h.j] AS xj
+  FROM v,
+       UNNEST(range(1, LEAST(len(v.e), {_COV_DIMS}) + 1)) AS g(i),
+       UNNEST(range(1, LEAST(len(v.e), {_COV_DIMS}) + 1)) AS h(j)
+  WHERE h.j > g.i
 ),
 g AS (
-  SELECT a.dim AS dim_i, b.dim AS dim_j, COUNT(*) AS n,
-         SUM(a.x) AS sx, SUM(b.x) AS sy, SUM(a.x * b.x) AS sxy,
-         SUM(a.x * a.x) AS sxx, SUM(b.x * b.x) AS syy
-  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim < b.dim
-  GROUP BY a.dim, b.dim
+  SELECT dim_i, dim_j, COUNT(*) AS n,
+         SUM(xi) AS sx, SUM(xj) AS sy, SUM(xi * xj) AS sxy,
+         SUM(xi * xi) AS sxx, SUM(xj * xj) AS syy
+  FROM ex GROUP BY dim_i, dim_j
 )
 SELECT dim_i, dim_j, CAST(n AS BIGINT) AS n,
   ROUND((sxy - sx * sy / n) / NULLIF(n - 1, 0), 6) + 0.0 AS cov,

