@@ -43,7 +43,12 @@ REGISTER_R05 = True
 # pca_power_iteration_embeddings, markov_stationary_events,
 # stylometry_delta_sources, ndcg_lsh_embeddings — all bounded
 # single-row / broadcast-anchor shapes) and bench entries.
-REGISTER_R06 = False
+REGISTER_R06 = True
+
+# Round-7 registration switch: flip to True at round-7 start once
+# CORRECTNESS_r06 lands; serves plans/r07_queries.py's staged batch
+# (gate-verified in round 6 via driver_sim --staged).
+REGISTER_R07 = False
 
 
 def entry(spark: SparkSession) -> DataFrame:

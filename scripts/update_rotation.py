@@ -86,7 +86,27 @@ def main() -> None:
         if k in full and k not in taken and k not in seen
     ]
     taken.update(ordered)
-    ordered += [k for k in green if k in full and k not in taken]
+
+    # Green tail: oldest-driver-check-first (VERDICT r05 ask #5), so the
+    # ~34 slots after the 16 round-6 heads recycle the r01-vintage greens
+    # whose last driver confirmation is stalest.
+    import glob
+    import re
+
+    last_checked: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last_checked[name] = rnd
+    green_tail = [k for k in green if k in full and k not in taken]
+    green_tail.sort(key=lambda k: last_checked.get(k, 0))
+    ordered += green_tail
 
     head = ordered[:50]
     state["rounds"] = prior + [{"round": round_no, "head": head}]
