@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
 from nasa_asteroid_data_lakehouse_spark.llm import sharding, text, tokenizer
@@ -615,19 +616,80 @@ def lorenz_deciles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Portability: revenue sums in EXACT INTEGER CENTS (2-decimal
     prices), so every share is one double division of exact integers
     and the cumulative share is derived from an integer running sum —
-    no float reduction order anywhere.  The NTILE window runs over the
-    per-customer aggregate (O(customers), far smaller than the fact
-    table), which is the documented bound; the fact scan itself only
-    feeds a hash aggregate."""
+    no float reduction order anywhere.
+
+    Scale (VERDICT r05 ask #2): the naive formulation is
+    ``NTILE(10) OVER (ORDER BY cents DESC)`` — a single-partition sort
+    of EVERY customer, the one grain that keeps growing at 100×.  The
+    oracle keeps that exact form; the engine reproduces it bit-for-bit
+    without any unpartitioned window:
+
+    1. coarse range-bucket customers on ``cents`` via a broadcast
+       ``percentile_approx`` boundary array (mergeable sketch — the
+       output is INVARIANT to boundary precision because ties of a
+       given ``cents`` value always share a bucket);
+    2. per-bucket counts -> cumulative offsets (a window over the
+       <=32-row bucket table only);
+    3. exact global rank = offset + ``row_number`` partitioned BY
+       BUCKET (each window partition is ~customers/32);
+    4. decile from rank by integer NTILE arithmetic (first ``n%10``
+       deciles hold ``n/10 + 1`` customers).
+    """
     orders = read_table(spark, sf_dir, "orders").where(
         F.col("o_custkey").isNotNull() & stats.finite("o_totalprice")
     )
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), "o_custkey")
-    tiled = per_cust.select(
-        "o_custkey", "cents", F.ntile(10).over(w).alias("decile")
+
+    n_buckets = 32
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    bounds = per_cust.agg(
+        F.expr(f"percentile_approx(cents, array({qs}), 1000)").alias("__bounds"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    c = F.col("cents")
+    bucketed = per_cust.crossJoin(broadcast(bounds)).select(
+        "o_custkey",
+        "cents",
+        "__n",
+        F.size(F.filter("__bounds", lambda b: c > b)).alias("__bkt"),
+    )
+    # Rank order is cents DESC, so offsets accumulate from the HIGHEST
+    # bucket down; the window runs over the bounded bucket table only.
+    w_off = (
+        Window.orderBy(F.desc("__bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__bkt",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    w_local = Window.partitionBy("__bkt").orderBy(F.desc("cents"), "o_custkey")
+    ranked = (
+        bucketed.join(broadcast(offsets), "__bkt")
+        .select(
+            "cents",
+            "__n",
+            (F.col("__off") + F.row_number().over(w_local)).alias("__rank"),
+        )
+    )
+    # NTILE(10) arithmetic: q = n div 10, rem = n mod 10; the first rem
+    # deciles hold q+1 customers.  Integer DIV throughout; the ELSE
+    # branch divides by q, which CASE never evaluates when q = 0
+    # (then rem = n and every rank satisfies the WHEN branch).
+    tiled = ranked.select(
+        "cents",
+        F.expr(
+            "CAST(CASE WHEN __rank <= (__n % 10) * (__n DIV 10 + 1) "
+            "THEN (__rank + (__n DIV 10 + 1) - 1) DIV (__n DIV 10 + 1) "
+            "ELSE (__n % 10) + (__rank - (__n % 10) * (__n DIV 10 + 1) "
+            "+ (__n DIV 10) - 1) DIV (__n DIV 10) END AS INT)"
+        ).alias("decile"),
     )
     by_dec = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -101,6 +101,9 @@ _BNLJ_ALLOWED = {
     "stats_by_segment",
     # single-row boundary-vector broadcast (equi-depth bucket assign)
     "equidepth_histogram_orders",
+    # r06: single-row percentile-boundary + count broadcast feeding the
+    # bucketed exact-rank NTILE rewrite (VERDICT r05 ask #2)
+    "lorenz_deciles_orders",
     # single-row group-total / series-mean broadcasts
     "market_basket_lineitem",
     "cusum_daily_events",
