@@ -161,6 +161,33 @@ class VersionedTable:
             .collect()
         }
 
+    @staticmethod
+    def _key_membership_cond(keys: list[str], key_values: list[tuple]):
+        """Boolean Column: the row's key tuple is one of ``key_values``.
+
+        Single-key tables compile to one ``IN``-set predicate;
+        composite keys to an OR of per-tuple ``eqNullSafe``
+        conjunctions (the analyzer inserts numeric casts, so literal
+        typing is safe either way).  O(|tuples|) expression size —
+        ``key_values`` is a driver-provided targeted-delete list by
+        contract, not a table."""
+        from functools import reduce
+
+        rows = [tuple(kv) if isinstance(kv, (tuple, list)) else (kv,)
+                for kv in key_values]
+        if not rows:
+            return F.lit(False)
+        if len(keys) == 1:
+            return F.col(keys[0]).isin([r[0] for r in rows])
+        terms = [
+            reduce(
+                lambda a, b: a & b,
+                [F.col(k).eqNullSafe(F.lit(v)) for k, v in zip(keys, r)],
+            )
+            for r in rows
+        ]
+        return reduce(lambda a, b: a | b, terms)
+
     def create(
         self,
         df: DataFrame,
@@ -286,9 +313,18 @@ class VersionedTable:
         by hashing those literals — the same ``pmod(xxhash64(keys), n)``
         expression the writer assigns, evaluated on an O(|tuples|)
         driver-built frame — and both the discovery scan and the
-        rewrite read only those buckets' files.  ``condition`` still
-        decides which rows actually delete."""
-        cond = F.expr(condition) if isinstance(condition, str) else condition
+        rewrite read only those buckets' files.
+
+        ``key_values`` is SEMANTIC, not a hint (ADVICE r05): when
+        given, a row deletes iff ``condition`` is TRUE **and** its key
+        tuple is listed — the predicate is conjoined with
+        key-membership, so bucket pruning can never change which rows
+        delete.  A condition that matches rows outside ``key_values``
+        leaves them untouched BY CONTRACT (previously those rows were
+        silently skipped only when they hashed outside the scanned
+        buckets — a missed-delete corruption).  Pass
+        ``key_values=None`` for a pure-predicate full-scan delete."""
+        base_cond = F.expr(condition) if isinstance(condition, str) else condition
         for _ in range(retries):
             version = self.latest_version()
             if version is None:
@@ -306,13 +342,13 @@ class VersionedTable:
             bucket_of = F.pmod(
                 F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets)
             )
+            cond = base_cond
             if key_values is not None:
+                kv = list(key_values)
                 # Key-pruned path: hash the caller's key literals with
                 # the writer's own expression (typed via the snapshot
                 # schema, since xxhash64(int) != xxhash64(bigint)).
-                candidates = self._buckets_of_key_values(
-                    manifest, keys, list(key_values)
-                )
+                candidates = self._buckets_of_key_values(manifest, keys, kv)
                 files = [
                     f
                     for b in sorted(candidates)
@@ -320,6 +356,12 @@ class VersionedTable:
                 ]
                 if not files:
                     return version
+                # Conjoin key-membership so pruning is semantics-
+                # preserving: rows whose keys are unlisted never
+                # delete, whether or not their bucket was scanned.
+                cond = F.coalesce(base_cond, F.lit(False)) & (
+                    self._key_membership_cond(keys, kv)
+                )
             snap = self.spark.read.option("mergeSchema", "true").parquet(*files)
             touched = sorted(
                 r["__b"]
@@ -449,8 +491,11 @@ class VersionedTable:
 
         Returns the newer image of each changed row (old image for
         deletes) plus ``_change_type`` in {insert, update_postimage,
-        delete} — the Delta-style CDF surface, computed from snapshots
-        (no row-change log is kept).
+        delete, schema_drop} — the Delta-style CDF surface, computed
+        from snapshots (no row-change log is kept).  ``schema_drop``
+        marks rows whose only difference is a non-NULL value in a
+        column ``to_version`` no longer carries, so consumers can tell
+        schema evolution from data change (ADVICE r05).
 
         Cost is O(changed buckets), not O(table): data files are
         immutable (every write lands in a fresh txn directory, nothing
@@ -475,13 +520,18 @@ class VersionedTable:
 
         # Diff the UNION of both snapshots' columns (ADVICE r04): a
         # column present only in from_version (dropped by to_version)
-        # still participates — a row changed only there classifies as
-        # update, and delete images keep the old-only values.  The
-        # side missing a column reads it as typed NULL, symmetrically
-        # (as parquet mergeSchema would).
-        non_keys = [c for c in new.columns if c not in keys] + [
+        # still participates — the row is flagged and delete images
+        # keep the old-only values.  The side missing a column reads
+        # it as typed NULL, symmetrically (as parquet mergeSchema
+        # would).  Rows whose ONLY difference sits in dropped columns
+        # classify as ``schema_drop``, not ``update_postimage``
+        # (ADVICE r05): a pure column-drop commit would otherwise be
+        # indistinguishable from a mass data update in the CDF.
+        shared_non_keys = [c for c in new.columns if c not in keys]
+        dropped_cols = [
             c for c in old.columns if c not in keys and c not in new.columns
         ]
+        non_keys = shared_non_keys + dropped_cols
 
         def _side_col(df: DataFrame, c: str, other: DataFrame) -> F.Column:
             if c in df.columns:
@@ -497,14 +547,20 @@ class VersionedTable:
 
         # USING-join semantics coalesce the key columns across sides.
         joined = new_side.join(old_side, on=keys, how="full_outer")
-        diff_cond = F.lit(False)
-        for c in non_keys:
-            diff_cond = diff_cond | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+        diff_shared = F.lit(False)
+        for c in shared_non_keys:
+            diff_shared = diff_shared | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+        diff_dropped = F.lit(False)
+        for c in dropped_cols:
+            diff_dropped = diff_dropped | ~F.col(c).eqNullSafe(
+                F.col(f"__old_{c}")
+            )
         is_delete = F.col("__in_new").isNull()
         change_type = (
             F.when(F.col("__in_old").isNull(), F.lit("insert"))
             .when(is_delete, F.lit("delete"))
-            .when(diff_cond, F.lit("update_postimage"))
+            .when(diff_shared, F.lit("update_postimage"))
+            .when(diff_dropped, F.lit("schema_drop"))
         )
         image = [
             F.when(is_delete, F.col(f"__old_{c}")).otherwise(F.col(c)).alias(c)

@@ -1163,8 +1163,12 @@ def versioned_table_schema_evolution_orders(
         upsert = (
             keys.where(F.col("o_orderkey") % 4 == 0)
             .unionByName(
+                # synthetic INSERT keys: negate (-key - 1) so they are
+                # disjoint from the real keyspace at EVERY scale factor
+                # (ADVICE r05: a fixed +10M offset collides with real
+                # orderkeys, which reach 6M*sf, from sf>=2)
                 keys.where(F.col("o_orderkey") % 9 == 0).select(
-                    (F.col("o_orderkey") + 10000000).alias("o_orderkey")
+                    (-F.col("o_orderkey") - 1).alias("o_orderkey")
                 )
             )
             .select(
@@ -1201,7 +1205,7 @@ WITH k AS (
   SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderkey IS NOT NULL
 ),
 up AS (SELECT key FROM k WHERE key % 4 = 0),
-ins AS (SELECT key + 10000000 AS key FROM k WHERE key % 9 = 0)
+ins AS (SELECT -key - 1 AS key FROM k WHERE key % 9 = 0)
 SELECT
   CAST((SELECT COUNT(*) FROM k) + (SELECT COUNT(*) FROM ins) AS BIGINT)
     AS n_rows,
