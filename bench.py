@@ -70,8 +70,9 @@ def main() -> None:
         t0 = time.perf_counter()
         run(_lsh_pairs_cached(spark, sf_dir, 0.0))
         timings["_lsh_family_build"] = round(time.perf_counter() - t0, 4)
-    except Exception:
-        pass  # family queries then pay the build themselves, as before
+    except Exception as exc:  # noqa: BLE001 — bench must still report
+        # family queries then pay the build themselves, as before
+        print(f"bench: LSH family prebuild failed: {exc}", file=sys.stderr)
     for name, fn in qs.items():
         # Release block-manager memory held by earlier queries'
         # localCheckpoints before timing (ContextCleaner only frees
@@ -121,8 +122,9 @@ def main() -> None:
             json.dump(
                 {"value": total, "sf": sf, "queries": timings}, fh, indent=1
             )
-    except OSError:
-        pass
+    except OSError as exc:
+        # best-effort persistence: the stdout JSON line is the contract
+        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
     # Per-round snapshot, write-once (VERDICT r03 ask #4): the builder's
     # close run creates BENCH_DETAIL_r{N}.json first; a later driver
     # rerun overwrites only the mutable BENCH_DETAIL.json, never the
@@ -151,8 +153,8 @@ def main() -> None:
                 )
         else:
             print(f"bench: snapshot {snap} exists, not overwritten", file=sys.stderr)
-    except OSError:
-        pass
+    except OSError as exc:
+        print(f"bench: could not write round snapshot: {exc}", file=sys.stderr)
     spark.stop()
 
 

@@ -244,7 +244,10 @@ def running_totals(events: DataFrame) -> DataFrame:
             )
 
         def close(self) -> None:
-            pass
+            """Required StatefulProcessor hook; this processor holds no
+            resources outside the state store, so teardown is a no-op
+            (nothing is swallowed here — errors in handleInputRows
+            propagate and fail the stream)."""
 
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=RunningTotals(),
