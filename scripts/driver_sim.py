@@ -355,12 +355,12 @@ def main() -> int:
     if staged:
         # round-(N+1) staging: gate queries built this round WITHOUT
         # touching the frozen served surface (plans/r05_queries.py)
-        from nasa_asteroid_data_lakehouse_spark.plans import r06_queries
+        from nasa_asteroid_data_lakehouse_spark.plans import r07_queries
 
-        qs = {**qs, **r06_queries.STAGED_QUERIES}
-        oracles = {**oracles, **r06_queries.STAGED_ORACLES}
+        qs = {**qs, **r07_queries.STAGED_QUERIES}
+        oracles = {**oracles, **r07_queries.STAGED_ORACLES}
         if only is None:
-            only = set(r06_queries.STAGED_QUERIES)
+            only = set(r07_queries.STAGED_QUERIES)
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue
