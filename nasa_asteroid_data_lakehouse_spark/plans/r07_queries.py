@@ -538,3 +538,233 @@ FROM base, ci
 
 STAGED_QUERIES["bootstrap_ci_orders"] = bootstrap_ci_orders
 STAGED_ORACLES["bootstrap_ci_orders"] = BOOTSTRAP_SQL
+
+
+# === Size-budgeted deterministic shard manifest ================================
+
+_SHARD_BUDGET_BYTES = 200_000
+
+
+def shard_manifest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-budgeted training-shard manifest (VERDICT
+    r05 ask #3c): documents are laid out in a reproducible
+    pseudo-random order (md5 shuffle key — the llm/sharding
+    primitive), then cut into shards so no shard's byte total exceeds
+    the budget except by its own last document (the classic greedy
+    cut: shard = floor(exclusive-prefix-bytes / budget)).
+
+    NOT a global window cumsum.  The shuffle key is a uniform hex
+    string, so its first two hex digits are an ORDER-MONOTONE 256-way
+    bucketing: per-bucket byte mass is one hash aggregate, exclusive
+    base offsets come from a window over the 256-row bucket table, and
+    the exact prefix sum is base + within-bucket cumsum (window
+    PARTITIONED by bucket) — the budget_select decomposition, reused
+    for the manifest every 100 TB export actually ships."""
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias(
+                "n_bytes"
+            ),
+        )
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_bytes",
+        F.md5(
+            F.concat_ws("||", F.lit("shards-v1-order"), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    ).withColumn("bkt", F.substring("skey", 1, 2))
+    mass = keyed.groupBy("bkt").agg(F.sum("n_bytes").alias("mass"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = mass.select(
+        "bkt", F.coalesce(F.sum("mass").over(wb), F.lit(0)).alias("base")
+    )
+    wi = (
+        Window.partitionBy("bkt")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = (
+        keyed.join(F.broadcast(offsets), "bkt")
+        .withColumn(
+            "before",
+            F.col("base") + F.sum("n_bytes").over(wi) - F.col("n_bytes"),
+        )
+        .withColumn(
+            "shard",
+            F.floor(F.col("before") / _SHARD_BUDGET_BYTES).cast("int"),
+        )
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("skey").alias("first_key"),
+            F.max("skey").alias("last_key"),
+        )
+        .orderBy("shard")
+    )
+
+
+SHARD_MANIFEST_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5('shards-v1-order' || '||' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+assigned AS (
+  SELECT *,
+    CAST(floor((SUM(n_bytes) OVER (ORDER BY skey, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_bytes)
+                / {_SHARD_BUDGET_BYTES}) AS INTEGER) AS shard
+  FROM keyed
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       MIN(skey) AS first_key,
+       MAX(skey) AS last_key
+FROM assigned
+GROUP BY shard
+ORDER BY shard
+"""
+
+STAGED_QUERIES["shard_manifest_documents"] = shard_manifest_documents
+STAGED_ORACLES["shard_manifest_documents"] = SHARD_MANIFEST_SQL
+
+
+# === Split-centroid embedding drift ===========================================
+
+_DRIFT_SCALE = 1_000_000
+_DRIFT_CAP = 10_000.0  # unit-scale embeddings; beyond this = encoder failure
+
+
+def centroid_drift_splits_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/val/test centroid drift per embedding dimension: the
+    per-split mean vector, computed EXACTLY by scaling components to a
+    1e-6 integer lattice and summing BIGINTs (order-exact — the
+    stylometry lesson), plus the largest pairwise gap per dimension.
+    A systematic gap on any dimension means the split hash correlates
+    with content — the embedding-space analog of split leakage.
+
+    Map-side shape: one posexplode projection into a (split, dim)
+    hash aggregate — dim-keyed shuffle of 3x64 partials, no window,
+    no join until the bounded 192-row pivot.  Components beyond
+    +-1e4 are excluded WITH their row (both engines): a magnitude
+    that size is a failed encode, and it would also overflow the
+    lattice at corpus scale."""
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull()
+        & similarity.vec_valid(F.col("embedding"))
+        & ~F.exists(
+            F.col("embedding"), lambda x: F.abs(x.cast("double")) > _DRIFT_CAP
+        )
+    )
+    split = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "||", F.lit("esplit-v1"), F.col("vec_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10),
+    )
+    tagged = emb.select(
+        F.when(split <= 7, "train").when(split == 8, "val").otherwise("test")
+        .alias("split"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    agg = tagged.groupBy("split", "dim").agg(
+        F.sum(
+            F.floor(F.col("x").cast("double") * _DRIFT_SCALE).cast("long")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = agg.select(
+        "split",
+        "dim",
+        F.round(
+            F.try_divide(F.col("s").cast("double"), F.col("n") * float(_DRIFT_SCALE)),
+            6,
+        ).alias("c"),
+    )
+    pivoted = (
+        cent.groupBy("dim")
+        .pivot("split", ["train", "val", "test"])
+        .agg(F.first("c"))
+        .select(
+            "dim",
+            F.col("train").alias("c_train"),
+            F.col("val").alias("c_val"),
+            F.col("test").alias("c_test"),
+        )
+    )
+    gap = F.greatest(
+        F.abs(F.col("c_train") - F.col("c_val")),
+        F.abs(F.col("c_train") - F.col("c_test")),
+        F.abs(F.col("c_val") - F.col("c_test")),
+    )
+    return pivoted.select(
+        "dim", "c_train", "c_val", "c_test", F.round(gap, 6).alias("max_gap")
+    ).orderBy("dim")
+
+
+CENTROID_DRIFT_SQL = f"""
+WITH valid AS (
+  SELECT vec_id, embedding,
+    CASE WHEN ('0x' || substr(md5('esplit-v1' || '||' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10 <= 7 THEN 'train'
+         WHEN ('0x' || substr(md5('esplit-v1' || '||' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 8 THEN 'val'
+         ELSE 'test' END AS split
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND {_VEC_VALID_SQL}
+    AND len(list_filter(embedding, x -> abs(x::DOUBLE) > {_DRIFT_CAP!r})) = 0
+),
+tagged AS (
+  SELECT split, CAST(i AS INTEGER) AS dim,
+         embedding[CAST(i AS INTEGER) + 1]::DOUBLE AS x
+  FROM (SELECT split, embedding, unnest(range(len(embedding))) AS i FROM valid) t
+),
+agg AS (
+  SELECT split, dim,
+         CAST(SUM(CAST(floor(x * {_DRIFT_SCALE}) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM tagged GROUP BY split, dim
+),
+cent AS (
+  SELECT split, dim,
+         ROUND(CAST(s AS DOUBLE) / (n * {float(_DRIFT_SCALE)!r}), 6) AS c
+  FROM agg
+),
+pivoted AS (
+  SELECT dim,
+         MAX(CASE WHEN split = 'train' THEN c END) AS c_train,
+         MAX(CASE WHEN split = 'val' THEN c END) AS c_val,
+         MAX(CASE WHEN split = 'test' THEN c END) AS c_test
+  FROM cent GROUP BY dim
+)
+SELECT dim, c_train, c_val, c_test,
+       ROUND(GREATEST(abs(c_train - c_val), abs(c_train - c_test),
+                      abs(c_val - c_test)), 6) AS max_gap
+FROM pivoted
+ORDER BY dim
+"""
+
+STAGED_QUERIES["centroid_drift_splits_embeddings"] = (
+    centroid_drift_splits_embeddings
+)
+STAGED_ORACLES["centroid_drift_splits_embeddings"] = CENTROID_DRIFT_SQL
