@@ -1119,3 +1119,188 @@ ORDER BY in_degree
 
 STAGED_QUERIES["hubness_lsh_embeddings"] = hubness_lsh_embeddings
 STAGED_ORACLES["hubness_lsh_embeddings"] = _hub_sql()
+
+
+# === CDF apply round-trip =====================================================
+
+
+def cdc_apply_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed APPLY: reconstruct the latest snapshot from an old
+    snapshot + the CDF between them, and prove it equals the real
+    snapshot — the downstream-consumer contract (a replica applying
+    `changes()` must converge) that versioned_table_cdf_orders'
+    count-level check cannot see.
+
+    Mutations are deterministic and PAYLOADS ARE KEY-DERIVED (seg =
+    key % 100), so duplicate-key source rows collapse identically on
+    both engines.  Synthetic insert keys are NEGATED (-key - 1), never
+    offset — disjoint from the real keyspace at every scale factor
+    (the ADVICE r05 lesson).  Apply algebra: survivors = old snapshot
+    minus deleted/updated keys, plus insert/update images; the
+    full-outer verify is null-safe on every column.
+
+    Scale: apply is two key-keyed anti joins + a union; verify is one
+    key-keyed full-outer join — all bucket-local on the table's own
+    key hash at 100 TB."""
+    import shutil
+    import tempfile
+
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey").isNotNull())
+        .select("o_orderkey")
+        .distinct()
+        .select("o_orderkey", (F.col("o_orderkey") % 100).alias("seg"))
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_cdcapply_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        v0 = t.create(base, keys=["o_orderkey"])
+        updates = base.where(F.col("o_orderkey") % 6 == 0).select(
+            "o_orderkey", (F.col("seg") + 1000).alias("seg")
+        )
+        inserts = base.where(F.col("o_orderkey") % 11 == 0).select(
+            (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+            (F.col("o_orderkey") % 100).alias("seg"),
+        )
+        t.upsert(updates.unionByName(inserts))
+        v2 = t.delete_where(
+            (F.col("o_orderkey") >= 0) & (F.col("o_orderkey") % 13 == 0)
+        )
+        snap0 = t.read(v0)
+        actual = t.read(v2)
+        ch = t.changes(v0, v2)
+        gone = ch.where(
+            F.col("_change_type").isin("delete", "update_postimage", "insert")
+        ).select("o_orderkey")
+        images = ch.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select("o_orderkey", "seg")
+        recon = snap0.join(gone, "o_orderkey", "left_anti").unionByName(images)
+        a = actual.select("o_orderkey", F.col("seg").alias("seg_a"))
+        r = recon.select("o_orderkey", F.col("seg").alias("seg_r"))
+        verify = a.join(r, "o_orderkey", "full_outer")
+        out = verify.agg(
+            F.count("seg_a").alias("n_actual"),
+            F.count("seg_r").alias("n_recon"),
+            F.sum(
+                F.when(~F.col("seg_a").eqNullSafe(F.col("seg_r")), 1).otherwise(0)
+            ).cast("long").alias("n_mismatch"),
+            F.sum(
+                F.when(F.col("seg_a").isNotNull(), F.col("o_orderkey")).otherwise(0)
+            ).cast("long").alias("key_sum_actual"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDC_APPLY_SQL = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderkey IS NOT NULL
+),
+-- final state after: upsert (seg+1000 for key%6=0; insert -key-1 for
+-- key%11=0), then delete key>=0 AND key%13=0
+finals AS (
+  SELECT key,
+         CASE WHEN key % 6 = 0 THEN key % 100 + 1000 ELSE key % 100 END AS seg
+  FROM k WHERE NOT (key % 13 = 0)
+  UNION ALL
+  SELECT -key - 1 AS key, key % 100 AS seg
+  FROM k WHERE key % 11 = 0 AND NOT ((-key - 1) >= 0 AND (-key - 1) % 13 = 0)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_actual,
+       CAST(COUNT(*) AS BIGINT) AS n_recon,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(COALESCE(SUM(key), 0) AS BIGINT) AS key_sum_actual
+FROM finals
+"""
+
+STAGED_QUERIES["cdc_apply_roundtrip_orders"] = cdc_apply_roundtrip_orders
+STAGED_ORACLES["cdc_apply_roundtrip_orders"] = CDC_APPLY_SQL
+
+
+# === Streaming exactly-once dedup replay ======================================
+
+
+def streaming_dedup_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming DEDUP: replay the event log as a 4-file
+    stream through ``dropDuplicatesWithinWatermark`` (RocksDB-free
+    default state store, append mode) and prove the deduped sink
+    carries exactly the DISTINCT event_id set — the in-stream twin of
+    the batch exact-dedup operator, and the fourth real streaming
+    replay (rollup: fold; score: stream-static join; session: expiring
+    merge state; here: KEYED DEDUP STATE).
+
+    The watermark horizon (365 days) exceeds the fixture's span, so
+    dedup state never expires mid-replay and the stream's keep-set is
+    exactly ``DISTINCT event_id`` regardless of file composition —
+    which payload survives a conflicting duplicate is arrival-order
+    dependent, so the verified output is KEY-DERIVED ONLY.  At scale
+    the horizon is the dedup-correctness window: duplicates farther
+    apart than the horizon are the upstream batch deduper's job."""
+    import shutil
+    import tempfile
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
+        # watermarks reject TIMESTAMP_NTZ; UTC-pinned session makes the
+        # LTZ cast value-identical (same as streaming_session_replay)
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    out_schema = "event_id bigint, ts timestamp"
+    tmp = tempfile.mkdtemp(prefix="ndl_stream_dedup_")
+    try:
+        src = f"{tmp}/in"
+        ev.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        deduped = stream.withWatermark(
+            "ts", "365 days"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        out = f"{tmp}/deduped"
+        q = (
+            deduped.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .format("parquet")
+            .start(out)
+        )
+        q.awaitTermination()
+        try:
+            got = spark.read.parquet(out)
+        except Exception:  # zero input files -> no sink directory
+            got = spark.createDataFrame([], out_schema)
+        return (
+            got.agg(
+                F.count(F.lit(1)).alias("n_unique"),
+                F.sum("event_id").alias("key_sum"),
+                F.min("event_id").alias("key_min"),
+                F.max("event_id").alias("key_max"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_DEDUP_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_id FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(event_id) AS BIGINT) AS key_sum,
+       CAST(MIN(event_id) AS BIGINT) AS key_min,
+       CAST(MAX(event_id) AS BIGINT) AS key_max
+FROM d
+"""
+
+STAGED_QUERIES["streaming_dedup_replay_events"] = streaming_dedup_replay_events
+STAGED_ORACLES["streaming_dedup_replay_events"] = STREAMING_DEDUP_SQL
