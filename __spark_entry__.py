@@ -46,8 +46,13 @@ REGISTER_R05 = True
 REGISTER_R06 = True
 
 # Round-7 registration switch: flip to True at round-7 start once
-# CORRECTNESS_r06 lands; serves plans/r07_queries.py's staged batch
-# (gate-verified in round 6 via driver_sim --staged).
+# CORRECTNESS_r06 lands; serves plans/r07_queries.py's 13 staged
+# queries (gate-verified in round 6 via driver_sim --staged; see
+# SURVEY.md M113-M125).  On flip: the _BNLJ_ALLOWED entries
+# (skyline_daily_events, bootstrap_ci_orders,
+# tfidf_cosine_pairs_documents) and the KEY_UNIQUE_PRECONDITION entry
+# (span_dedup_rewrite_documents) are already committed; bench picks
+# the batch up automatically.  Then run update_rotation 7.
 REGISTER_R07 = False
 
 
@@ -213,6 +218,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from nasa_asteroid_data_lakehouse_spark.plans import r06_queries
 
         out.update(r06_queries.STAGED_QUERIES)
+    if REGISTER_R07:
+        from nasa_asteroid_data_lakehouse_spark.plans import r07_queries
+
+        out.update(r07_queries.STAGED_QUERIES)
     return _rotate(out)
 
 
@@ -240,4 +249,8 @@ def oracle_sql() -> dict[str, str]:
         from nasa_asteroid_data_lakehouse_spark.plans import r06_queries
 
         out.update(r06_queries.STAGED_ORACLES)
+    if REGISTER_R07:
+        from nasa_asteroid_data_lakehouse_spark.plans import r07_queries
+
+        out.update(r07_queries.STAGED_ORACLES)
     return _rotate(out)

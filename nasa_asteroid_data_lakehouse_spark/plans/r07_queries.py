@@ -1185,11 +1185,21 @@ def cdc_apply_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = verify.agg(
             F.count("seg_a").alias("n_actual"),
             F.count("seg_r").alias("n_recon"),
-            F.sum(
-                F.when(~F.col("seg_a").eqNullSafe(F.col("seg_r")), 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        ~F.col("seg_a").eqNullSafe(F.col("seg_r")), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).cast("long").alias("n_mismatch"),
-            F.sum(
-                F.when(F.col("seg_a").isNotNull(), F.col("o_orderkey")).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("seg_a").isNotNull(), F.col("o_orderkey")
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).cast("long").alias("key_sum_actual"),
         )
         return out.localCheckpoint(eager=True)
@@ -1304,3 +1314,142 @@ FROM d
 
 STAGED_QUERIES["streaming_dedup_replay_events"] = streaming_dedup_replay_events
 STAGED_ORACLES["streaming_dedup_replay_events"] = STREAMING_DEDUP_SQL
+
+
+# === Span-level dedup REWRITE =================================================
+
+_SPAN_K = 3
+
+
+def span_dedup_rewrite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup REWRITE (VERDICT r05 ask #3b): emit each
+    document's SURVIVING text after removing every token covered by a
+    cross-document shared {_SPAN_K}-gram — the "Deduplicating Training
+    Data" operation itself, where dup_span_coverage only measures.
+
+    Semantics: the corpus-wide owner of a {_SPAN_K}-gram is the lowest
+    doc_id containing it; in any LATER doc, all {_SPAN_K} token
+    positions under a shared gram are removed, and the survivor is the
+    remaining tokens in document order (the rewrite operates on the
+    normalized token stream; within-doc repeats are NOT removed — the
+    owner keeps its own spans).  Docs shorter than {_SPAN_K} tokens
+    have no spans and always survive whole.  Output is per-doc counts
+    plus the md5 of the surviving text (hash-stable, corpus-size
+    independent row width).
+
+    Scale shape: every stage is token-, gram-, or doc-keyed — the
+    position explode is x1, the gram explode x1, the covered-position
+    explode x{_SPAN_K}; survivor assembly is a doc-keyed sort of ONLY
+    that doc's kept tokens (array_sort over collect_list — bounded by
+    document length, never a corpus window).
+
+    KEY-UNIQUE PRECONDITION (dup_span_coverage's contract): survivor
+    assembly groups by doc_id, so duplicate ids with conflicting text
+    interleave arbitrarily — duplicate ids are the upstream exact
+    dedup's job."""
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    base = docs.select(
+        "doc_id", text.tokens(text.normalized_text("text")).alias("toks")
+    )
+    exploded = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    grams_arr = F.when(
+        F.size("toks") >= _SPAN_K,
+        F.expr(
+            f"transform(sequence(0, size(toks) - {_SPAN_K}),"
+            f" j -> concat_ws(' ', slice(toks, j + 1, {_SPAN_K})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = base.select("doc_id", F.posexplode(grams_arr).alias("s", "gram"))
+    owner = sh.groupBy("gram").agg(F.min("doc_id").alias("own"))
+    dup_starts = (
+        sh.join(owner, "gram").where(F.col("own") < F.col("doc_id"))
+        .select("doc_id", "s")
+    )
+    covered = dup_starts.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("s"), F.col("s") + (_SPAN_K - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+    kept = exploded.join(covered, ["doc_id", "pos"], "left_anti")
+    surv = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x.tok,
+            ),
+            " ",
+        ).alias("survivor"),
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(surv, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(F.coalesce(F.col("survivor"), F.lit(""))).alias(
+                "survivor_md5"
+            ),
+        )
+    )
+
+
+SPAN_REWRITE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+tok AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos, toks[CAST(i AS INTEGER) + 1] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM base) t
+),
+sh AS (
+  SELECT doc_id, CAST(j AS INTEGER) AS s,
+         array_to_string(toks[CAST(j AS INTEGER) + 1:CAST(j AS INTEGER) + {_SPAN_K}], ' ') AS gram
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(CASE WHEN len(toks) >= {_SPAN_K}
+                             THEN len(toks) - {_SPAN_K} + 1 ELSE 0 END)) AS j
+    FROM base
+  ) t
+),
+owner AS (SELECT gram, MIN(doc_id) AS own FROM sh GROUP BY gram),
+dup_starts AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN owner USING (gram)
+  WHERE owner.own < sh.doc_id
+),
+covered AS (
+  SELECT DISTINCT doc_id, s + CAST(d AS INTEGER) AS pos
+  FROM dup_starts, (SELECT unnest(range({_SPAN_K})) AS d) ds
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tok
+  FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c
+    WHERE c.doc_id = tok.doc_id AND c.pos = tok.pos
+  )
+),
+surv AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS survivor
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(len(b.toks) - COALESCE(s.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(s.survivor, '')) AS survivor_md5
+FROM base b LEFT JOIN surv s USING (doc_id)
+"""
+
+STAGED_QUERIES["span_dedup_rewrite_documents"] = span_dedup_rewrite_documents
+STAGED_ORACLES["span_dedup_rewrite_documents"] = SPAN_REWRITE_SQL

@@ -60,6 +60,10 @@ KEY_UNIQUE_PRECONDITION = {
     "centroid_inertia_embeddings",
     "silhouette_embeddings",
     "pq_adc_recall_embeddings",
+    # r07 staged: survivor assembly groups by doc_id — duplicate ids
+    # with conflicting text interleave arbitrarily (dup_span_coverage's
+    # documented contract)
+    "span_dedup_rewrite_documents",
 }
 
 

@@ -67,6 +67,10 @@ def main() -> None:
         from nasa_asteroid_data_lakehouse_spark.plans import r06_queries
 
         full.update(r06_queries.STAGED_QUERIES)
+    if getattr(entry, "REGISTER_R07", False):
+        from nasa_asteroid_data_lakehouse_spark.plans import r07_queries
+
+        full.update(r07_queries.STAGED_QUERIES)
 
     red, green = entry._driver_history()
     seen = set(red) | set(green)

@@ -104,6 +104,10 @@ _BNLJ_ALLOWED = {
     # r06: single-row percentile-boundary + count broadcast feeding the
     # bucketed exact-rank NTILE rewrite (VERDICT r05 ask #2)
     "lorenz_deciles_orders",
+    # r07 staged (inert until REGISTER_R07): audited bounded shapes
+    "skyline_daily_events",      # O(days) broadcast dominance anti-join
+    "bootstrap_ci_orders",       # 1-row CI broadcast onto 1-row base
+    "tfidf_cosine_pairs_documents",  # 1-row corpus-count broadcast
     # single-row group-total / series-mean broadcasts
     "market_basket_lineitem",
     "cusum_daily_events",
