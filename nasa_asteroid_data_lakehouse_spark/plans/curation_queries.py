@@ -1365,8 +1365,11 @@ def versioned_table_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         updates = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
             "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
         )
+        # negated insert keys (-key - 1): disjoint from the real
+        # keyspace at EVERY scale factor (ADVICE r05 — a fixed +10M
+        # offset collides with real orderkeys from sf>=2)
         inserts = orders.where(F.col("o_orderkey") % 97 == 0).select(
-            (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+            (-F.col("o_orderkey") - 1).alias("o_orderkey"),
             "o_custkey",
             "o_totalprice",
         )
@@ -1393,7 +1396,7 @@ VT_CDF_SQL = """
 WITH ins AS (
   SELECT 'insert' AS _change_type,
     CAST(COUNT(*) AS BIGINT) AS n_rows,
-    CAST(SUM(o_orderkey + 10000000) AS BIGINT) AS key_sum
+    CAST(SUM(-o_orderkey - 1) AS BIGINT) AS key_sum
   FROM (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)
 ),
 upd AS (
