@@ -430,32 +430,43 @@ def bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    fan = orders.select(
-        "o_orderkey",
-        "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-    ).select(
-        "cents",
-        "b",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "#",
-                            F.lit("boot-v1"),
-                            F.col("o_orderkey").cast("string"),
-                            F.col("b"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            / F.lit(4294967296.0)
-        ).alias("u"),
+    # One md5 is 32 hex chars = FOUR independent 8-hex uniforms, so
+    # B=32 resamples cost 8 hashes per row, not 32 — the md5 is the
+    # whole map-side cost at 100 TB, so quarter it.
+    fan = (
+        orders.select(
+            "o_orderkey",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B // 4 - 1))).alias("h"),
+        )
+        .select(
+            "cents",
+            "h",
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.lit("boot-v1"),
+                    F.col("o_orderkey").cast("string"),
+                    F.col("h"),
+                )
+            ).alias("hx"),
+        )
+        .select(
+            "cents",
+            "h",
+            "hx",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+        )
+        .select(
+            "cents",
+            (F.col("h") * 4 + F.col("j")).alias("b"),
+            (
+                F.conv(
+                    F.substring(F.col("hx"), F.col("j") * 8 + 1, 8), 16, 10
+                ).cast("long")
+                / F.lit(4294967296.0)
+            ).alias("u"),
+        )
     )
     # ascending CASE ladder (the idcg when-chain lesson)
     w = F.when(F.col("u") < _POIS_CUM[0], 0)
@@ -513,12 +524,17 @@ WITH orders_c AS (
   WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
     AND isfinite(o_totalprice)
 ),
+hashed AS (
+  SELECT cents, CAST(i AS INTEGER) AS h,
+    md5('boot-v1' || '#' || CAST(o_orderkey AS VARCHAR)
+        || '#' || CAST(CAST(i AS INTEGER) AS VARCHAR)) AS hx
+  FROM orders_c, range({_BOOT_B} // 4) r(i)
+),
 fan AS (
-  SELECT cents, CAST(i AS INTEGER) AS b,
-    ('0x' || substr(md5('boot-v1' || '#' || CAST(o_orderkey AS VARCHAR)
-                        || '#' || CAST(CAST(i AS INTEGER) AS VARCHAR)), 1, 8))::BIGINT
+  SELECT cents, h * 4 + CAST(j AS INTEGER) AS b,
+    ('0x' || substr(hx, CAST(j AS INTEGER) * 8 + 1, 8))::BIGINT
       / 4294967296.0 AS u
-  FROM orders_c, range({_BOOT_B}) r(i)
+  FROM hashed, range(4) r2(j)
 ),
 per_b AS (
   SELECT b,
