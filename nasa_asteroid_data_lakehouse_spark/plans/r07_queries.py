@@ -812,7 +812,10 @@ def embedding_split_leakage_embeddings(
     Split assignment is the same deterministic md5 hash used by
     centroid_drift; the pair table is bucket-keyed (never all-pairs),
     so at 100 TB this is the marginal cost of two broadcast joins on
-    top of the dedup pass the pipeline already runs."""
+    top of the dedup pass the pipeline already runs.  As with every
+    sign-LSH operator here, the plane count is the bucket-granularity
+    lever: one extra plane per corpus doubling keeps bucket occupancy
+    (and the within-bucket verify cost) constant."""
     emb = read_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id").isNotNull()
     )
@@ -1065,7 +1068,13 @@ def hubness_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates come from the sign-LSH bucket self-join (never
     all-pairs); per-query top-k is a window partitioned by the query
     id, so the whole graph build is bucket-local.  Output is the
-    bounded in-degree histogram."""
+    bounded in-degree histogram.
+
+    Scale lever: buckets = 2^planes, so hold per-bucket occupancy
+    roughly constant by adding one plane per corpus doubling (the
+    fixture uses {_HUB_PLANES}; the 1M probe in BASELINE.md runs 12
+    planes / 4096 buckets) — with a fixed plane count the
+    within-bucket join is quadratic in corpus size."""
     emb = read_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id").isNotNull()
     )
