@@ -934,8 +934,8 @@ def tfidf_cosine_pairs_documents(
     Integer-exact end to end (the stylometry lesson): idf is rounded
     to 1e-6, weights floor-scaled to a 1e-3 lattice, so dot products
     and squared norms are BIGINT sums (order-exact); the single
-    double division happens once per pair.  Terms with df >
-    {_TFIDF_DF_CAP} are dropped on BOTH sides — the standard
+    double division happens once per pair.  Terms with df > 50
+    are dropped on BOTH sides — the standard
     stop-term prune that also caps the join's per-key fan-out at
     scale (df² pairs per term)."""
     docs = read_table(spark, sf_dir, "documents").where(
@@ -1060,7 +1060,7 @@ _HUB_K = 5
 
 def hubness_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hubness audit of the LSH-approximate kNN graph: how often each
-    vector appears in other vectors' top-{_HUB_K} — the k-occurrence
+    vector appears in other vectors' top-5 — the k-occurrence
     (in-degree) histogram.  Heavy right tails (hub vectors that are
     "everyone's neighbor") degrade retrieval diversity and are the
     standard high-dimensionality health check for an embedding store.
@@ -1072,7 +1072,7 @@ def hubness_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale lever: buckets = 2^planes, so hold per-bucket occupancy
     roughly constant by adding one plane per corpus doubling (the
-    fixture uses {_HUB_PLANES}; the 1M probe in BASELINE.md runs 12
+    fixture uses 4; the 1M probe in BASELINE.md runs 12
     planes / 4096 buckets) — with a fixed plane count the
     within-bucket join is quadratic in corpus size."""
     emb = read_table(spark, sf_dir, "embeddings").where(
@@ -1349,22 +1349,22 @@ _SPAN_K = 3
 def span_dedup_rewrite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level dedup REWRITE (VERDICT r05 ask #3b): emit each
     document's SURVIVING text after removing every token covered by a
-    cross-document shared {_SPAN_K}-gram — the "Deduplicating Training
+    cross-document shared 3-gram — the "Deduplicating Training
     Data" operation itself, where dup_span_coverage only measures.
 
-    Semantics: the corpus-wide owner of a {_SPAN_K}-gram is the lowest
-    doc_id containing it; in any LATER doc, all {_SPAN_K} token
+    Semantics: the corpus-wide owner of a 3-gram is the lowest
+    doc_id containing it; in any LATER doc, all 3 token
     positions under a shared gram are removed, and the survivor is the
     remaining tokens in document order (the rewrite operates on the
     normalized token stream; within-doc repeats are NOT removed — the
-    owner keeps its own spans).  Docs shorter than {_SPAN_K} tokens
+    owner keeps its own spans).  Docs shorter than 3 tokens
     have no spans and always survive whole.  Output is per-doc counts
     plus the md5 of the surviving text (hash-stable, corpus-size
     independent row width).
 
     Scale shape: every stage is token-, gram-, or doc-keyed — the
     position explode is x1, the gram explode x1, the covered-position
-    explode x{_SPAN_K}; survivor assembly is a doc-keyed sort of ONLY
+    explode x3; survivor assembly is a doc-keyed sort of ONLY
     that doc's kept tokens (array_sort over collect_list — bounded by
     document length, never a corpus window).
 
