@@ -53,7 +53,7 @@ REGISTER_R06 = True
 # tfidf_cosine_pairs_documents) and the KEY_UNIQUE_PRECONDITION entry
 # (span_dedup_rewrite_documents) are already committed; bench picks
 # the batch up automatically.  Then run update_rotation 7.
-REGISTER_R07 = False
+REGISTER_R07 = True
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -96,17 +96,26 @@ _ROUND1_RED = [
 ]
 
 
-def _driver_history() -> tuple[list[str], list[str]]:
-    """(red, green) query names from CORRECTNESS_r*.json, latest round
-    winning per query; falls back to the round-1 constants."""
+def _driver_history() -> tuple[list[str], list[str], dict[str, int]]:
+    """(red, green, last_checked_round) from CORRECTNESS_r*.json, latest
+    round winning per query; falls back to the round-1 constants."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     status: dict[str, bool] = {}
-    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    last_checked: dict[str, int] = {}
+    # Numeric round sort (ADVICE r06 twin): lexicographic file order only
+    # matches round order while round numbers stay zero-padded two digits.
+    def _round_no(path: str) -> int:
+        m = re.search(r"r(\d+)\.json$", path)
+        return int(m.group(1)) if m else 0
+
+    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=_round_no)
     for path in files:
+        rnd = _round_no(path)
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -121,15 +130,16 @@ def _driver_history() -> tuple[list[str], list[str]]:
                 and row.get("hash_match") is not False
             )
             status[name] = ok
+            last_checked[name] = max(last_checked.get(name, 0), rnd)
     if not status:
-        return list(_ROUND1_RED), list(_ROUND1_GREEN)
+        return list(_ROUND1_RED), list(_ROUND1_GREEN), {}
     red = [n for n, ok in status.items() if not ok]
     green = [n for n, ok in status.items() if ok]
-    return red, green
+    return red, green, last_checked
 
 
-def _rotation_state() -> tuple[list[str], list[str]]:
-    """(pinned, demoted) from ROTATION_STATE.json.
+def _rotation_state() -> tuple[list[str], list[str], int]:
+    """(pinned, demoted, pin_round) from ROTATION_STATE.json.
 
     The driver checks only the first ~50 queries() names per round and
     does not always leave a CORRECTNESS_r{N}.json behind; without state
@@ -148,38 +158,45 @@ def _rotation_state() -> tuple[list[str], list[str]]:
         with open(os.path.join(here, "ROTATION_STATE.json")) as fh:
             rounds = json.load(fh).get("rounds", [])
     except (OSError, ValueError):
-        return [], []
+        return [], [], 0
     if not rounds:
-        return [], []
+        return [], [], 0
     pinned = list(rounds[-1].get("head", []))
+    pin_round = int(rounds[-1].get("round", 0))
     demoted: list[str] = []
     for entry in rounds[:-1]:
         for name in entry.get("head", []):
             if name not in demoted and name not in pinned:
                 demoted.append(name)
-    return pinned, demoted
+    return pinned, demoted, pin_round
 
 
 def _rotate(full: dict) -> dict:
     """Pinned head (this round's planned driver window) first, then red
     fixes, then names no round has surfaced, then presumed-exposed
-    names from earlier rounds, greens last.
+    names from earlier rounds, greens last (stalest driver check first).
 
-    Self-advancing (VERDICT r02 ask #2, refined): any pinned name that
-    is already driver-green has been consumed by a past driver run —
-    serving it again would re-prove a known green and starve the
-    never-checked tail.  Green names drop out of the pin individually
-    (demoted to the greens-last section); red and never-checked pinned
-    names keep their front position.  A fully-green pin therefore
-    vanishes and the order falls through to red -> never-seen."""
-    red, green = _driver_history()
-    pinned, demoted = _rotation_state()
+    Self-advancing (VERDICT r02 ask #2, refined r07): a pinned name is
+    CONSUMED — dropped from the pin so the tail advances — only when a
+    driver run from the pin's own round (or later) has re-proved it
+    green, i.e. last_checked >= pin_round.  Greens checked only in
+    EARLIER rounds stay pinned: the round-close rotation put them there
+    deliberately to refresh stale confirmations (VERDICT r05 ask #5),
+    and dropping them re-served the first-checked greens instead of the
+    stalest (the r06 window re-proved q1/q3/q5 while lsh_topk et al.
+    stayed r01-vintage)."""
+    red, green, last_checked = _driver_history()
+    pinned, demoted, pin_round = _rotation_state()
     seen = set(red) | set(green)
     green_set = set(green)
-    consumed = [n for n in pinned if n in green_set]
+    consumed = [
+        n
+        for n in pinned
+        if n in green_set and last_checked.get(n, 0) >= pin_round
+    ]
     if consumed:
         demoted = demoted + [n for n in consumed if n not in set(demoted)]
-        pinned = [n for n in pinned if n not in green_set]
+        pinned = [n for n in pinned if n not in set(consumed)]
     ordered = [k for k in pinned if k in full]
     taken = set(ordered)
     ordered += [k for k in red if k in full and k not in taken]
@@ -190,7 +207,9 @@ def _rotate(full: dict) -> dict:
     taken.update(ordered)
     ordered += [k for k in demoted if k in full and k not in taken and k not in seen]
     taken.update(ordered)
-    ordered += [k for k in green if k in full and k not in taken]
+    green_tail = [k for k in green if k in full and k not in taken]
+    green_tail.sort(key=lambda k: last_checked.get(k, 0))
+    ordered += green_tail
     return {k: full[k] for k in ordered}
 
 

@@ -72,7 +72,7 @@ def main() -> None:
 
         full.update(r07_queries.STAGED_QUERIES)
 
-    red, green = entry._driver_history()
+    red, green, _ = entry._driver_history()
     seen = set(red) | set(green)
     prior = [e for e in state["rounds"] if e.get("round") != round_no]
     exposed: set = set()
@@ -98,7 +98,10 @@ def main() -> None:
     import re
 
     last_checked: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    # ADVICE r06: take the max round per name explicitly — lexicographic
+    # file-name order only equals numeric order while round numbers stay
+    # zero-padded two digits (r100 / unpadded r7 would misorder).
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         try:
@@ -107,7 +110,7 @@ def main() -> None:
         except (OSError, ValueError):
             continue
         for name in rows:
-            last_checked[name] = rnd
+            last_checked[name] = max(last_checked.get(name, 0), rnd)
     green_tail = [k for k in green if k in full and k not in taken]
     green_tail.sort(key=lambda k: last_checked.get(k, 0))
     ordered += green_tail

@@ -51,8 +51,14 @@ def test_queries_fail_cleanly_on_missing_sf_dir(spark):
 
 def test_rotate_serves_pinned_head_first(monkeypatch):
     full = {f"q{i}": i for i in range(8)}
-    monkeypatch.setattr(spark_entry, "_driver_history", lambda: (["q5"], ["q0", "q1"]))
-    monkeypatch.setattr(spark_entry, "_rotation_state", lambda: (["q3", "q2"], []))
+    monkeypatch.setattr(
+        spark_entry,
+        "_driver_history",
+        lambda: (["q5"], ["q0", "q1"], {"q5": 1, "q0": 1, "q1": 1}),
+    )
+    monkeypatch.setattr(
+        spark_entry, "_rotation_state", lambda: (["q3", "q2"], [], 2)
+    )
     order = list(spark_entry._rotate(full))
     # pinned head verbatim, then red, then never-seen, greens last
     assert order[:2] == ["q3", "q2"]
@@ -61,13 +67,18 @@ def test_rotate_serves_pinned_head_first(monkeypatch):
 
 
 def test_rotate_consumes_all_green_pin(monkeypatch):
-    """VERDICT r02 ask #2: a stale pin whose names are ALL driver-green
-    must not be re-served — fall through to red -> never-seen order."""
+    """VERDICT r02 ask #2: a pin whose names were all re-proved green by
+    its own round's driver run must not be re-served — fall through to
+    red -> never-seen order."""
     full = {f"q{i}": i for i in range(8)}
     monkeypatch.setattr(
-        spark_entry, "_driver_history", lambda: (["q6"], ["q2", "q3", "q0"])
+        spark_entry,
+        "_driver_history",
+        lambda: (["q6"], ["q2", "q3", "q0"], {"q6": 1, "q2": 1, "q3": 1, "q0": 1}),
     )
-    monkeypatch.setattr(spark_entry, "_rotation_state", lambda: (["q3", "q2"], []))
+    monkeypatch.setattr(
+        spark_entry, "_rotation_state", lambda: (["q3", "q2"], [], 1)
+    )
     order = list(spark_entry._rotate(full))
     assert order[0] == "q6"  # red fix first, not the consumed pin
     never_seen = {"q1", "q4", "q5", "q7"}
@@ -76,15 +87,49 @@ def test_rotate_consumes_all_green_pin(monkeypatch):
     assert set(order[5:]) == {"q0", "q2", "q3"}
 
 
-def test_rotate_drops_green_members_from_pin(monkeypatch):
-    """A pin's already-green members drop out individually; its red and
-    never-checked members keep the front — a partially-consumed pin no
-    longer wastes driver slots re-proving greens."""
+def test_rotate_drops_consumed_green_members_from_pin(monkeypatch):
+    """A pin member re-proved green by its own round's driver run drops
+    out individually; red and never-checked members keep the front."""
     full = {f"q{i}": i for i in range(4)}
-    monkeypatch.setattr(spark_entry, "_driver_history", lambda: ([], ["q1"]))
-    monkeypatch.setattr(spark_entry, "_rotation_state", lambda: (["q1", "q2"], []))
+    monkeypatch.setattr(
+        spark_entry, "_driver_history", lambda: ([], ["q1"], {"q1": 1})
+    )
+    monkeypatch.setattr(
+        spark_entry, "_rotation_state", lambda: (["q1", "q2"], [], 1)
+    )
     order = list(spark_entry._rotate(full))
-    # q2 (never checked) stays pinned first; green q1 demotes to last
+    # q2 (never checked) stays pinned first; consumed green q1 demotes
     assert order[0] == "q2"
     assert order[-1] == "q1"
     assert set(order[1:3]) == {"q0", "q3"}
+
+
+def test_rotate_keeps_stale_green_pin_for_recycling(monkeypatch):
+    """Refined r07: a green whose last driver check PRECEDES the pin's
+    round was pinned deliberately (stale-confirmation recycling,
+    VERDICT r05 ask #5) and must be served verbatim, not dropped —
+    dropping it re-served first-checked greens instead of stalest."""
+    full = {f"q{i}": i for i in range(4)}
+    monkeypatch.setattr(
+        spark_entry, "_driver_history", lambda: ([], ["q1", "q3"], {"q1": 1, "q3": 6})
+    )
+    monkeypatch.setattr(
+        spark_entry, "_rotation_state", lambda: (["q2", "q1"], [], 7)
+    )
+    order = list(spark_entry._rotate(full))
+    # q1 last checked in r1 < pin round 7 -> stays pinned behind q2
+    assert order[:2] == ["q2", "q1"]
+
+
+def test_rotate_green_tail_stalest_first(monkeypatch):
+    """The unpinned green tail orders by last driver check ascending, so
+    stale confirmations refresh before recent ones."""
+    full = {f"q{i}": i for i in range(4)}
+    monkeypatch.setattr(
+        spark_entry,
+        "_driver_history",
+        lambda: ([], ["q0", "q1", "q2"], {"q0": 5, "q1": 2, "q2": 4}),
+    )
+    monkeypatch.setattr(spark_entry, "_rotation_state", lambda: ([], [], 0))
+    order = list(spark_entry._rotate(full))
+    assert order == ["q3", "q1", "q2", "q0"]
