@@ -165,12 +165,16 @@ class VersionedTable:
     def _key_membership_cond(keys: list[str], key_values: list[tuple]):
         """Boolean Column: the row's key tuple is one of ``key_values``.
 
-        Single-key tables compile to one ``IN``-set predicate;
-        composite keys to an OR of per-tuple ``eqNullSafe``
-        conjunctions (the analyzer inserts numeric casts, so literal
-        typing is safe either way).  O(|tuples|) expression size —
-        ``key_values`` is a driver-provided targeted-delete list by
-        contract, not a table."""
+        Single-key tables compile to one ``IN``-set predicate over the
+        non-NULL values, OR'd with ``isNull`` when ``None`` is listed
+        (ADVICE r06: ``col IN (NULL)`` never matches, so a targeted
+        delete of a NULL-keyed row used to silently no-op); composite
+        keys to an OR of per-tuple ``eqNullSafe`` conjunctions (the
+        analyzer inserts numeric casts, so literal typing is safe
+        either way).  Both paths therefore match NULL keys.
+        O(|tuples|) expression size — ``key_values`` is a
+        driver-provided targeted-delete list by contract, not a
+        table."""
         from functools import reduce
 
         rows = [tuple(kv) if isinstance(kv, (tuple, list)) else (kv,)
@@ -178,7 +182,11 @@ class VersionedTable:
         if not rows:
             return F.lit(False)
         if len(keys) == 1:
-            return F.col(keys[0]).isin([r[0] for r in rows])
+            vals = [r[0] for r in rows if r[0] is not None]
+            cond = F.col(keys[0]).isin(vals) if vals else F.lit(False)
+            if any(r[0] is None for r in rows):
+                cond = cond | F.col(keys[0]).isNull()
+            return cond
         terms = [
             reduce(
                 lambda a, b: a & b,
@@ -491,11 +499,29 @@ class VersionedTable:
 
         Returns the newer image of each changed row (old image for
         deletes) plus ``_change_type`` in {insert, update_postimage,
-        delete, schema_drop} — the Delta-style CDF surface, computed
-        from snapshots (no row-change log is kept).  ``schema_drop``
-        marks rows whose only difference is a non-NULL value in a
-        column ``to_version`` no longer carries, so consumers can tell
-        schema evolution from data change (ADVICE r05).
+        delete, schema_drop, schema_add} — the Delta-style CDF surface,
+        computed from snapshots (no row-change log is kept).
+        ``schema_drop`` marks rows whose only difference is a non-NULL
+        value in a column ``to_version`` no longer carries;
+        ``schema_add`` (the symmetric type, ADVICE r06) marks rows
+        whose only difference is a non-NULL value in a column
+        ``to_version`` ADDED — so a pure column-add commit is
+        distinguishable from a mass data update, exactly as a pure
+        column-drop is.  Any difference in a column BOTH versions carry
+        classifies as ``update_postimage`` regardless of concurrent
+        schema evolution.
+
+        APPLY ALGEBRA (the downstream-replica contract): schema_drop
+        and schema_add rows ARE updates to a consumer — replay them
+        like update_postimage, replacing the replica's row with the
+        feed image.  A schema_drop image carries NULL in the dropped
+        columns (nulling the replica's stale values; rows whose
+        dropped-column values were already NULL produce no feed row and
+        need no repair), and a schema_add image carries the added
+        columns' values.  Filtering the feed to only
+        insert/update_postimage/delete keeps stale non-NULL values in
+        dropped columns and misses added-column backfills — the replica
+        diverges.  :meth:`apply_changes` implements the full algebra.
 
         Cost is O(changed buckets), not O(table): data files are
         immutable (every write lands in a fresh txn directory, nothing
@@ -524,14 +550,17 @@ class VersionedTable:
         # keep the old-only values.  The side missing a column reads
         # it as typed NULL, symmetrically (as parquet mergeSchema
         # would).  Rows whose ONLY difference sits in dropped columns
-        # classify as ``schema_drop``, not ``update_postimage``
-        # (ADVICE r05): a pure column-drop commit would otherwise be
-        # indistinguishable from a mass data update in the CDF.
-        shared_non_keys = [c for c in new.columns if c not in keys]
+        # classify as ``schema_drop``, and (symmetrically, ADVICE r06)
+        # rows whose only difference sits in ADDED columns as
+        # ``schema_add`` — pure schema-evolution commits would
+        # otherwise be indistinguishable from mass data updates.
+        new_non_keys = [c for c in new.columns if c not in keys]
+        common_non_keys = [c for c in new_non_keys if c in old.columns]
+        added_cols = [c for c in new_non_keys if c not in old.columns]
         dropped_cols = [
             c for c in old.columns if c not in keys and c not in new.columns
         ]
-        non_keys = shared_non_keys + dropped_cols
+        non_keys = new_non_keys + dropped_cols
 
         def _side_col(df: DataFrame, c: str, other: DataFrame) -> F.Column:
             if c in df.columns:
@@ -547,20 +576,23 @@ class VersionedTable:
 
         # USING-join semantics coalesce the key columns across sides.
         joined = new_side.join(old_side, on=keys, how="full_outer")
-        diff_shared = F.lit(False)
-        for c in shared_non_keys:
-            diff_shared = diff_shared | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
-        diff_dropped = F.lit(False)
-        for c in dropped_cols:
-            diff_dropped = diff_dropped | ~F.col(c).eqNullSafe(
-                F.col(f"__old_{c}")
-            )
+
+        def _any_diff(cols: list[str]) -> F.Column:
+            d = F.lit(False)
+            for c in cols:
+                d = d | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+            return d
+
+        diff_common = _any_diff(common_non_keys)
+        diff_dropped = _any_diff(dropped_cols)
+        diff_added = _any_diff(added_cols)
         is_delete = F.col("__in_new").isNull()
         change_type = (
             F.when(F.col("__in_old").isNull(), F.lit("insert"))
             .when(is_delete, F.lit("delete"))
-            .when(diff_shared, F.lit("update_postimage"))
+            .when(diff_common, F.lit("update_postimage"))
             .when(diff_dropped, F.lit("schema_drop"))
+            .when(diff_added, F.lit("schema_add"))
         )
         image = [
             F.when(is_delete, F.col(f"__old_{c}")).otherwise(F.col(c)).alias(c)
@@ -569,6 +601,43 @@ class VersionedTable:
         return (
             joined.select(*keys, *image, change_type.alias("_change_type"))
             .where(F.col("_change_type").isNotNull())
+        )
+
+    @staticmethod
+    def apply_changes(
+        snapshot: DataFrame, feed: DataFrame, keys: list[str]
+    ) -> DataFrame:
+        """Replay a :meth:`changes` feed onto an older ``snapshot`` —
+        the downstream-replica apply algebra, with EVERY change type
+        handled (ADVICE r06: filtering to insert/update_postimage/
+        delete keeps stale non-NULL values in dropped columns and
+        misses added-column backfills).
+
+        survivors = snapshot rows whose keys the feed never names
+        (anti join; insert keys are absent from the snapshot, so one
+        all-keys ``gone`` set is both correct and cheapest), unioned
+        with the image of every non-delete change — insert,
+        update_postimage, and the schema-evolution types, whose images
+        already encode the repair (NULL for dropped columns, values
+        for added ones).
+
+        Output columns are the feed's image schema: keys + the union
+        of both versions' non-key columns.  Snapshot columns the feed
+        lacks are ignored; feed columns the snapshot lacks NULL-fill
+        for survivors (``allowMissingColumns``) — matching what the
+        missing-side snapshot read would produce.  Dropped columns
+        therefore surface as all-NULL rather than disappearing; a
+        consumer mirroring the schema itself drops them afterwards.
+
+        Scale: one key-keyed anti join + a union — bucket-local on the
+        table's own key hash at 100 TB (the feed is O(changed rows))."""
+        gone = feed.select(*keys)
+        images = feed.where(
+            F.col("_change_type") != F.lit("delete")
+        ).drop("_change_type")
+        survivors = snapshot.join(gone, on=keys, how="left_anti")
+        return survivors.unionByName(images, allowMissingColumns=True).select(
+            *images.columns
         )
 
     # --- maintenance ---------------------------------------------------------

@@ -1160,9 +1160,14 @@ def cdc_apply_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     key % 100), so duplicate-key source rows collapse identically on
     both engines.  Synthetic insert keys are NEGATED (-key - 1), never
     offset — disjoint from the real keyspace at every scale factor
-    (the ADVICE r05 lesson).  Apply algebra: survivors = old snapshot
-    minus deleted/updated keys, plus insert/update images; the
-    full-outer verify is null-safe on every column.
+    (the ADVICE r05 lesson).  Apply algebra is
+    ``VersionedTable.apply_changes`` — survivors = old snapshot minus
+    ALL feed keys, plus the image of every non-delete change type
+    including the schema-evolution types (ADVICE r06: a type-filtered
+    apply diverges across column drops/adds; the schema-evolution
+    convergence case is pinned in
+    tests/test_versioned_table.py::test_apply_changes_converges_across_schema_evolution);
+    the full-outer verify is null-safe on every column.
 
     Scale: apply is two key-keyed anti joins + a union; verify is one
     key-keyed full-outer join — all bucket-local on the table's own
@@ -1197,13 +1202,7 @@ def cdc_apply_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap0 = t.read(v0)
         actual = t.read(v2)
         ch = t.changes(v0, v2)
-        gone = ch.where(
-            F.col("_change_type").isin("delete", "update_postimage", "insert")
-        ).select("o_orderkey")
-        images = ch.where(
-            F.col("_change_type").isin("insert", "update_postimage")
-        ).select("o_orderkey", "seg")
-        recon = snap0.join(gone, "o_orderkey", "left_anti").unionByName(images)
+        recon = VersionedTable.apply_changes(snap0, ch, keys=["o_orderkey"])
         a = actual.select("o_orderkey", F.col("seg").alias("seg_a"))
         r = recon.select("o_orderkey", F.col("seg").alias("seg_r"))
         verify = a.join(r, "o_orderkey", "full_outer")
@@ -1269,13 +1268,18 @@ def streaming_dedup_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame
     replay (rollup: fold; score: stream-static join; session: expiring
     merge state; here: KEYED DEDUP STATE).
 
-    The watermark horizon (365 days) exceeds the fixture's span, so
+    The watermark horizon is DERIVED FROM THE DATA (ADVICE r06): a
+    fixed 365-day horizon silently stops matching the DISTINCT oracle
+    at any scale factor whose event span exceeds it (state expires /
+    late rows drop).  One bounded min/max aggregate sizes the horizon
+    to the replayed span plus a 2-day margin (floor 365 days), so
     dedup state never expires mid-replay and the stream's keep-set is
     exactly ``DISTINCT event_id`` regardless of file composition —
     which payload survives a conflicting duplicate is arrival-order
     dependent, so the verified output is KEY-DERIVED ONLY.  At scale
     the horizon is the dedup-correctness window: duplicates farther
-    apart than the horizon are the upstream batch deduper's job."""
+    apart than the horizon are the upstream batch deduper's job (this
+    replay verifies the full log, so it sizes to the full span)."""
     import shutil
     import tempfile
 
@@ -1287,6 +1291,13 @@ def streaming_dedup_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("event_id", F.col("ts").cast("timestamp").alias("ts"))
     )
     out_schema = "event_id bigint, ts timestamp"
+    span = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    horizon_days = 365
+    if span["lo"] is not None and span["hi"] is not None:
+        span_days = (span["hi"] - span["lo"]).days + 2
+        horizon_days = max(horizon_days, span_days)
     tmp = tempfile.mkdtemp(prefix="ndl_stream_dedup_")
     try:
         src = f"{tmp}/in"
@@ -1297,7 +1308,7 @@ def streaming_dedup_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame
             .parquet(src)
         )
         deduped = stream.withWatermark(
-            "ts", "365 days"
+            "ts", f"{horizon_days} days"
         ).dropDuplicatesWithinWatermark(["event_id"])
         out = f"{tmp}/deduped"
         q = (

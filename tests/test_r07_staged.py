@@ -296,3 +296,23 @@ def test_streaming_dedup_replay_drops_cross_batch_dups(spark, tmp_path):
     got = r7.streaming_dedup_replay_events(spark, sf).toPandas().iloc[0]
     assert int(got["n_unique"]) == 5
     assert int(got["key_sum"]) == 0 + 1 + 2 + 3 + 4
+
+def test_streaming_dedup_replay_span_exceeding_default_horizon(spark, tmp_path):
+    """ADVICE r06: the watermark horizon derives from the data span, so
+    a replay whose events span more than the 365-day floor still keeps
+    exactly the DISTINCT key set — cross-span duplicates neither
+    re-emit (state expiry) nor late-drop, whatever the file order."""
+    rows = []
+    for i in range(10):
+        rows.append((i, f"2020-01-{i + 1:02d} 08:00:00", 1, "t", 1.0))
+        rows.append((i, f"2021-12-{i + 1:02d} 08:00:00", 1, "t", 1.0))  # ~700d later
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    sf = _write(ev, tmp_path, "events")
+    got = r7.streaming_dedup_replay_events(spark, sf).toPandas().iloc[0]
+    assert int(got["n_unique"]) == 10
+    assert int(got["key_sum"]) == sum(range(10))

@@ -433,3 +433,100 @@ def test_changes_diffs_dropped_old_only_column(spark, tmp_path):
     # k=3: delete image keeps the old-only column's value
     assert ch[3]["_change_type"] == "delete"
     assert ch[3]["extra"] == 30.0
+
+
+def test_changes_classifies_pure_column_add_as_schema_add(spark, tmp_path):
+    """ADVICE r06 (symmetry): a row whose only difference is a non-NULL
+    value in a column to_version ADDED classifies as ``schema_add``,
+    not ``update_postimage`` — a pure column-add backfill commit is
+    distinguishable from a mass data update, exactly as a pure
+    column-drop is."""
+    t = VersionedTable(spark, str(tmp_path / "chadd"), num_buckets=4)
+    old = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (3, "a3")], "k bigint, val string"
+    )
+    t.create(old, keys=["k"])
+    new = spark.createDataFrame(
+        [(1, "a1", "n1"), (2, "a2x", "n2"), (3, "a3", None)],
+        "k bigint, val string, note string",
+    )
+    buckets = t._write_bucket_files(new, ["k"])
+    t._commit(
+        1,
+        buckets,
+        {"keys": ["k"], "operation": "overwrite",
+         "schema": json.loads(new.schema.json())},
+    )
+    ch = {r["k"]: r for r in t.changes(0, 1).collect()}
+    # k=1: only the added column differs -> schema evolution, not data
+    assert ch[1]["_change_type"] == "schema_add"
+    assert ch[1]["note"] == "n1"
+    # k=2: a shared column differs too -> ordinary update wins
+    assert ch[2]["_change_type"] == "update_postimage"
+    # k=3: added column NULL everywhere -> no change row at all
+    assert 3 not in ch
+
+
+def test_apply_changes_converges_across_schema_evolution(spark, tmp_path):
+    """ADVICE r06: the apply algebra must include the schema-evolution
+    change types.  v0 -> v1 drops `extra` (non-NULL everywhere), adds
+    `note`, updates one val, deletes one key, inserts one key.
+    apply_changes(v0, changes(0,1)) must equal the v1 snapshot on v1's
+    columns, with the dropped column all-NULL (the stale-value repair a
+    type-filtered apply misses)."""
+    t = VersionedTable(spark, str(tmp_path / "applyse"), num_buckets=4)
+    old = spark.createDataFrame(
+        [(1, "a1", 10.0), (2, "a2", 20.0), (3, "a3", 30.0)],
+        "k bigint, val string, extra double",
+    )
+    t.create(old, keys=["k"])
+    new = spark.createDataFrame(
+        [(1, "a1", "n1"), (2, "a2x", "n2"), (4, "a4", "n4")],
+        "k bigint, val string, note string",
+    )
+    buckets = t._write_bucket_files(new, ["k"])
+    t._commit(
+        1,
+        buckets,
+        {"keys": ["k"], "operation": "overwrite",
+         "schema": json.loads(new.schema.json())},
+    )
+    feed = t.changes(0, 1)
+    recon = VersionedTable.apply_changes(t.read(0), feed, keys=["k"])
+    got = {r["k"]: r for r in recon.collect()}
+    want = {r["k"]: r for r in t.read(1).collect()}
+    assert set(got) == set(want) == {1, 2, 4}
+    for k in want:
+        assert got[k]["val"] == want[k]["val"]
+        assert got[k]["note"] == want[k]["note"]
+        # the dropped column's stale value is repaired to NULL
+        assert got[k]["extra"] is None
+    # the divergence the full algebra fixes: a type-filtered apply
+    # keeps k=1's stale extra=10.0 (its only feed row is schema_*-typed)
+    partial_gone = feed.where(
+        F.col("_change_type").isin("delete", "update_postimage", "insert")
+    ).select("k")
+    partial_images = feed.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("k", "val", "note")
+    stale = (
+        t.read(0).join(partial_gone, "k", "left_anti")
+        .where(F.col("k") == 1)
+        .collect()
+    )
+    assert stale and stale[0]["extra"] == 10.0
+
+
+def test_single_key_delete_where_matches_null_key(spark, tmp_path):
+    """ADVICE r06: the single-key key_values path must match NULL keys
+    (isin() compiles to IN (NULL) which never matches, silently
+    no-oping a targeted delete of a NULL-keyed row) — same eq-NULL-safe
+    semantics as the composite path."""
+    t = VersionedTable(spark, str(tmp_path / "nullkey"), num_buckets=4)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "null-keyed")], "k bigint, val string"
+    )
+    t.create(df, keys=["k"])
+    t.delete_where(F.lit(True), key_values=[None, 2])
+    left = {r["k"] for r in t.read().collect()}
+    assert left == {1}
