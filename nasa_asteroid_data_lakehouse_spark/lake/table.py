@@ -298,6 +298,48 @@ class VersionedTable:
                 continue  # re-read latest manifest and retry
         raise CommitConflict(f"gave up after {retries} conflicting commits")
 
+    def overwrite(self, df: DataFrame, order_by: list[str] | None = None,
+                  retries: int = 3) -> int:
+        """Commit a FULL new snapshot (replace every row), keeping the
+        table's keys — the API path for schema evolution beyond what
+        upsert's union-by-name can express (dropping a column, or a
+        wholesale recompute).  The one-row-per-key invariant is
+        enforced with the same merge rule create() uses; ``changes()``
+        across an overwrite classifies per row (insert / update /
+        delete / schema_drop / schema_add), so the CDF stays exact.
+
+        Scale note: an overwrite rewrites the whole table by
+        definition — use :meth:`upsert`/:meth:`delete_where` for
+        incremental change; this exists for the schema-evolution and
+        recompute commits where full rewrite IS the operation."""
+        from nasa_asteroid_data_lakehouse_spark.operators.merge import (
+            merge_dataframes,
+        )
+
+        for _ in range(retries):
+            version = self.latest_version()
+            if version is None:
+                raise ValueError("table does not exist; call create() first")
+            manifest = self._load_manifest(version)
+            keys = manifest["keys"]
+            self.num_buckets = int(manifest.get("num_buckets", self.num_buckets))
+            merged = merge_dataframes(None, df, keys, order_by=order_by)
+            buckets = self._write_bucket_files(merged, keys)
+            try:
+                self._commit(
+                    version + 1,
+                    buckets,
+                    {
+                        "keys": keys,
+                        "operation": "overwrite",
+                        "schema": merged.schema.jsonValue(),
+                    },
+                )
+                return version + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {retries} conflicting commits")
+
     def delete_where(self, condition, retries: int = 3, key_values=None) -> int:
         """Delete rows matching ``condition`` (a Column or SQL string),
         rewriting ONLY the buckets that contain matching rows — the
@@ -673,6 +715,108 @@ class VersionedTable:
                 "keys": keys,
                 "operation": "compact",
                 "compacted_buckets": sorted(to_compact),
+                "schema": manifest.get("schema"),
+            },
+        )
+        return version + 1
+
+    def optimize(
+        self,
+        zorder_by: list[str],
+        files_per_bucket: int = 4,
+        zbits: int = 8,
+    ) -> int:
+        """``OPTIMIZE ... ZORDER BY`` for a key-bucketed table: rewrite
+        every bucket with rows Z-ORDERED on ``zorder_by`` and split
+        into ``files_per_bucket`` contiguous z-range files, then commit
+        (data content unchanged — a maintenance commit like compact).
+
+        Why both layouts compose: the key-hash bucket is the UPSERT
+        locality unit (a merge rewrites only touched buckets) but
+        scatters every scan key uniformly, so per-bucket files have
+        full-range envelopes and a range predicate prunes nothing.
+        Slicing each bucket's rows by z-rank gives every file a small
+        hyper-rectangle of the zorder_by space (parquet footers and
+        ``lake/stats.collect_file_stats`` then both carry tight
+        min/max), so selective scans skip ~(1 - 1/files_per_bucket)
+        of each bucket while upserts keep their bucket pruning.
+
+        Scale: one z-value projection (equi-depth bucket ranks via
+        approxQuantile — sketch-sized driver result), one bucket-local
+        window pair (row_number + count partitioned by __bucket), one
+        exchange on (__bucket, __slot).  No global sort.
+        """
+        from nasa_asteroid_data_lakehouse_spark.lake.zorder import (
+            morton_interleave,
+            zorder_buckets,
+        )
+        from pyspark.sql import Window
+
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("table does not exist")
+        manifest = self._load_manifest(version)
+        keys = manifest["keys"]
+        self.num_buckets = int(manifest.get("num_buckets", self.num_buckets))
+        files = [f for fs in manifest["buckets"].values() for f in fs]
+        if not files:
+            return version
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*files)
+            .drop("__bucket")
+        )
+        z = morton_interleave(zorder_buckets(df, zorder_by, zbits), zbits)
+        bucketed = df.withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets)),
+        ).withColumn("__z", z)
+        w = Window.partitionBy("__bucket").orderBy("__z", *keys)
+        wcnt = Window.partitionBy("__bucket")
+        sliced = bucketed.withColumn(
+            "__slot",
+            F.floor(
+                (F.row_number().over(w) - 1)
+                * files_per_bucket
+                / F.count(F.lit(1)).over(wcnt)
+            ).cast("int"),
+        )
+
+        txn = uuid.uuid4().hex[:8]
+        out_dir = os.path.join(self._data_dir, txn)
+        (
+            sliced.repartition(
+                self.num_buckets * files_per_bucket, "__bucket", "__slot"
+            )
+            .sortWithinPartitions("__bucket", "__slot", "__z")
+            .drop("__z")
+            .write.partitionBy("__bucket", "__slot")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_buckets: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(out_dir)):
+            if not entry.startswith("__bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            fs = [
+                os.path.join(bdir, slot_dir, f)
+                for slot_dir in sorted(os.listdir(bdir))
+                if slot_dir.startswith("__slot=")
+                for f in sorted(os.listdir(os.path.join(bdir, slot_dir)))
+                if f.endswith(".parquet")
+            ]
+            if fs:
+                new_buckets[b] = fs
+        self._commit(
+            version + 1,
+            new_buckets,
+            {
+                "keys": keys,
+                "operation": "optimize",
+                "zorder_by": list(zorder_by),
+                "files_per_bucket": files_per_bucket,
                 "schema": manifest.get("schema"),
             },
         )

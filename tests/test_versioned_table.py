@@ -530,3 +530,104 @@ def test_single_key_delete_where_matches_null_key(spark, tmp_path):
     t.delete_where(F.lit(True), key_values=[None, 2])
     left = {r["k"] for r in t.read().collect()}
     assert left == {1}
+
+
+def test_overwrite_commits_full_snapshot_with_new_schema(spark, tmp_path):
+    """overwrite() is the schema-evolution API path: a full-snapshot
+    commit that can drop and add columns; keys and the one-row-per-key
+    invariant survive, and changes() classifies across it."""
+    t = VersionedTable(spark, str(tmp_path / "ow"), num_buckets=4)
+    t.create(
+        spark.createDataFrame(
+            [(1, "a1", 10.0), (2, "a2", 20.0)], "k bigint, val string, extra double"
+        ),
+        keys=["k"],
+    )
+    v1 = t.overwrite(
+        spark.createDataFrame(
+            [(1, "a1", "n1"), (3, "a3", "n3"), (3, "dup", "n3b")],
+            "k bigint, val string, note string",
+        ),
+        order_by=[F.asc("val")],
+    )
+    assert v1 == 1
+    got = {r["k"]: r for r in t.read().collect()}
+    assert set(got) == {1, 3}
+    assert got[3]["val"] == "a3"  # order_by picked the survivor
+    assert "extra" not in t.read().columns
+    types = {r["k"]: r["_change_type"] for r in t.changes(0, 1).collect()}
+    assert types[2] == "delete" and types[3] == "insert"
+    # k=1: extra dropped (non-NULL) AND note added -> schema change,
+    # classified by the drop branch first
+    assert types[1] == "schema_drop"
+
+
+def test_optimize_zorder_narrows_file_envelopes(spark, tmp_path):
+    """optimize(zorder_by=...) keeps data identical and slices each
+    hash bucket into z-contiguous files whose min/max envelopes are
+    narrow enough to skip for a selective range predicate."""
+    from nasa_asteroid_data_lakehouse_spark.lake.stats import collect_file_stats
+
+    t = VersionedTable(spark, str(tmp_path / "zv"), num_buckets=4)
+    n = 4000
+    df = spark.createDataFrame(
+        [(i, i % 100, (i * 37) % 100) for i in range(n)],
+        "k bigint, a bigint, b bigint",
+    )
+    t.create(df, keys=["k"])
+    before = t.read().orderBy("k").collect()
+    v1 = t.optimize(zorder_by=["a", "b"], files_per_bucket=4)
+    assert v1 == 1
+    after = t.read().orderBy("k").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    m = t._load_manifest(v1)
+    n_files = sum(len(fs) for fs in m["buckets"].values())
+    assert n_files >= 4 * 4  # every bucket sliced
+    stats = collect_file_stats(t.read(), ["a"]).collect()
+    # z-sliced files cover sub-ranges of a: average envelope width must
+    # be well under the full range (hash-bucketed-only files span ~all)
+    widths = [r["a_max"] - r["a_min"] for r in stats]
+    assert sum(widths) / len(widths) < 70, widths
+    # a selective band predicate can skip files on stats alone: with 4
+    # z-slots (one bit per dimension) roughly the upper-half-of-a files
+    # are skippable for a low band, minus quartile-boundary blur
+    skippable = [r for r in stats if r["a_max"] < 10 or r["a_min"] >= 20]
+    assert len(skippable) >= n_files // 4
+
+
+def test_multi_table_transaction_consistent_snapshot(spark, tmp_path):
+    """The transaction manifest is the single commit point: readers see
+    every member at its pinned version; table-local commits without a
+    transaction commit (a crashed writer) stay invisible; unnamed
+    members carry forward."""
+    from nasa_asteroid_data_lakehouse_spark.lake import MultiTableTransaction
+
+    txn = MultiTableTransaction(spark, str(tmp_path / "mt"), num_buckets=4)
+    fact, dim = txn.table("fact"), txn.table("dim")
+    vf = fact.create(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k bigint, v bigint"),
+        keys=["k"],
+    )
+    vd = dim.create(
+        spark.createDataFrame([(0, 3)], "d bigint, n_rows bigint"), keys=["d"]
+    )
+    assert txn.commit({"fact": vf, "dim": vd}) == 0
+
+    # txn 1: delete from fact AND update dim — atomically visible
+    vf2 = fact.delete_where(F.col("k") == 3)
+    vd2 = dim.upsert(spark.createDataFrame([(0, 2)], "d bigint, n_rows bigint"))
+    assert txn.commit({"fact": vf2, "dim": vd2}) == 1
+
+    # crashed writer: table-local commit, NO txn commit
+    fact.delete_where(F.col("k") == 1)
+
+    assert txn.read("fact").count() == 2  # latest txn, crash invisible
+    assert txn.read("dim").collect()[0]["n_rows"] == 2
+    assert txn.read("fact", txn_id=0).count() == 3  # time travel
+    assert txn.read("dim", txn_id=0).collect()[0]["n_rows"] == 3
+
+    # carry-forward: a txn naming only fact keeps dim pinned
+    vf3 = fact.delete_where(F.col("k") == 1)
+    assert txn.commit({"fact": vf3}) == 2
+    assert txn.read("dim").collect()[0]["n_rows"] == 2
+    assert txn.read("fact").count() == 1
