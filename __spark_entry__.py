@@ -55,6 +55,18 @@ REGISTER_R06 = True
 # the batch up automatically.  Then run update_rotation 7.
 REGISTER_R07 = True
 
+# Round-8 registration switch: flip to True at round-8 start once
+# CORRECTNESS_r07 lands; serves plans/r08_queries.py's 7 staged
+# queries (gate-verified in round 7 via driver_sim --staged: IVF-PQ
+# top-k + recall, multi-table transactional snapshot, OPTIMIZE ZORDER
+# roundtrip, LSH index maintenance, CDF apply across schema
+# evolution, auto-plane hubness).  On flip: the _BNLJ_ALLOWED entries
+# (ivfpq_recall_embeddings, lsh_index_maintenance_embeddings) and the
+# KEY_UNIQUE_PRECONDITION entries (ivfpq pair, txn snapshot, zorder
+# roundtrip) are already committed; bench picks the batch up
+# automatically.  Then run update_rotation 8.
+REGISTER_R08 = False
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -241,6 +253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from nasa_asteroid_data_lakehouse_spark.plans import r07_queries
 
         out.update(r07_queries.STAGED_QUERIES)
+    if REGISTER_R08:
+        from nasa_asteroid_data_lakehouse_spark.plans import r08_queries
+
+        out.update(r08_queries.STAGED_QUERIES)
     return _rotate(out)
 
 
@@ -272,4 +288,8 @@ def oracle_sql() -> dict[str, str]:
         from nasa_asteroid_data_lakehouse_spark.plans import r07_queries
 
         out.update(r07_queries.STAGED_ORACLES)
+    if REGISTER_R08:
+        from nasa_asteroid_data_lakehouse_spark.plans import r08_queries
+
+        out.update(r08_queries.STAGED_ORACLES)
     return _rotate(out)

@@ -1423,3 +1423,221 @@ def pq_adc_recall(
             ).alias("recall_at_k"),
         )
     )
+
+
+# --- IVF-PQ composite (the production ANN serving shape) ---------------------
+
+
+def _pq_codes_cols(
+    vec_col: Column, centroids: list[list[float]], bounds: list[tuple[int, int]]
+) -> list[Column]:
+    """Per-subspace PQ code columns (argmin over centroid subvectors) —
+    the same map-only fold pq_adc_recall uses, factored so IVF-PQ can
+    code only the vectors inside probed cells."""
+    out = []
+    for s, (lo, hi) in enumerate(bounds):
+        if hi <= lo:
+            out.append(F.lit(0).cast("int").alias(f"__c{s}"))
+            continue
+        sub = F.slice(vec_col, lo + 1, hi - lo)
+        dists = F.array(*[_sq_dist(sub, c[lo:hi]) for c in centroids])
+        out.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"__c{s}")
+        )
+    return out
+
+
+def _adc_score(
+    query_vec: list[float],
+    centroids: list[list[float]],
+    bounds: list[tuple[int, int]],
+) -> Column:
+    """ADC inner-product approximation of ``q · v`` from a row's PQ code
+    columns ``__c{s}``: the per-subspace dots of the query against the
+    CODED centroid subvector, added in fixed textual (ascending-s)
+    order so the float sum is reduction-order-exact across engines."""
+    adc = F.lit(0.0)
+    for s, (lo, hi) in enumerate(bounds):
+        if hi <= lo:
+            continue
+        q_sub = F.array(*[F.lit(float(v)) for v in query_vec[lo:hi]])
+        cent_subs = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c[lo:hi]]) for c in centroids]
+        )
+        adc = adc + dot(q_sub, F.element_at(cent_subs, F.col(f"__c{s}") + 1))
+    return adc
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    coarse_centroids: list[list[float]],
+    pq_centroids: list[list[float]],
+    bounds: list[tuple[int, int]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ top-k: the composite production ANN shape — the coarse
+    quantizer prunes the corpus to ``nprobe`` cells (IVF: at scale the
+    table is stored partitioned by cell, so probing prunes partitions),
+    and candidates inside the probed cells are scored by PQ asymmetric
+    distance against RECONSTRUCTED vectors (codes are m small ints per
+    vector — the 100 TB index fits where raw floats cannot).  Neither
+    half alone is the serving shape: ``ivf_topk`` re-reads raw vectors,
+    ``pq_adc_recall`` scans every cell.
+
+    Everything before the final top-k is a pure projection (cell argmin
+    + m code argmins + the m-term ADC sum, centroids inlined as
+    literals — no shuffle, no join); the top-k is one TakeOrdered.
+    Ranking uses the ROUNDED score with the id as tiebreak, so the
+    boundary of the top-k set is reduction-order-proof."""
+    dists = [
+        sum((float(q) - c) ** 2 for q, c in zip(query_vec, cent))
+        for cent in coarse_centroids
+    ]
+    probe = sorted(range(len(coarse_centroids)), key=lambda i: dists[i])[:nprobe]
+    df = df.where(F.col(id_col).isNotNull() & vec_valid(F.col(vec_col)))
+    vcol = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = with_ivf_assignment(
+        df.withColumn("__v", vcol), coarse_centroids, "__v"
+    ).where(F.col("cluster").isin(probe))
+    coded = assigned.select(
+        F.col(id_col),
+        F.col("cluster"),
+        *_pq_codes_cols(F.col("__v"), pq_centroids, bounds),
+    )
+    return (
+        coded.select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.round(_adc_score(query_vec, pq_centroids, bounds), round_to).alias(
+                "adc_score"
+            ),
+        )
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_recall(
+    df: DataFrame,
+    coarse_centroids: list[list[float]],
+    pq_centroids: list[list[float]],
+    bounds: list[tuple[int, int]],
+    anchor_max_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the full IVF-PQ path (probed cells + ADC ranking)
+    against the exact inner-product ranking — completes the measured
+    recall family (LSH / int8 / IVF / truncated-dim / PQ-ADC) with the
+    composite the others only cover piecewise: this is the number a
+    serving team actually tunes (nprobe x m) against.
+
+    Same bounded broadcast-anchor shape as the rest of the family; the
+    candidate set per anchor is its ``nprobe`` cells, so misses count
+    against recall exactly as cell-pruning loses them in production.
+    Approx ranking uses the ROUNDED ADC score (ties broken by id) so
+    the top-k boundary is reduction-order-proof; exact ranking uses the
+    raw dot (bit-identical across engines on identical operands).
+
+    KEY-UNIQUE precondition (seed quantizer + anchor fan-out, like
+    ivf_recall / pq_adc_recall)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    base = (
+        df.where(F.col(id_col).isNotNull() & vec_valid(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    assigned = with_ivf_assignment(base, coarse_centroids, "v")
+    coded = assigned.select(
+        "id", "cluster", "v", *_pq_codes_cols(F.col("v"), pq_centroids, bounds)
+    ).localCheckpoint(eager=False)
+    anchors = assigned.where(F.col("id") < anchor_max_id).select(
+        F.col("id").alias("aid"),
+        F.col("v").alias("av"),
+        F.col("cluster").alias("acl"),
+    )
+    # per-anchor probe set: the nprobe nearest coarse cells to the anchor
+    a_dists = F.array(
+        *[_sq_dist(F.col("av"), c) for c in coarse_centroids]
+    )
+    probe_w = Window.partitionBy("aid").orderBy("__d", "cell")
+    a_probe = (
+        anchors.select(
+            "aid", "av", F.posexplode(a_dists).alias("cell", "__d")
+        )
+        .withColumn("__rk", F.row_number().over(probe_w))
+        .where(F.col("__rk") <= nprobe)
+        .select("aid", "av", "cell")
+    )
+    cand = broadcast(a_probe).join(
+        coded,
+        (F.col("cell") == F.col("cluster")) & (F.col("aid") != F.col("id")),
+    )
+    adc = F.lit(0.0)
+    for s, (lo, hi) in enumerate(bounds):
+        if hi <= lo:
+            continue
+        a_sub = F.slice(F.col("av"), lo + 1, hi - lo)
+        cent_subs = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c[lo:hi]]) for c in pq_centroids]
+        )
+        adc = adc + dot(a_sub, F.element_at(cent_subs, F.col(f"__c{s}") + 1))
+    approx_scored = cand.select(
+        "aid", F.col("id").alias("nbr"), F.round(adc, 6).alias("adc_score")
+    )
+    w_adc = Window.partitionBy("aid").orderBy(F.desc("adc_score"), F.asc("nbr"))
+    approx = (
+        approx_scored.withColumn("__rk", F.row_number().over(w_adc))
+        .where(F.col("__rk") <= k)
+        .select("aid", "nbr")
+    )
+    exact_pairs = broadcast(
+        anchors.select("aid", "av")
+    ).join(base, F.col("aid") != F.col("id"))
+    w_exact = Window.partitionBy("aid").orderBy(
+        F.desc("exact_score"), F.asc("nbr")
+    )
+    exact = (
+        exact_pairs.select(
+            "aid",
+            F.col("id").alias("nbr"),
+            dot(F.col("av"), F.col("v")).alias("exact_score"),
+        )
+        .withColumn("__rk", F.row_number().over(w_exact))
+        .where(F.col("__rk") <= k)
+        .select("aid", "nbr")
+    )
+    hits = (
+        exact.join(approx, ["aid", "nbr"])
+        .groupBy("aid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("aid")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(broadcast(hits), "aid", "left")
+        .select(
+            F.col("aid").alias("anchor_id"),
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / F.least(F.lit(k), F.col("n_exact")),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )

@@ -1190,8 +1190,19 @@ def versioned_table_schema_evolution_orders(
                 F.count(
                     F.when(F.col("_change_type") == "insert", 1)
                 ).alias("cdf_inserts"),
+                # "rows the upsert changed": update_postimage plus
+                # schema_add — a re-written row whose custkey already
+                # equalled key % 100 differs ONLY in the added seg
+                # column and classifies as schema_add (the r07
+                # symmetric schema-evolution type; to the apply
+                # algebra both are updates)
                 F.count(
-                    F.when(F.col("_change_type") == "update_postimage", 1)
+                    F.when(
+                        F.col("_change_type").isin(
+                            "update_postimage", "schema_add"
+                        ),
+                        1,
+                    )
                 ).alias("cdf_updates"),
             )
         )

@@ -64,6 +64,16 @@ KEY_UNIQUE_PRECONDITION = {
     # with conflicting text interleave arbitrarily (dup_span_coverage's
     # documented contract)
     "span_dedup_rewrite_documents",
+    # r08 staged: ORDER-BY-id seed quantizers (same ambiguity as
+    # ivf_topk / pq_adc_recall)...
+    "ivfpq_topk_embeddings",
+    "ivfpq_recall_embeddings",
+    # ...and VersionedTable fixtures keyed by o_orderkey with payload
+    # columns NOT key-derived (custkey/price): create() collapses
+    # duplicate keys to an arbitrary-but-stable survivor while the
+    # oracle aggregates every row.
+    "txn_consistent_snapshot_orders",
+    "zorder_optimize_roundtrip_orders",
 }
 
 
@@ -359,12 +369,12 @@ def main() -> int:
     if staged:
         # round-(N+1) staging: gate queries built this round WITHOUT
         # touching the frozen served surface (plans/r05_queries.py)
-        from nasa_asteroid_data_lakehouse_spark.plans import r07_queries
+        from nasa_asteroid_data_lakehouse_spark.plans import r08_queries
 
-        qs = {**qs, **r07_queries.STAGED_QUERIES}
-        oracles = {**oracles, **r07_queries.STAGED_ORACLES}
+        qs = {**qs, **r08_queries.STAGED_QUERIES}
+        oracles = {**oracles, **r08_queries.STAGED_ORACLES}
         if only is None:
-            only = set(r07_queries.STAGED_QUERIES)
+            only = set(r08_queries.STAGED_QUERIES)
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue

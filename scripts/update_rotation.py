@@ -71,6 +71,10 @@ def main() -> None:
         from nasa_asteroid_data_lakehouse_spark.plans import r07_queries
 
         full.update(r07_queries.STAGED_QUERIES)
+    if getattr(entry, "REGISTER_R08", False):
+        from nasa_asteroid_data_lakehouse_spark.plans import r08_queries
+
+        full.update(r08_queries.STAGED_QUERIES)
 
     red, green, _ = entry._driver_history()
     seen = set(red) | set(green)

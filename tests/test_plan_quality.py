@@ -108,6 +108,9 @@ _BNLJ_ALLOWED = {
     "skyline_daily_events",      # O(days) broadcast dominance anti-join
     "bootstrap_ci_orders",       # 1-row CI broadcast onto 1-row base
     "tfidf_cosine_pairs_documents",  # 1-row corpus-count broadcast
+    # r08 staged (inert until REGISTER_R08): audited bounded shapes
+    "ivfpq_recall_embeddings",   # broadcast anchors x corpus (as pq_adc_recall)
+    "lsh_index_maintenance_embeddings",  # single-row total/count broadcasts
     # single-row group-total / series-mean broadcasts
     "market_basket_lineitem",
     "cusum_daily_events",

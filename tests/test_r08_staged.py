@@ -1,0 +1,185 @@
+"""Pins for the round-8 STAGED query batch (plans/r08_queries.py) —
+gate-verified in round 7 behind ``driver_sim --staged``, registered at
+round-8 start by flipping ``REGISTER_R08``.  These tests pin the
+SEMANTICS with synthetic micro-fixtures (not just oracle agreement).
+"""
+
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.llm import similarity
+from nasa_asteroid_data_lakehouse_spark.plans import r08_queries as r8
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_staged_registry_shape():
+    assert set(r8.STAGED_QUERIES) == set(r8.STAGED_ORACLES)
+    assert len(r8.STAGED_QUERIES) == 7
+
+
+def _write(df, tmp_path, table):
+    out = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+    return out
+
+
+# --- IVF-PQ composite ----------------------------------------------------------
+
+
+def test_ivfpq_topk_scores_probed_cells_only(spark):
+    """Vectors equal to a codeword reconstruct exactly, so ADC == the
+    exact dot; a vector in an UNPROBED cell never appears however high
+    its true score — the cell-pruning semantics that distinguish
+    IVF-PQ from a plain PQ scan."""
+    d = 8
+    e = [[1.0 if i == j else 0.0 for i in range(d)] for j in range(d)]
+    # ids 0..7 are the seeds (coarse cells AND PQ codewords)
+    rows = [(j, e[j]) for j in range(d)]
+    # id 100: sits in cell 0's neighbourhood (equals seed 0) -> probed
+    rows.append((100, e[0]))
+    # id 200: equals seed 5 -> cell 5, unprobed for query e[0] whose
+    # two nearest cells are 0 and the tie-lowest other
+    rows.append((200, e[5]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [e[j] for j in range(d)]
+    out = similarity.ivfpq_topk(
+        df, e[0], cents, cents, r8._pq_geometry(d), k=10, nprobe=2
+    ).collect()
+    ids = {r["vec_id"] for r in out}
+    assert 100 in ids
+    assert 200 not in ids  # unprobed cell
+    by_id = {r["vec_id"]: r for r in out}
+    # exact reconstruction: ADC(q=e0, v=e0) = 1.0
+    assert abs(by_id[100]["adc_score"] - 1.0) < 1e-9
+
+
+def test_ivfpq_recall_perfect_when_cells_cover(spark, sf_dir):
+    """On the real fixture the audit emits one row per valid anchor
+    with recall in [0, 1] and hits <= exact."""
+    out = r8.ivfpq_recall_embeddings(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_hits"] <= r["n_exact"]
+
+
+# --- transactional snapshot ----------------------------------------------------
+
+
+def test_txn_snapshot_consistent_at_every_pin(spark, sf_dir):
+    rows = r8.txn_consistent_snapshot_orders(spark, sf_dir).collect()
+    assert [r["txn_id"] for r in rows] == [0, 1]
+    for r in rows:
+        assert r["n_mismatch"] == 0
+    assert rows[1]["n_fact"] < rows[0]["n_fact"]  # the delete landed
+
+
+# --- zorder optimize ------------------------------------------------------------
+
+
+def test_zorder_optimize_roundtrip_matches_direct(spark, sf_dir):
+    got = r8.zorder_optimize_roundtrip_orders(spark, sf_dir).collect()[0]
+    from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+    from nasa_asteroid_data_lakehouse_spark.operators.stats import finite
+
+    direct = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey").isNotNull() & (F.col("o_custkey") <= 400))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        finite("o_totalprice"),
+                        F.floor(F.col("o_totalprice") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("cents"),
+        )
+        .collect()[0]
+    )
+    assert got["n_orders"] == direct["n"]
+    assert got["sum_cents"] == direct["cents"]
+
+
+# --- LSH index maintenance -------------------------------------------------------
+
+
+def test_lsh_maintenance_rejects_near_dups_and_splits_overfull(spark, tmp_path):
+    """An incoming vector identical to an index vector is rejected
+    (same bucket, cosine 1); a far-from-everything arrival admits.
+    Flooding one direction overfills its bucket past the 2x-mean cap
+    and the bucket splits; max occupancy never grows."""
+    d = 64
+    base_vec = [1.0] + [0.0] * (d - 1)
+    other = [0.0] * 32 + [1.0] + [0.0] * 31
+    rows = []
+    # even ids: the index — 30 copies of base_vec direction
+    for i in range(30):
+        rows.append((2 * i, [v * (1 + 0.001 * i) for v in base_vec]))
+    # odd ids: arrivals — one exact dup (reject), one orthogonal (admit)
+    rows.append((101, base_vec))
+    rows.append((103, other))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    sf = _write(df, tmp_path, "embeddings")
+    got = r8.lsh_index_maintenance_embeddings(spark, sf).collect()[0]
+    assert got["n_base"] == 30 and got["n_incoming"] == 2
+    assert got["n_rejected"] == 1 and got["n_admitted"] == 1
+    # 31 final vectors over 16 buckets, one direction holds ~30 ->
+    # occupancy 30 > cap 2*ceil(31/16)=4 -> that bucket splits
+    assert got["n_split"] >= 1
+    assert got["max_occ_after"] <= got["max_occ_before"]
+
+
+# --- CDF apply across schema evolution -----------------------------------------
+
+
+def test_cdc_schema_evolution_apply_converges(spark, sf_dir):
+    got = r8.cdc_apply_schema_evolution_orders(spark, sf_dir).collect()[0]
+    assert got["n_mismatch"] == 0
+    assert got["n_stale_extra"] == 0  # the schema_drop repair
+    assert got["n_actual"] == got["n_recon"] > 0
+
+
+# --- auto-plane hubness ----------------------------------------------------------
+
+
+def test_auto_plane_law_integer_exact():
+    """One more plane per corpus doubling, occupancy target 64,
+    clamped to [4, 16] — integer comparisons only."""
+    assert r8._auto_planes(0) == 4
+    assert r8._auto_planes(500) == 4
+    assert r8._auto_planes(64 * 16) == 4        # boundary inclusive
+    assert r8._auto_planes(64 * 16 + 1) == 5
+    assert r8._auto_planes(5000) == 7
+    assert r8._auto_planes(64 * (1 << 16)) == 16
+    assert r8._auto_planes(10**12) == 16        # clamp
+
+
+def test_auto_plane_prefix_bucket_equals_code_mod(spark):
+    """bucket over the first P planes == 16-plane code % 2^P — the
+    identity that lets the oracle derive the same dynamic bucket."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id bigint, embedding array<double>"
+    )
+    full = similarity.hyperplane_coefficients(16, 64)
+    for p in (4, 7, 11):
+        got = df.select(
+            similarity.bucket_id(F.col("embedding"), full[:p]).alias("pref"),
+            (
+                similarity.bucket_id(F.col("embedding"), full)
+                % F.lit(1 << p)
+            ).alias("mod"),
+        ).collect()
+        assert all(r["pref"] == r["mod"] for r in got)
+
+
+def test_hubness_autoplane_accounts_every_indegree(spark, sf_dir):
+    rows = r8.hubness_autoplane_embeddings(spark, sf_dir).collect()
+    assert rows
+    assert all(r["in_degree"] >= 1 for r in rows)
