@@ -237,10 +237,21 @@ class VersionedTable:
         )
         return 0
 
-    def upsert(self, incoming: DataFrame, order_by: list[str] | None = None, retries: int = 3) -> int:
+    def upsert(
+        self,
+        incoming: DataFrame,
+        order_by: list[str] | None = None,
+        retries: int = 3,
+        extra_meta: dict | None = None,
+    ) -> int:
         """Merge incoming rows (incoming wins per key), rewriting only
         the buckets that contain incoming keys.  Optimistic retry on
-        concurrent commits."""
+        concurrent commits.
+
+        ``extra_meta`` merges into the commit manifest — the hook an
+        idempotent streaming writer uses to record its batch id IN the
+        same atomic commit as the data (Delta's txn appId/version
+        pattern; see streaming/lakehouse.py)."""
         from nasa_asteroid_data_lakehouse_spark.operators.merge import merge_dataframes
 
         for _ in range(retries):
@@ -291,6 +302,7 @@ class VersionedTable:
                         "operation": "upsert",
                         "touched_buckets": sorted(touched_set),
                         "schema": merged.schema.jsonValue(),
+                        **(extra_meta or {}),
                     },
                 )
                 return version + 1

@@ -973,3 +973,95 @@ ORDER BY in_degree
 
 STAGED_QUERIES["hubness_autoplane_embeddings"] = hubness_autoplane_embeddings
 STAGED_ORACLES["hubness_autoplane_embeddings"] = HUBNESS_AUTOPLANE_SQL
+
+
+# === Exactly-once streaming upsert into a VersionedTable =======================
+
+
+def streaming_upsert_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth real streaming replay: the event log streamed through an
+    EXACTLY-ONCE ``foreachBatch`` upsert sink into a VersionedTable
+    (streaming/lakehouse.py — the Delta idempotent-writer pattern:
+    each micro-batch's id commits INSIDE the data's own atomic
+    manifest publish), then the ENTIRE stream replayed under a fresh
+    checkpoint lineage — every batch id re-delivers from 0 and every
+    one must recognize itself as applied.  The audit proves (a) the
+    table equals the batch DISTINCT-key state and (b) the replay
+    committed ZERO new versions (extra_versions_on_replay).
+
+    Payloads are KEY-DERIVED (val = event_id % 997) so duplicate-key
+    source rows collapse identically on both engines.  Scale: each
+    micro-batch rewrites only touched buckets; the replay guard is one
+    O(versions) driver-side manifest walk."""
+    import shutil
+    import tempfile
+
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+    from nasa_asteroid_data_lakehouse_spark.streaming.lakehouse import (
+        versioned_upsert_sink,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_id").isNotNull())
+        .select(
+            "event_id", (F.col("event_id") % 997).alias("val")
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_stream_upsert_")
+    try:
+        src = f"{tmp}/in"
+        ev.repartition(4).write.parquet(src)
+        t = VersionedTable(spark, f"{tmp}/table", num_buckets=8)
+        t.create(ev.limit(0), keys=["event_id"])
+
+        def replay(checkpoint: str) -> None:
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                versioned_upsert_sink(
+                    stream, t, f"{tmp}/{checkpoint}", app_id="evload"
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        replay("ckpt1")
+        v_first = t.latest_version()
+        # fresh checkpoint lineage: foreachBatch re-delivers ids 0..N —
+        # the committed stream_txn markers must no-op every one
+        replay("ckpt2")
+        v_replay = t.latest_version()
+
+        out = t.read().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("event_id"), F.lit(0)).cast("bigint").alias("key_sum"),
+            F.min("event_id").alias("key_min"),
+            F.max("event_id").alias("key_max"),
+            F.lit(int(v_replay) - int(v_first)).cast("bigint").alias(
+                "extra_versions_on_replay"
+            ),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_UPSERT_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_id FROM events WHERE event_id IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS key_sum,
+       CAST(MIN(event_id) AS BIGINT) AS key_min,
+       CAST(MAX(event_id) AS BIGINT) AS key_max,
+       CAST(0 AS BIGINT) AS extra_versions_on_replay
+FROM d
+"""
+
+STAGED_QUERIES["streaming_upsert_replay_events"] = streaming_upsert_replay_events
+STAGED_ORACLES["streaming_upsert_replay_events"] = STREAMING_UPSERT_SQL

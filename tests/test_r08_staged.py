@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_staged_registry_shape():
     assert set(r8.STAGED_QUERIES) == set(r8.STAGED_ORACLES)
-    assert len(r8.STAGED_QUERIES) == 7
+    assert len(r8.STAGED_QUERIES) == 8
 
 
 def _write(df, tmp_path, table):
@@ -183,3 +183,51 @@ def test_hubness_autoplane_accounts_every_indegree(spark, sf_dir):
     rows = r8.hubness_autoplane_embeddings(spark, sf_dir).collect()
     assert rows
     assert all(r["in_degree"] >= 1 for r in rows)
+
+
+# --- exactly-once streaming upsert ----------------------------------------------
+
+
+def test_streaming_upsert_idempotent_batch_marker(spark, tmp_path):
+    """The committed stream_txn marker makes a replayed batch a no-op:
+    same (app, batch) never double-applies; a different app id is its
+    own lineage and does apply."""
+    from nasa_asteroid_data_lakehouse_spark.lake import VersionedTable
+    from nasa_asteroid_data_lakehouse_spark.streaming.lakehouse import (
+        applied_stream_batches,
+        upsert_batch_idempotent,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "vt"), num_buckets=4)
+    t.create(
+        spark.createDataFrame([], "event_id bigint, val bigint"),
+        keys=["event_id"],
+    )
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "event_id bigint, val bigint")
+    assert upsert_batch_idempotent(t, b0, 0, app_id="a") is True
+    v_after = t.latest_version()
+    # replayed delivery of the same batch id: no-op, no new version
+    assert upsert_batch_idempotent(t, b0, 0, app_id="a") is False
+    assert t.latest_version() == v_after
+    assert applied_stream_batches(t, "a") == {0}
+    # a different app id is an independent txn lineage
+    assert upsert_batch_idempotent(t, b0, 0, app_id="b") is True
+    assert applied_stream_batches(t, "b") == {0}
+    assert t.read().count() == 2  # upsert merged, not duplicated
+
+
+def test_streaming_upsert_replay_equals_distinct(spark, tmp_path):
+    """End-to-end replay twin: cross-batch duplicate keys collapse via
+    the upsert merge, and the second full replay (fresh checkpoint,
+    batch ids from 0) commits zero extra versions."""
+    rows = [(i % 7, None, 1, "t", 1.0) for i in range(40)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint,"
+        " event_type string, value double",
+    )
+    sf = _write(ev, tmp_path, "events")
+    got = r8.streaming_upsert_replay_events(spark, sf).collect()[0]
+    assert got["n_rows"] == 7
+    assert got["key_sum"] == sum(range(7))
+    assert got["extra_versions_on_replay"] == 0
