@@ -56,12 +56,13 @@ REGISTER_R06 = True
 REGISTER_R07 = True
 
 # Round-8 registration switch: flip to True at round-8 start once
-# CORRECTNESS_r07 lands; serves plans/r08_queries.py's 8 staged
+# CORRECTNESS_r07 lands; serves plans/r08_queries.py's 9 staged
 # queries (gate-verified in round 7 via driver_sim --staged: IVF-PQ
 # top-k + recall, multi-table transactional snapshot, OPTIMIZE ZORDER
 # roundtrip, LSH index maintenance, CDF apply across schema
 # evolution, auto-plane hubness, exactly-once streaming upsert
-# replay).  On flip: the _BNLJ_ALLOWED entries
+# replay, CDF-preimage incremental view maintenance).  On flip: the
+# _BNLJ_ALLOWED entries
 # (ivfpq_recall_embeddings, lsh_index_maintenance_embeddings) and the
 # KEY_UNIQUE_PRECONDITION entries (ivfpq pair, txn snapshot, zorder
 # roundtrip) are already committed; bench picks the batch up

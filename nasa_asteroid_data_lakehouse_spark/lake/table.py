@@ -548,8 +548,20 @@ class VersionedTable:
 
     # --- change data feed ----------------------------------------------------
 
-    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimages: bool = False,
+    ) -> DataFrame:
         """Row-level diff between two snapshots keyed by the table keys.
+
+        ``include_preimages=True`` additionally emits an
+        ``update_preimage`` row (the OLD image) for every update-ish
+        change — the Delta CDF surface an incremental-view maintainer
+        needs to SUBTRACT a row's old contribution before adding the
+        new one; without preimages only full recompute or a join back
+        to the old snapshot can maintain an aggregate.
 
         Returns the newer image of each changed row (old image for
         deletes) plus ``_change_type`` in {insert, update_postimage,
@@ -652,8 +664,41 @@ class VersionedTable:
             F.when(is_delete, F.col(f"__old_{c}")).otherwise(F.col(c)).alias(c)
             for c in non_keys
         ]
+        if not include_preimages:
+            return (
+                joined.select(*keys, *image, change_type.alias("_change_type"))
+                .where(F.col("_change_type").isNotNull())
+            )
+        # Preimage emission (Delta's update_preimage): every update-ish
+        # row (update_postimage / schema_drop / schema_add) also yields
+        # its OLD image, typed ``update_preimage`` — the row an
+        # incremental-view maintainer subtracts before adding the post
+        # contribution.  Inserts have no preimage; deletes already
+        # carry their old image.  Single pass: both candidate rows are
+        # built as structs and exploded, so the bucket diff join is
+        # evaluated once.
+        is_update = (
+            F.col("__in_old").isNotNull()
+            & F.col("__in_new").isNotNull()
+            & (diff_common | diff_dropped | diff_added)
+        )
+        post_struct = F.struct(
+            *[img.alias(c) for img, c in zip(image, non_keys)],
+            change_type.alias("_change_type"),
+        )
+        pre_struct = F.struct(
+            *[F.col(f"__old_{c}").alias(c) for c in non_keys],
+            F.when(is_update, F.lit("update_preimage")).alias("_change_type"),
+        )
         return (
-            joined.select(*keys, *image, change_type.alias("_change_type"))
+            joined.select(
+                *keys, F.explode(F.array(post_struct, pre_struct)).alias("__r")
+            )
+            .select(
+                *keys,
+                *[F.col(f"__r.{c}").alias(c) for c in non_keys],
+                F.col("__r._change_type").alias("_change_type"),
+            )
             .where(F.col("_change_type").isNotNull())
         )
 

@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_staged_registry_shape():
     assert set(r8.STAGED_QUERIES) == set(r8.STAGED_ORACLES)
-    assert len(r8.STAGED_QUERIES) == 8
+    assert len(r8.STAGED_QUERIES) == 9
 
 
 def _write(df, tmp_path, table):
@@ -231,3 +231,12 @@ def test_streaming_upsert_replay_equals_distinct(spark, tmp_path):
     assert got["n_rows"] == 7
     assert got["key_sum"] == sum(range(7))
     assert got["extra_versions_on_replay"] == 0
+
+
+# --- incremental view maintenance ------------------------------------------------
+
+
+def test_ivm_matches_full_recompute(spark, sf_dir):
+    got = r8.ivm_incremental_dim_orders(spark, sf_dir).collect()[0]
+    assert got["n_mismatch"] == 0
+    assert got["n_groups"] > 0

@@ -631,3 +631,30 @@ def test_multi_table_transaction_consistent_snapshot(spark, tmp_path):
     assert txn.commit({"fact": vf3}) == 2
     assert txn.read("dim").collect()[0]["n_rows"] == 2
     assert txn.read("fact").count() == 1
+
+
+def test_changes_include_preimages_emits_old_images(spark, tmp_path):
+    """changes(include_preimages=True) pairs every update-ish row with
+    an update_preimage carrying the OLD values (Delta CDF parity) —
+    the surface an incremental-view maintainer subtracts from.
+    Inserts get none; deletes already carry their old image."""
+    t = VersionedTable(spark, str(tmp_path / "pre"), num_buckets=4)
+    t.create(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k bigint, v bigint"
+        ),
+        keys=["k"],
+    )
+    t.upsert(spark.createDataFrame([(1, 11), (4, 40)], "k bigint, v bigint"))
+    t.delete_where(F.col("k") == 2)
+    rows = t.changes(0, None, include_preimages=True).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["k"], {})[r["_change_type"]] = r["v"]
+    assert by[1] == {"update_postimage": 11, "update_preimage": 10}
+    assert by[4] == {"insert": 40}
+    assert by[2] == {"delete": 20}
+    assert 3 not in by  # unchanged
+    # default stays preimage-free (no consumer breakage)
+    types = {r["_change_type"] for r in t.changes(0).collect()}
+    assert "update_preimage" not in types
