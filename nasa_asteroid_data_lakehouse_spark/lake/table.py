@@ -497,6 +497,42 @@ class VersionedTable:
             self.spark.read.option("mergeSchema", "true").parquet(*files).drop("__bucket")
         )
 
+    def clone(self, target_root: str, version: int | None = None) -> "VersionedTable":
+        """ZERO-COPY shallow clone at a snapshot (Delta's SHALLOW
+        CLONE): the clone's v0 manifest references the SOURCE's data
+        files — no data moves, the commit is one manifest write.
+        Subsequent writes to the clone land in its OWN data directory
+        and never touch the source; source and clone diverge
+        independently from the cloned snapshot.
+
+        Caveat (same as Delta): ``vacuum`` on the SOURCE can delete
+        files a shallow clone still references — vacuum the source
+        only after dropping its clones, or re-materialize the clone
+        first (read + create).  At 100 TB this is the cheap way to
+        hand a team a writable snapshot of a petabyte table."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError(f"no table at {self.root}")
+        m = self._load_manifest(v)
+        t = VersionedTable(
+            self.spark,
+            target_root,
+            num_buckets=int(m.get("num_buckets", self.num_buckets)),
+        )
+        if t.latest_version() is not None:
+            raise ValueError(f"table at {target_root} already exists")
+        t._commit(
+            0,
+            dict(m["buckets"]),
+            {
+                "keys": m["keys"],
+                "operation": "clone",
+                "clone_source": {"root": self.root, "version": v},
+                "schema": m.get("schema"),
+            },
+        )
+        return t
+
     def history(self) -> list[dict]:
         """Commit log, newest first."""
         out = []

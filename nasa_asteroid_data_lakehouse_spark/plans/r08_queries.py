@@ -1205,3 +1205,86 @@ FROM groups
 
 STAGED_QUERIES["ivm_incremental_dim_orders"] = ivm_incremental_dim_orders
 STAGED_ORACLES["ivm_incremental_dim_orders"] = IVM_INCREMENTAL_SQL
+
+
+# === Shallow clone divergence ==================================================
+
+
+def clone_divergence_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (zero-copy snapshot clone, lake/table.py:clone):
+    clone a table at v0 with one manifest write (the clone references
+    the source's data files), then mutate BOTH independently — upsert
+    the source, delete from the clone — and audit that each sees only
+    its own lineage: the source reflects the upsert and not the
+    clone's delete, the clone reflects the delete over the frozen v0
+    state and not the upsert.  At 100 TB this is how a team gets a
+    writable snapshot of a petabyte table without copying a byte.
+
+    Payloads are KEY-DERIVED (seg = key % 100), dup-key-safe.  Scale:
+    the clone commit is O(1) manifest I/O; each divergent write is the
+    normal bucket-pruned path on its own lineage."""
+    import shutil
+    import tempfile
+
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey").isNotNull())
+        .select("o_orderkey")
+        .distinct()
+        .select("o_orderkey", (F.col("o_orderkey") % 100).alias("seg"))
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_clone_")
+    try:
+        t = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
+        t.create(base, keys=["o_orderkey"])
+        c = t.clone(f"{tmp}/clone")
+        # diverge: source gets an upsert, clone gets a delete
+        t.upsert(
+            base.where(F.col("o_orderkey") % 6 == 0).select(
+                "o_orderkey", (F.col("seg") + 1000).alias("seg")
+            )
+        )
+        c.delete_where(F.col("o_orderkey") % 13 == 0)
+        src = t.read()
+        cl = c.read()
+        out = src.agg(
+            F.count(F.lit(1)).cast("bigint").alias("src_rows"),
+            F.coalesce(F.sum("seg"), F.lit(0)).cast("bigint").alias("src_seg_sum"),
+        ).crossJoin(
+            F.broadcast(
+                cl.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("clone_rows"),
+                    F.coalesce(F.sum("seg"), F.lit(0))
+                    .cast("bigint")
+                    .alias("clone_seg_sum"),
+                )
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CLONE_DIVERGENCE_SQL = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderkey IS NOT NULL
+),
+src AS (
+  SELECT key,
+         CASE WHEN key % 6 = 0 THEN key % 100 + 1000 ELSE key % 100 END AS seg
+  FROM k
+),
+cl AS (
+  SELECT key, key % 100 AS seg FROM k WHERE NOT (key % 13 = 0)
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS src_rows,
+  (SELECT CAST(COALESCE(SUM(seg), 0) AS BIGINT) FROM src) AS src_seg_sum,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM cl) AS clone_rows,
+  (SELECT CAST(COALESCE(SUM(seg), 0) AS BIGINT) FROM cl) AS clone_seg_sum
+"""
+
+STAGED_QUERIES["clone_divergence_orders"] = clone_divergence_orders
+STAGED_ORACLES["clone_divergence_orders"] = CLONE_DIVERGENCE_SQL

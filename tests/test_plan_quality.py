@@ -111,6 +111,7 @@ _BNLJ_ALLOWED = {
     # r08 staged (inert until REGISTER_R08): audited bounded shapes
     "ivfpq_recall_embeddings",   # broadcast anchors x corpus (as pq_adc_recall)
     "lsh_index_maintenance_embeddings",  # single-row total/count broadcasts
+    "clone_divergence_orders",   # two 1-row audit aggregates cross-joined
     # single-row group-total / series-mean broadcasts
     "market_basket_lineitem",
     "cusum_daily_events",

@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_staged_registry_shape():
     assert set(r8.STAGED_QUERIES) == set(r8.STAGED_ORACLES)
-    assert len(r8.STAGED_QUERIES) == 9
+    assert len(r8.STAGED_QUERIES) == 10
 
 
 def _write(df, tmp_path, table):

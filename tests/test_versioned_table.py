@@ -658,3 +658,40 @@ def test_changes_include_preimages_emits_old_images(spark, tmp_path):
     # default stays preimage-free (no consumer breakage)
     types = {r["_change_type"] for r in t.changes(0).collect()}
     assert "update_preimage" not in types
+
+
+def test_shallow_clone_is_zero_copy_and_diverges(spark, tmp_path):
+    """clone() commits ONE manifest referencing the source's files (no
+    data copy); source and clone then diverge independently, and the
+    clone's own writes land in its own data directory."""
+    src = VersionedTable(spark, str(tmp_path / "src"), num_buckets=4)
+    src.create(
+        spark.createDataFrame([(i, i % 10) for i in range(50)], "k bigint, v bigint"),
+        keys=["k"],
+    )
+    cl = src.clone(str(tmp_path / "cl"))
+    m_src = src._load_manifest(0)
+    m_cl = cl._load_manifest(0)
+    assert m_cl["buckets"] == m_src["buckets"]  # same files, zero copy
+    assert m_cl["clone_source"]["version"] == 0
+    # divergence: each lineage sees only its own writes
+    src.upsert(spark.createDataFrame([(1, 999)], "k bigint, v bigint"))
+    cl.delete_where(F.col("k") < 5)
+    assert src.read().count() == 50
+    assert src.read().where("k = 1").collect()[0]["v"] == 999
+    assert cl.read().count() == 45
+    assert cl.read().where("k = 7").collect()[0]["v"] == 7  # pre-clone value
+    # the clone's new files live under ITS root, not the source's
+    m_cl1 = cl._load_manifest(cl.latest_version())
+    new_files = {
+        f
+        for fs in m_cl1["buckets"].values()
+        for f in fs
+        if f not in {x for xs in m_src["buckets"].values() for x in xs}
+    }
+    assert new_files and all(str(tmp_path / "cl") in f for f in new_files)
+    # cloning onto an existing table refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        src.clone(str(tmp_path / "cl"))
