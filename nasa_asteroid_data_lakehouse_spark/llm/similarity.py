@@ -1641,3 +1641,65 @@ def ivfpq_recall(
             ).alias("recall_at_k"),
         )
     )
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    coarse_centroids: list[list[float]],
+    pq_centroids: list[list[float]],
+    bounds: list[tuple[int, int]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """RESIDUAL-encoded IVF-PQ top-k — the full FAISS IVFPQ shape: PQ
+    codes quantize the residual ``v - c_cell`` (much lower variance
+    than raw vectors once the coarse quantizer has explained the cell
+    mean), and the ADC score decomposes as
+    ``q·v  ≈  q·c_cell + q·recon(residual)`` — the first term is one
+    dot per PROBED CELL (not per vector), the second the usual m
+    per-subspace table lookups.  ``ivfpq_topk`` (raw-vector codes) is
+    the simpler composite; this is what a production index stores.
+
+    Same plan shape: projection-only (cell argmin, residual
+    subtraction, m code argmins, ADC sum — all centroid literals) +
+    one TakeOrdered.  Ranking by ROUNDED score + id tiebreak."""
+    dists = [
+        sum((float(q) - c) ** 2 for q, c in zip(query_vec, cent))
+        for cent in coarse_centroids
+    ]
+    probe = sorted(range(len(coarse_centroids)), key=lambda i: dists[i])[:nprobe]
+    df = df.where(F.col(id_col).isNotNull() & vec_valid(F.col(vec_col)))
+    vcol = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = with_ivf_assignment(
+        df.withColumn("__v", vcol), coarse_centroids, "__v"
+    ).where(F.col("cluster").isin(probe))
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse_centroids]
+    )
+    residual = F.zip_with(
+        F.col("__v"),
+        F.element_at(cent_arr, F.col("cluster") + 1),
+        lambda x, y: x - y,
+    )
+    coded = assigned.withColumn("__r", residual).select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col("__r"),
+        *_pq_codes_cols(F.col("__r"), pq_centroids, bounds),
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    base_term = dot(q, F.element_at(cent_arr, F.col("cluster") + 1))
+    adc = base_term + _adc_score(query_vec, pq_centroids, bounds)
+    return (
+        coded.select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.round(adc, round_to).alias("adc_score"),
+        )
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(k)
+    )

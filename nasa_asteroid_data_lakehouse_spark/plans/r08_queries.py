@@ -1288,3 +1288,162 @@ SELECT
 
 STAGED_QUERIES["clone_divergence_orders"] = clone_divergence_orders
 STAGED_ORACLES["clone_divergence_orders"] = CLONE_DIVERGENCE_SQL
+
+
+# === Residual-encoded IVF-PQ (the full FAISS IVFPQ shape) ======================
+
+
+def ivfpq_residual_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ top-k (llm/similarity.ivfpq_residual_topk): PQ
+    codes quantize the RESIDUAL ``v - c_cell`` and the ADC score
+    decomposes as ``q·c_cell + q·recon(residual)`` — the full FAISS
+    IVFPQ serving shape (residuals have far lower variance than raw
+    vectors, so the same m x k codebook spends its bits where the
+    coarse quantizer left error).  ``ivfpq_topk_embeddings`` is the
+    raw-code composite; this is what a production index stores.
+
+    Quantizers stay seed-form for oracle expressibility: coarse = the
+    8 lowest-id valid vectors; the PQ codebook = the residuals of the
+    NEXT 8 valid vectors w.r.t. their own assigned cells (the first
+    8's residuals are identically zero — they ARE the cells).  Fewer
+    than 9 valid vectors -> empty codebook -> empty result on both
+    engines.  KEY-UNIQUE precondition (ORDER-BY-id seeds)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(
+            F.col("vec_id").isNotNull()
+            & similarity.vec_valid(F.col("embedding"))
+        )
+        .orderBy("vec_id")
+        .limit(2 * _IPQ_K_CENT)
+        .collect()
+    )
+    cents = [[float(v) for v in r["embedding"]] for r in rows[:_IPQ_K_CENT]]
+    pq_src = [[float(v) for v in r["embedding"]] for r in rows[_IPQ_K_CENT:]]
+    qvec = similarity.query_vector(emb, "vec_id", "embedding", 0)
+    empty = emb.limit(0).select(
+        "vec_id",
+        F.lit(None).cast("int").alias("cluster"),
+        F.lit(None).cast("double").alias("adc_score"),
+    )
+    if qvec is None or not cents or not pq_src:
+        return empty
+    # PQ codebook: each source vector's residual w.r.t. its own
+    # assigned cell (sequential-fold d2, first-min argmin — the exact
+    # expression order the engine and oracle both use)
+    pq_cents = []
+    for v in pq_src:
+        d2s = [
+            sum((x - c) * (x - c) for x, c in zip(v, cent)) for cent in cents
+        ]
+        cell = min(range(len(cents)), key=lambda i: d2s[i])
+        pq_cents.append([x - c for x, c in zip(v, cents[cell])])
+    return similarity.ivfpq_residual_topk(
+        emb,
+        qvec,
+        coarse_centroids=cents,
+        pq_centroids=pq_cents,
+        bounds=_pq_geometry(len(cents[0])),
+        k=_IPQ_TOPK,
+        nprobe=_IPQ_NPROBE,
+    )
+
+
+def _ipq_res_term_sql(s: int, qvec: str) -> str:
+    lo, hi = _pq_sub_bounds_sql(s, qvec)
+    return (
+        f"COALESCE(list_dot_product("
+        f"{qvec}[{lo} + 1:{hi}], pq.rv[{lo} + 1:{hi}]), 0.0)"
+    )
+
+
+IVFPQ_RESIDUAL_SQL = f"""
+WITH valid AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id IS NOT NULL AND {_VEC_VALID_SQL}
+),
+ranked AS (
+  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rk FROM valid
+),
+seeds AS (SELECT rk - 1 AS c, v AS cv FROM ranked WHERE rk <= {_IPQ_K_CENT}),
+pqsrc AS (
+  SELECT vec_id, v FROM ranked
+  WHERE rk BETWEEN {_IPQ_K_CENT} + 1 AND 2 * {_IPQ_K_CENT}
+),
+pq_assign AS (
+  SELECT p.vec_id, p.v, s.cv,
+    row_number() OVER (
+      PARTITION BY p.vec_id
+      ORDER BY {_d2_sql("p.v", "s.cv", "0", "len(p.v)")}, s.c
+    ) AS rn
+  FROM pqsrc p, seeds s
+),
+pqseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pc,
+         list_transform(range(1, len(v) + 1), j -> v[j] - cv[j]) AS rv
+  FROM pq_assign WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM valid WHERE vec_id = 0),
+probe AS (
+  SELECT s.c FROM seeds s, q
+  ORDER BY {_d2_sql("q.qv", "s.cv", "0", "len(q.qv)")}, s.c
+  LIMIT {_IPQ_NPROBE}
+),
+assign AS (
+  SELECT e.vec_id, e.v, s.c, s.cv,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_d2_sql("e.v", "s.cv", "0", "len(e.v)")}, s.c
+    ) AS rn
+  FROM valid e, seeds s
+),
+cells AS (
+  SELECT a.vec_id, a.v, a.c AS cluster, a.cv,
+         list_transform(range(1, len(a.v) + 1), j -> a.v[j] - a.cv[j]) AS rv
+  FROM assign a JOIN probe p ON a.c = p.c
+  WHERE a.rn = 1
+),
+code_assign AS (
+  SELECT ce.vec_id, sub.s, pq.pc,
+    row_number() OVER (
+      PARTITION BY ce.vec_id, sub.s
+      ORDER BY
+        CASE sub.s
+          {" ".join(
+              f"WHEN {sp} THEN " + _d2_sql(
+                  "ce.rv", "pq.rv",
+                  _pq_sub_bounds_sql(sp, "ce.rv")[0],
+                  _pq_sub_bounds_sql(sp, "ce.rv")[1],
+              )
+              for sp in range(_IPQ_M)
+          )}
+        END,
+        pq.pc
+    ) AS rn
+  FROM cells ce, (SELECT unnest(range({_IPQ_M})) AS s) sub, pqseeds pq
+),
+codes AS (SELECT vec_id, s, pc FROM code_assign WHERE rn = 1),
+terms AS (
+  SELECT cd.vec_id, cd.s,
+    CASE cd.s
+      {" ".join(f"WHEN {sp} THEN " + _ipq_res_term_sql(sp, "q.qv") for sp in range(_IPQ_M))}
+    END AS term
+  FROM codes cd JOIN pqseeds pq ON pq.pc = cd.pc, q
+),
+adc AS (
+  SELECT vec_id,
+    {" + ".join(
+        f"COALESCE(MAX(CASE WHEN s = {sp} THEN term END), 0.0)"
+        for sp in range(_IPQ_M)
+    )} AS res_part
+  FROM terms GROUP BY vec_id
+)
+SELECT cl.vec_id, CAST(cl.cluster AS INT) AS cluster,
+       ROUND(list_dot_product(q.qv, cl.cv) + adc.res_part, 6) AS adc_score
+FROM adc JOIN cells cl USING (vec_id), q
+ORDER BY adc_score DESC, cl.vec_id
+LIMIT {_IPQ_TOPK}
+"""
+
+STAGED_QUERIES["ivfpq_residual_topk_embeddings"] = ivfpq_residual_topk_embeddings
+STAGED_ORACLES["ivfpq_residual_topk_embeddings"] = IVFPQ_RESIDUAL_SQL

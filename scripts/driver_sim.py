@@ -68,6 +68,7 @@ KEY_UNIQUE_PRECONDITION = {
     # ivf_topk / pq_adc_recall)...
     "ivfpq_topk_embeddings",
     "ivfpq_recall_embeddings",
+    "ivfpq_residual_topk_embeddings",
     # ...and VersionedTable fixtures keyed by o_orderkey with payload
     # columns NOT key-derived (custkey/price): create() collapses
     # duplicate keys to an arbitrary-but-stable survivor while the

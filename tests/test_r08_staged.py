@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_staged_registry_shape():
     assert set(r8.STAGED_QUERIES) == set(r8.STAGED_ORACLES)
-    assert len(r8.STAGED_QUERIES) == 10
+    assert len(r8.STAGED_QUERIES) == 11
 
 
 def _write(df, tmp_path, table):
@@ -240,3 +240,27 @@ def test_ivm_matches_full_recompute(spark, sf_dir):
     got = r8.ivm_incremental_dim_orders(spark, sf_dir).collect()[0]
     assert got["n_mismatch"] == 0
     assert got["n_groups"] > 0
+
+
+def test_ivfpq_residual_reconstructs_exactly_on_lattice(spark):
+    """A vector equal to (cell centroid + PQ codeword residual)
+    reconstructs exactly, so its ADC equals the exact dot — and the
+    decomposition q·c + q·recon(residual) is what gets scored."""
+    d = 8
+    e = [[1.0 if i == j else 0.0 for i in range(d)] for j in range(d)]
+    cells = [e[0], e[1]]
+    # codebook residuals: +0.5 on dim 2, +0.5 on dim 3
+    r0 = [0.0, 0.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0]
+    r1 = [0.0, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0, 0.0]
+    # vector = cell0 + r0: residual hits codeword 0 exactly
+    v = [a + b for a, b in zip(e[0], r0)]
+    df = spark.createDataFrame(
+        [(5, v)], "vec_id bigint, embedding array<double>"
+    )
+    q = [1.0] * d
+    out = similarity.ivfpq_residual_topk(
+        df, q, cells, [r0, r1], r8._pq_geometry(d), k=5, nprobe=2
+    ).collect()
+    assert len(out) == 1
+    exact = sum(qi * vi for qi, vi in zip(q, v))
+    assert abs(out[0]["adc_score"] - round(exact, 6)) < 1e-9
