@@ -85,6 +85,30 @@ def main() -> None:
         f"cdc_apply_schema_evolution_{n_orders}",
         lambda: r8.cdc_apply_schema_evolution_orders(spark, sf),
     )
+    probe(
+        f"ivfpq_residual_topk_{n_vecs}",
+        lambda: r8.ivfpq_residual_topk_embeddings(spark, sf),
+    )
+    probe(
+        f"clone_divergence_{n_orders}",
+        lambda: r8.clone_divergence_orders(spark, sf),
+    )
+    probe(
+        f"ivm_incremental_dim_{n_orders}",
+        lambda: r8.ivm_incremental_dim_orders(spark, sf),
+    )
+    # streaming upsert replays the synthetic events table twice through
+    # foreachBatch upserts (4 micro-batches + 4 no-op replays)
+    n_events = n_orders  # reuse the orders scale for the event stream
+    from scripts.stress_corpus_stats import synth_events
+
+    synth_events(spark, n_events).select(
+        "event_id", "ts",
+    ).write.parquet(f"{sf}/events.parquet")
+    probe(
+        f"streaming_upsert_replay_{n_events}",
+        lambda: r8.streaming_upsert_replay_events(spark, sf),
+    )
 
     import shutil
 
