@@ -56,7 +56,7 @@ REGISTER_R06 = True
 REGISTER_R07 = True
 
 # Round-8 registration switch: flip to True at round-8 start once
-# CORRECTNESS_r07 lands; serves plans/r08_queries.py's 11 staged
+# CORRECTNESS_r07 lands; serves plans/r08_queries.py's 12 staged
 # queries (gate-verified in round 7 via driver_sim --staged: IVF-PQ
 # top-k + recall, multi-table transactional snapshot, OPTIMIZE ZORDER
 # roundtrip, LSH index maintenance, CDF apply across schema

@@ -1447,3 +1447,227 @@ LIMIT {_IPQ_TOPK}
 
 STAGED_QUERIES["ivfpq_residual_topk_embeddings"] = ivfpq_residual_topk_embeddings
 STAGED_ORACLES["ivfpq_residual_topk_embeddings"] = IVFPQ_RESIDUAL_SQL
+
+
+# === MinHash (bands x rows) parameter sweep ====================================
+
+# DuckDB twin of llm/text.normalized_text (local copy — round-6 lesson:
+# never import fragment constants across plans modules)
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+_MBS_N = 8           # signature length
+_MBS_K = 2           # shingle size (words) — the dedup family's setting
+_MBS_BANDS = (8, 4, 2)
+_MBS_MAX_BUCKET = 1000
+_MBS_JACC = 0.5
+
+
+def minhash_band_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH (bands x rows) TUNING SWEEP: the same 8-hash
+    signature banded three ways — (8,1), (4,2), (2,4) — with candidate
+    count, verified-pair count (exact Jaccard >= 0.5), precision, and
+    recall RELATIVE to the union of verified pairs across all configs
+    (the best truth available without an all-pairs scan; absolute
+    recall would be quadratic by definition).  This is the table a
+    dedup team reads before fixing (b, r) at 100 TB: more bands =
+    higher sensitivity = more candidates to verify; fewer bands =
+    cheaper = misses.
+
+    Scale: shingles + signature computed ONCE (checkpointed), each
+    config is a band-keyed equi-join with the family's max_bucket
+    quadratic guard; outputs are 3 bounded audit rows."""
+    from nasa_asteroid_data_lakehouse_spark.llm import dedup
+
+    # NULL text joins NO shingle-keyed operator (module contract,
+    # round-4b): without this filter the engine's concat_ws over a
+    # NULL signature skips the NULL and banks every NULL-text doc in
+    # one md5("") bucket (pairwise candidates!) while the oracle's
+    # NULL bucket joins nothing — a candidate-count divergence the
+    # verified-pairs family masks but this sweep EXPOSES.
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    sh = dedup.word_shingles("text", _MBS_K)
+    base = (
+        dedup._fan_out(docs.select(F.col("doc_id").alias("doc"), "text"))
+        .select("doc", sh.alias("sh"))
+        .withColumn("sig", dedup.minhash_signature(F.col("sh"), _MBS_N))
+        .localCheckpoint(eager=False)
+    )
+    sh_a = base.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+
+    def config_pairs(bands: int):
+        rpb = _MBS_N // bands
+        entries = base.select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",", F.slice("sig", b * rpb + 1, rpb)
+                                )
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc", "bb.band", "bb.bucket")
+        sizes = entries.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        bounded = entries.join(
+            sizes.where(F.col("n") <= _MBS_MAX_BUCKET).select("band", "bucket"),
+            ["band", "bucket"],
+        )
+        a, b2 = bounded.alias("a"), bounded.alias("b")
+        cand = (
+            a.join(
+                b2,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .distinct()
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        verified = (
+            cand.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
+                ).alias("jaccard"),
+                F.monotonically_increasing_id().alias("__barrier"),
+            )
+            .where(F.col("jaccard") >= _MBS_JACC)
+            .drop("__barrier")
+            .select("id_a", "id_b")
+        )
+        return cand, verified
+
+    per_config = {b: config_pairs(b) for b in _MBS_BANDS}
+    truth = None
+    for _, v in per_config.values():
+        truth = v if truth is None else truth.unionByName(v)
+    truth_n = truth.distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    rows = []
+    for bands, (cand, verified) in per_config.items():
+        stats = cand.agg(
+            F.lit(bands).cast("bigint").alias("n_bands"),
+            F.lit(_MBS_N // bands).cast("bigint").alias("rows_per_band"),
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        ).crossJoin(
+            F.broadcast(
+                verified.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
+            )
+        )
+        rows.append(stats)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return (
+        out.crossJoin(F.broadcast(truth_n))
+        .select(
+            "n_bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_verified",
+            F.round(
+                F.try_divide(F.col("n_verified"), F.col("n_candidates")), 6
+            ).alias("precision"),
+            F.round(
+                F.try_divide(F.col("n_verified"), F.col("n_truth")), 6
+            ).alias("relative_recall"),
+        )
+        .orderBy(F.desc("n_bands"))
+    )
+
+
+def _mbs_config_sql(bands: int) -> str:
+    rpb = _MBS_N // bands
+    return rf"""
+bands{bands} AS (
+  SELECT doc_id, b,
+         md5(array_to_string(s[b*{rpb}+1:b*{rpb}+{rpb}], ',')) AS bucket
+  FROM sig, (SELECT unnest(range({bands})) AS b)
+),
+bounded{bands} AS (
+  SELECT doc_id, b, bucket FROM bands{bands}
+  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= {_MBS_MAX_BUCKET}
+),
+cand{bands} AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bounded{bands} a JOIN bounded{bands} c
+    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+),
+ver{bands} AS (
+  SELECT id_a, id_b FROM cand{bands}
+  JOIN sig x ON x.doc_id = id_a
+  JOIN sig y ON y.doc_id = id_b
+  WHERE ROUND(len(list_intersect(x.shingles, y.shingles))
+              / len(list_distinct(list_concat(x.shingles, y.shingles))), 6)
+        >= {_MBS_JACC}
+)"""
+
+
+def _mbs_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.llm import dedup
+
+    coeffs = dedup._minhash_coeffs(_MBS_N)
+    sig = ", ".join(
+        f"list_min(list_transform(bh, h -> ({a} * h + {b}) % {dedup.MINHASH_PRIME}))"
+        for a, b in coeffs
+    )
+    k = _MBS_K
+    configs = ",".join(_mbs_config_sql(b) for b in _MBS_BANDS)
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({b} AS BIGINT) AS n_bands,
+       CAST({_MBS_N // b} AS BIGINT) AS rows_per_band,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{b}) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ver{b}) AS n_verified,
+       ROUND((SELECT COUNT(*) FROM ver{b})
+             / NULLIF((SELECT COUNT(*) FROM cand{b}), 0), 6) AS precision,
+       ROUND((SELECT COUNT(*) FROM ver{b})
+             / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS relative_recall"""
+        for b in _MBS_BANDS
+    )
+    return rf"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {k}
+         THEN list_distinct(list_transform(range(1, len(words) - {k - 2}),
+                            j -> array_to_string(words[j:j+{k - 1}], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents WHERE text IS NOT NULL)
+),
+sig AS (
+  SELECT doc_id, shingles, [{sig}] AS s
+  FROM (SELECT doc_id, shingles,
+          list_transform(shingles, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS bh
+        FROM sh)
+),
+{configs},
+truth AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    {" UNION ALL ".join(f"SELECT id_a, id_b FROM ver{b}" for b in _MBS_BANDS)}
+  )
+)
+{selects}
+ORDER BY n_bands DESC
+"""
+
+
+STAGED_QUERIES["minhash_band_sweep_documents"] = minhash_band_sweep_documents
+STAGED_ORACLES["minhash_band_sweep_documents"] = _mbs_sql()

@@ -112,6 +112,7 @@ _BNLJ_ALLOWED = {
     "ivfpq_recall_embeddings",   # broadcast anchors x corpus (as pq_adc_recall)
     "lsh_index_maintenance_embeddings",  # single-row total/count broadcasts
     "clone_divergence_orders",   # two 1-row audit aggregates cross-joined
+    "minhash_band_sweep_documents",  # 1-row verified/truth-count broadcasts
     # single-row group-total / series-mean broadcasts
     "market_basket_lineitem",
     "cusum_daily_events",

@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_staged_registry_shape():
     assert set(r8.STAGED_QUERIES) == set(r8.STAGED_ORACLES)
-    assert len(r8.STAGED_QUERIES) == 11
+    assert len(r8.STAGED_QUERIES) == 12
 
 
 def _write(df, tmp_path, table):
@@ -264,3 +264,21 @@ def test_ivfpq_residual_reconstructs_exactly_on_lattice(spark):
     assert len(out) == 1
     exact = sum(qi * vi for qi, vi in zip(q, v))
     assert abs(out[0]["adc_score"] - round(exact, 6)) < 1e-9
+
+
+def test_band_sweep_monotone_sensitivity(spark, sf_dir):
+    """More bands (fewer rows per band) can only be MORE sensitive:
+    candidate and verified counts are non-increasing as bands drop
+    8 -> 4 -> 2, relative recall likewise; precision is defined and
+    within [0, 1] wherever candidates exist."""
+    rows = r8.minhash_band_sweep_documents(spark, sf_dir).collect()
+    assert [r["n_bands"] for r in rows] == [8, 4, 2]
+    cands = [r["n_candidates"] for r in rows]
+    vers = [r["n_verified"] for r in rows]
+    assert cands == sorted(cands, reverse=True)
+    assert vers == sorted(vers, reverse=True)
+    for r in rows:
+        if r["n_candidates"]:
+            assert 0.0 <= r["precision"] <= 1.0
+        if r["relative_recall"] is not None:
+            assert 0.0 <= r["relative_recall"] <= 1.0
