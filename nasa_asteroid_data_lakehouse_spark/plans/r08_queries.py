@@ -1475,7 +1475,13 @@ def minhash_band_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: shingles + signature computed ONCE (checkpointed), each
     config is a band-keyed equi-join with the family's max_bucket
-    quadratic guard; outputs are 3 bounded audit rows."""
+    quadratic guard; outputs are 3 bounded audit rows.  The sweep's
+    cost is dominated by its MOST sensitive config — (8,1) generates
+    and exact-verifies far more candidates than the production (4,2)
+    setting — so at corpus scale this runs on a SAMPLE by design
+    (tuning needs estimates, not the full pair set; the 200k-doc probe
+    measures 325 s, and a 1M-doc run exceeds local shuffle disk on the
+    (8,1) verify — BASELINE.md round-7 continuation notes)."""
     from nasa_asteroid_data_lakehouse_spark.llm import dedup
 
     # NULL text joins NO shingle-keyed operator (module contract,
