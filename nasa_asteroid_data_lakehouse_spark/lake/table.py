@@ -12,9 +12,11 @@ and dependency-free:
   exact data-file set; readers resolve a manifest once and never see a
   half-committed write.
 * **Atomic commit**: data files are written first, then the manifest is
-  published with an exclusive create (``O_EXCL``) — the commit *is* the
-  manifest appearing.  Optimistic concurrency: two writers racing to
-  the same version -> exactly one wins, the loser retries on top.
+  published via temp-file + ``os.link`` (put-if-absent) — the commit
+  *is* the manifest appearing, and a visible manifest is always a
+  complete JSON document (atomic for readers as well as writers).
+  Optimistic concurrency: two writers racing to the same version ->
+  exactly one wins, the loser retries on top.
 * **Time travel**: ``read(version=N)`` / ``history()``.
 * **Bucket-pruned upsert**: rows are hash-bucketed by key into fixed
   buckets; a merge rewrites ONLY the buckets that contain incoming
@@ -76,28 +78,60 @@ class VersionedTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
+    def _stream_watermarks(self, version: int | None) -> dict[str, int]:
+        """The carried-forward ``{app_id: max applied batch_id}`` map as
+        of ``version`` (empty when unknown / pre-watermark manifests)."""
+        if version is None or version < 0:
+            return {}
+        try:
+            m = self._load_manifest(version)
+        except FileNotFoundError:
+            return {}
+        return {str(k): int(v) for k, v in m.get("stream_txn_watermarks", {}).items()}
+
     def _commit(self, version: int, buckets: dict[str, list[str]], meta: dict) -> None:
-        """Publish a manifest with create-exclusive semantics — the
-        atomic point of the transaction."""
+        """Publish a manifest with put-if-absent semantics — the atomic
+        point of the transaction.
+
+        The payload is fully written to a temp file first and published
+        via ``os.link`` (atomic put-if-absent), so a concurrent reader
+        that sees the manifest name can never observe a partial JSON —
+        the O_EXCL-then-write form was atomic for writers only.
+
+        Every commit carries the ``stream_txn_watermarks`` map forward
+        from its parent, folding in this commit's ``stream_txn`` marker
+        (if any).  Delta persists the per-appId txn watermark in the
+        snapshot for the same reason: vacuum may truncate the manifests
+        that held the individual markers, and the exactly-once replay
+        guard must survive log truncation."""
+        watermarks = self._stream_watermarks(version - 1)
+        txn = meta.get("stream_txn")
+        if txn:
+            app = str(txn["app_id"])
+            watermarks[app] = max(watermarks.get(app, -1), int(txn["batch_id"]))
         payload = json.dumps(
             {
                 "version": version,
                 "committed_at": time.time(),
                 "num_buckets": self.num_buckets,
                 "buckets": buckets,
+                **({"stream_txn_watermarks": watermarks} if watermarks else {}),
                 **meta,
             },
             indent=1,
         )
         path = self._manifest_path(version)
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError as exc:
             raise CommitConflict(
                 f"version {version} already committed by another writer"
             ) from exc
-        with os.fdopen(fd, "w") as fh:
-            fh.write(payload)
+        finally:
+            os.remove(tmp)
 
     # --- write paths ---------------------------------------------------------
 
@@ -750,11 +784,15 @@ class VersionedTable:
 
         survivors = snapshot rows whose keys the feed never names
         (anti join; insert keys are absent from the snapshot, so one
-        all-keys ``gone`` set is both correct and cheapest), unioned
-        with the image of every non-delete change — insert,
+        all-keys ``gone`` set is both correct and cheapest — preimage
+        keys in the set are harmless, their postimage re-adds them),
+        unioned with the image of every NEW-image change — insert,
         update_postimage, and the schema-evolution types, whose images
         already encode the repair (NULL for dropped columns, values
-        for added ones).
+        for added ones).  ``delete`` AND ``update_preimage`` rows are
+        excluded: a feed produced with ``include_preimages=True``
+        carries the OLD image of every update too, and unioning it in
+        would yield two rows per updated key.
 
         Output columns are the feed's image schema: keys + the union
         of both versions' non-key columns.  Snapshot columns the feed
@@ -768,7 +806,7 @@ class VersionedTable:
         table's own key hash at 100 TB (the feed is O(changed rows))."""
         gone = feed.select(*keys)
         images = feed.where(
-            F.col("_change_type") != F.lit("delete")
+            ~F.col("_change_type").isin("delete", "update_preimage")
         ).drop("_change_type")
         survivors = snapshot.join(gone, on=keys, how="left_anti")
         return survivors.unionByName(images, allowMissingColumns=True).select(

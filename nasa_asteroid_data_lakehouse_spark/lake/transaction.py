@@ -12,9 +12,11 @@ layer a catalog commit on top.  This module is that layer for
 * Each member table keeps its own manifest log (snapshot isolation,
   optimistic concurrency — unchanged).
 * A TRANSACTION manifest (``_txn/t{N}.json``) pins ``{table: version}``
-  across all members.  Publishing it with an exclusive create is the
-  single atomic commit point (same ``O_EXCL`` protocol as the table
-  manifests — put-if-absent on an object store at scale).
+  across all members.  Publishing it — write the full payload to a
+  temp file, then ``os.link`` it into place — is the single atomic
+  commit point, atomic for writers (put-if-absent, as on an object
+  store at scale) AND for readers (a visible manifest is always a
+  complete JSON document).
 * Readers resolve ONE transaction manifest and read every member at
   its pinned version — a consistent cross-table snapshot, however many
   table-local commits happened in between or are in flight.
@@ -42,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -120,13 +123,21 @@ class MultiTableTransaction:
                 },
                 indent=1,
             )
+            # Fully write the payload to a temp file, then publish via
+            # os.link (atomic put-if-absent): a concurrent
+            # latest_txn()+_load_txn() reader can never open a
+            # partially-written manifest — O_EXCL-then-write was atomic
+            # for writers but not for readers.
             path = self._txn_path(txn_id)
+            tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                fh.write(payload)
             try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(tmp, path)
             except FileExistsError:
                 continue  # lost the race: re-base on the winner
-            with os.fdopen(fd, "w") as fh:
-                fh.write(payload)
+            finally:
+                os.remove(tmp)
             return txn_id
         raise CommitConflict(f"gave up after {retries} conflicting txn commits")
 

@@ -1122,9 +1122,16 @@ def ivm_incremental_dim_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") >= 0) & (F.col("o_orderkey") % 13 == 0)
         )
         feed = t.changes(v0, v2, include_preimages=True)
+        # Sign by the image's ROLE, not by enumerating additive types:
+        # update_preimage and delete carry OLD images (subtract); every
+        # other type — insert, update_postimage, and the schema
+        # evolution types schema_add/schema_drop, which carry NEW
+        # images per the r07 classifier — adds.  Enumerating the
+        # additive side would silently subtract schema-evolution rows
+        # if this table ever took a schema commit.
         sign = F.when(
-            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-        ).otherwise(F.lit(-1))
+            F.col("_change_type").isin("update_preimage", "delete"), F.lit(-1)
+        ).otherwise(F.lit(1))
         delta = (
             feed.select(
                 "cust",

@@ -24,18 +24,59 @@ from pyspark.sql import DataFrame
 from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
 
 
+def stream_batch_watermark(table: VersionedTable, app_id: str) -> int:
+    """Max batch id already committed by ``app_id`` (-1 when none).
+
+    Primary source: the ``stream_txn_watermarks`` map every commit
+    carries forward in its manifest (Delta persists the per-appId txn
+    watermark in the snapshot for the same reason) — one manifest read,
+    and it SURVIVES log truncation: vacuum may delete the manifests
+    that held the individual ``stream_txn`` markers, but the newest
+    manifest still carries the folded watermark.
+
+    Fallback for tables written before the watermark existed: walk the
+    surviving manifests newest-first, stopping gracefully at the first
+    vacuumed (missing) one.
+    """
+    latest = table.latest_version()
+    if latest is None:
+        return -1
+    wm = table._stream_watermarks(latest).get(str(app_id), -1)
+    v = latest
+    while v >= 0:
+        try:
+            m = table._load_manifest(v)
+        except FileNotFoundError:
+            break  # vacuum truncated the log below here
+        txn = m.get("stream_txn")
+        if txn and txn.get("app_id") == app_id:
+            wm = max(wm, int(txn["batch_id"]))
+        v -= 1
+    return wm
+
+
 def applied_stream_batches(table: VersionedTable, app_id: str) -> set[int]:
-    """Batch ids already committed by ``app_id`` — one manifest walk,
-    O(versions) driver-side JSON (manifests are small; vacuum bounds
-    the walk in production)."""
+    """Batch ids already committed by ``app_id``, reconstructed from
+    the surviving manifests plus the carried watermark.  Kept for
+    audits; the replay guard itself compares against
+    :func:`stream_batch_watermark` (batch ids are monotone per
+    checkpoint lineage, so <= watermark means already applied)."""
     out: set[int] = set()
-    v = table.latest_version()
-    while v is not None and v >= 0:
-        m = table._load_manifest(v)
+    latest = table.latest_version()
+    if latest is None:
+        return out
+    v = latest
+    while v >= 0:
+        try:
+            m = table._load_manifest(v)
+        except FileNotFoundError:
+            break  # vacuum truncated the log below here
         txn = m.get("stream_txn")
         if txn and txn.get("app_id") == app_id:
             out.add(int(txn["batch_id"]))
         v -= 1
+    wm = table._stream_watermarks(latest).get(str(app_id), -1)
+    out.update(range(0, wm + 1))
     return out
 
 
@@ -48,8 +89,15 @@ def upsert_batch_idempotent(
 ) -> bool:
     """Apply one micro-batch as an upsert UNLESS this (app_id,
     batch_id) is already committed.  Returns True when applied, False
-    on the no-op replay path."""
-    if int(batch_id) in applied_stream_batches(table, app_id):
+    on the no-op replay path.
+
+    foreachBatch delivers batch ids monotonically per checkpoint
+    lineage (a restart re-delivers the LAST batch; a fresh lineage
+    restarts from 0), so ``batch_id <= watermark`` is the exact Delta
+    idempotent-writer guard — and because the watermark is folded into
+    every manifest, it keeps holding after :meth:`VersionedTable.vacuum`
+    truncates the manifests that carried the individual markers."""
+    if int(batch_id) <= stream_batch_watermark(table, app_id):
         return False
     table.upsert(
         batch_df,

@@ -695,3 +695,93 @@ def test_shallow_clone_is_zero_copy_and_diverges(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         src.clone(str(tmp_path / "cl"))
+
+
+# --- ADVICE r07: vacuum-safe exactly-once guard, preimage-safe apply,
+# --- reader-atomic manifest publish ----------------------------------------
+
+
+def test_stream_guard_survives_vacuum(spark, tmp_path):
+    """ADVICE r07 (medium): vacuum(keep_last=1) deletes old manifests;
+    the replay guard must (a) not crash walking a truncated log and
+    (b) still recognize vacuumed-away batch ids as applied — the
+    watermark is folded into every commit's manifest, so truncating
+    history cannot forget applied batches."""
+    from nasa_asteroid_data_lakehouse_spark.streaming.lakehouse import (
+        applied_stream_batches,
+        stream_batch_watermark,
+        upsert_batch_idempotent,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "vt"), num_buckets=4)
+    t.create(
+        spark.createDataFrame([], "event_id bigint, val bigint"),
+        keys=["event_id"],
+    )
+    b = spark.createDataFrame([(1, 10), (2, 20)], "event_id bigint, val bigint")
+    assert upsert_batch_idempotent(t, b, 0, app_id="a") is True
+    assert upsert_batch_idempotent(t, b, 1, app_id="a") is True
+    # a non-stream commit interleaves and still carries the watermark
+    t.upsert(spark.createDataFrame([(3, 30)], "event_id bigint, val bigint"))
+    t.vacuum(keep_last=1)  # only the newest manifest survives
+    assert stream_batch_watermark(t, "a") == 1
+    assert applied_stream_batches(t, "a") == {0, 1}
+    # replayed ids from the truncated history: no crash, no double-apply
+    v = t.latest_version()
+    assert upsert_batch_idempotent(t, b, 0, app_id="a") is False
+    assert upsert_batch_idempotent(t, b, 1, app_id="a") is False
+    assert t.latest_version() == v
+    # the stream keeps going: the next fresh batch applies
+    assert upsert_batch_idempotent(t, b, 2, app_id="a") is True
+    assert stream_batch_watermark(t, "a") == 2
+
+
+def test_apply_changes_preimage_feed_converges(spark, tmp_path):
+    """ADVICE r07: a feed produced with include_preimages=True must not
+    double-insert updated keys — update_preimage rows are OLD images
+    and are excluded from the union (their keys in the anti-join set
+    are harmless; the postimage re-adds the row)."""
+    t = VersionedTable(spark, str(tmp_path / "pim"), num_buckets=4)
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k bigint, val string, m bigint"
+        ),
+        keys=["k"],
+    )
+    t.upsert(
+        spark.createDataFrame([(2, "B", 200), (4, "d", 40)], "k bigint, val string, m bigint")
+    )
+    t.delete_where(F.col("k") == 3)
+    feed = t.changes(0, 2, include_preimages=True)
+    assert feed.where(F.col("_change_type") == "update_preimage").count() == 1
+    recon = VersionedTable.apply_changes(t.read(0), feed, keys=["k"])
+    got = sorted((r["k"], r["val"], r["m"]) for r in recon.collect())
+    want = sorted((r["k"], r["val"], r["m"]) for r in t.read(2).collect())
+    assert got == want  # exactly one row per updated key, not two
+
+
+def test_manifest_publish_is_reader_atomic(spark, tmp_path):
+    """Manifests and txn manifests are published via temp-file +
+    os.link: every visible *.json is complete, parseable JSON and no
+    temp files linger after commits or lost races."""
+    from nasa_asteroid_data_lakehouse_spark.lake import MultiTableTransaction
+
+    t = VersionedTable(spark, str(tmp_path / "ra"), num_buckets=4)
+    t.create(spark.createDataFrame([(1, 1)], "k bigint, v bigint"), keys=["k"])
+    t.upsert(spark.createDataFrame([(2, 2)], "k bigint, v bigint"))
+    for f in os.listdir(t._manifest_dir):
+        assert f.endswith(".json")
+        json.load(open(os.path.join(t._manifest_dir, f)))
+    # conflicting table commit: loser raises, leaves no temp file
+    m = t._load_manifest(t.latest_version())
+    with pytest.raises(CommitConflict):
+        t._commit(t.latest_version(), m["buckets"], {"keys": ["k"]})
+    assert all(f.endswith(".json") for f in os.listdir(t._manifest_dir))
+
+    txn = MultiTableTransaction(spark, str(tmp_path / "mtx"), num_buckets=4)
+    a = txn.table("a")
+    va = a.create(spark.createDataFrame([(1, 1)], "k bigint, v bigint"), keys=["k"])
+    txn.commit({"a": va})
+    for f in os.listdir(txn._txn_dir):
+        assert f.endswith(".json")
+        json.load(open(os.path.join(txn._txn_dir, f)))
