@@ -1467,6 +1467,14 @@ _MBS_K = 2           # shingle size (words) — the dedup family's setting
 _MBS_BANDS = (8, 4, 2)
 _MBS_MAX_BUCKET = 1000
 _MBS_JACC = 0.5
+# Sample-by-design cap, ENFORCED in the query body (VERDICT r07): the
+# sweep pays for its most sensitive config — (8,1) exact-verifies far
+# more candidates than the production setting, and a 1M-doc run
+# exceeds local shuffle disk on its verify.  Tuning needs estimates,
+# not the full pair set, so the corpus is capped to the _MBS_SAMPLE
+# docs with the smallest md5(doc_id) — deterministic, seedless, and
+# identical in both engines.  No-op below the cap (sf0.1 has 5k docs).
+_MBS_SAMPLE = 100_000
 
 
 def minhash_band_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1485,10 +1493,14 @@ def minhash_band_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic guard; outputs are 3 bounded audit rows.  The sweep's
     cost is dominated by its MOST sensitive config — (8,1) generates
     and exact-verifies far more candidates than the production (4,2)
-    setting — so at corpus scale this runs on a SAMPLE by design
-    (tuning needs estimates, not the full pair set; the 200k-doc probe
-    measures 325 s, and a 1M-doc run exceeds local shuffle disk on the
-    (8,1) verify — BASELINE.md round-7 continuation notes)."""
+    setting — so at corpus scale this runs on a SAMPLE by design, and
+    the sample is ENFORCED in-code: a deterministic md5(doc_id)-rank
+    cap of ``_MBS_SAMPLE`` docs (TakeOrderedAndProject, no global
+    sort) ahead of shingling, mirrored verbatim in the oracle.  The
+    200k-doc uncapped probe measured 325 s and a 1M-doc run exceeded
+    local shuffle disk on the (8,1) verify (BASELINE.md round-7
+    continuation notes); the cap bounds the sweep at any corpus size
+    while leaving every test/driver SF untouched."""
     from nasa_asteroid_data_lakehouse_spark.llm import dedup
 
     # NULL text joins NO shingle-keyed operator (module contract,
@@ -1501,6 +1513,8 @@ def minhash_band_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select("doc_id", "text")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(_MBS_SAMPLE)
     )
     sh = dedup.word_shingles("text", _MBS_K)
     base = (
@@ -1663,7 +1677,10 @@ WITH sh AS (
          THEN list_distinct(list_transform(range(1, len(words) - {k - 2}),
                             j -> array_to_string(words[j:j+{k - 1}], ' ')))
          ELSE [array_to_string(words, ' ')] END AS shingles
-  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents WHERE text IS NOT NULL)
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+        FROM (SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              LIMIT {_MBS_SAMPLE}))
 ),
 sig AS (
   SELECT doc_id, shingles, [{sig}] AS s

@@ -282,3 +282,20 @@ def test_band_sweep_monotone_sensitivity(spark, sf_dir):
             assert 0.0 <= r["precision"] <= 1.0
         if r["relative_recall"] is not None:
             assert 0.0 <= r["relative_recall"] <= 1.0
+
+
+def test_band_sweep_sample_cap_enforced(spark, tmp_path, monkeypatch):
+    """VERDICT r07: sample-by-design must be ENFORCED in the query
+    body, not just documented.  With the cap monkeypatched to 10, a
+    30-identical-doc corpus (which would otherwise yield C(30,2)=435
+    pairs in every config) yields exactly C(10,2)=45 — the sweep never
+    sees more than _MBS_SAMPLE docs."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    sf = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    monkeypatch.setattr(r8, "_MBS_SAMPLE", 10)
+    rows = r8.minhash_band_sweep_documents(spark, sf).collect()
+    assert all(r["n_candidates"] == 45 and r["n_verified"] == 45 for r in rows)
