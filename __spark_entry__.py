@@ -67,7 +67,7 @@ REGISTER_R07 = True
 # KEY_UNIQUE_PRECONDITION entries (ivfpq pair, txn snapshot, zorder
 # roundtrip) are already committed; bench picks the batch up
 # automatically.  Then run update_rotation 8.
-REGISTER_R08 = False
+REGISTER_R08 = True
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -168,6 +168,33 @@ def query_vector(
     return None
 
 
+AUTO_PLANES_TARGET_OCC = 64
+AUTO_PLANES_MIN = 4
+AUTO_PLANES_MAX = 16
+
+
+def auto_planes(
+    n: int,
+    target_occupancy: int = AUTO_PLANES_TARGET_OCC,
+    min_planes: int = AUTO_PLANES_MIN,
+    max_planes: int = AUTO_PLANES_MAX,
+) -> int:
+    """The sign-LSH occupancy law, executable (VERDICT r06 ask #5 /
+    r07 ask #5): the smallest plane count whose bucket space keeps
+    mean occupancy <= the target — one more plane per corpus doubling,
+    clamped to [min, max].  Integer comparisons only, so the DuckDB
+    oracles reproduce it bit-for-bit (no float log2 on either engine).
+
+    This is THE lever that keeps a within-bucket verify join's
+    occupancy^2 x buckets cost constant as the corpus grows: at 1M
+    vectors the law picks 14 planes and the hubness verify measured
+    83.2 s vs 570.9 s at a hand-set 12 (BASELINE.md round-7)."""
+    for p in range(min_planes, max_planes + 1):
+        if target_occupancy * (1 << p) >= n:
+            return p
+    return max_planes
+
+
 def _plane_coef(plane: int, dim: int) -> float:
     """Deterministic pseudo-random coefficient in [-1, 1): derived from
     md5(plane_dim), so identical across engines and runs."""
@@ -250,7 +277,7 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes: int | None = None,
     threshold: float = 0.95,
     round_to: int = 6,
 ) -> DataFrame:
@@ -258,7 +285,16 @@ def embedding_near_dup_pairs(
 
     Same-bucket pairs only (sign-LSH: cos-similar vectors collide with
     high probability); exact cosine verify on candidates.
+
+    ``num_planes=None`` (the default) derives the plane count from the
+    corpus size via :func:`auto_planes` — one bounded count, then the
+    integer occupancy law — so the default shape stays scale-safe: a
+    fixed plane count makes the within-bucket verify quadratic in
+    corpus size.  Pass an explicit count to pin bucket granularity
+    (recall tuning, oracle parity at a fixed P).
     """
+    if num_planes is None:
+        num_planes = auto_planes(df.where(vec_valid(F.col(vec_col))).count())
     dim = vector_dim(df, vec_col)
     # Pre-compute each vector's norm before the self-join: the join
     # then evaluates one dot product per candidate pair instead of

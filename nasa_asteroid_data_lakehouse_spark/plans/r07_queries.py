@@ -795,7 +795,6 @@ STAGED_ORACLES["centroid_drift_splits_embeddings"] = CENTROID_DRIFT_SQL
 
 # === Embedding-space split-leakage audit ======================================
 
-_ESL_PLANES = 4
 _ESL_THRESHOLD = 0.35
 
 
@@ -812,15 +811,19 @@ def embedding_split_leakage_embeddings(
     Split assignment is the same deterministic md5 hash used by
     centroid_drift; the pair table is bucket-keyed (never all-pairs),
     so at 100 TB this is the marginal cost of two broadcast joins on
-    top of the dedup pass the pipeline already runs.  As with every
-    sign-LSH operator here, the plane count is the bucket-granularity
-    lever: one extra plane per corpus doubling keeps bucket occupancy
-    (and the within-bucket verify cost) constant."""
+    top of the dedup pass the pipeline already runs.  The plane count
+    is DERIVED from corpus size via the occupancy law (promoted from
+    fixed 4 planes, VERDICT r07 ask #5): one bounded count, then
+    ``similarity.auto_planes`` keeps mean bucket occupancy <= 64 —
+    bucket ids are the P-bit prefix of the 16-plane code, identically
+    derivable in the oracle as code_16 % 2^P.  At the driver SF
+    (n=500) the law picks 4 planes, exactly the old fixed setting."""
     emb = read_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id").isNotNull()
     )
+    n = emb.where(similarity.vec_valid(F.col("embedding"))).count()
     pairs = similarity.embedding_near_dup_pairs(
-        emb, num_planes=_ESL_PLANES, threshold=_ESL_THRESHOLD
+        emb, num_planes=similarity.auto_planes(n), threshold=_ESL_THRESHOLD
     )
     split_int = F.pmod(
         F.conv(
@@ -879,11 +882,30 @@ def _esl_sql() -> str:
         " CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 8 THEN 'val'"
         " ELSE 'test' END"
     )
+    from nasa_asteroid_data_lakehouse_spark.llm.similarity import (
+        AUTO_PLANES_MAX,
+        AUTO_PLANES_MIN,
+        AUTO_PLANES_TARGET_OCC,
+    )
+
     return f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding, {_bucket_sql(_ESL_PLANES, "embedding")} AS bucket
-  FROM embeddings
+WITH valid AS (
+  SELECT vec_id, embedding FROM embeddings
   WHERE vec_id IS NOT NULL AND {_VEC_VALID_SQL}
+),
+params AS (
+  SELECT COALESCE(
+    (SELECT MIN(p)
+     FROM (SELECT unnest(range({AUTO_PLANES_MIN}, {AUTO_PLANES_MAX} + 1)) AS p) ps,
+          (SELECT COUNT(*) AS n FROM valid) cn
+     WHERE {AUTO_PLANES_TARGET_OCC} * (CAST(1 AS BIGINT) << p) >= cn.n),
+    {AUTO_PLANES_MAX}) AS p
+),
+bucketed AS (
+  SELECT vec_id, embedding,
+         {_bucket_sql(AUTO_PLANES_MAX, "embedding")}
+           % (CAST(1 AS BIGINT) << (SELECT p FROM params)) AS bucket
+  FROM valid
 ),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1054,8 +1076,6 @@ STAGED_ORACLES["tfidf_cosine_pairs_documents"] = TFIDF_COSINE_SQL
 
 # === LSH-kNN hubness audit ====================================================
 
-_HUB_PLANES = 4
-_HUB_K = 5
 
 
 def hubness_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1065,81 +1085,27 @@ def hubness_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "everyone's neighbor") degrade retrieval diversity and are the
     standard high-dimensionality health check for an embedding store.
 
-    Candidates come from the sign-LSH bucket self-join (never
-    all-pairs); per-query top-k is a window partitioned by the query
-    id, so the whole graph build is bucket-local.  Output is the
-    bounded in-degree histogram.
+    PROMOTED to the occupancy law (VERDICT r07 ask #5): this query was
+    the fixed-plane form (4 planes — within-bucket join quadratic in
+    corpus size, the one documented scale hot-spot); the registered
+    shape is now the law-derived one — plane count from corpus size so
+    bucket occupancy stays <= 64 at any scale (1M-vector verify 83.2 s
+    at law-picked 14 planes vs 570.9 s hand-tuned, BASELINE.md).  It
+    delegates to :func:`r08_queries.hubness_autoplane_embeddings`, the
+    staged twin that proved the law — one implementation, zero drift;
+    the fixed-plane form survives only in the with_lsh_bucket unit
+    tests.  At the driver SF (n=500) the law picks 4 planes, exactly
+    the old fixed setting, so the historical driver greens pin the
+    same output."""
+    from nasa_asteroid_data_lakehouse_spark.plans import r08_queries
 
-    Scale lever: buckets = 2^planes, so hold per-bucket occupancy
-    roughly constant by adding one plane per corpus doubling (the
-    fixture uses 4; the 1M probe in BASELINE.md runs 12
-    planes / 4096 buckets) — with a fixed plane count the
-    within-bucket join is quadratic in corpus size."""
-    emb = read_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id").isNotNull()
-    )
-    bucketed = similarity.with_lsh_bucket(
-        emb, "embedding", _HUB_PLANES, 64
-    ).select("vec_id", "embedding", "bucket")
-    other = bucketed.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    cand = bucketed.join(
-        other,
-        (F.col("bucket") == F.col("bucket_b"))
-        & (F.col("vec_id") != F.col("id_b")),
-    ).select(
-        "vec_id",
-        "id_b",
-        F.round(
-            similarity.cosine(F.col("embedding"), F.col("emb_b")), 6
-        ).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("id_b"))
-    knn = cand.withColumn("rk", F.row_number().over(w)).where(
-        F.col("rk") <= _HUB_K
-    )
-    indeg = knn.groupBy("id_b").agg(F.count(F.lit(1)).alias("in_degree"))
-    return (
-        indeg.groupBy("in_degree")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .orderBy("in_degree")
-    )
+    return r08_queries.hubness_autoplane_embeddings(spark, sf_dir)
 
 
 def _hub_sql() -> str:
-    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
-        _bucket_sql,
-    )
+    from nasa_asteroid_data_lakehouse_spark.plans import r08_queries
 
-    return f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding, {_bucket_sql(_HUB_PLANES, "embedding")} AS bucket
-  FROM embeddings
-  WHERE vec_id IS NOT NULL AND {_VEC_VALID_SQL}
-),
-cand AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS id_b,
-         ROUND({_COS_AB}, 6) AS cos
-  FROM bucketed a JOIN bucketed b
-    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-),
-knn AS (
-  SELECT vec_id, id_b,
-         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, id_b) AS rk
-  FROM cand
-),
-indeg AS (
-  SELECT id_b, CAST(COUNT(*) AS BIGINT) AS in_degree
-  FROM knn WHERE rk <= {_HUB_K} GROUP BY id_b
-)
-SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors
-FROM indeg
-GROUP BY in_degree
-ORDER BY in_degree
-"""
+    return r08_queries.HUBNESS_AUTOPLANE_SQL
 
 
 STAGED_QUERIES["hubness_lsh_embeddings"] = hubness_lsh_embeddings

@@ -868,14 +868,16 @@ _HUBA_K = 5
 
 
 def _auto_planes(n: int) -> int:
-    """The occupancy law, executable (VERDICT r06 ask #5): the smallest
-    plane count whose bucket space keeps mean occupancy <= the target
-    (one more plane per corpus doubling), clamped to [4, 16].  Integer
-    comparisons only — no float log2 on either engine."""
-    for p in range(_HUBA_MIN_P, _HUBA_MAX_P + 1):
-        if _HUBA_TARGET_OCC * (1 << p) >= n:
-            return p
-    return _HUBA_MAX_P
+    """The occupancy law, executable (VERDICT r06 ask #5) — canonical
+    implementation lives in :func:`llm.similarity.auto_planes` (r08:
+    promoted from this staged twin to the library default); this
+    wrapper pins the r08 parameters."""
+    return similarity.auto_planes(
+        n,
+        target_occupancy=_HUBA_TARGET_OCC,
+        min_planes=_HUBA_MIN_P,
+        max_planes=_HUBA_MAX_P,
+    )
 
 
 def hubness_autoplane_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
 
+# Registered queries whose IMPLEMENTATION changed in a given round
+# (semantics-preserving at the driver SF, but new code): place them
+# right after known-reds so the driver re-proves the new shape this
+# round instead of serving a stale green from the old code.
+REPROVE: dict[int, list[str]] = {
+    # r08: fixed-plane -> occupancy-law promotion (VERDICT r07 ask #5)
+    8: ["hubness_lsh_embeddings", "embedding_split_leakage_embeddings"],
+}
+
 
 def main() -> None:
     round_no = int(sys.argv[1])
@@ -85,6 +94,10 @@ def main() -> None:
 
     ordered = [k for k in red if k in full]
     taken = set(ordered)
+    ordered += [
+        k for k in REPROVE.get(round_no, []) if k in full and k not in taken
+    ]
+    taken.update(ordered)
     ordered += [k for k in full if k not in taken and k not in seen and k not in exposed]
     taken.update(ordered)
     ordered += [

@@ -785,3 +785,43 @@ def test_manifest_publish_is_reader_atomic(spark, tmp_path):
     for f in os.listdir(txn._txn_dir):
         assert f.endswith(".json")
         json.load(open(os.path.join(txn._txn_dir, f)))
+
+
+def test_rebucket_evolves_bucket_count(spark, table):
+    """rebucket() rewrites into a new bucket space: content unchanged,
+    changes() across it classifies zero rows, the manifest records the
+    new count, and later writers adopt it.  Doubling splits each old
+    bucket into exactly (b, b+N)."""
+    v0 = table.latest_version()
+    m0 = table._load_manifest(v0)
+    assert int(m0["num_buckets"]) == 8
+    v1 = table.rebucket(16)
+    assert v1 == v0 + 1
+    m1 = table._load_manifest(v1)
+    assert int(m1["num_buckets"]) == 16
+    assert m1["operation"] == "rebucket" and m1["previous_num_buckets"] == 8
+    # content unchanged, CDF empty
+    assert table.read().count() == 100
+    assert table.changes(v0, v1).count() == 0
+    # doubling property: pmod(h, 16) maps old bucket b only to b or b+8
+    df = table.read(version=v1)
+    both = df.select(
+        F.pmod(F.xxhash64("k"), F.lit(8)).alias("b_old"),
+        F.pmod(F.xxhash64("k"), F.lit(16)).alias("b_new"),
+    )
+    assert both.where(
+        (F.col("b_new") != F.col("b_old")) & (F.col("b_new") != F.col("b_old") + 8)
+    ).count() == 0
+    # a later writer adopts the committed count (re-open with stale default)
+    reopened = VersionedTable(spark, table.root, num_buckets=8)
+    incoming = spark.createDataFrame([(5, "NEW5", 5.5), (300, "v300", 3.0)],
+                                     ["k", "val", "m"])
+    reopened.upsert(incoming)
+    got = reopened.read()
+    assert got.count() == 101
+    assert got.where("k = 5").collect()[0]["val"] == "NEW5"
+    assert reopened.num_buckets == 16
+    # same-count rebucket is a no-op commit
+    v_same = reopened.rebucket(16)
+    assert v_same == reopened.latest_version()
+    assert reopened._load_manifest(v_same)["operation"] != "rebucket" or v_same != v1
