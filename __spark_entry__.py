@@ -69,6 +69,16 @@ REGISTER_R07 = True
 # automatically.  Then run update_rotation 8.
 REGISTER_R08 = True
 
+# Round-9 registration switch: flip to True at round-9 start once
+# CORRECTNESS_r08 lands; serves plans/r09_queries.py's staged batch
+# (gate-verified in round 8 via driver_sim --staged + adversarial,
+# pytest pins in tests/test_r09_staged.py): stream-stream
+# interval-join replay, stream-static enrich replay, VACUUM/retention
+# lifecycle, bucket re-partitioning round-trip.  No KEY_UNIQUE or
+# BNLJ-allowlist entries needed (all payloads key-derived; audits are
+# bounded aggregates).  Then run update_rotation 9.
+REGISTER_R09 = False
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -259,6 +269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from nasa_asteroid_data_lakehouse_spark.plans import r08_queries
 
         out.update(r08_queries.STAGED_QUERIES)
+    if REGISTER_R09:
+        from nasa_asteroid_data_lakehouse_spark.plans import r09_queries
+
+        out.update(r09_queries.STAGED_QUERIES)
     return _rotate(out)
 
 
@@ -294,4 +308,8 @@ def oracle_sql() -> dict[str, str]:
         from nasa_asteroid_data_lakehouse_spark.plans import r08_queries
 
         out.update(r08_queries.STAGED_ORACLES)
+    if REGISTER_R09:
+        from nasa_asteroid_data_lakehouse_spark.plans import r09_queries
+
+        out.update(r09_queries.STAGED_ORACLES)
     return _rotate(out)

@@ -190,10 +190,10 @@ def run_fixture(spark, mod, dst: str, only, skip=frozenset(), tag="") -> list[st
     qs, oracles = mod.queries(), mod.oracle_sql()
     if "--staged" in sys.argv:
         # round-6 staging (r05's batch is registered since REGISTER_R05)
-        from nasa_asteroid_data_lakehouse_spark.plans import r08_queries
+        from nasa_asteroid_data_lakehouse_spark.plans import r09_queries
 
-        qs = {**qs, **r08_queries.STAGED_QUERIES}
-        oracles = {**oracles, **r08_queries.STAGED_ORACLES}
+        qs = {**qs, **r09_queries.STAGED_QUERIES}
+        oracles = {**oracles, **r09_queries.STAGED_ORACLES}
     failures = []
     for name, fn in qs.items():
         if only is not None and name not in only:

@@ -369,13 +369,14 @@ def main() -> int:
     qs, oracles = mod.queries(), mod.oracle_sql()
     if staged:
         # round-(N+1) staging: gate queries built this round WITHOUT
-        # touching the frozen served surface (plans/r05_queries.py)
-        from nasa_asteroid_data_lakehouse_spark.plans import r08_queries
+        # touching the served surface (REGISTER_R08 flipped in round 8,
+        # so the r09 batch is now the staged one)
+        from nasa_asteroid_data_lakehouse_spark.plans import r09_queries
 
-        qs = {**qs, **r08_queries.STAGED_QUERIES}
-        oracles = {**oracles, **r08_queries.STAGED_ORACLES}
+        qs = {**qs, **r09_queries.STAGED_QUERIES}
+        oracles = {**oracles, **r09_queries.STAGED_ORACLES}
         if only is None:
-            only = set(r08_queries.STAGED_QUERIES)
+            only = set(r09_queries.STAGED_QUERIES)
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue

@@ -1,0 +1,115 @@
+"""Pins for the round-9 STAGED query batch (plans/r09_queries.py) —
+gate-verified in round 8 behind ``driver_sim --staged``, to be
+registered at round-9 start by flipping ``REGISTER_R09``.  These tests
+pin the SEMANTICS with synthetic micro-fixtures (not just oracle
+agreement).
+"""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.plans import r09_queries as r9
+
+
+def test_staged_registry_shape():
+    assert set(r9.STAGED_QUERIES) == set(r9.STAGED_ORACLES)
+    assert len(r9.STAGED_QUERIES) == 4
+
+
+def _write(df, tmp_path, table):
+    out = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+    return out
+
+
+# --- stream-stream interval join replay ------------------------------------------
+
+
+def test_interval_join_replay_exact_pairs(spark, tmp_path):
+    """Controlled fixture: user 1 has an even (left) event at t0 and
+    odd (right) events at t0+1h (match), t0+25h (outside the 1-day
+    gap), and t0-1h (before — no match); user 2's odd event never
+    matches user 1's left.  Exactly one pair survives, across batch
+    boundaries."""
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+
+    def at(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    rows = [
+        (0, t0, 1),        # left, user 1
+        (1, at(1), 1),     # right, in gap -> pair (0, 1)
+        (3, at(25), 1),    # right, outside gap
+        (5, at(-1), 1),    # right, before left
+        (7, at(1), 2),     # right, other user
+        (2, at(30), 2),    # left, user 2: only right in-window is... none
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint"
+    ).withColumn("event_type", F.lit("t")).withColumn("value", F.lit(1.0))
+    sf = _write(ev, tmp_path, "events")
+    got = r9.streaming_interval_join_replay_events(spark, sf).collect()[0]
+    assert got["n_pairs"] == 1
+    assert got["n_users"] == 1
+    assert got["lid_sum"] == 0 and got["rid_sum"] == 1
+
+
+# --- stream-static enrich replay --------------------------------------------------
+
+
+def test_enrich_replay_keeps_unmatched_as_null_segment(spark, tmp_path):
+    """Events whose user is missing from the dim (every third customer
+    removed) survive the left join with a NULL segment instead of
+    dropping."""
+    ev = spark.createDataFrame(
+        [(i, i % 6) for i in range(12)], "event_id bigint, user_id bigint"
+    ).withColumn("ts", F.lit(None).cast("timestamp")) \
+     .withColumn("event_type", F.lit("t")).withColumn("value", F.lit(1.0))
+    cust = spark.createDataFrame(
+        [(k, f"SEG{k}") for k in range(6)], "c_custkey bigint, c_mktsegment string"
+    )
+    sf = _write(ev, tmp_path, "events")
+    _write(cust, tmp_path, "customer")
+    rows = {r["segment"]: r for r in r9.streaming_enrich_replay_events(spark, sf).collect()}
+    # custkeys 0 and 3 are removed (k % 3 == 0) -> their events unmatched
+    assert rows[None]["n_events"] == 4
+    assert set(rows) == {None, "SEG1", "SEG2", "SEG4", "SEG5"}
+    assert all(rows[s]["n_events"] == 2 for s in rows if s is not None)
+
+
+# --- vacuum / retention ------------------------------------------------------------
+
+
+def test_vacuum_retention_floor_and_final_state(spark, sf_dir):
+    got = r9.vacuum_retention_orders(spark, sf_dir).collect()[0]
+    assert got["floor_enforced"] == 1
+    assert got["n_rows_within_retention"] == got["n_rows"] + 1 + _n_del(spark, sf_dir)
+    assert got["n_rows"] > 0
+
+
+def _n_del(spark, sf_dir):
+    from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+
+    return (
+        read_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderkey").isNotNull()
+            & (F.col("o_orderkey") >= 0)
+            & (F.col("o_orderkey") % 13 == 0)
+        )
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+
+
+# --- rebucket round-trip -------------------------------------------------------------
+
+
+def test_rebucket_roundtrip_invariants(spark, sf_dir):
+    got = r9.rebucket_roundtrip_orders(spark, sf_dir).collect()[0]
+    assert got["bucket_count"] == 8
+    assert got["cdf_rows_across_rebucket"] == 0
+    assert got["n_dup_keys"] == 0
+    assert got["n_rows"] > 0
