@@ -125,11 +125,13 @@ def main() -> None:
     except OSError as exc:
         # best-effort persistence: the stdout JSON line is the contract
         print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
-    # Per-round snapshot, write-once (VERDICT r03 ask #4): the builder's
-    # close run creates BENCH_DETAIL_r{N}.json first; a later driver
-    # rerun overwrites only the mutable BENCH_DETAIL.json, never the
-    # committed round snapshot.  N = next round after the last recorded
-    # driver bench.
+    # Per-round snapshot, write-once (VERDICT r03 ask #4), and ONLY on
+    # the builder's close run (VERDICT r07 ask #3: the driver's own
+    # bench rerun used to claim the NEXT round's snapshot name — the
+    # r07 driver run burned BENCH_DETAIL_r08.json — because round
+    # counting cannot distinguish who is running).  The close run sets
+    # SPARK_GRAFT_CLOSE=1; every other invocation (driver, iteration)
+    # writes only the mutable BENCH_DETAIL.json above.
     try:
         import re
 
@@ -146,7 +148,13 @@ def main() -> None:
             if (m := re.fullmatch(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json", f))
         ]
         snap = os.path.join(here, f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json")
-        if not os.path.exists(snap):
+        if not os.environ.get("SPARK_GRAFT_CLOSE"):
+            print(
+                f"bench: not a close run (SPARK_GRAFT_CLOSE unset); "
+                f"skipping snapshot {snap}",
+                file=sys.stderr,
+            )
+        elif not os.path.exists(snap):
             with open(snap, "w") as fh:
                 json.dump(
                     {"value": total, "sf": sf, "queries": timings}, fh, indent=1
