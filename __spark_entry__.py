@@ -74,9 +74,11 @@ REGISTER_R08 = True
 # (gate-verified in round 8 via driver_sim --staged + adversarial,
 # pytest pins in tests/test_r09_staged.py): stream-stream
 # interval-join replay, stream-static enrich replay, VACUUM/retention
-# lifecycle, bucket re-partitioning round-trip.  No KEY_UNIQUE or
-# BNLJ-allowlist entries needed (all payloads key-derived; audits are
-# bounded aggregates).  Then run update_rotation 9.
+# lifecycle, bucket re-partitioning round-trip, IVF nprobe tuning
+# sweep.  Pre-wired: KEY_UNIQUE entry (ivf_nprobe_sweep_embeddings —
+# ORDER-BY-id seed quantizer) and BNLJ allowlist entry (same name,
+# broadcast anchors x corpus + 1-row count broadcasts).  Then run
+# update_rotation 9.
 REGISTER_R09 = False
 
 

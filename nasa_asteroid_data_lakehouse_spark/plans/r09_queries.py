@@ -481,3 +481,240 @@ FROM final
 
 STAGED_QUERIES["rebucket_roundtrip_orders"] = rebucket_roundtrip_orders
 STAGED_ORACLES["rebucket_roundtrip_orders"] = REBUCKET_SQL
+
+
+# === IVF nprobe tuning sweep ====================================================
+
+_NSW_CENTROIDS = 8
+_NSW_K = 10
+_NSW_ANCHOR_MAX = 5
+_NSW_PROBES = (4, 2, 1)
+
+_NSW_VOK = (
+    "embedding IS NOT NULL AND len(list_filter(embedding,"
+    " x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
+)
+
+
+def ivf_nprobe_sweep_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ``nprobe`` TUNING SWEEP — the cost/recall table a retrieval
+    team reads before fixing the probe count, the IVF twin of the
+    MinHash (b, r) band sweep: one shared cell assignment + one shared
+    anchor-pair table, then each config (nprobe = 4, 2, 1) is a filter
+    on the anchor's probe rank.  Per config: candidates scored (the
+    cost axis — pairs inside probed cells), exact-top-10 hits and
+    micro-averaged recall (the quality axis), and the scan fraction
+    vs brute force.  Nested probes (1 < 2 < 4 over one ranking) make
+    sensitivity monotone by construction — pinned in pytest.
+
+    Seed quantizer (8 lowest valid ids, kmeans iters=0) keeps the
+    oracle SQL-expressible — the ivf_topk/ivf_recall contract.  Scale:
+    anchors x centroids probe table is bounded; the pair table is
+    |anchors| x N with the anchor side broadcast (the ann_recall
+    shape); each config's audit is a bounded aggregate over a filter
+    of the SHARED pair table, so the sweep pays ~one recall audit, not
+    three."""
+    from pyspark.sql import Window
+
+    from nasa_asteroid_data_lakehouse_spark.llm import similarity
+    from nasa_asteroid_data_lakehouse_spark.llm.similarity import dot, norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    valid = emb.where(
+        F.col("vec_id").isNotNull() & similarity.vec_valid(F.col("embedding"))
+    )
+    seeds = valid.orderBy("vec_id").limit(_NSW_CENTROIDS).collect()
+    centroids = [[float(v) for v in r["embedding"]] for r in seeds]
+    if not centroids:
+        centroids = [[0.0]]
+    assigned = similarity.with_ivf_assignment(valid, centroids, "embedding")
+    base = assigned.select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        norm(F.col("embedding")).alias("nrm"),
+        "cluster",
+    ).localCheckpoint(eager=False)
+    anchors = base.where(F.col("id") < _NSW_ANCHOR_MAX).select(
+        F.col("id").alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    cent_rows = spark.createDataFrame(
+        [(j, [float(x) for x in cv]) for j, cv in enumerate(centroids)],
+        "c int, cv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("av"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(F.asc("__d2"), F.asc("c"))
+    probes = (
+        F.broadcast(anchors.select("anchor_id", "av"))
+        .crossJoin(F.broadcast(cent_rows))
+        .withColumn("__d2", d2)
+        .withColumn("probe_rank", F.row_number().over(wp))
+        .where(F.col("probe_rank") <= max(_NSW_PROBES))
+        .select("anchor_id", F.col("c").alias("cluster"), "probe_rank")
+    )
+    pairs = (
+        F.broadcast(anchors)
+        .join(base.alias("b"), F.col("anchor_id") != F.col("b.id"))
+        .select(
+            "anchor_id",
+            F.col("b.id").alias("nbr"),
+            F.col("b.cluster").alias("cluster"),
+            F.round(
+                F.try_divide(
+                    dot(F.col("av"), F.col("b.v")),
+                    F.col("anrm") * F.col("b.nrm"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wk = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("nbr"))
+    exact = (
+        pairs.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= _NSW_K)
+        .select("anchor_id", "nbr")
+        .localCheckpoint(eager=False)
+    )
+    n_exact = F.broadcast(
+        exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    n_total = F.broadcast(
+        pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_total"))
+    )
+    rows = []
+    for p in _NSW_PROBES:
+        cand = pairs.join(
+            probes.where(F.col("probe_rank") <= p).select("anchor_id", "cluster"),
+            ["anchor_id", "cluster"],
+        )
+        approx = (
+            cand.withColumn("rk", F.row_number().over(wk))
+            .where(F.col("rk") <= _NSW_K)
+            .select("anchor_id", "nbr")
+        )
+        hits = approx.join(exact, ["anchor_id", "nbr"])
+        row = (
+            cand.agg(
+                F.lit(p).cast("bigint").alias("n_probe"),
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+                )
+            )
+        )
+        rows.append(row)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return (
+        out.crossJoin(n_exact)
+        .crossJoin(n_total)
+        .select(
+            "n_probe",
+            "n_candidates",
+            "n_hits",
+            "n_exact",
+            F.round(F.try_divide(F.col("n_hits"), F.col("n_exact")), 6).alias(
+                "recall"
+            ),
+            F.round(
+                F.try_divide(F.col("n_candidates"), F.col("n_pairs_total")), 6
+            ).alias("scan_fraction"),
+        )
+        .orderBy(F.desc("n_probe"))
+    )
+
+
+def _nsw_config_sql(p: int) -> str:
+    return f"""SELECT CAST({p} AS BIGINT) AS n_probe,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs pr
+        JOIN probe q ON pr.anchor_id = q.anchor_id
+         AND pr.cluster = q.c AND q.rn <= {p}) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT t.anchor_id, t.nbr FROM (
+            SELECT pr.anchor_id, pr.nbr,
+              row_number() OVER (PARTITION BY pr.anchor_id
+                                 ORDER BY pr.cos DESC, pr.nbr ASC) AS rk
+            FROM pairs pr
+            JOIN probe q ON pr.anchor_id = q.anchor_id
+             AND pr.cluster = q.c AND q.rn <= {p}) t
+          WHERE t.rk <= {_NSW_K}) a
+        JOIN exact e ON e.anchor_id = a.anchor_id AND e.nbr = a.nbr
+       ) AS n_hits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+       ROUND((SELECT COUNT(*) FROM (
+          SELECT t.anchor_id, t.nbr FROM (
+            SELECT pr.anchor_id, pr.nbr,
+              row_number() OVER (PARTITION BY pr.anchor_id
+                                 ORDER BY pr.cos DESC, pr.nbr ASC) AS rk
+            FROM pairs pr
+            JOIN probe q ON pr.anchor_id = q.anchor_id
+             AND pr.cluster = q.c AND q.rn <= {p}) t
+          WHERE t.rk <= {_NSW_K}) a
+        JOIN exact e ON e.anchor_id = a.anchor_id AND e.nbr = a.nbr)
+        / NULLIF((SELECT COUNT(*) FROM exact), 0), 6) AS recall,
+       ROUND((SELECT COUNT(*) FROM pairs pr
+        JOIN probe q ON pr.anchor_id = q.anchor_id
+         AND pr.cluster = q.c AND q.rn <= {p})
+        / NULLIF((SELECT COUNT(*) FROM pairs), 0), 6) AS scan_fraction"""
+
+
+IVF_NPROBE_SWEEP_SQL = f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, cv FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+    WHERE {_NSW_VOK} ORDER BY vec_id LIMIT {_NSW_CENTROIDS})
+),
+valid AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id IS NOT NULL AND {_NSW_VOK}
+),
+assign AS (
+  SELECT id, v, c FROM (
+    SELECT e.id, e.v, s.c,
+      row_number() OVER (
+        PARTITION BY e.id ORDER BY list_distance(e.v, s.cv), s.c
+      ) AS rn
+    FROM valid e, seeds s) t
+  WHERE rn = 1
+),
+anchors AS (SELECT id AS anchor_id, v AS av FROM valid
+            WHERE id < {_NSW_ANCHOR_MAX}),
+probe AS (
+  SELECT anchor_id, c, rn FROM (
+    SELECT a.anchor_id, s.c,
+      row_number() OVER (
+        PARTITION BY a.anchor_id ORDER BY list_distance(a.av, s.cv), s.c
+      ) AS rn
+    FROM anchors a, seeds s) t
+  WHERE rn <= {max(_NSW_PROBES)}
+),
+pairs AS (
+  SELECT a.anchor_id, b.id AS nbr, b.c AS cluster,
+    ROUND(list_dot_product(a.av, b.v)
+          / (sqrt(list_dot_product(a.av, a.av))
+             * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM anchors a JOIN assign b ON a.anchor_id <> b.id
+),
+exact AS (
+  SELECT anchor_id, nbr FROM (
+    SELECT anchor_id, nbr,
+      row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY cos DESC, nbr ASC) AS rk
+    FROM pairs) t
+  WHERE rk <= {_NSW_K}
+)
+{" UNION ALL ".join(_nsw_config_sql(p) for p in _NSW_PROBES)}
+ORDER BY n_probe DESC
+"""
+
+STAGED_QUERIES["ivf_nprobe_sweep_embeddings"] = ivf_nprobe_sweep_embeddings
+STAGED_ORACLES["ivf_nprobe_sweep_embeddings"] = IVF_NPROBE_SWEEP_SQL

@@ -69,6 +69,9 @@ KEY_UNIQUE_PRECONDITION = {
     "ivfpq_topk_embeddings",
     "ivfpq_recall_embeddings",
     "ivfpq_residual_topk_embeddings",
+    # r09 staged: same ORDER-BY-id seed quantizer, and duplicate nbr
+    # ids fan out the anchor-pair table (the ivf_recall ambiguity)
+    "ivf_nprobe_sweep_embeddings",
     # ...and VersionedTable fixtures keyed by o_orderkey with payload
     # columns NOT key-derived (custkey/price): create() collapses
     # duplicate keys to an arbitrary-but-stable survivor while the

@@ -113,6 +113,9 @@ _BNLJ_ALLOWED = {
     "lsh_index_maintenance_embeddings",  # single-row total/count broadcasts
     "clone_divergence_orders",   # two 1-row audit aggregates cross-joined
     "minhash_band_sweep_documents",  # 1-row verified/truth-count broadcasts
+    # r09 staged (inert until REGISTER_R09): broadcast anchors x corpus
+    # + 1-row exact/total-count broadcasts (as ivf_recall)
+    "ivf_nprobe_sweep_embeddings",
     # single-row group-total / series-mean broadcasts
     "market_basket_lineitem",
     "cusum_daily_events",

@@ -14,7 +14,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import r09_queries as r9
 
 def test_staged_registry_shape():
     assert set(r9.STAGED_QUERIES) == set(r9.STAGED_ORACLES)
-    assert len(r9.STAGED_QUERIES) == 4
+    assert len(r9.STAGED_QUERIES) == 5
 
 
 def _write(df, tmp_path, table):
@@ -113,3 +113,45 @@ def test_rebucket_roundtrip_invariants(spark, sf_dir):
     assert got["cdf_rows_across_rebucket"] == 0
     assert got["n_dup_keys"] == 0
     assert got["n_rows"] > 0
+
+
+# --- IVF nprobe sweep -----------------------------------------------------------
+
+
+def test_nprobe_sweep_monotone_and_full_probe_recall(spark, sf_dir):
+    """Nested probes: candidates, hits, and recall are non-increasing
+    as nprobe drops 4 -> 2 -> 1; scan_fraction likewise; recall at any
+    nprobe is within [0, 1]."""
+    import nasa_asteroid_data_lakehouse_spark.plans.r09_queries as r9m
+
+    rows = r9m.ivf_nprobe_sweep_embeddings(spark, sf_dir).collect()
+    assert [r["n_probe"] for r in rows] == [4, 2, 1]
+    cands = [r["n_candidates"] for r in rows]
+    hits = [r["n_hits"] for r in rows]
+    assert cands == sorted(cands, reverse=True)
+    assert hits == sorted(hits, reverse=True)
+    for r in rows:
+        if r["recall"] is not None:
+            assert 0.0 <= r["recall"] <= 1.0
+        if r["scan_fraction"] is not None:
+            assert 0.0 < r["scan_fraction"] <= 1.0
+    assert rows[0]["n_exact"] > 0
+
+
+def test_nprobe_sweep_probing_all_cells_is_exact(spark, tmp_path):
+    """With 8 orthogonal one-hot vectors as both corpus and seeds,
+    probing 4 of 8 cells still bounds recall below 1 while the
+    candidate set equals the probed cells' population exactly."""
+    import nasa_asteroid_data_lakehouse_spark.plans.r09_queries as r9m
+
+    dim = 8
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(dim)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = {r["n_probe"]: r for r in r9m.ivf_nprobe_sweep_embeddings(spark, sf).collect()}
+    # 5 anchors (ids 0-4), each probes its own cell first; orthogonal
+    # cells hold exactly one vector, so candidates = anchors * (probed
+    # cells minus the self cell's self-pair exclusion)
+    assert out[4]["n_candidates"] == 5 * 3
+    assert out[1]["n_candidates"] == 0  # only the self cell probed
