@@ -718,3 +718,105 @@ ORDER BY n_probe DESC
 
 STAGED_QUERIES["ivf_nprobe_sweep_embeddings"] = ivf_nprobe_sweep_embeddings
 STAGED_ORACLES["ivf_nprobe_sweep_embeddings"] = IVF_NPROBE_SWEEP_SQL
+
+
+# === Mixture temperature sweep ==================================================
+
+_MTS_TARGET = 200
+_MTS_ALPHAS = (100, 50, 25, 0)  # alpha * 100
+
+
+def mixture_temperature_sweep_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sampling-TEMPERATURE tuning sweep: per-source quotas for a
+    200-doc mixture at alpha = 1, 0.5, 0.25, 0 — proportional,
+    sqrt-flattened, doubly-flattened, and uniform mixing — the table a
+    multi-source training run reads before fixing its sampling
+    temperature (XLM-R-style source rebalancing;
+    ``temperature_mixture`` applies ONE alpha, this sweeps the knob).
+
+    Portability is why exactly these four alphas: alpha=1 is the raw
+    count, alpha=0 is the constant 1, and alpha=0.5 / 0.25 are one and
+    two IEEE-correctly-rounded sqrt applications on the integer weight
+    lattice (floor(.*1000)) — an arbitrary pow(n, alpha) is NOT
+    bit-identical across engines, iterated sqrt is.  Quotas use pure
+    integer division.  Scale: one source-count aggregate shared by all
+    four configs; each config is a handful of broadcast rows —
+    O(sources) output, no selection pass (the quota table IS the
+    tuning artifact; materializing a chosen mixture stays
+    ``temperature_mixture``'s job)."""
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
+
+    def weight(alpha_pct: int):
+        n = F.col("n_docs").cast("double")
+        if alpha_pct == 100:
+            return F.col("n_docs").cast("long")
+        if alpha_pct == 50:
+            return F.floor(F.sqrt(n) * 1000).cast("long")
+        if alpha_pct == 25:
+            return F.floor(F.sqrt(F.sqrt(n)) * 1000).cast("long")
+        return F.lit(1).cast("long")
+
+    rows = []
+    for a in _MTS_ALPHAS:
+        w = counts.withColumn("weight", weight(a))
+        tot = w.agg(F.sum("weight").alias("total_w"))
+        rows.append(
+            w.crossJoin(F.broadcast(tot)).select(
+                F.lit(a).cast("bigint").alias("alpha_pct"),
+                "source",
+                F.col("n_docs").cast("bigint").alias("n_docs"),
+                F.least(
+                    F.col("n_docs"),
+                    F.expr(f"({_MTS_TARGET} * weight) div total_w"),
+                )
+                .cast("bigint")
+                .alias("n_keep"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy(F.desc("alpha_pct"), F.asc_nulls_first("source"))
+
+
+def _mts_config_sql(alpha_pct: int) -> str:
+    if alpha_pct == 100:
+        w = "CAST(n_docs AS BIGINT)"
+    elif alpha_pct == 50:
+        w = "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT)"
+    elif alpha_pct == 25:
+        w = "CAST(floor(sqrt(sqrt(CAST(n_docs AS DOUBLE))) * 1000) AS BIGINT)"
+    else:
+        w = "CAST(1 AS BIGINT)"
+    return f"""
+SELECT CAST({alpha_pct} AS BIGINT) AS alpha_pct, source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(LEAST(n_docs, ({_MTS_TARGET} * w) // tw) AS BIGINT) AS n_keep
+FROM (SELECT source, n_docs, {w} AS w FROM counts) c,
+     (SELECT SUM({w}) AS tw FROM counts) t"""
+
+
+MIXTURE_TEMPERATURE_SWEEP_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents
+  WHERE doc_id IS NOT NULL GROUP BY 1
+)
+{" UNION ALL ".join(_mts_config_sql(a) for a in _MTS_ALPHAS)}
+ORDER BY alpha_pct DESC, source NULLS FIRST
+"""
+
+STAGED_QUERIES["mixture_temperature_sweep_documents"] = (
+    mixture_temperature_sweep_documents
+)
+STAGED_ORACLES["mixture_temperature_sweep_documents"] = (
+    MIXTURE_TEMPERATURE_SWEEP_SQL
+)

@@ -14,7 +14,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import r09_queries as r9
 
 def test_staged_registry_shape():
     assert set(r9.STAGED_QUERIES) == set(r9.STAGED_ORACLES)
-    assert len(r9.STAGED_QUERIES) == 5
+    assert len(r9.STAGED_QUERIES) == 6
 
 
 def _write(df, tmp_path, table):
@@ -155,3 +155,32 @@ def test_nprobe_sweep_probing_all_cells_is_exact(spark, tmp_path):
     # cells minus the self cell's self-pair exclusion)
     assert out[4]["n_candidates"] == 5 * 3
     assert out[1]["n_candidates"] == 0  # only the self cell probed
+
+
+# --- mixture temperature sweep --------------------------------------------------
+
+
+def test_mixture_temperature_sweep_flattens(spark, tmp_path):
+    """On a skewed 2-source corpus (90/10), lowering alpha flattens the
+    quota: the big source's share of the mixture is non-increasing as
+    alpha drops 1 -> 0.5 -> 0.25 -> 0, and at alpha=0 the quotas are
+    equal up to integer division."""
+    import nasa_asteroid_data_lakehouse_spark.plans.r09_queries as r9m
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small", "t") for i in range(1000)],
+        "doc_id bigint, source string, text string",
+    )
+    sf = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    rows = r9m.mixture_temperature_sweep_documents(spark, sf).collect()
+    by_alpha = {}
+    for r in rows:
+        by_alpha.setdefault(r["alpha_pct"], {})[r["source"]] = r["n_keep"]
+    shares = [
+        by_alpha[a]["big"] / max(1, by_alpha[a]["big"] + by_alpha[a]["small"])
+        for a in (100, 50, 25, 0)
+    ]
+    assert shares == sorted(shares, reverse=True)
+    assert by_alpha[100]["big"] > by_alpha[0]["big"]
+    assert abs(by_alpha[0]["big"] - by_alpha[0]["small"]) <= 1
