@@ -649,7 +649,6 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 
 # --- embedding-cosine near-duplicates ----------------------------------------
 
-_NEAR_DUP_PLANES = 4
 _NEAR_DUP_THRESHOLD = 0.35
 _EMB_DIM = 64
 
@@ -657,10 +656,18 @@ _EMB_DIM = 64
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: sign-LSH bucket self-join + exact
     cosine verify (threshold tuned to the synthetic fixture's
-    similarity range)."""
+    similarity range).
+
+    Plane count is the library DEFAULT — derived from corpus size via
+    the occupancy law (``similarity.auto_planes``; promoted from fixed
+    4 planes, VERDICT r07 ask #5): bucket occupancy stays <= 64 at any
+    scale, so the within-bucket verify never goes quadratic.  Bucket
+    ids are the P-bit prefix of the 16-plane code — in the oracle,
+    code_16 % 2^P.  At the driver SF the law picks 4, the old fixed
+    setting."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(
-        emb, num_planes=_NEAR_DUP_PLANES, threshold=_NEAR_DUP_THRESHOLD
+        emb, threshold=_NEAR_DUP_THRESHOLD
     )
 
 
@@ -683,9 +690,23 @@ _COS_AB = (
 )
 
 EMBEDDING_NEAR_DUP_SQL = f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding, {_bucket_sql(_NEAR_DUP_PLANES, "embedding")} AS bucket
-  FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+WITH valid AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+),
+params AS (
+  SELECT COALESCE(
+    (SELECT MIN(p)
+     FROM (SELECT unnest(range({similarity.AUTO_PLANES_MIN}, {similarity.AUTO_PLANES_MAX} + 1)) AS p) ps,
+          (SELECT COUNT(*) AS n FROM valid) cn
+     WHERE {similarity.AUTO_PLANES_TARGET_OCC} * (CAST(1 AS BIGINT) << p) >= cn.n),
+    {similarity.AUTO_PLANES_MAX}) AS p
+),
+bucketed AS (
+  SELECT vec_id, embedding,
+         {_bucket_sql(similarity.AUTO_PLANES_MAX, "embedding")}
+           % (CAST(1 AS BIGINT) << (SELECT p FROM params)) AS bucket
+  FROM valid
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND({_COS_AB}, 6) AS cosine_sim

@@ -27,7 +27,11 @@ import __spark_entry__ as entry
 # round instead of serving a stale green from the old code.
 REPROVE: dict[int, list[str]] = {
     # r08: fixed-plane -> occupancy-law promotion (VERDICT r07 ask #5)
-    8: ["hubness_lsh_embeddings", "embedding_split_leakage_embeddings"],
+    8: [
+        "hubness_lsh_embeddings",
+        "embedding_split_leakage_embeddings",
+        "embedding_near_dups",
+    ],
 }
 
 
