@@ -820,3 +820,97 @@ STAGED_QUERIES["mixture_temperature_sweep_documents"] = (
 STAGED_ORACLES["mixture_temperature_sweep_documents"] = (
     MIXTURE_TEMPERATURE_SWEEP_SQL
 )
+
+
+# === Physical erasure audit (delete + vacuum = bytes gone) ======================
+
+
+def physical_erasure_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten AUDIT: after ``delete_where`` +
+    ``vacuum``, the deleted keys are PHYSICALLY gone from every byte
+    on disk — not just unreachable from the latest manifest.  A
+    snapshot-isolated lakehouse deliberately keeps deleted rows in old
+    files for time travel; compliance erasure is therefore delete +
+    retention-expiry + vacuum, and the audit must scan the STORAGE
+    (every parquet file under the table root, referenced or not),
+    not the manifest view — a manifest-level check would pass even if
+    vacuum never deleted a byte.
+
+    Output: rows deleted (key-derived, oracle-computable), surviving
+    rows, and leftover physical copies of deleted keys across ALL
+    on-disk files (must be 0; emitted as a measured count, not an
+    assertion).  The synthetic -1 key guarantees the delete commit
+    exists at every fixture.  Scale: the audit scan is one anti-join
+    of the raw file scan against the deleted-key set — O(storage),
+    run at erasure-SLA cadence, bucket-pruned in practice by scanning
+    only buckets that ever held the keys (this audit scans everything
+    by design: it is the trust check)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey").isNotNull() & (F.col("o_orderkey") >= 0))
+        .select("o_orderkey")
+        .distinct()
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 97).alias("cust"),
+            (F.col("o_orderkey") % 500).alias("cents"),
+        )
+    )
+    synthetic = spark.createDataFrame(
+        [(-1, -1, -1)], "o_orderkey bigint, cust bigint, cents bigint"
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_erasure_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        t.create(base.unionByName(synthetic), keys=["o_orderkey"])
+        erase = (F.col("o_orderkey") % 9 == 0) | (F.col("o_orderkey") == -1)
+        t.delete_where(erase)
+        t.vacuum(keep_last=1)
+        # the audit: EVERY parquet byte under the root, referenced or not
+        files = [
+            _os.path.join(dirpath, f)
+            for dirpath, _dirs, fs in _os.walk(_os.path.join(tmp, "data"))
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        if files:
+            on_disk = spark.read.option("mergeSchema", "true").parquet(*files)
+        else:
+            on_disk = spark.createDataFrame(
+                [], "o_orderkey bigint, cust bigint, cents bigint"
+            )
+        leftover = on_disk.where(erase).count()
+        out = t.read().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("o_orderkey"), F.lit(0))
+            .cast("bigint")
+            .alias("key_sum"),
+            F.lit(int(leftover)).cast("bigint").alias("n_physical_leftover"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+PHYSICAL_ERASURE_SQL = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderkey >= 0
+),
+survivors AS (
+  SELECT key FROM k WHERE NOT (key % 9 = 0)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(key), 0) AS BIGINT) AS key_sum,
+       CAST(0 AS BIGINT) AS n_physical_leftover
+FROM survivors
+"""
+
+STAGED_QUERIES["physical_erasure_audit_orders"] = physical_erasure_audit_orders
+STAGED_ORACLES["physical_erasure_audit_orders"] = PHYSICAL_ERASURE_SQL

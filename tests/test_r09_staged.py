@@ -14,7 +14,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import r09_queries as r9
 
 def test_staged_registry_shape():
     assert set(r9.STAGED_QUERIES) == set(r9.STAGED_ORACLES)
-    assert len(r9.STAGED_QUERIES) == 6
+    assert len(r9.STAGED_QUERIES) == 7
 
 
 def _write(df, tmp_path, table):
@@ -184,3 +184,44 @@ def test_mixture_temperature_sweep_flattens(spark, tmp_path):
     assert shares == sorted(shares, reverse=True)
     assert by_alpha[100]["big"] > by_alpha[0]["big"]
     assert abs(by_alpha[0]["big"] - by_alpha[0]["small"]) <= 1
+
+
+# --- physical erasure audit ------------------------------------------------------
+
+
+def test_physical_erasure_leaves_zero_bytes(spark, sf_dir):
+    got = r9.physical_erasure_audit_orders(spark, sf_dir).collect()[0]
+    assert got["n_physical_leftover"] == 0
+    assert got["n_rows"] > 0
+
+
+def test_physical_erasure_audit_scans_storage_not_manifest(spark, tmp_path):
+    """The audit reads bytes, not manifests: without vacuum, deleted
+    keys REMAIN on disk in old snapshot files (time travel), which is
+    exactly what the audit must detect — the same walk the query runs
+    finds leftovers pre-vacuum and none post-vacuum."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "er"), num_buckets=4)
+    t.create(
+        spark.createDataFrame([(i, i % 5) for i in range(50)], "k bigint, v bigint"),
+        keys=["k"],
+    )
+    t.delete_where(SF.col("k") % 2 == 0)
+
+    def leftovers() -> int:
+        files = [
+            os.path.join(dp, f)
+            for dp, _d, fs in os.walk(str(tmp_path / "er" / "data"))
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        return spark.read.parquet(*files).where(SF.col("k") % 2 == 0).count()
+
+    assert leftovers() == 25  # version-0 files still carry them
+    t.vacuum(keep_last=1)
+    assert leftovers() == 0  # now physically erased
