@@ -914,3 +914,173 @@ FROM survivors
 
 STAGED_QUERIES["physical_erasure_audit_orders"] = physical_erasure_audit_orders
 STAGED_ORACLES["physical_erasure_audit_orders"] = PHYSICAL_ERASURE_SQL
+
+
+# === Stream-stream LEFT OUTER interval-join replay ==============================
+
+
+def streaming_outer_join_replay_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eighth streaming replay: stream-stream LEFT OUTER interval join
+    — the WATERMARK-EMISSION semantics the inner replay cannot see.
+    An unmatched left row only emits its NULL-padded result when the
+    watermark proves no future match can arrive (wm > l_ts + gap,
+    STRICT — pinned empirically: at wm == l_ts + gap the row does NOT
+    emit), and rows near the stream end whose join window the final
+    watermark never passes are SUPPRESSED, not emitted — exactly
+    Delta/Flink-style outer-join eviction, and the part every outer
+    streaming join user gets wrong the first time.
+
+    Determinism engineering: horizon = 0 seconds and both sides are
+    replayed as TIME-QUARTILE ordered single-file batches (the
+    session-replay technique — percentile cuts, no global window), so
+    no row is ever late: each side's batch k+1 carries only
+    timestamps >= its batch k maximum, and the query watermark is the
+    MIN across the two inputs of (max event time seen), which the
+    oracle reproduces as LEAST-free per-side comparisons (NULL-safe:
+    an empty side never advances the watermark, so no outer row ever
+    emits — the stream behavior).  The audit aggregate separates
+    matched pairs, emitted NULL rows, and (by subtraction in the
+    oracle) suppressed tails."""
+    import shutil
+    import tempfile
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(
+            F.col("event_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    )
+    left = ev.where(F.col("event_id") % 2 == 0)
+    right = ev.where(F.col("event_id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="ndl_stream_oj_")
+    try:
+
+        def write_batches(df: DataFrame, path: str) -> None:
+            cut_row = df.agg(
+                F.expr(
+                    "percentile(cast(ts as double), array(0.25, 0.5, 0.75))"
+                ).alias("cs")
+            ).collect()[0]
+            cuts = list(cut_row["cs"]) if cut_row["cs"] is not None else []
+            b_col = F.lit(1)
+            for c in cuts:
+                b_col = b_col + F.when(
+                    F.col("ts").cast("double") > F.lit(c), 1
+                ).otherwise(0)
+            batched = df.withColumn("__b", b_col)
+            for b in range(1, 5):
+                (
+                    batched.where(F.col("__b") == b)
+                    .drop("__b")
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(path)
+                )
+
+        src_l, src_r = f"{tmp}/in_l", f"{tmp}/in_r"
+        write_batches(left, src_l)
+        write_batches(right, src_r)
+
+        def stream(src: str) -> DataFrame:
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        from nasa_asteroid_data_lakehouse_spark.streaming.events import (
+            interval_join_streams,
+        )
+
+        joined = interval_join_streams(
+            stream(src_l),
+            stream(src_r),
+            key="user_id",
+            ts_col="ts",
+            watermark="0 seconds",
+            max_gap=f"{_IJ_GAP_DAYS} day",
+            how="leftOuter",
+        ).select("l_event_id", "r_event_id")
+        out = f"{tmp}/rows"
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .format("parquet")
+            .start(out)
+        )
+        q.awaitTermination()
+        try:
+            got = spark.read.parquet(out)
+        except Exception:  # zero input files -> no sink directory
+            got = spark.createDataFrame([], "l_event_id bigint, r_event_id bigint")
+        return (
+            got.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("r_event_id").isNotNull(), 1)), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_pairs"),
+                F.coalesce(
+                    F.sum(F.when(F.col("r_event_id").isNull(), 1)), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_outer_nulls"),
+                F.coalesce(F.sum("l_event_id"), F.lit(0))
+                .cast("bigint")
+                .alias("lid_sum"),
+                F.coalesce(F.sum("r_event_id"), F.lit(0))
+                .cast("bigint")
+                .alias("rid_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_OUTER_JOIN_SQL = f"""
+WITH ev AS (
+  SELECT event_id, ts, user_id FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+l AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+r AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+j AS (
+  SELECT l.event_id AS lid, r.event_id AS rid
+  FROM l JOIN r
+    ON l.user_id = r.user_id
+   AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL {_IJ_GAP_DAYS} DAY
+),
+-- watermark-emission rule (pinned empirically): an unmatched left row
+-- emits a NULL-padded result iff the FINAL watermark passed its join
+-- window STRICTLY: l.ts + gap < max(ts) on BOTH inputs (the query
+-- watermark is the min across inputs; per-side comparisons are
+-- NULL-safe, so an empty side suppresses every outer row)
+outer_nulls AS (
+  SELECT l.event_id AS lid FROM l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM r
+    WHERE r.user_id = l.user_id
+      AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL {_IJ_GAP_DAYS} DAY
+  )
+  AND l.ts + INTERVAL {_IJ_GAP_DAYS} DAY < (SELECT MAX(ts) FROM l)
+  AND l.ts + INTERVAL {_IJ_GAP_DAYS} DAY < (SELECT MAX(ts) FROM r)
+)
+SELECT CAST((SELECT COUNT(*) FROM j) AS BIGINT) AS n_pairs,
+       CAST((SELECT COUNT(*) FROM outer_nulls) AS BIGINT) AS n_outer_nulls,
+       CAST(COALESCE((SELECT SUM(lid) FROM j), 0)
+            + COALESCE((SELECT SUM(lid) FROM outer_nulls), 0) AS BIGINT)
+         AS lid_sum,
+       CAST(COALESCE((SELECT SUM(rid) FROM j), 0) AS BIGINT) AS rid_sum
+"""
+
+STAGED_QUERIES["streaming_outer_join_replay_events"] = (
+    streaming_outer_join_replay_events
+)
+STAGED_ORACLES["streaming_outer_join_replay_events"] = STREAMING_OUTER_JOIN_SQL

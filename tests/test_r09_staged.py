@@ -14,7 +14,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import r09_queries as r9
 
 def test_staged_registry_shape():
     assert set(r9.STAGED_QUERIES) == set(r9.STAGED_ORACLES)
-    assert len(r9.STAGED_QUERIES) == 7
+    assert len(r9.STAGED_QUERIES) == 8
 
 
 def _write(df, tmp_path, table):
@@ -225,3 +225,42 @@ def test_physical_erasure_audit_scans_storage_not_manifest(spark, tmp_path):
     assert leftovers() == 25  # version-0 files still carry them
     t.vacuum(keep_last=1)
     assert leftovers() == 0  # now physically erased
+
+
+# --- stream-stream LEFT OUTER interval join replay ---------------------------------
+
+
+def test_outer_join_replay_emission_rule(spark, tmp_path):
+    """The watermark-emission pins, from the round-8 micro-experiments:
+
+    * a matched pair emits;
+    * an unmatched left emits NULL-padded iff l_ts + gap < final
+      watermark = min(max ts per input) — STRICTLY (at equality it
+      does NOT emit);
+    * unmatched lefts near the stream end are suppressed.
+
+    Fixture: user 1 left at t0 matches right at +1h; user 9 left at
+    +5h has no match and 5h+24h=29h < min(maxL=30h, maxR=40h) ->
+    NULL row emits; user 9 left at +30h has 30h+24h=54h > 30h ->
+    suppressed."""
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+
+    def at(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    rows = [
+        (0, t0, 1),       # left: matched by (1)
+        (1, at(1), 1),    # right (odd id)
+        (2, at(5), 9),    # left: unmatched, emits NULL (29h < 30h)
+        (4, at(30), 9),   # left: unmatched, suppressed (54h > 30h)
+        (9, at(40), 7),   # right: raises maxR to 40h (maxL stays 30h)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint"
+    ).withColumn("event_type", F.lit("t")).withColumn("value", F.lit(1.0))
+    sf = _write(ev, tmp_path, "events")
+    got = r9.streaming_outer_join_replay_events(spark, sf).collect()[0]
+    assert got["n_pairs"] == 1
+    assert got["n_outer_nulls"] == 1
+    assert got["lid_sum"] == 0 + 2   # matched left 0 + emitted-null left 2
+    assert got["rid_sum"] == 1
