@@ -91,6 +91,14 @@ def main() -> None:
         f"mixture_temperature_sweep_{n_docs}",
         lambda: r9.mixture_temperature_sweep_documents(spark, sf),
     )
+    probe(
+        f"physical_erasure_audit_{n_orders}",
+        lambda: r9.physical_erasure_audit_orders(spark, sf),
+    )
+    probe(
+        f"streaming_outer_join_replay_{n_events}",
+        lambda: r9.streaming_outer_join_replay_events(spark, sf),
+    )
 
 
 if __name__ == "__main__":
