@@ -1084,3 +1084,124 @@ STAGED_QUERIES["streaming_outer_join_replay_events"] = (
     streaming_outer_join_replay_events
 )
 STAGED_ORACLES["streaming_outer_join_replay_events"] = STREAMING_OUTER_JOIN_SQL
+
+
+# === Context-length packing sweep ===============================================
+
+_PKS_BUDGETS = (512, 1024, 2048, 4096)
+_PKS_BASE = 2048  # any budget works: the cumsum is budget-independent
+
+
+def packing_budget_sweep_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTEXT-LENGTH tuning sweep — the fourth knob table (bands,
+    nprobe, temperature, now sequence length): per training context
+    budget (512/1024/2048/4096 tokens), the bins the deterministic
+    per-lang packer uses, the per-lang ceil lower bound, mean bin
+    fill, and the docs that OVERFLOW the budget (must be split or
+    truncated — the cost a small context hides).  This is the table a
+    pretraining run reads before fixing its sequence length against
+    its real document-length distribution.
+
+    One shared per-lang token cumsum serves every config: the packer's
+    pack id is floor((cum - n) / budget), so the expensive pass (one
+    per-lang window over token counts) runs ONCE and each budget is a
+    projection + bounded aggregate — the sweep costs ~one
+    pack_efficiency query, not four.  Scale: the cumsum is per-lang
+    partitioned (never a global window); outputs are 4 rows."""
+    from nasa_asteroid_data_lakehouse_spark.llm.packing import pack_documents
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text"
+    )
+    base = (
+        pack_documents(docs, budget=_PKS_BASE, partition_cols=["lang"])
+        .select("lang", "n_tokens", "cum_tokens")
+        .localCheckpoint(eager=False)
+    )
+    rows = []
+    for b in _PKS_BUDGETS:
+        pid = F.floor((F.col("cum_tokens") - F.col("n_tokens")) / b)
+        per_lang = base.select("lang", "n_tokens", pid.alias("pid")).groupBy(
+            "lang"
+        ).agg(
+            F.sum("n_tokens").alias("lang_tokens"),
+            F.countDistinct("pid").alias("lang_bins"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_tokens") > b, 1)), F.lit(0)
+            ).alias("lang_overflow"),
+        )
+        rows.append(
+            per_lang.agg(
+                F.lit(b).cast("bigint").alias("budget"),
+                F.coalesce(F.sum("lang_tokens"), F.lit(0))
+                .cast("bigint")
+                .alias("total_tokens"),
+                F.coalesce(F.sum("lang_bins"), F.lit(0))
+                .cast("bigint")
+                .alias("bins_used"),
+                F.coalesce(
+                    F.sum(
+                        F.expr(f"(lang_tokens + {b} - 1) div {b}")
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("bins_lower_bound"),
+                F.coalesce(F.sum("lang_overflow"), F.lit(0))
+                .cast("bigint")
+                .alias("overflow_docs"),
+                F.round(
+                    F.try_divide(
+                        F.sum("lang_tokens"), F.sum("lang_bins") * F.lit(b)
+                    ),
+                    6,
+                ).alias("mean_fill"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("budget")
+
+
+def _pks_config_sql(b: int) -> str:
+    return f"""
+SELECT CAST({b} AS BIGINT) AS budget,
+       CAST(COALESCE(SUM(lang_tokens), 0) AS BIGINT) AS total_tokens,
+       CAST(COALESCE(SUM(lang_bins), 0) AS BIGINT) AS bins_used,
+       CAST(COALESCE(SUM((lang_tokens + {b} - 1) // {b}), 0) AS BIGINT)
+         AS bins_lower_bound,
+       CAST(COALESCE(SUM(lang_overflow), 0) AS BIGINT) AS overflow_docs,
+       ROUND(SUM(lang_tokens) / NULLIF(SUM(lang_bins) * {b}, 0), 6)
+         AS mean_fill
+FROM (
+  SELECT lang,
+         SUM(n_tokens) AS lang_tokens,
+         COUNT(DISTINCT CAST(floor((cum_tokens - n_tokens) / {b}) AS BIGINT))
+           AS lang_bins,
+         SUM(CASE WHEN n_tokens > {b} THEN 1 ELSE 0 END) AS lang_overflow
+  FROM c GROUP BY lang
+) pl"""
+
+
+PACKING_BUDGET_SWEEP_SQL = rf"""
+WITH toks AS (
+  SELECT lang, doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+{" UNION ALL ".join(_pks_config_sql(b) for b in _PKS_BUDGETS)}
+ORDER BY budget
+"""
+
+STAGED_QUERIES["packing_budget_sweep_documents"] = packing_budget_sweep_documents
+STAGED_ORACLES["packing_budget_sweep_documents"] = PACKING_BUDGET_SWEEP_SQL

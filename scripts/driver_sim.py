@@ -72,6 +72,13 @@ KEY_UNIQUE_PRECONDITION = {
     # r09 staged: same ORDER-BY-id seed quantizer, and duplicate nbr
     # ids fan out the anchor-pair table (the ivf_recall ambiguity)
     "ivf_nprobe_sweep_embeddings",
+    # r09 staged: the packer's per-lang cumsum orders by doc_id, which
+    # is not a total order under duplicate ids with different lengths —
+    # bin boundaries can land between the tied rows' two possible
+    # cum values (pack_documents_for_training's documented contract;
+    # the current --dup fixture happens to pass, but the pass is
+    # tie-placement luck, not a guarantee)
+    "packing_budget_sweep_documents",
     # ...and VersionedTable fixtures keyed by o_orderkey with payload
     # columns NOT key-derived (custkey/price): create() collapses
     # duplicate keys to an arbitrary-but-stable survivor while the

@@ -14,7 +14,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import r09_queries as r9
 
 def test_staged_registry_shape():
     assert set(r9.STAGED_QUERIES) == set(r9.STAGED_ORACLES)
-    assert len(r9.STAGED_QUERIES) == 8
+    assert len(r9.STAGED_QUERIES) == 9
 
 
 def _write(df, tmp_path, table):
@@ -264,3 +264,27 @@ def test_outer_join_replay_emission_rule(spark, tmp_path):
     assert got["n_outer_nulls"] == 1
     assert got["lid_sum"] == 0 + 2   # matched left 0 + emitted-null left 2
     assert got["rid_sum"] == 1
+
+
+# --- packing budget sweep --------------------------------------------------------
+
+
+def test_packing_budget_sweep_tradeoff(spark, tmp_path):
+    """Larger budgets use fewer bins; overflow_docs is non-increasing
+    as the budget grows; bins_used >= bins_lower_bound everywhere; a
+    doc longer than the budget counts as overflow."""
+    docs = spark.createDataFrame(
+        [(i, "en", " ".join(["w"] * (600 if i == 0 else 100))) for i in range(20)],
+        "doc_id bigint, lang string, text string",
+    )
+    sf = _write(docs, tmp_path, "documents")
+    rows = r9.packing_budget_sweep_documents(spark, sf).collect()
+    assert [r["budget"] for r in rows] == [512, 1024, 2048, 4096]
+    bins = [r["bins_used"] for r in rows]
+    assert bins == sorted(bins, reverse=True)
+    for r in rows:
+        assert r["bins_used"] >= r["bins_lower_bound"]
+        assert 0.0 < r["mean_fill"] <= 1.0 or r["bins_used"] == 0
+    by_b = {r["budget"]: r for r in rows}
+    assert by_b[512]["overflow_docs"] == 1  # the 600-token doc
+    assert by_b[1024]["overflow_docs"] == 0
