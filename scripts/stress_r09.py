@@ -99,6 +99,10 @@ def main() -> None:
         f"streaming_outer_join_replay_{n_events}",
         lambda: r9.streaming_outer_join_replay_events(spark, sf),
     )
+    probe(
+        f"packing_budget_sweep_{n_docs}",
+        lambda: r9.packing_budget_sweep_documents(spark, sf),
+    )
 
 
 if __name__ == "__main__":
