@@ -77,7 +77,7 @@ REGISTER_R08 = True
 # lifecycle, bucket re-partitioning round-trip, IVF nprobe tuning
 # sweep, mixture temperature sweep, physical erasure audit,
 # LEFT-OUTER interval-join replay (watermark-emission semantics),
-# context-length packing sweep.  Pre-wired: KEY_UNIQUE entry (ivf_nprobe_sweep_embeddings —
+# context-length packing sweep, jaccard threshold sweep.  Pre-wired: KEY_UNIQUE entry (ivf_nprobe_sweep_embeddings —
 # ORDER-BY-id seed quantizer) and BNLJ allowlist entry (same name,
 # broadcast anchors x corpus + 1-row count broadcasts).  Then run
 # update_rotation 9.

@@ -1205,3 +1205,199 @@ ORDER BY budget
 
 STAGED_QUERIES["packing_budget_sweep_documents"] = packing_budget_sweep_documents
 STAGED_ORACLES["packing_budget_sweep_documents"] = PACKING_BUDGET_SWEEP_SQL
+
+
+# === Jaccard threshold sweep ====================================================
+
+# DuckDB twin of llm/text.normalized_text (local copy — round-6 lesson:
+# never import fragment constants across plans modules)
+_JTS_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+_JTS_N = 8            # signature length
+_JTS_K = 2            # shingle size (words) — the dedup family's setting
+_JTS_BANDS = 4        # fixed (4, 2) banding: the production config
+_JTS_MAX_BUCKET = 1000
+_JTS_THRESHOLDS = (90, 70, 50)  # jaccard * 100
+_JTS_SAMPLE = 100_000  # md5-rank sample cap, enforced in-code (band-sweep rule)
+
+
+def jaccard_threshold_sweep_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-AGGRESSIVENESS tuning sweep — the knob the band sweep
+    holds fixed: at the production (4, 2) MinHash banding, how many
+    verified near-dup pairs survive at jaccard >= 0.9 / 0.7 / 0.5,
+    and the candidate-set precision at each cut.  This is the table
+    that turns "dedup the corpus" into a chosen operating point: 0.9
+    removes only near-exact copies, 0.5 starts eating paraphrases —
+    the counts quantify the tradeoff on the corpus at hand.
+
+    ONE shared build (NULL-text contract applied before shingling, the
+    band-sweep lesson; md5-rank sample cap ENFORCED in-code, no-op at
+    test SFs), one banded candidate join with the family's max_bucket
+    quadratic guard, one exact-jaccard verify — each threshold is a
+    filter over the same verified-pair frame (checkpointed, so the
+    expensive verify runs once).  Nested thresholds make the counts
+    monotone by construction; precision = verified/candidates is an
+    integer ratio, immune to float-reduction order."""
+    from nasa_asteroid_data_lakehouse_spark.llm import dedup
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(_JTS_SAMPLE)
+    )
+    sh = dedup.word_shingles("text", _JTS_K)
+    base = (
+        dedup._fan_out(docs.select(F.col("doc_id").alias("doc"), "text"))
+        .select("doc", sh.alias("sh"))
+        .withColumn("sig", dedup.minhash_signature(F.col("sh"), _JTS_N))
+        .localCheckpoint(eager=False)
+    )
+    rpb = _JTS_N // _JTS_BANDS
+    entries = base.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(",", F.slice("sig", b * rpb + 1, rpb))
+                        ).alias("bucket"),
+                    )
+                    for b in range(_JTS_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    sizes = entries.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    bounded = entries.join(
+        sizes.where(F.col("n") <= _JTS_MAX_BUCKET).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a, b2 = bounded.alias("a"), bounded.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    sh_a = base.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    scored = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
+            ).alias("jaccard"),
+        )
+        .localCheckpoint(eager=False)  # verify once; 3 threshold filters
+    )
+    n_cand = F.broadcast(
+        cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    )
+    rows = []
+    for t in _JTS_THRESHOLDS:
+        rows.append(
+            scored.where(F.col("jaccard") >= t / 100.0).agg(
+                F.lit(t).cast("bigint").alias("threshold_pct"),
+                F.count(F.lit(1)).cast("bigint").alias("n_verified"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return (
+        out.crossJoin(n_cand)
+        .select(
+            "threshold_pct",
+            "n_candidates",
+            "n_verified",
+            F.round(
+                F.try_divide(F.col("n_verified"), F.col("n_candidates")), 6
+            ).alias("precision"),
+        )
+        .orderBy(F.desc("threshold_pct"))
+    )
+
+
+def _jts_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.llm import dedup
+
+    coeffs = dedup._minhash_coeffs(_JTS_N)
+    sig = ", ".join(
+        f"list_min(list_transform(bh, h -> ({a} * h + {b}) % {dedup.MINHASH_PRIME}))"
+        for a, b in coeffs
+    )
+    k = _JTS_K
+    rpb = _JTS_N // _JTS_BANDS
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS BIGINT) AS threshold_pct,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM scored
+        WHERE jaccard >= {t / 100.0!r}) AS n_verified,
+       ROUND((SELECT COUNT(*) FROM scored WHERE jaccard >= {t / 100.0!r})
+             / NULLIF((SELECT COUNT(*) FROM cand), 0), 6) AS precision"""
+        for t in _JTS_THRESHOLDS
+    )
+    return rf"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {k}
+         THEN list_distinct(list_transform(range(1, len(words) - {k - 2}),
+                            j -> array_to_string(words[j:j+{k - 1}], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM (SELECT doc_id, string_split({_JTS_NORM_SQL}, ' ') AS words
+        FROM (SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              LIMIT {_JTS_SAMPLE}))
+),
+sig AS (
+  SELECT doc_id, shingles, [{sig}] AS s
+  FROM (SELECT doc_id, shingles,
+          list_transform(shingles, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS bh
+        FROM sh)
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(s[b*{rpb}+1:b*{rpb}+{rpb}], ',')) AS bucket
+  FROM sig, (SELECT unnest(range({_JTS_BANDS})) AS b)
+),
+bounded AS (
+  SELECT doc_id, b, bucket FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY b, bucket) <= {_JTS_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bounded a JOIN bounded c
+    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         ROUND(len(list_intersect(x.shingles, y.shingles))
+               / len(list_distinct(list_concat(x.shingles, y.shingles))), 6)
+           AS jaccard
+  FROM cand
+  JOIN sig x ON x.doc_id = id_a
+  JOIN sig y ON y.doc_id = id_b
+)
+{selects}
+ORDER BY threshold_pct DESC
+"""
+
+
+STAGED_QUERIES["jaccard_threshold_sweep_documents"] = (
+    jaccard_threshold_sweep_documents
+)
+STAGED_ORACLES["jaccard_threshold_sweep_documents"] = _jts_sql()

@@ -14,7 +14,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import r09_queries as r9
 
 def test_staged_registry_shape():
     assert set(r9.STAGED_QUERIES) == set(r9.STAGED_ORACLES)
-    assert len(r9.STAGED_QUERIES) == 9
+    assert len(r9.STAGED_QUERIES) == 10
 
 
 def _write(df, tmp_path, table):
@@ -288,3 +288,26 @@ def test_packing_budget_sweep_tradeoff(spark, tmp_path):
     by_b = {r["budget"]: r for r in rows}
     assert by_b[512]["overflow_docs"] == 1  # the 600-token doc
     assert by_b[1024]["overflow_docs"] == 0
+
+
+# --- jaccard threshold sweep ------------------------------------------------------
+
+
+def test_jaccard_threshold_sweep_monotone(spark, tmp_path, monkeypatch):
+    """Nested thresholds: verified counts are non-decreasing as the
+    cut drops 0.9 -> 0.7 -> 0.5 over one shared candidate table; the
+    sample cap is enforced in code (band-sweep rule)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + ("x" if i % 2 else "y")) for i in range(24)],
+        "doc_id bigint, text string",
+    )
+    sf = _write(docs, tmp_path, "documents")
+    rows = r9.jaccard_threshold_sweep_documents(spark, sf).collect()
+    assert [r["threshold_pct"] for r in rows] == [90, 70, 50]
+    vers = [r["n_verified"] for r in rows]
+    assert vers == sorted(vers)
+    assert len({r["n_candidates"] for r in rows}) == 1  # shared candidates
+    # cap enforcement: with cap=6, identical docs pair at most C(6/2-ish)
+    monkeypatch.setattr(r9, "_JTS_SAMPLE", 6)
+    capped = r9.jaccard_threshold_sweep_documents(spark, sf).collect()
+    assert all(r["n_candidates"] <= 15 for r in capped)  # C(6,2)
