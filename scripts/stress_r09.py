@@ -103,6 +103,10 @@ def main() -> None:
         f"packing_budget_sweep_{n_docs}",
         lambda: r9.packing_budget_sweep_documents(spark, sf),
     )
+    probe(
+        f"jaccard_threshold_sweep_{n_docs}",
+        lambda: r9.jaccard_threshold_sweep_documents(spark, sf),
+    )
 
 
 if __name__ == "__main__":
