@@ -81,7 +81,7 @@ REGISTER_R08 = True
 # ORDER-BY-id seed quantizer) and BNLJ allowlist entry (same name,
 # broadcast anchors x corpus + 1-row count broadcasts).  Then run
 # update_rotation 9.
-REGISTER_R09 = False
+REGISTER_R09 = True
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -882,27 +882,36 @@ class VersionedTable:
         if int(new_num_buckets) == old_count:
             self.num_buckets = old_count
             return version
+        # num_buckets drives _write_bucket_files, so it must be set
+        # before the write — but a failed write or losing the commit
+        # race must not leave the in-memory handle claiming a bucket
+        # count the committed manifest never recorded (ADVICE r08):
+        # restore the old count on any failure.
         self.num_buckets = int(new_num_buckets)
-        files = [f for fs in manifest["buckets"].values() for f in fs]
-        if files:
-            df = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(*files)
-                .drop("__bucket")
+        try:
+            files = [f for fs in manifest["buckets"].values() for f in fs]
+            if files:
+                df = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*files)
+                    .drop("__bucket")
+                )
+                new_buckets = self._write_bucket_files(df, keys)
+            else:
+                new_buckets = {}
+            self._commit(
+                version + 1,
+                new_buckets,
+                {
+                    "keys": keys,
+                    "operation": "rebucket",
+                    "previous_num_buckets": old_count,
+                    "schema": manifest.get("schema"),
+                },
             )
-            new_buckets = self._write_bucket_files(df, keys)
-        else:
-            new_buckets = {}
-        self._commit(
-            version + 1,
-            new_buckets,
-            {
-                "keys": keys,
-                "operation": "rebucket",
-                "previous_num_buckets": old_count,
-                "schema": manifest.get("schema"),
-            },
-        )
+        except BaseException:
+            self.num_buckets = old_count
+            raise
         return version + 1
 
     def optimize(

@@ -1511,9 +1511,12 @@ def minhash_band_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one md5("") bucket (pairwise candidates!) while the oracle's
     # NULL bucket joins nothing — a candidate-count divergence the
     # verified-pairs family masks but this sweep EXPOSES.
+    # doc_id IS NOT NULL guards the CAP itself: md5(NULL) sorts NULLS
+    # FIRST in Spark, NULLS LAST in DuckDB, so above _MBS_SAMPLE docs a
+    # NULL-keyed corpus would sample different sets (ADVICE r08).
     docs = (
         read_table(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
+        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
         .select("doc_id", "text")
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .limit(_MBS_SAMPLE)
@@ -1690,7 +1693,8 @@ WITH sh AS (
                             j -> array_to_string(words[j:j+{k - 1}], ' ')))
          ELSE [array_to_string(words, ' ')] END AS shingles
   FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
-        FROM (SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        FROM (SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND doc_id IS NOT NULL
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
               LIMIT {_MBS_SAMPLE}))
 ),

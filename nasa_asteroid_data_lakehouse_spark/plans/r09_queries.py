@@ -32,6 +32,8 @@ manifest log, and no maintenance operations.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -329,10 +331,14 @@ def vacuum_retention_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.vacuum(keep_last=2)
         n_prev = t.read(version=v1).count()
+        # only the EXPECTED failure counts as the retention floor: the
+        # vacuumed manifest is gone -> FileNotFoundError.  Any other
+        # exception (corrupt parquet, analysis error) must propagate,
+        # not masquerade as floor enforcement (ADVICE r08).
         try:
             t.read(version=0).count()
             floor_enforced = 0
-        except Exception:
+        except FileNotFoundError:
             floor_enforced = 1
         out = t.read().agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -973,6 +979,13 @@ def streaming_outer_join_replay_events(
                     F.col("ts").cast("double") > F.lit(c), 1
                 ).otherwise(0)
             batched = df.withColumn("__b", b_col)
+            # FileStreamSource orders files by mtime (ms granularity,
+            # arbitrary tie-break): on a fast filesystem two batch files
+            # can tie and replay out of order, making the later batch's
+            # rows late under the 0-second watermark and silently
+            # dropped (ADVICE r08).  Pin the intended order with
+            # explicit, strictly increasing mtimes per batch.
+            stamped: set[str] = set()
             for b in range(1, 5):
                 (
                     batched.where(F.col("__b") == b)
@@ -981,6 +994,11 @@ def streaming_outer_join_replay_events(
                     .write.mode("append")
                     .parquet(path)
                 )
+                mtime = 1_000_000_000 + 10 * b
+                for name in os.listdir(path):
+                    if name.startswith("part-") and name not in stamped:
+                        os.utime(os.path.join(path, name), (mtime, mtime))
+                        stamped.add(name)
 
         src_l, src_r = f"{tmp}/in_l", f"{tmp}/in_r"
         write_batches(left, src_l)
@@ -1242,9 +1260,13 @@ def jaccard_threshold_sweep_documents(
     integer ratio, immune to float-reduction order."""
     from nasa_asteroid_data_lakehouse_spark.llm import dedup
 
+    # doc_id IS NOT NULL matters for the CAP, not just the joins:
+    # md5(NULL) sorts NULLS FIRST in Spark but NULLS LAST in DuckDB, so
+    # above _JTS_SAMPLE docs the two engines would sample different sets
+    # (ADVICE r08; same rule applied to the r08 band-sweep cap).
     docs = (
         read_table(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull())
+        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
         .select("doc_id", "text")
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .limit(_JTS_SAMPLE)
@@ -1359,7 +1381,8 @@ WITH sh AS (
                             j -> array_to_string(words[j:j+{k - 1}], ' ')))
          ELSE [array_to_string(words, ' ')] END AS shingles
   FROM (SELECT doc_id, string_split({_JTS_NORM_SQL}, ' ') AS words
-        FROM (SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        FROM (SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND doc_id IS NOT NULL
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
               LIMIT {_JTS_SAMPLE}))
 ),

