@@ -89,7 +89,13 @@ class VersionedTable:
             return {}
         return {str(k): int(v) for k, v in m.get("stream_txn_watermarks", {}).items()}
 
-    def _commit(self, version: int, buckets: dict[str, list[str]], meta: dict) -> None:
+    def _commit(
+        self,
+        version: int,
+        buckets: dict[str, list[str]],
+        meta: dict,
+        dvs: dict[str, list[str]] | None = None,
+    ) -> None:
         """Publish a manifest with put-if-absent semantics — the atomic
         point of the transaction.
 
@@ -103,7 +109,14 @@ class VersionedTable:
         (if any).  Delta persists the per-appId txn watermark in the
         snapshot for the same reason: vacuum may truncate the manifests
         that held the individual markers, and the exactly-once replay
-        guard must survive log truncation."""
+        guard must survive log truncation.
+
+        ``dvs`` is the snapshot's deletion-vector map (bucket id ->
+        key-file list, see :meth:`delete_where` ``deferred=True``).  It
+        is EXPLICIT, never carried forward implicitly: each write path
+        decides which buckets' vectors it materialized (and therefore
+        drops) — an implicit carry would silently resurrect purged
+        vectors after a rewrite."""
         watermarks = self._stream_watermarks(version - 1)
         txn = meta.get("stream_txn")
         if txn:
@@ -116,6 +129,7 @@ class VersionedTable:
                 "num_buckets": self.num_buckets,
                 "buckets": buckets,
                 **({"stream_txn_watermarks": watermarks} if watermarks else {}),
+                **({"dvs": {b: fs for b, fs in dvs.items() if fs}} if dvs else {}),
                 **meta,
             },
             indent=1,
@@ -314,7 +328,15 @@ class VersionedTable:
                 f for b in touched_set for f in manifest["buckets"].get(b, [])
             ]
             if old_files:
-                existing = self.spark.read.parquet(*old_files)
+                # deletion vectors of touched buckets apply BEFORE the
+                # merge — a deferred-deleted row must not resurrect
+                # through the rewrite — and are dropped from the new
+                # manifest below (the rewrite materializes them).
+                existing = self._apply_dvs(
+                    self.spark.read.parquet(*old_files),
+                    manifest,
+                    sorted(touched_set),
+                )
                 merged = merge_dataframes(
                     existing, incoming, keys, order_by=order_by
                 )
@@ -326,6 +348,11 @@ class VersionedTable:
             for b in touched_set:
                 combined.pop(b, None)
             combined.update(new_buckets)
+            carried_dvs = {
+                b: fs
+                for b, fs in manifest.get("dvs", {}).items()
+                if b not in touched_set
+            }
 
             try:
                 self._commit(
@@ -338,6 +365,7 @@ class VersionedTable:
                         "schema": merged.schema.jsonValue(),
                         **(extra_meta or {}),
                     },
+                    dvs=carried_dvs,
                 )
                 return version + 1
             except CommitConflict:
@@ -386,7 +414,9 @@ class VersionedTable:
                 continue
         raise CommitConflict(f"gave up after {retries} conflicting commits")
 
-    def delete_where(self, condition, retries: int = 3, key_values=None) -> int:
+    def delete_where(
+        self, condition, retries: int = 3, key_values=None, deferred: bool = False
+    ) -> int:
         """Delete rows matching ``condition`` (a Column or SQL string),
         rewriting ONLY the buckets that contain matching rows — the
         Delta-style ``DELETE WHERE`` that completes the write surface
@@ -419,7 +449,32 @@ class VersionedTable:
         leaves them untouched BY CONTRACT (previously those rows were
         silently skipped only when they hashed outside the scanned
         buckets — a missed-delete corruption).  Pass
-        ``key_values=None`` for a pure-predicate full-scan delete."""
+        ``key_values=None`` for a pure-predicate full-scan delete.
+
+        ``deferred=True`` is the MERGE-ON-READ form (Delta's deletion
+        vectors, VERDICT r08 design note): instead of rewriting every
+        owning bucket's surviving rows — O(bucket bytes) write
+        amplification per delete at 100 TB — the commit records only
+        the deleted KEYS, hash-bucketed exactly like the data, under
+        the manifest's ``dvs`` map; the rewrite cost is O(deleted
+        keys).  Every logical read (:meth:`read`, :meth:`changes`,
+        bucket-pruned reads) subtracts the vectors via a NULL-safe key
+        anti-join, so query semantics are IDENTICAL to the immediate
+        form — including snapshot isolation: older versions don't
+        carry the vector and still see the rows.  The deleted bytes
+        remain physically present until a rewrite materializes the
+        vectors: any later :meth:`upsert`/:meth:`delete_where` touching
+        the bucket, or :meth:`compact` / :meth:`optimize` /
+        :meth:`rebucket` / :meth:`overwrite` (compact treats DV debt as
+        a compaction trigger) — followed by :meth:`vacuum` for physical
+        erasure, the same contract as every other rewrite.
+
+        The choice of KEY-based vectors over Delta's per-file position
+        bitmaps is deliberate for this engine: files are immutable and
+        bucketed by key hash, so deleted keys bucket identically,
+        making the subtraction a bucket-local broadcast anti-join with
+        no file-position bookkeeping — and the vector survives
+        compaction-era file renames by construction."""
         base_cond = F.expr(condition) if isinstance(condition, str) else condition
         for _ in range(retries):
             version = self.latest_version()
@@ -458,31 +513,80 @@ class VersionedTable:
                 cond = F.coalesce(base_cond, F.lit(False)) & (
                     self._key_membership_cond(keys, kv)
                 )
-            snap = self.spark.read.option("mergeSchema", "true").parquet(*files)
+            # Apply existing deletion vectors to the discovery scan:
+            # already-deleted rows must neither re-trigger a bucket
+            # rewrite nor re-enter a vector (idempotent DV debt).  The
+            # scanned bucket set is everything the candidate files span.
+            scanned_buckets = (
+                sorted(str(b) for b in candidates)
+                if key_values is not None
+                else list(manifest["buckets"])
+            )
+            snap = self._apply_dvs(
+                self.spark.read.option("mergeSchema", "true").parquet(*files),
+                manifest,
+                scanned_buckets,
+            )
+            matching = snap.where(cond)
             touched = sorted(
                 r["__b"]
-                for r in snap.where(cond)
-                .select(bucket_of.alias("__b"))
+                for r in matching.select(bucket_of.alias("__b"))
                 .distinct()
                 .collect()
             )
             if not touched:
                 return version
             touched_set = {str(b) for b in touched}
+
+            if deferred:
+                # merge-on-read: record the deleted keys, touch no data
+                # file.  Vectors bucket by the same key hash as the
+                # data, so new files merge into the per-bucket lists.
+                dv_new = self._write_bucket_files(
+                    matching.select(*keys).distinct(), keys
+                )
+                merged_dvs = {
+                    b: list(fs) for b, fs in manifest.get("dvs", {}).items()
+                }
+                for b, fs in dv_new.items():
+                    merged_dvs[b] = merged_dvs.get(b, []) + fs
+                try:
+                    self._commit(
+                        version + 1,
+                        dict(manifest["buckets"]),
+                        {
+                            "keys": keys,
+                            "operation": "delete_deferred",
+                            "touched_buckets": sorted(touched_set),
+                            "schema": manifest.get("schema"),
+                        },
+                        dvs=merged_dvs,
+                    )
+                    return version + 1
+                except CommitConflict:
+                    continue
+
             touched_files = [
                 f for b in touched_set for f in manifest["buckets"].get(b, [])
             ]
-            kept = (
+            kept = self._apply_dvs(
                 self.spark.read.option("mergeSchema", "true")
-                .parquet(*touched_files)
-                .where(~F.coalesce(cond, F.lit(False)))
-            )
+                .parquet(*touched_files),
+                manifest,
+                sorted(touched_set),
+            ).where(~F.coalesce(cond, F.lit(False)))
             new_buckets = self._write_bucket_files(kept, keys)
 
             combined = dict(manifest["buckets"])
             for b in touched_set:
                 combined.pop(b, None)
             combined.update(new_buckets)
+            # the rewrite materialized the touched buckets' vectors
+            carried_dvs = {
+                b: fs
+                for b, fs in manifest.get("dvs", {}).items()
+                if b not in touched_set
+            }
 
             try:
                 self._commit(
@@ -494,6 +598,7 @@ class VersionedTable:
                         "touched_buckets": sorted(touched_set),
                         "schema": manifest.get("schema"),
                     },
+                    dvs=carried_dvs,
                 )
                 return version + 1
             except CommitConflict:
@@ -502,18 +607,99 @@ class VersionedTable:
 
     # --- read paths ----------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read: resolve a manifest, read exactly its files."""
-        v = self.latest_version() if version is None else version
+    def version_as_of(self, timestamp: float) -> int:
+        """Latest surviving version whose ``committed_at`` is at or
+        before ``timestamp`` — Delta's TIMESTAMP AS OF resolution rule
+        (the snapshot a reader at that wall-clock instant would have
+        seen).  Commit times are wall-clock and monotone per table in
+        practice (single manifest log, each commit strictly after its
+        parent's publish); the walk is newest-first, so the first
+        qualifying manifest IS the latest one.
+
+        Raises ``ValueError`` when ``timestamp`` predates the earliest
+        SURVIVING commit (Delta raises the same way: vacuum truncates
+        reconstructable history, so a pre-vacuum timestamp is
+        unanswerable, not silently clamped)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(f"no table at {self.root}")
+        ts = float(timestamp)
+        v = latest
+        while v >= 0:
+            try:
+                m = self._load_manifest(v)
+            except FileNotFoundError:
+                break  # vacuum truncated the log below here
+            if float(m.get("committed_at", float("inf"))) <= ts:
+                return v
+            v -= 1
+        raise ValueError(
+            f"timestamp {ts} predates the earliest surviving commit of "
+            f"table at {self.root} (history may have been vacuumed)"
+        )
+
+    def read(
+        self,
+        version: int | None = None,
+        timestamp: float | None = None,
+    ) -> DataFrame:
+        """Snapshot read: resolve a manifest, read exactly its files.
+
+        Time travel: pass ``version`` (VERSION AS OF) or ``timestamp``
+        (TIMESTAMP AS OF, resolved via :meth:`version_as_of`) — not
+        both."""
+        if version is not None and timestamp is not None:
+            raise ValueError("pass version or timestamp, not both")
+        if timestamp is not None:
+            v = self.version_as_of(timestamp)
+        else:
+            v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError(f"no table at {self.root}")
         manifest = self._load_manifest(v)
         return self._read_buckets(manifest, list(manifest["buckets"]))
 
+    def _apply_dvs(
+        self, df: DataFrame, manifest: dict, bucket_ids: list[str]
+    ) -> DataFrame:
+        """Subtract the manifest's deletion vectors for the given
+        buckets: one NULL-safe key anti-join against the (small)
+        deleted-key files.  A no-op (the same plan object) when none of
+        the buckets carries a vector, so clean tables pay nothing.
+
+        Scale: the anti-join probes only the SCANNED buckets' vectors,
+        and vectors are bounded by deletes-since-last-purge (compact /
+        optimize / any bucket rewrite materializes and drops them), so
+        the build side stays broadcast-sized by maintenance policy —
+        the merge-on-read bargain Delta's deletion vectors make."""
+        from functools import reduce
+
+        dv_files = [
+            f for b in bucket_ids for f in manifest.get("dvs", {}).get(b, [])
+        ]
+        if not dv_files:
+            return df
+        keys = manifest["keys"]
+        dv = (
+            self.spark.read.parquet(*dv_files)
+            .select(*[F.col(k).alias(f"__dv_{k}") for k in keys])
+            .distinct()
+        )
+        # eqNullSafe per key: delete_where can target NULL-keyed rows
+        # (ADVICE r06) and the deferred form must subtract them too —
+        # a plain on=keys equi-anti-join would leak NULL-keyed deletes.
+        cond = reduce(
+            lambda a, b: a & b,
+            [df[k].eqNullSafe(dv[f"__dv_{k}"]) for k in keys],
+        )
+        return df.join(dv, cond, "left_anti")
+
     def _read_buckets(self, manifest: dict, bucket_ids: list[str]) -> DataFrame:
         """Read a snapshot restricted to the given bucket ids (the
-        whole snapshot when all ids are passed).  Zero files resolves
-        to an empty frame with the manifest's logical schema."""
+        whole snapshot when all ids are passed), with the snapshot's
+        deletion vectors applied — logical reads never see
+        deferred-deleted rows.  Zero files resolves to an empty frame
+        with the manifest's logical schema."""
         files = [f for b in bucket_ids for f in manifest["buckets"].get(b, [])]
         if not files:
             schema_json = manifest.get("schema")
@@ -527,9 +713,10 @@ class VersionedTable:
             return self.spark.createDataFrame([], schema="__empty string").limit(0)
         # mergeSchema: snapshots can span commits with evolved schemas
         # (upserts union-by-name, so later files may carry added columns)
-        return (
+        df = (
             self.spark.read.option("mergeSchema", "true").parquet(*files).drop("__bucket")
         )
+        return self._apply_dvs(df, manifest, bucket_ids)
 
     def clone(self, target_root: str, version: int | None = None) -> "VersionedTable":
         """ZERO-COPY shallow clone at a snapshot (Delta's SHALLOW
@@ -564,6 +751,7 @@ class VersionedTable:
                 "clone_source": {"root": self.root, "version": v},
                 "schema": m.get("schema"),
             },
+            dvs=m.get("dvs"),
         )
         return t
 
@@ -579,6 +767,7 @@ class VersionedTable:
                     "operation": m.get("operation"),
                     "committed_at": m.get("committed_at"),
                     "n_buckets": len(m.get("buckets", {})),
+                    "n_dv_buckets": len(m.get("dvs", {})),
                     "touched_buckets": m.get("touched_buckets"),
                 }
             )
@@ -597,6 +786,8 @@ class VersionedTable:
             m = self._load_manifest(v)
             for fs in m["buckets"].values():
                 referenced.update(fs)
+            for fs in m.get("dvs", {}).values():
+                referenced.update(fs)  # live deletion vectors stay
         removed = []
         for txn in os.listdir(self._data_dir):
             txn_dir = os.path.join(self._data_dir, txn)
@@ -672,10 +863,21 @@ class VersionedTable:
         from_m = self._load_manifest(from_version)
         to_m = self._load_manifest(to_v)
         keys = to_m["keys"]
+        # a bucket changes when its FILE list differs OR its deletion-
+        # vector list differs: a deferred delete touches no data file,
+        # so without the dv comparison its rows would be invisible to
+        # the CDF (both are append-only immutable lists, so list
+        # equality remains the exact no-change test)
+        from_dvs = from_m.get("dvs", {})
+        to_dvs = to_m.get("dvs", {})
         changed = sorted(
             b
-            for b in set(from_m["buckets"]) | set(to_m["buckets"])
+            for b in set(from_m["buckets"])
+            | set(to_m["buckets"])
+            | set(from_dvs)
+            | set(to_dvs)
             if from_m["buckets"].get(b) != to_m["buckets"].get(b)
+            or from_dvs.get(b) != to_dvs.get(b)
         )
         old = self._read_buckets(from_m, changed)
         new = self._read_buckets(to_m, changed)
@@ -818,27 +1020,39 @@ class VersionedTable:
     def compact(self, target_files_per_bucket: int = 1) -> int:
         """Rewrite buckets whose file count exceeds the target into
         consolidated files and commit a new version (small-files
-        maintenance; data content unchanged)."""
+        maintenance; data content unchanged).
+
+        Deletion-vector debt is a compaction trigger too: a bucket
+        carrying a vector is rewritten regardless of file count — the
+        rewrite materializes the vector (surviving rows only) and
+        drops it from the new manifest, which is the PURGE half of the
+        merge-on-read bargain (Delta's OPTIMIZE does the same)."""
         version = self.latest_version()
         if version is None:
             raise ValueError("table does not exist")
         manifest = self._load_manifest(version)
         keys = manifest["keys"]
         self.num_buckets = int(manifest.get("num_buckets", self.num_buckets))
+        dvs = manifest.get("dvs", {})
         to_compact = {
             b: fs
             for b, fs in manifest["buckets"].items()
-            if len(fs) > target_files_per_bucket
+            if len(fs) > target_files_per_bucket or dvs.get(b)
         }
         if not to_compact:
             return version
         files = [f for fs in to_compact.values() for f in fs]
-        consolidated = self.spark.read.parquet(*files).drop("__bucket")
+        consolidated = self._apply_dvs(
+            self.spark.read.parquet(*files).drop("__bucket"),
+            manifest,
+            sorted(to_compact),
+        )
         new_buckets = self._write_bucket_files(consolidated, keys)
         combined = dict(manifest["buckets"])
         for b in to_compact:
             combined.pop(b, None)
         combined.update(new_buckets)
+        carried_dvs = {b: fs for b, fs in dvs.items() if b not in to_compact}
         self._commit(
             version + 1,
             combined,
@@ -848,6 +1062,7 @@ class VersionedTable:
                 "compacted_buckets": sorted(to_compact),
                 "schema": manifest.get("schema"),
             },
+            dvs=carried_dvs,
         )
         return version + 1
 
@@ -891,10 +1106,13 @@ class VersionedTable:
         try:
             files = [f for fs in manifest["buckets"].values() for f in fs]
             if files:
-                df = (
+                # full rewrite: deletion vectors materialize and drop
+                df = self._apply_dvs(
                     self.spark.read.option("mergeSchema", "true")
                     .parquet(*files)
-                    .drop("__bucket")
+                    .drop("__bucket"),
+                    manifest,
+                    list(manifest["buckets"]),
                 )
                 new_buckets = self._write_bucket_files(df, keys)
             else:
@@ -913,6 +1131,73 @@ class VersionedTable:
             self.num_buckets = old_count
             raise
         return version + 1
+
+    def restore(self, version: int) -> int:
+        """Roll the table back to snapshot ``version`` AS A NEW COMMIT
+        (Delta ``RESTORE TABLE ... TO VERSION AS OF``): history is
+        never rewritten — the rollback is itself a commit, so the
+        pre-restore head stays readable and :meth:`changes`
+        (pre_restore_head, restored_version) classifies the undo delta
+        row by row with the ordinary CDF algebra (rows the rollback
+        un-deletes arrive as inserts, reverted updates as
+        update_postimage, un-inserted rows as deletes) — the feed a
+        downstream replica applies to follow the rollback without a
+        full rescan.
+
+        ZERO-COPY: data files are immutable and never rewritten in
+        place, so the restore manifest simply references the target
+        snapshot's files — an O(1) manifest-only commit like
+        :meth:`clone`, regardless of table size.  The restored
+        snapshot's bucket count is adopted (restoring across a
+        :meth:`rebucket` reverts the bucket spec too, since the
+        referenced files ARE the old bucket layout).
+
+        What is NOT rolled back: the ``stream_txn_watermarks`` map
+        carries forward from the pre-restore head like every commit
+        (Delta preserves txn identifiers across RESTORE for the same
+        reason) — an exactly-once streaming writer must still
+        recognize its already-applied batch ids after a rollback, or
+        the replay would double-apply them onto the restored state.
+
+        Fails with ``FileNotFoundError`` when the target manifest or
+        any data file it references was vacuumed (Delta's RESTORE has
+        the same hazard); the failure happens BEFORE the commit, so a
+        failed restore leaves no trace."""
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("table does not exist")
+        target = self._load_manifest(version)  # FileNotFoundError if vacuumed
+        missing = [
+            f
+            for fs in list(target["buckets"].values())
+            + list(target.get("dvs", {}).values())
+            for f in fs
+            if not os.path.exists(f)
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"restore to version {version} impossible: "
+                f"{len(missing)} referenced files were vacuumed "
+                f"(first: {missing[0]})"
+            )
+        old_count = self.num_buckets
+        self.num_buckets = int(target.get("num_buckets", self.num_buckets))
+        try:
+            self._commit(
+                head + 1,
+                dict(target["buckets"]),
+                {
+                    "keys": target["keys"],
+                    "operation": "restore",
+                    "restored_version": int(version),
+                    "schema": target.get("schema"),
+                },
+                dvs=target.get("dvs"),
+            )
+        except BaseException:
+            self.num_buckets = old_count
+            raise
+        return head + 1
 
     def optimize(
         self,
@@ -955,10 +1240,13 @@ class VersionedTable:
         files = [f for fs in manifest["buckets"].values() for f in fs]
         if not files:
             return version
-        df = (
+        # full rewrite: deletion vectors materialize and drop
+        df = self._apply_dvs(
             self.spark.read.option("mergeSchema", "true")
             .parquet(*files)
-            .drop("__bucket")
+            .drop("__bucket"),
+            manifest,
+            list(manifest["buckets"]),
         )
         z = morton_interleave(zorder_buckets(df, zorder_by, zbits), zbits)
         bucketed = df.withColumn(

@@ -919,3 +919,213 @@ def test_rebucket_restores_bucket_count_on_commit_failure(spark, table):
     assert int(table._load_manifest(v2)["num_buckets"]) == 16
     assert table.num_buckets == 16
     assert table.read().count() == 100
+
+
+# --- round-9 additions: timestamp time travel, RESTORE, deletion vectors ----
+
+
+def test_timestamp_as_of_resolution(spark, table):
+    """TIMESTAMP AS OF: latest commit at-or-before ts (Delta's rule);
+    before-first raises; exact commit instants resolve inclusively."""
+    v1 = table.upsert(
+        spark.createDataFrame([(5, "T1", 1.0)], ["k", "val", "m"])
+    )
+    v2 = table.upsert(
+        spark.createDataFrame([(5, "T2", 2.0)], ["k", "val", "m"])
+    )
+    c0 = table._load_manifest(0)["committed_at"]
+    c1 = table._load_manifest(v1)["committed_at"]
+    c2 = table._load_manifest(v2)["committed_at"]
+    assert c0 < c1 < c2
+    assert table.version_as_of(c0) == 0
+    assert table.version_as_of(c1) == v1  # inclusive at the commit instant
+    assert table.version_as_of((c1 + c2) / 2) == v1
+    assert table.version_as_of(c2 + 10) == v2
+    assert table.read(timestamp=(c1 + c2) / 2).where("k = 5").collect()[0][
+        "val"
+    ] == "T1"
+    with pytest.raises(ValueError):
+        table.version_as_of(c0 - 10)
+    with pytest.raises(ValueError):
+        table.read(version=0, timestamp=c1)  # not both
+    # vacuum truncates answerable history: pre-survivor ts now raises
+    table.vacuum(keep_last=1)
+    with pytest.raises(ValueError):
+        table.version_as_of(c1)
+    assert table.version_as_of(c2) == v2
+
+
+def test_restore_rolls_back_as_new_commit(spark, table):
+    """RESTORE: zero-copy rollback commit; history preserved; CDF
+    classifies the undo delta; pre-restore head stays readable."""
+    table.upsert(
+        spark.createDataFrame(
+            [(5, "NEW5", 5.5), (200, "v200", 200.0)], ["k", "val", "m"]
+        )
+    )
+    v2 = table.delete_where(F.col("k") < 3)
+    assert v2 == 2
+    v3 = table.restore(0)
+    assert v3 == 3
+    m3 = table._load_manifest(v3)
+    assert m3["operation"] == "restore" and m3["restored_version"] == 0
+    # content == v0 exactly
+    got = sorted(r["k"] for r in table.read().collect())
+    want = sorted(r["k"] for r in table.read(version=0).collect())
+    assert got == want and len(got) == 100
+    assert table.read().where("k = 5").collect()[0]["val"] == "v5"
+    # zero-copy: the restore manifest references v0's files verbatim
+    assert m3["buckets"] == table._load_manifest(0)["buckets"]
+    # pre-restore head remains readable (history never rewritten)
+    assert table.read(version=v2).count() == 98  # 100 +1 insert -3 deleted
+    # CDF across the restore is the undo feed: 200 un-inserted (delete),
+    # k in {0,1,2} un-deleted (insert), k=5 reverted (update)
+    feed = table.changes(v2, v3)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {"delete": 1, "insert": 3, "update_postimage": 1}
+    # replaying the feed onto the pre-restore head reproduces the restore
+    recon = VersionedTable.apply_changes(table.read(v2), feed, keys=["k"])
+    assert sorted(r["k"] for r in recon.collect()) == want
+
+
+def test_restore_across_rebucket_reverts_bucket_spec(spark, table):
+    v1 = table.rebucket(16)
+    v2 = table.restore(0)
+    assert int(table._load_manifest(v2)["num_buckets"]) == 8
+    assert table.num_buckets == 8
+    assert table.read().count() == 100
+    # writes after the revert use the restored bucket space
+    table.upsert(spark.createDataFrame([(7, "X", 0.0)], ["k", "val", "m"]))
+    assert table.read().where("k = 7").collect()[0]["val"] == "X"
+    assert table.read().count() == 100
+
+
+def test_restore_fails_closed_after_vacuum(spark, table):
+    """Restoring to a vacuumed snapshot must fail BEFORE committing."""
+    table.upsert(spark.createDataFrame([(5, "B", 1.0)], ["k", "val", "m"]))
+    table.delete_where(F.col("k") >= 50)
+    head = table.latest_version()
+    table.vacuum(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        table.restore(0)
+    assert table.latest_version() == head  # no trace of the failed restore
+
+
+def test_restore_preserves_stream_watermarks(spark, tmp_path):
+    """Exactly-once guards are NOT rolled back by RESTORE (Delta keeps
+    txn identifiers for the same reason): replaying already-applied
+    batch ids onto the restored state must no-op."""
+    from nasa_asteroid_data_lakehouse_spark.streaming.lakehouse import (
+        stream_batch_watermark,
+        upsert_batch_idempotent,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "rsw"), num_buckets=4)
+    t.create(
+        spark.createDataFrame([(0, 0)], "event_id bigint, val bigint"),
+        keys=["event_id"],
+    )
+    b = spark.createDataFrame([(1, 10)], "event_id bigint, val bigint")
+    upsert_batch_idempotent(t, b, 0, app_id="a")
+    upsert_batch_idempotent(t, b, 1, app_id="a")
+    v = t.restore(0)
+    assert t.read().count() == 1  # rolled back to the create snapshot
+    assert stream_batch_watermark(t, "a") == 1  # guard survives
+    assert upsert_batch_idempotent(t, b, 1, app_id="a") is False
+    assert t.latest_version() == v  # the replay committed nothing
+    assert upsert_batch_idempotent(t, b, 2, app_id="a") is True
+
+
+def test_deferred_delete_is_merge_on_read(spark, table):
+    """deferred=True: logical reads exclude the rows, NO data file is
+    rewritten (manifest buckets identical), snapshot isolation holds,
+    and the CDF sees the deletes."""
+    v0 = table.latest_version()
+    m0 = table._load_manifest(v0)
+    v1 = table.delete_where(F.col("k") % 10 == 0, deferred=True)
+    m1 = table._load_manifest(v1)
+    assert m1["operation"] == "delete_deferred"
+    assert m1["buckets"] == m0["buckets"]  # zero data files touched
+    assert m1.get("dvs")  # the vector is the only new state
+    assert table.read().count() == 90
+    assert table.read().where("k % 10 = 0").count() == 0
+    assert table.read(version=v0).count() == 100  # snapshot isolation
+    feed = table.changes(v0, v1)
+    assert feed.count() == 10
+    assert {r["_change_type"] for r in feed.collect()} == {"delete"}
+    # second deferred delete accumulates into the vectors
+    v2 = table.delete_where(F.col("k") % 10 == 1, deferred=True)
+    assert table.read().count() == 80
+    assert table._load_manifest(v2)["buckets"] == m0["buckets"]
+    # idempotent debt: re-deleting already-deleted rows is a no-op commit
+    assert table.delete_where(F.col("k") % 10 == 0, deferred=True) == v2
+
+
+def test_deferred_delete_purges_on_rewrites(spark, table):
+    """Every rewrite path materializes the vectors it touches: upsert
+    drops the touched bucket's vector without resurrecting the row;
+    compact treats DV debt as a trigger and purges the rest; vacuum
+    then physically erases the deleted bytes."""
+    table.delete_where(F.col("k") % 10 == 3, deferred=True)
+    assert table.read().count() == 90
+    # upsert a key sharing a bucket with a deleted key: the touched
+    # bucket's vector materializes, the deleted rows stay deleted
+    table.upsert(spark.createDataFrame([(3, "back", 3.0)], ["k", "val", "m"]))
+    got = table.read()
+    assert got.where("k = 3").collect()[0]["val"] == "back"  # re-insert wins
+    assert got.count() == 91  # 90 survivors + the re-inserted key
+    deleted_still = {13, 23, 33, 43, 53, 63, 73, 83, 93}
+    assert got.where(F.col("k").isin(list(deleted_still))).count() == 0
+    # compact purges every remaining vector (DV debt is a trigger)
+    v = table.compact(target_files_per_bucket=1000)  # file count never triggers
+    m = table._load_manifest(v)
+    assert not m.get("dvs")
+    assert table.read().count() == 91
+    # physical erasure: vacuum removes the files that held deleted rows
+    table.vacuum(keep_last=1)
+    leftover = 0
+    for txn in os.listdir(table._data_dir):
+        for root, _dirs, fs in os.walk(os.path.join(table._data_dir, txn)):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    df = spark.read.parquet(os.path.join(root, f))
+                    if "k" in df.columns and "val" in df.columns:
+                        leftover += df.where(
+                            F.col("k").isin(list(deleted_still))
+                        ).count()
+    assert leftover == 0
+
+
+def test_deferred_delete_null_key(spark, tmp_path):
+    """The DV anti-join is NULL-safe: a deferred delete of a NULL-keyed
+    row must subtract it (plain equi-anti-join would leak it)."""
+    t = VersionedTable(spark, str(tmp_path / "dvn"), num_buckets=4)
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (None, "nullrow"), (2, "b")], "k bigint, val string"
+        ),
+        keys=["k"],
+    )
+    t.delete_where(F.col("k").isNull(), deferred=True)
+    got = t.read()
+    assert got.count() == 2
+    assert got.where(F.col("k").isNull()).count() == 0
+    # and the vector survives vacuum (referenced by the kept manifest)
+    t.vacuum(keep_last=1)
+    assert t.read().count() == 2
+
+
+def test_deferred_delete_restore_and_clone_carry_vectors(spark, table):
+    """RESTORE to a DV-era snapshot and shallow clones both reference
+    the vectors — logical content follows the snapshot exactly."""
+    v1 = table.delete_where(F.col("k") < 10, deferred=True)
+    table.upsert(spark.createDataFrame([(500, "x", 1.0)], ["k", "val", "m"]))
+    v3 = table.restore(v1)
+    assert table.read().count() == 90
+    assert table.read().where("k < 10").count() == 0
+    assert table._load_manifest(v3).get("dvs")
+    c = table.clone(str(table.root) + "_clone", version=v1)
+    assert c.read().count() == 90
