@@ -83,6 +83,18 @@ REGISTER_R08 = True
 # update_rotation 9.
 REGISTER_R09 = True
 
+# Round-10 registration switch: flip to True at round-10 start once
+# CORRECTNESS_r09 lands; serves plans/r10_queries.py's staged batch
+# (gate-verified in round 9 via driver_sim --staged across all six
+# fixtures + adversarial, pytest pins in tests/test_r10_staged.py):
+# timestamp-as-of time travel, RESTORE with CDF undo feed, deletion-
+# vector merge-on-read + upsert materialization, lake history audit,
+# CDF stream replay across commit types, quantization-bits sweep
+# (int8/int4/int2), stream-stream FULL OUTER interval-join replay.
+# Pre-wired: _BNLJ_ALLOWED entry (quant_bits_sweep_embeddings —
+# broadcast anchors x corpus).  Then run update_rotation 10.
+REGISTER_R10 = False
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -277,6 +289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from nasa_asteroid_data_lakehouse_spark.plans import r09_queries
 
         out.update(r09_queries.STAGED_QUERIES)
+    if REGISTER_R10:
+        from nasa_asteroid_data_lakehouse_spark.plans import r10_queries
+
+        out.update(r10_queries.STAGED_QUERIES)
     return _rotate(out)
 
 
@@ -316,4 +332,8 @@ def oracle_sql() -> dict[str, str]:
         from nasa_asteroid_data_lakehouse_spark.plans import r09_queries
 
         out.update(r09_queries.STAGED_ORACLES)
+    if REGISTER_R10:
+        from nasa_asteroid_data_lakehouse_spark.plans import r10_queries
+
+        out.update(r10_queries.STAGED_ORACLES)
     return _rotate(out)

@@ -1,0 +1,1044 @@
+"""Round-10 staged batch (gate-verified behind ``driver_sim --staged``;
+registered by flipping ``REGISTER_R10`` in ``__spark_entry__`` at
+round-10 start, after CORRECTNESS_r09 lands).
+
+Families (VERDICT r08 "engine-internal gaps" + natural continuations):
+
+* **Timestamp-as-of time travel** — ``read(timestamp=...)`` /
+  ``version_as_of`` (Delta's latest-commit-<=-ts rule), driver-checked
+  through a multi-commit lifecycle including the vacuum truncation
+  contract.
+* **RESTORE** — rollback as a NEW zero-copy commit, with the CDF
+  classifying the undo delta (the feed a downstream replica applies to
+  follow a rollback without rescan).
+* **Deletion vectors** — ``delete_where(deferred=True)`` merge-on-read
+  deletes: O(deleted keys) commit cost instead of O(owning buckets)
+  rewrite, logical reads identical, physical purge via compact+vacuum
+  (the write-amplification fix the r08 verdict flagged for 100 TB).
+* **CDF stream replay** — a replica follows the table through upsert /
+  deferred-delete / restore commits purely from ``changes()`` feeds,
+  proving the CDF algebra composes across every commit type.
+* **Quantization-bits sweep** — the sixth knob table (bands, nprobe,
+  temperature, packing, jaccard; now storage precision): ranking
+  agreement vs exact cosine at int8/int4/int2, ONE shared pair frame
+  serving every config.
+* **Stream-stream FULL OUTER interval-join replay** — the remaining
+  outer-emission semantics: each unmatched side emits NULL-padded rows
+  only when the watermark passes its join window, with PER-SIDE
+  strictness pinned empirically (left strict, right non-strict — the
+  join condition's asymmetric bounds flip the eviction rule).
+
+Portability contract as everywhere in this repo: integer SUMs cast to
+BIGINT, COALESCE(...,0) on empty-input sums, payloads KEY-DERIVED so
+duplicate-key sources collapse identically on both engines, synthetic
+keys disjoint from the real keyspace (negative, with the real keyspace
+filtered to >= 0 on both sides), float outputs on a 6-decimal lattice
+with single final divisions (no float-sum reductions).
+
+No reference analog for any of these: the reference (``src/etl/*.py``)
+is a daily batch ETL with no manifest log, no time travel, and no
+vector search.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict = {}
+
+
+def _orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake-lifecycle fixture every r10 lake query builds from:
+    key-derived payloads so duplicate-key sources collapse identically
+    on both engines, keyspace restricted to >= 0 so synthetic negative
+    keys stay disjoint."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey").isNotNull() & (F.col("o_orderkey") >= 0))
+        .select("o_orderkey")
+        .distinct()
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 500).alias("cents"),
+        )
+    )
+
+
+_ORDERS_BASE_SQL = """
+  SELECT DISTINCT o_orderkey AS key, o_orderkey % 500 AS cents
+  FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey >= 0
+"""
+
+
+# === Timestamp-as-of time travel ================================================
+
+
+def time_travel_timestamp_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF, driver-checked through a three-commit
+    lifecycle: create -> upsert (bump cents of key%6==0 by 1000) ->
+    delete (key%13==0).  A timestamp between the upsert and the delete
+    resolves to the upsert snapshot (Delta's latest-commit-<=-ts rule,
+    ``lake/table.py:version_as_of``); a timestamp after the head
+    resolves to the head; a timestamp before the first surviving
+    commit RAISES (vacuum truncates answerable history — asserted by
+    the ``before_first_raises`` flag).
+
+    Scale: resolution is a driver-side manifest walk (newest-first,
+    stops at the first hit), O(versions-behind-head) JSON reads and
+    zero data I/O — the data cost is exactly the resolved snapshot's
+    bucket-pruned read, same as VERSION AS OF."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = _orders_base(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ndl_ttts_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        t.create(base, keys=["o_orderkey"])
+        v1 = t.upsert(
+            base.where(F.col("o_orderkey") % 6 == 0).select(
+                "o_orderkey", (F.col("cents") + 1000).alias("cents")
+            )
+        )
+        v2 = t.delete_where(
+            (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") >= 0)
+        )
+        c0 = float(t._load_manifest(0)["committed_at"])
+        c1 = float(t._load_manifest(v1)["committed_at"])
+        c2 = float(t._load_manifest(v2)["committed_at"])
+        mid = (c1 + c2) / 2.0
+        asof_mid = t.read(timestamp=mid).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("s"),
+        ).first()
+        head = t.read(timestamp=c2 + 3600.0).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("s"),
+        ).first()
+        try:
+            t.version_as_of(c0 - 3600.0)
+            before_first_raises = 0
+        except ValueError:
+            before_first_raises = 1
+        out = spark.createDataFrame(
+            [
+                (
+                    int(asof_mid["n"]),
+                    int(asof_mid["s"]),
+                    int(head["n"]),
+                    int(head["s"]),
+                    int(t.version_as_of(mid)),
+                    int(t.version_as_of(c2 + 3600.0)),
+                    int(before_first_raises),
+                )
+            ],
+            "n_rows_asof_mid bigint, cents_sum_asof_mid bigint, "
+            "n_rows_head bigint, cents_sum_head bigint, "
+            "resolved_mid_version bigint, resolved_head_version bigint, "
+            "before_first_raises bigint",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+TIME_TRAVEL_TIMESTAMP_SQL = f"""
+WITH base AS ({_ORDERS_BASE_SQL}),
+v1 AS (
+  SELECT key,
+         cents + CASE WHEN key % 6 = 0 THEN 1000 ELSE 0 END AS cents
+  FROM base
+),
+v2 AS (SELECT key, cents FROM v1 WHERE NOT (key % 13 = 0))
+SELECT CAST((SELECT COUNT(*) FROM v1) AS BIGINT) AS n_rows_asof_mid,
+       CAST((SELECT COALESCE(SUM(cents), 0) FROM v1) AS BIGINT)
+         AS cents_sum_asof_mid,
+       CAST((SELECT COUNT(*) FROM v2) AS BIGINT) AS n_rows_head,
+       CAST((SELECT COALESCE(SUM(cents), 0) FROM v2) AS BIGINT)
+         AS cents_sum_head,
+       CAST(1 AS BIGINT) AS resolved_mid_version,
+       -- the delete only commits when a key%13 row exists (a no-op
+       -- delete never spams history), so tiny fixtures stay at head 1
+       CASE WHEN EXISTS (SELECT 1 FROM base WHERE key % 13 = 0)
+            THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+         AS resolved_head_version,
+       CAST(1 AS BIGINT) AS before_first_raises
+"""
+
+STAGED_QUERIES["time_travel_timestamp_orders"] = time_travel_timestamp_orders
+STAGED_ORACLES["time_travel_timestamp_orders"] = TIME_TRAVEL_TIMESTAMP_SQL
+
+
+# === RESTORE with CDF undo feed =================================================
+
+
+def restore_undo_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE as a NEW commit with the undo delta classified by the
+    ordinary CDF: create -> upsert (bump key%5==0 by 1000, insert the
+    synthetic key -1) -> delete (key%7==0, and -1) -> restore(0).
+    ``changes(pre_restore_head, restored)`` then reads as the exact
+    undo feed: the deleted key%7 rows come back as inserts, the
+    surviving bumped rows revert as update_postimage, and nothing
+    deletes (the synthetic insert was already deleted pre-restore) —
+    the feed a downstream replica applies to follow the rollback
+    without a full rescan.
+
+    Scale: the restore commit itself is O(1) (zero-copy manifest
+    referencing the target snapshot's immutable files); the undo feed
+    is O(changed buckets) like every CDF read."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = _orders_base(spark, sf_dir)
+    synthetic = spark.createDataFrame(
+        [(-1, -1)], "o_orderkey bigint, cents bigint"
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_restore_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        t.create(base, keys=["o_orderkey"])
+        t.upsert(
+            base.where(F.col("o_orderkey") % 5 == 0)
+            .select("o_orderkey", (F.col("cents") + 1000).alias("cents"))
+            .unionByName(synthetic)
+        )
+        v2 = t.delete_where(
+            ((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") >= 0))
+            | (F.col("o_orderkey") == -1)
+        )
+        v3 = t.restore(0)
+        feed = t.changes(v2, v3)
+        by_type = {
+            r["_change_type"]: int(r["n"])
+            for r in feed.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        final = t.read().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("s"),
+        ).first()
+        out = spark.createDataFrame(
+            [
+                (
+                    int(final["n"]),
+                    int(final["s"]),
+                    by_type.get("insert", 0),
+                    by_type.get("update_postimage", 0),
+                    by_type.get("delete", 0),
+                )
+            ],
+            "n_rows_final bigint, cents_sum_final bigint, "
+            "n_undo_inserts bigint, n_undo_updates bigint, "
+            "n_undo_deletes bigint",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+RESTORE_UNDO_FEED_SQL = f"""
+WITH base AS ({_ORDERS_BASE_SQL})
+SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows_final,
+       CAST((SELECT COALESCE(SUM(cents), 0) FROM base) AS BIGINT)
+         AS cents_sum_final,
+       CAST((SELECT COUNT(*) FROM base WHERE key % 7 = 0) AS BIGINT)
+         AS n_undo_inserts,
+       CAST((SELECT COUNT(*) FROM base
+             WHERE key % 5 = 0 AND NOT key % 7 = 0) AS BIGINT)
+         AS n_undo_updates,
+       CAST(0 AS BIGINT) AS n_undo_deletes
+"""
+
+STAGED_QUERIES["restore_undo_feed_orders"] = restore_undo_feed_orders
+STAGED_ORACLES["restore_undo_feed_orders"] = RESTORE_UNDO_FEED_SQL
+
+
+# === Deletion vectors: merge-on-read proof ======================================
+
+
+def dv_merge_on_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read bargain, driver-checked end to end: a
+    deferred delete (key%9==0) must (a) vanish from every logical
+    read, (b) touch ZERO data files — the audit compares the manifest
+    bucket map before/after and scans the raw bucket files, which
+    still hold every pre-delete row — (c) keep snapshot isolation
+    (version 0 still sees the rows), and (d) physically erase only
+    after the purge (compact with DV debt as the trigger, then
+    vacuum), when the raw-file scan drops to exactly the survivors.
+
+    Both physical row counts are HASH-INDEPENDENT by construction
+    (before purge nothing is rewritten anywhere; after purge every
+    bucket holds exactly its logical rows), so the oracle states them
+    from arithmetic alone."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = _orders_base(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ndl_dv_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        t.create(base, keys=["o_orderkey"])
+        m0 = t._load_manifest(0)
+        v1 = t.delete_where(
+            (F.col("o_orderkey") % 9 == 0) & (F.col("o_orderkey") >= 0),
+            deferred=True,
+        )
+        m1 = t._load_manifest(v1)
+
+        def physical_rows() -> int:
+            m = t._load_manifest(t.latest_version())
+            files = [f for fs in m["buckets"].values() for f in fs]
+            if not files:
+                return 0
+            return spark.read.parquet(*files).count()
+
+        rewrote = 0 if m1["buckets"] == m0["buckets"] else 1
+        physical_before = physical_rows()
+        n_rows_v0 = t.read(version=0).count()
+        logical = t.read().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("s"),
+        ).first()
+        # purge: DV debt triggers the compaction rewrite even though no
+        # bucket exceeds the file target; vacuum then drops the old files
+        t.compact(target_files_per_bucket=1000)
+        t.vacuum(keep_last=1)
+        physical_after = physical_rows()
+        out = spark.createDataFrame(
+            [
+                (
+                    int(logical["n"]),
+                    int(logical["s"]),
+                    int(rewrote),
+                    int(physical_before),
+                    int(physical_after),
+                    int(n_rows_v0),
+                )
+            ],
+            "n_rows bigint, cents_sum bigint, files_rewritten_by_delete bigint, "
+            "physical_before_purge bigint, physical_after_purge bigint, "
+            "n_rows_v0 bigint",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+DV_MERGE_ON_READ_SQL = f"""
+WITH base AS ({_ORDERS_BASE_SQL}),
+survivors AS (SELECT key, cents FROM base WHERE NOT (key % 9 = 0))
+SELECT CAST((SELECT COUNT(*) FROM survivors) AS BIGINT) AS n_rows,
+       CAST((SELECT COALESCE(SUM(cents), 0) FROM survivors) AS BIGINT)
+         AS cents_sum,
+       CAST(0 AS BIGINT) AS files_rewritten_by_delete,
+       CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS physical_before_purge,
+       CAST((SELECT COUNT(*) FROM survivors) AS BIGINT)
+         AS physical_after_purge,
+       CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows_v0
+"""
+
+STAGED_QUERIES["dv_merge_on_read_orders"] = dv_merge_on_read_orders
+STAGED_ORACLES["dv_merge_on_read_orders"] = DV_MERGE_ON_READ_SQL
+
+
+# === Deletion vectors: rewrite materialization ==================================
+
+
+def dv_upsert_materialize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A later upsert into a DV-carrying bucket must MATERIALIZE the
+    vector (apply it during the rewrite, then drop it) without
+    resurrecting deleted rows: after a deferred delete of key%4==0 and
+    an upsert bumping key%6==0 (cents+2000), the final state is
+    survivors-plus-upserted — key%12==0 rows were deleted AND
+    re-upserted so they exist with the new payload, key%4-not-%6 rows
+    stay deleted (``n_resurrected`` pins that at zero from the read
+    itself), key%6-not-%4 rows carry the bump."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = _orders_base(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ndl_dvu_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        t.create(base, keys=["o_orderkey"])
+        t.delete_where(
+            (F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") >= 0),
+            deferred=True,
+        )
+        t.upsert(
+            base.where(F.col("o_orderkey") % 6 == 0).select(
+                "o_orderkey", (F.col("cents") + 2000).alias("cents")
+            )
+        )
+        got = t.read()
+        out = got.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("cents_sum"),
+            F.coalesce(
+                F.sum(F.when(F.col("cents") >= 2000, 1)), F.lit(0)
+            ).cast("bigint").alias("n_bumped"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("o_orderkey") % 4 == 0)
+                        & (F.col("o_orderkey") % 6 != 0),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("n_resurrected"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+DV_UPSERT_MATERIALIZE_SQL = f"""
+WITH base AS ({_ORDERS_BASE_SQL}),
+final AS (
+  SELECT key,
+         cents + CASE WHEN key % 6 = 0 THEN 2000 ELSE 0 END AS cents
+  FROM base
+  WHERE NOT (key % 4 = 0) OR key % 6 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_sum,
+       CAST(COALESCE(SUM(CASE WHEN cents >= 2000 THEN 1 END), 0) AS BIGINT)
+         AS n_bumped,
+       CAST(0 AS BIGINT) AS n_resurrected
+FROM final
+"""
+
+STAGED_QUERIES["dv_upsert_materialize_orders"] = dv_upsert_materialize_orders
+STAGED_ORACLES["dv_upsert_materialize_orders"] = DV_UPSERT_MATERIALIZE_SQL
+
+
+# === Commit-log audit across the full maintenance surface ======================
+
+
+def lake_history_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit log as a queryable audit: one row per version with
+    the operation and that snapshot's LOGICAL row count, across a
+    lifecycle that exercises every r9/r10 commit type — create,
+    deferred delete, upsert, compact (DV purge), restore.  Time travel
+    must see through deletion vectors version by version (version v's
+    read applies exactly version v's vectors), and the restore row
+    must equal the create row.
+
+    Structural determinism at ANY input: the create always includes
+    the synthetic key -1 and the deferred delete always targets it, so
+    both commits happen even on single-row fixtures; the upsert
+    inserts only the synthetic key -2, whose bucket (xxhash64(-2)%8=6)
+    differs from -1's (2), so the upsert can never materialize -1's
+    deletion vector and compact's DV-debt trigger is guaranteed —
+    exactly 5 history rows at every SF."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = _orders_base(spark, sf_dir)
+    synthetic = spark.createDataFrame(
+        [(-1, -1)], "o_orderkey bigint, cents bigint"
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_hist_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        t.create(base.unionByName(synthetic), keys=["o_orderkey"])
+        t.delete_where(
+            ((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") >= 0))
+            | (F.col("o_orderkey") == -1),
+            deferred=True,
+        )
+        t.upsert(
+            spark.createDataFrame(
+                [(-2, -2)], "o_orderkey bigint, cents bigint"
+            )
+        )
+        t.compact(target_files_per_bucket=1000)
+        t.restore(0)
+        rows = []
+        for h in sorted(t.history(), key=lambda h: h["version"]):
+            rows.append(
+                (
+                    int(h["version"]),
+                    str(h["operation"]),
+                    int(t.read(version=h["version"]).count()),
+                )
+            )
+        out = spark.createDataFrame(
+            rows, "version bigint, operation string, n_rows bigint"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+LAKE_HISTORY_AUDIT_SQL = f"""
+WITH base AS ({_ORDERS_BASE_SQL}),
+n AS (SELECT COUNT(*) AS n_all FROM base),
+d AS (SELECT COUNT(*) AS n_del FROM base WHERE key % 11 = 0)
+SELECT * FROM (
+  -- create includes the synthetic -1 row
+  SELECT CAST(0 AS BIGINT) AS version, 'create' AS operation,
+         CAST(n_all + 1 AS BIGINT) AS n_rows FROM n
+  UNION ALL
+  -- deferred delete removes key%11 rows and the synthetic -1
+  SELECT CAST(1 AS BIGINT), 'delete_deferred',
+         CAST(n_all - n_del AS BIGINT) FROM n, d
+  UNION ALL
+  -- upsert inserts only the synthetic -2
+  SELECT CAST(2 AS BIGINT), 'upsert',
+         CAST(n_all - n_del + 1 AS BIGINT) FROM n, d
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'compact',
+         CAST(n_all - n_del + 1 AS BIGINT) FROM n, d
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), 'restore', CAST(n_all + 1 AS BIGINT) FROM n
+) ORDER BY version
+"""
+
+STAGED_QUERIES["lake_history_audit_orders"] = lake_history_audit_orders
+STAGED_ORACLES["lake_history_audit_orders"] = LAKE_HISTORY_AUDIT_SQL
+
+
+# === CDF stream replay across commit types ======================================
+
+
+def cdf_stream_replay_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A downstream replica follows the table purely from per-version
+    ``changes()`` feeds — the CDC consumer loop — across EVERY commit
+    type in one chain: upsert (bump key%5, insert synthetic -1),
+    deferred delete (key%7 and -1: the dv-diff path of the
+    changed-bucket detector), restore(0) (the undo feed).  The replica
+    starts at version 0 and applies the three feeds with
+    ``apply_changes``; the audit pins replica == head row-for-row
+    (``n_mismatch`` computed by a full NULL-safe anti-join, not just
+    aggregates) plus each feed's size.
+
+    Scale: each apply is one key anti-join + union, O(feed) not
+    O(table); the feeds themselves are O(changed buckets)."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = _orders_base(spark, sf_dir)
+    synthetic = spark.createDataFrame(
+        [(-1, -1)], "o_orderkey bigint, cents bigint"
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_cdfr_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        t.create(base, keys=["o_orderkey"])
+        t.upsert(
+            base.where(F.col("o_orderkey") % 5 == 0)
+            .select("o_orderkey", (F.col("cents") + 1000).alias("cents"))
+            .unionByName(synthetic)
+        )
+        t.delete_where(
+            ((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") >= 0))
+            | (F.col("o_orderkey") == -1),
+            deferred=True,
+        )
+        t.restore(0)
+        replica = t.read(version=0)
+        feed_counts = []
+        head_v = t.latest_version()
+        for v in range(1, head_v + 1):
+            feed = t.changes(v - 1, v)
+            feed_counts.append(int(feed.count()))
+            replica = VersionedTable.apply_changes(
+                replica, feed, keys=["o_orderkey"]
+            ).localCheckpoint(eager=True)  # truncate the iterated plan
+        head = t.read()
+        mismatch = (
+            replica.join(
+                head,
+                on=(replica["o_orderkey"].eqNullSafe(head["o_orderkey"]))
+                & (replica["cents"].eqNullSafe(head["cents"])),
+                how="left_anti",
+            ).count()
+            + head.join(
+                replica,
+                on=(head["o_orderkey"].eqNullSafe(replica["o_orderkey"]))
+                & (head["cents"].eqNullSafe(replica["cents"])),
+                how="left_anti",
+            ).count()
+        )
+        agg = replica.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("s"),
+        ).first()
+        out = spark.createDataFrame(
+            [
+                (
+                    int(agg["n"]),
+                    int(agg["s"]),
+                    int(mismatch),
+                    int(feed_counts[0]),
+                    int(feed_counts[1]),
+                    int(feed_counts[2]),
+                )
+            ],
+            "n_rows bigint, cents_sum bigint, n_mismatch bigint, "
+            "n_feed_upsert bigint, n_feed_delete bigint, n_feed_restore bigint",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDF_STREAM_REPLAY_SQL = f"""
+WITH base AS ({_ORDERS_BASE_SQL})
+SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows,
+       CAST((SELECT COALESCE(SUM(cents), 0) FROM base) AS BIGINT)
+         AS cents_sum,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       -- upsert feed: every key%5 row updates (+1000 is always a real
+       -- change), plus the synthetic insert
+       CAST((SELECT COUNT(*) FROM base WHERE key % 5 = 0) + 1 AS BIGINT)
+         AS n_feed_upsert,
+       -- deferred-delete feed: key%7 rows plus the synthetic row
+       CAST((SELECT COUNT(*) FROM base WHERE key % 7 = 0) + 1 AS BIGINT)
+         AS n_feed_delete,
+       -- restore undo feed: key%7 rows re-insert, surviving key%5 rows
+       -- revert; the synthetic row was already gone pre-restore
+       CAST((SELECT COUNT(*) FROM base WHERE key % 7 = 0) AS BIGINT)
+         + CAST((SELECT COUNT(*) FROM base
+                 WHERE key % 5 = 0 AND NOT key % 7 = 0) AS BIGINT)
+         AS n_feed_restore
+"""
+
+STAGED_QUERIES["cdf_stream_replay_orders"] = cdf_stream_replay_orders
+STAGED_ORACLES["cdf_stream_replay_orders"] = CDF_STREAM_REPLAY_SQL
+
+
+# === Quantization-bits sweep ====================================================
+
+_QBS_ANCHOR_MAX = 25
+_QBS_K = 10
+_QBS_BITS = (8, 4, 2)
+
+
+def quant_bits_sweep_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORAGE-PRECISION tuning sweep — the sixth knob table: ranking
+    agreement (overlap@10 vs exact cosine) at int8 / int4 / int2
+    symmetric quantization, the table a vector store reads before
+    fixing its code width.  int8 is usually lossless-for-ranking, int4
+    marginal, int2 (sign-with-deadzone) measurably lossy — this
+    quantifies each on the corpus at hand.
+
+    ONE shared pair frame serves every config (the sweep discipline:
+    bands/nprobe/temperature/packing/jaccard all built this way): the
+    anchor-broadcast join computes the exact cosine and all three
+    integer code dot products in a single projection, so adding a bit
+    width costs one integer column, not another |anchors| x N pass.
+    The per-vector scale cancels in the cosine, so each config
+    isolates pure quantization loss (llm/similarity.quantized_recall
+    is the single-config form).  All dot products are exact integer
+    arithmetic; the only float ops are one sqrt and one final division
+    per pair, 6-decimal lattice — portable across engines.  Zero-norm
+    vectors are excluded on both sides (a zero vector has no cosine
+    ranking).  Output: 3 rows."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from nasa_asteroid_data_lakehouse_spark.llm.similarity import (
+        dot,
+        norm,
+        vec_valid,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    base = (
+        emb.select(F.col("vec_id").alias("id"), v.alias("v"))
+        .where(F.col("id").isNotNull() & vec_valid(F.col("v")))
+        .withColumn("nrm", norm(F.col("v")))
+        .where(F.col("nrm") > 0)
+    )
+    def _codes(scale_col):
+        # NOTE: the scale must be captured via a closure argument, not a
+        # lambda default — a two-parameter lambda is interpreted by
+        # F.transform as (element, index) and the "default" silently
+        # binds to the array index.
+        return F.transform(
+            F.col("v"), lambda x: F.floor(x * scale_col + F.lit(0.5))
+        )
+
+    for bits in _QBS_BITS:
+        qmax = 2 ** (bits - 1) - 1
+        scale = F.when(maxabs > 0, F.lit(float(qmax)) / maxabs).otherwise(
+            F.lit(1.0)
+        )
+        base = base.withColumn(
+            f"c{bits}",
+            _codes(scale),
+        ).withColumn(
+            f"qn{bits}",
+            F.sqrt(
+                F.aggregate(
+                    F.col(f"c{bits}"),
+                    F.lit(0).cast("long"),
+                    lambda acc, c: acc + c * c,
+                ).cast("double")
+            ),
+        )
+    base = base.localCheckpoint(eager=False)
+
+    def qcos(bits: int) -> F.Column:
+        return F.round(
+            F.try_divide(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(f"ac{bits}"), F.col(f"b.c{bits}"), lambda x, y: x * y
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, p: acc + p,
+                ).cast("double"),
+                F.col(f"aqn{bits}") * F.col(f"b.qn{bits}"),
+            ),
+            6,
+        )
+
+    anchors = broadcast(
+        base.where(F.col("id") < _QBS_ANCHOR_MAX).select(
+            F.col("id").alias("anchor_id"),
+            F.col("v").alias("av"),
+            F.col("nrm").alias("anrm"),
+            *[F.col(f"c{b}").alias(f"ac{b}") for b in _QBS_BITS],
+            *[F.col(f"qn{b}").alias(f"aqn{b}") for b in _QBS_BITS],
+        )
+    )
+    pairs = (
+        anchors.join(base.alias("b"), F.col("anchor_id") != F.col("b.id"))
+        .select(
+            "anchor_id",
+            F.col("b.id").alias("nbr"),
+            F.round(
+                F.try_divide(
+                    dot(F.col("av"), F.col("b.v")), F.col("anrm") * F.col("b.nrm")
+                ),
+                6,
+            ).alias("cos"),
+            *[qcos(b).alias(f"q{b}") for b in _QBS_BITS],
+        )
+        .localCheckpoint(eager=False)  # ranked 4x below
+    )
+    w_exact = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("nbr"))
+    exact = (
+        pairs.withColumn("__rk", F.row_number().over(w_exact))
+        .where(F.col("__rk") <= _QBS_K)
+        .select("anchor_id", "nbr")
+        .localCheckpoint(eager=False)
+    )
+    n_exact_total = int(exact.count())
+    n_anchors = int(exact.select("anchor_id").distinct().count())
+    rows = []
+    for bits in _QBS_BITS:
+        w_q = Window.partitionBy("anchor_id").orderBy(
+            F.desc(f"q{bits}"), F.asc("nbr")
+        )
+        quant = (
+            pairs.withColumn("__rk", F.row_number().over(w_q))
+            .where(F.col("__rk") <= _QBS_K)
+            .select("anchor_id", "nbr")
+        )
+        rows.append(
+            exact.join(quant, ["anchor_id", "nbr"]).agg(
+                F.lit(bits).cast("bigint").alias("bits"),
+                F.lit(n_anchors).cast("bigint").alias("n_anchors"),
+                F.lit(n_exact_total).cast("bigint").alias("n_exact_total"),
+                F.count(F.lit(1)).cast("bigint").alias("sum_hits"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "bits",
+        "n_anchors",
+        "n_exact_total",
+        "sum_hits",
+        F.round(
+            F.try_divide(F.col("sum_hits"), F.col("n_exact_total")), 6
+        ).alias("overlap"),
+    ).orderBy(F.desc("bits"))
+
+
+def _qbs_sql() -> str:
+    codes = ",\n         ".join(
+        f"list_transform(v, x -> floor(x * (CASE WHEN mx > 0 "
+        f"THEN {2 ** (b - 1) - 1}.0 / mx ELSE 1.0 END) + 0.5)) AS c{b}"
+        for b in _QBS_BITS
+    )
+    qscores = ",\n    ".join(
+        f"ROUND(list_dot_product(a.c{b}, x.c{b}) / "
+        f"(sqrt(list_dot_product(a.c{b}, a.c{b})) * "
+        f"sqrt(list_dot_product(x.c{b}, x.c{b}))), 6) AS q{b}"
+        for b in _QBS_BITS
+    )
+    per_bits = "\nUNION ALL\n".join(
+        f"""SELECT CAST({b} AS BIGINT) AS bits,
+       (SELECT CAST(COUNT(DISTINCT anchor_id) AS BIGINT) FROM exact)
+         AS n_anchors,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact_total,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exact e
+        JOIN (SELECT anchor_id, nbr FROM
+              (SELECT anchor_id, nbr,
+                      row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY q{b} DESC, nbr ASC) AS rk
+               FROM pairs) t WHERE rk <= {_QBS_K}) q
+          ON q.anchor_id = e.anchor_id AND q.nbr = e.nbr) AS sum_hits,
+       ROUND((SELECT COUNT(*) FROM exact e
+              JOIN (SELECT anchor_id, nbr FROM
+                    (SELECT anchor_id, nbr,
+                            row_number() OVER (PARTITION BY anchor_id
+                                               ORDER BY q{b} DESC, nbr ASC) AS rk
+                     FROM pairs) t WHERE rk <= {_QBS_K}) q
+                ON q.anchor_id = e.anchor_id AND q.nbr = e.nbr)
+             / NULLIF((SELECT COUNT(*) FROM exact), 0), 6) AS overlap"""
+        for b in _QBS_BITS
+    )
+    return f"""
+WITH valid AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+base AS (
+  SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         {codes}
+  FROM valid
+),
+pairs AS (
+  SELECT a.id AS anchor_id, x.id AS nbr,
+    ROUND(list_dot_product(a.v, x.v) / (a.nrm * x.nrm), 6) AS cos,
+    {qscores}
+  FROM base a JOIN base x ON a.id <> x.id
+  WHERE a.id < {_QBS_ANCHOR_MAX}
+),
+exact AS (
+  SELECT anchor_id, nbr FROM (
+    SELECT anchor_id, nbr,
+      row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY cos DESC, nbr ASC) AS rk
+    FROM pairs) t
+  WHERE rk <= {_QBS_K}
+)
+{per_bits}
+ORDER BY bits DESC
+"""
+
+
+STAGED_QUERIES["quant_bits_sweep_embeddings"] = quant_bits_sweep_embeddings
+STAGED_ORACLES["quant_bits_sweep_embeddings"] = _qbs_sql()
+
+
+# === Stream-stream FULL OUTER interval-join replay ==============================
+
+_FOJ_GAP_DAYS = 1
+
+
+def streaming_full_outer_join_replay_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ninth streaming replay: stream-stream FULL OUTER interval join —
+    the remaining outer-emission semantics after the r09 LEFT OUTER
+    replay, with the watermark rule for EACH side pinned empirically
+    (they are NOT symmetric, because the join condition
+    ``l_ts < r_ts <= l_ts + gap`` is strict on one bound and inclusive
+    on the other):
+
+    * an unmatched LEFT row emits its NULL-padded result iff
+      ``l_ts + gap < wm`` STRICTLY (same rule as leftOuter — at
+      equality the row does NOT emit);
+    * an unmatched RIGHT row emits iff ``r_ts <= wm`` NON-strictly (a
+      future left must satisfy ``l_ts < r_ts`` and arrives with
+      ``l_ts >= wm``, so at ``wm == r_ts`` no future match exists and
+      the row is evictable — pinned by test and by the boundary row in
+      the oracle);
+
+    where ``wm`` is the final query watermark = min across the two
+    inputs of (max event time seen), horizon 0.  Rows whose window the
+    final watermark never passes are SUPPRESSED, not emitted.
+
+    Determinism engineering as in the r09 outer replay: horizon 0 +
+    TIME-QUARTILE ordered single-file batches on both sides (mtime-
+    pinned so FileStreamSource cannot reorder ties), so no row is ever
+    late and the end state is a pure function of the data."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(
+            F.col("event_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    )
+    left = ev.where(F.col("event_id") % 2 == 0)
+    right = ev.where(F.col("event_id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="ndl_stream_foj_")
+    try:
+
+        def write_batches(df: DataFrame, path: str) -> None:
+            cut_row = df.agg(
+                F.expr(
+                    "percentile(cast(ts as double), array(0.25, 0.5, 0.75))"
+                ).alias("cs")
+            ).collect()[0]
+            cuts = list(cut_row["cs"]) if cut_row["cs"] is not None else []
+            b_col = F.lit(1)
+            for c in cuts:
+                b_col = b_col + F.when(
+                    F.col("ts").cast("double") > F.lit(c), 1
+                ).otherwise(0)
+            batched = df.withColumn("__b", b_col)
+            stamped: set[str] = set()
+            for b in range(1, 5):
+                (
+                    batched.where(F.col("__b") == b)
+                    .drop("__b")
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(path)
+                )
+                mtime = 1_000_000_000 + 10 * b
+                for name in os.listdir(path):
+                    if name.startswith("part-") and name not in stamped:
+                        os.utime(os.path.join(path, name), (mtime, mtime))
+                        stamped.add(name)
+
+        src_l, src_r = f"{tmp}/in_l", f"{tmp}/in_r"
+        write_batches(left, src_l)
+        write_batches(right, src_r)
+
+        def stream(src: str) -> DataFrame:
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        from nasa_asteroid_data_lakehouse_spark.streaming.events import (
+            interval_join_streams,
+        )
+
+        joined = interval_join_streams(
+            stream(src_l),
+            stream(src_r),
+            key="user_id",
+            ts_col="ts",
+            watermark="0 seconds",
+            max_gap=f"{_FOJ_GAP_DAYS} day",
+            how="fullOuter",
+        ).select("l_event_id", "r_event_id")
+        out = f"{tmp}/rows"
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .format("parquet")
+            .start(out)
+        )
+        q.awaitTermination()
+        try:
+            got = spark.read.parquet(out)
+        except Exception:  # zero input files -> no sink directory
+            got = spark.createDataFrame([], "l_event_id bigint, r_event_id bigint")
+        return (
+            got.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("l_event_id").isNotNull()
+                            & F.col("r_event_id").isNotNull(),
+                            1,
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_pairs"),
+                F.coalesce(
+                    F.sum(F.when(F.col("r_event_id").isNull(), 1)), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_left_nulls"),
+                F.coalesce(
+                    F.sum(F.when(F.col("l_event_id").isNull(), 1)), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_right_nulls"),
+                F.coalesce(F.sum("l_event_id"), F.lit(0))
+                .cast("bigint")
+                .alias("lid_sum"),
+                F.coalesce(F.sum("r_event_id"), F.lit(0))
+                .cast("bigint")
+                .alias("rid_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_FULL_OUTER_JOIN_SQL = f"""
+WITH ev AS (
+  SELECT event_id, ts, user_id FROM events
+  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+l AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+r AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+j AS (
+  SELECT l.event_id AS lid, r.event_id AS rid
+  FROM l JOIN r
+    ON l.user_id = r.user_id
+   AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL {_FOJ_GAP_DAYS} DAY
+),
+-- LEFT emission (strict, as pinned in the r09 leftOuter replay):
+-- l.ts + gap < wm on BOTH inputs (wm = min of per-side max event
+-- times; NULL-safe comparisons, so an empty side suppresses)
+left_nulls AS (
+  SELECT l.event_id AS lid FROM l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM r
+    WHERE r.user_id = l.user_id
+      AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL {_FOJ_GAP_DAYS} DAY
+  )
+  AND l.ts + INTERVAL {_FOJ_GAP_DAYS} DAY < (SELECT MAX(ts) FROM l)
+  AND l.ts + INTERVAL {_FOJ_GAP_DAYS} DAY < (SELECT MAX(ts) FROM r)
+),
+-- RIGHT emission (NON-strict, pinned empirically: l_ts < r_ts is
+-- strict, so at wm == r.ts no future left can match)
+right_nulls AS (
+  SELECT r.event_id AS rid FROM r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM l
+    WHERE l.user_id = r.user_id
+      AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL {_FOJ_GAP_DAYS} DAY
+  )
+  AND r.ts <= (SELECT MAX(ts) FROM l)
+  AND r.ts <= (SELECT MAX(ts) FROM r)
+)
+SELECT CAST((SELECT COUNT(*) FROM j) AS BIGINT) AS n_pairs,
+       CAST((SELECT COUNT(*) FROM left_nulls) AS BIGINT) AS n_left_nulls,
+       CAST((SELECT COUNT(*) FROM right_nulls) AS BIGINT) AS n_right_nulls,
+       CAST(COALESCE((SELECT SUM(lid) FROM j), 0)
+            + COALESCE((SELECT SUM(lid) FROM left_nulls), 0) AS BIGINT)
+         AS lid_sum,
+       CAST(COALESCE((SELECT SUM(rid) FROM j), 0)
+            + COALESCE((SELECT SUM(rid) FROM right_nulls), 0) AS BIGINT)
+         AS rid_sum
+"""
+
+STAGED_QUERIES["streaming_full_outer_join_replay_events"] = (
+    streaming_full_outer_join_replay_events
+)
+STAGED_ORACLES["streaming_full_outer_join_replay_events"] = (
+    STREAMING_FULL_OUTER_JOIN_SQL
+)

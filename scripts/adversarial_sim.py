@@ -189,11 +189,11 @@ def run_fixture(spark, mod, dst: str, only, skip=frozenset(), tag="") -> list[st
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     qs, oracles = mod.queries(), mod.oracle_sql()
     if "--staged" in sys.argv:
-        # round-6 staging (r05's batch is registered since REGISTER_R05)
-        from nasa_asteroid_data_lakehouse_spark.plans import r09_queries
+        # round-10 staging (r09's batch is registered since REGISTER_R09)
+        from nasa_asteroid_data_lakehouse_spark.plans import r10_queries
 
-        qs = {**qs, **r09_queries.STAGED_QUERIES}
-        oracles = {**oracles, **r09_queries.STAGED_ORACLES}
+        qs = {**qs, **r10_queries.STAGED_QUERIES}
+        oracles = {**oracles, **r10_queries.STAGED_ORACLES}
     failures = []
     for name, fn in qs.items():
         if only is not None and name not in only:

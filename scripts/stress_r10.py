@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Scale probes for the round-10 STAGED batch (plans/r10_queries.py):
+end-to-end from real parquet so the staged query functions are what
+gets timed.
+
+- time_travel / restore / dv / history / cdf-replay at 2M orders: full
+  lake lifecycles (multi-commit create/upsert/delete/restore chains) —
+  the deferred-delete probes specifically contrast the O(deleted keys)
+  DV commit against the bucket-rewrite path the r08 verdict flagged,
+  and the CDF replay executes three real apply_changes passes.
+- quant_bits_sweep at 1M vectors: the 25-anchor x N broadcast pair
+  frame computed ONCE with three integer code columns — the sweep
+  should cost ~one quantized_recall, not three.
+- streaming_full_outer_join_replay at 1M events: horizon-0 full outer
+  with 8 time-ordered batches; per-key state bounded by the gap.
+
+Usage: python scripts/stress_r10.py [n_events] [n_orders] [n_vecs]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nasa_asteroid_data_lakehouse_spark.plans import r10_queries as r10
+from nasa_asteroid_data_lakehouse_spark.session import get_spark
+from scripts.stress_corpus_stats import synth_events
+from scripts.stress_curation import probe, synth_vecs
+from scripts.stress_r06 import synth_orders
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_orders = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+
+    spark = get_spark(app_name="stress-r10", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = tempfile.mkdtemp(prefix="ndl_stress_r10_")
+    synth_events(spark, n_events).write.parquet(f"{sf}/events.parquet")
+    synth_orders(spark, n_orders).write.parquet(f"{sf}/orders.parquet")
+    synth_vecs(spark, n_vecs, 64).write.parquet(f"{sf}/embeddings.parquet")
+
+    probe(
+        f"time_travel_timestamp_{n_orders}",
+        lambda: r10.time_travel_timestamp_orders(spark, sf),
+    )
+    probe(
+        f"restore_undo_feed_{n_orders}",
+        lambda: r10.restore_undo_feed_orders(spark, sf),
+    )
+    probe(
+        f"dv_merge_on_read_{n_orders}",
+        lambda: r10.dv_merge_on_read_orders(spark, sf),
+    )
+    probe(
+        f"dv_upsert_materialize_{n_orders}",
+        lambda: r10.dv_upsert_materialize_orders(spark, sf),
+    )
+    probe(
+        f"lake_history_audit_{n_orders}",
+        lambda: r10.lake_history_audit_orders(spark, sf),
+    )
+    probe(
+        f"cdf_stream_replay_{n_orders}",
+        lambda: r10.cdf_stream_replay_orders(spark, sf),
+    )
+    probe(
+        f"quant_bits_sweep_{n_vecs}",
+        lambda: r10.quant_bits_sweep_embeddings(spark, sf),
+    )
+    probe(
+        f"streaming_full_outer_join_replay_{n_events}",
+        lambda: r10.streaming_full_outer_join_replay_events(spark, sf),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -98,6 +98,10 @@ def main() -> None:
         from nasa_asteroid_data_lakehouse_spark.plans import r09_queries
 
         full.update(r09_queries.STAGED_QUERIES)
+    if getattr(entry, "REGISTER_R10", False):
+        from nasa_asteroid_data_lakehouse_spark.plans import r10_queries
+
+        full.update(r10_queries.STAGED_QUERIES)
 
     red, green, _ = entry._driver_history()
     seen = set(red) | set(green)

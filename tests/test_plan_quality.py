@@ -116,6 +116,15 @@ _BNLJ_ALLOWED = {
     # r09 staged (inert until REGISTER_R09): broadcast anchors x corpus
     # + 1-row exact/total-count broadcasts (as ivf_recall)
     "ivf_nprobe_sweep_embeddings",
+    # r09 sweeps (caught by this scan at registration, audited):
+    # jaccard crossJoins ONE broadcast 1-row candidate-count aggregate
+    # onto the 3-row threshold table; temperature crossJoins the 1-row
+    # per-lang-total broadcast onto the bounded lang-weight grid
+    "jaccard_threshold_sweep_documents",
+    "mixture_temperature_sweep_documents",
+    # r10 staged (inert until REGISTER_R10): broadcast anchors x corpus
+    # (as quantized_recall) — one shared pair frame, 3 rank filters
+    "quant_bits_sweep_embeddings",
     # single-row group-total / series-mean broadcasts
     "market_basket_lineitem",
     "cusum_daily_events",
