@@ -78,5 +78,43 @@ def main() -> None:
     )
 
 
+
+def delete_contrast(n_orders: int = 2_000_000) -> None:
+    """Deferred (deletion-vector) vs immediate (bucket-rewrite) delete
+    on the SAME 2M-row table shape — the write-amplification number
+    the merge-on-read path exists for.  Run via:
+    python -c "import scripts.stress_r10 as s; s.delete_contrast()"
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    spark = get_spark(app_name="stress-r10-contrast", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.range(n_orders).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 500).alias("cents"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    cond = (F.col("k") % 1000 == 0) & (F.col("k") >= 0)  # 0.1% of rows
+
+    for mode, deferred in (("immediate", False), ("deferred", True)):
+        root = tempfile.mkdtemp(prefix=f"ndl_dvc_{mode}_")
+        t = VersionedTable(spark, root, num_buckets=64)
+        t.create(base, keys=["k"])
+        probe(
+            f"delete_{mode}_{n_orders}",
+            lambda t=t, d=deferred: spark.createDataFrame(
+                [(t.delete_where(cond, deferred=d),)], "v bigint"
+            ),
+        )
+        probe(
+            f"read_after_{mode}_{n_orders}",
+            lambda t=t: t.read(),
+        )
+
+
 if __name__ == "__main__":
     main()

@@ -1129,3 +1129,21 @@ def test_deferred_delete_restore_and_clone_carry_vectors(spark, table):
     assert table._load_manifest(v3).get("dvs")
     c = table.clone(str(table.root) + "_clone", version=v1)
     assert c.read().count() == 90
+
+
+def test_deferred_delete_with_key_values_pruning(spark, table):
+    """deferred=True composes with key_values bucket pruning: the
+    discovery scan reads only candidate buckets, the vector subtracts
+    exactly the listed-and-matching keys, and unlisted keys the
+    condition would match stay untouched (the semantic contract)."""
+    v = table.delete_where(
+        F.col("k") < 10, key_values=[(3,), (7,), (50,)], deferred=True
+    )
+    m = table._load_manifest(v)
+    assert m["operation"] == "delete_deferred"
+    got = table.read()
+    assert got.count() == 98
+    assert got.where(F.col("k").isin([3, 7])).count() == 0
+    # k=50 is listed but fails the condition; k<10 unlisted keys stay
+    assert got.where(F.col("k") == 50).count() == 1
+    assert got.where(F.col("k") < 10).count() == 8
