@@ -1042,3 +1042,149 @@ STAGED_QUERIES["streaming_full_outer_join_replay_events"] = (
 STAGED_ORACLES["streaming_full_outer_join_replay_events"] = (
     STREAMING_FULL_OUTER_JOIN_SQL
 )
+
+
+# === Vector store over the lakehouse: ANN with merge-on-read deletes ============
+
+
+def dv_vector_store_topk_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The VECTOR-STORE-OVER-LAKEHOUSE composition: embeddings live in
+    a VersionedTable keyed by vec_id, vectors are retired with a
+    DEFERRED delete (a vector store deletes constantly — re-encoded
+    docs, GDPR — and rewriting owning buckets per retire is exactly
+    the amplification DVs remove), and similarity search runs over
+    ``t.read()`` — the deleted vectors vanish from the top-k without
+    any index rebuild, because the DV anti-join happens below the
+    scoring plan.  Exact top-20 to the vec_id=0 probe (the
+    cosine_topk shape) with vec_id%5==2 retired.
+
+    Per-identity contract (as every vector-store op): assumes unique
+    vec_ids upstream — the KEY_UNIQUE skip class in the gates."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+    from nasa_asteroid_data_lakehouse_spark.llm import similarity
+
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .where(
+            F.col("vec_id").isNotNull()
+            & similarity.vec_valid(F.col("embedding"))
+        )
+        .select("vec_id", "embedding")
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_dvvs_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        t.create(emb, keys=["vec_id"])
+        t.delete_where(
+            (F.col("vec_id") % 5 == 2) & (F.col("vec_id") >= 0),
+            deferred=True,
+        )
+        store = t.read()
+        query = store.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("query_vec")
+        )
+        scored = store.crossJoin(F.broadcast(query)).select(
+            "vec_id",
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("query_vec")), 6
+            ).alias("cosine_sim"),
+        )
+        return (
+            scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+            .limit(20)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+DV_VECTOR_STORE_TOPK_SQL = """
+WITH live AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+    AND NOT (vec_id % 5 = 2 AND vec_id >= 0)
+),
+q AS (SELECT embedding::DOUBLE[] AS query_vec FROM live WHERE vec_id = 0)
+SELECT vec_id,
+  ROUND(list_dot_product(embedding::DOUBLE[], query_vec::DOUBLE[])
+        / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           * sqrt(list_dot_product(query_vec::DOUBLE[], query_vec::DOUBLE[]))),
+        6) AS cosine_sim
+FROM live, q
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 20
+"""
+
+STAGED_QUERIES["dv_vector_store_topk_embeddings"] = (
+    dv_vector_store_topk_embeddings
+)
+STAGED_ORACLES["dv_vector_store_topk_embeddings"] = DV_VECTOR_STORE_TOPK_SQL
+
+
+# === OPTIMIZE ZORDER purges deletion vectors ====================================
+
+
+def optimize_dv_purge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND purge path: ``optimize(zorder_by=...)`` is a full
+    rewrite, so it must materialize every deletion vector (survivors
+    only land in the z-sliced files) and commit with an empty ``dvs``
+    map — after optimize + vacuum the raw storage holds exactly the
+    survivors, byte-for-byte (hash-independent, like the compact-purge
+    audit).  This is the production rhythm: deferred deletes accrue
+    between maintenance windows, OPTIMIZE pays the debt while it
+    improves the layout anyway."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = _orders_base(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ndl_odv_")
+    try:
+        t = VersionedTable(spark, tmp, num_buckets=8)
+        t.create(base, keys=["o_orderkey"])
+        t.delete_where(
+            (F.col("o_orderkey") % 8 == 0) & (F.col("o_orderkey") >= 0),
+            deferred=True,
+        )
+        v = t.optimize(zorder_by=["cents"], files_per_bucket=2)
+        m = t._load_manifest(v)
+        dvs_after = 1 if m.get("dvs") else 0
+        t.vacuum(keep_last=1)
+        files = [f for fs in m["buckets"].values() for f in fs]
+        physical = (
+            spark.read.parquet(*files).count() if files else 0
+        )
+        logical = t.read().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("s"),
+        ).first()
+        out = spark.createDataFrame(
+            [
+                (
+                    int(logical["n"]),
+                    int(logical["s"]),
+                    int(dvs_after),
+                    int(physical),
+                )
+            ],
+            "n_rows bigint, cents_sum bigint, dvs_after_optimize bigint, "
+            "physical_after_vacuum bigint",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+OPTIMIZE_DV_PURGE_SQL = f"""
+WITH base AS ({_ORDERS_BASE_SQL}),
+survivors AS (SELECT key, cents FROM base WHERE NOT (key % 8 = 0))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_sum,
+       CAST(0 AS BIGINT) AS dvs_after_optimize,
+       CAST(COUNT(*) AS BIGINT) AS physical_after_vacuum
+FROM survivors
+"""
+
+STAGED_QUERIES["optimize_dv_purge_orders"] = optimize_dv_purge_orders
+STAGED_ORACLES["optimize_dv_purge_orders"] = OPTIMIZE_DV_PURGE_SQL

@@ -85,6 +85,11 @@ KEY_UNIQUE_PRECONDITION = {
     # oracle aggregates every row.
     "txn_consistent_snapshot_orders",
     "zorder_optimize_roundtrip_orders",
+    # r10 staged: the vector store materializes embeddings into a
+    # VersionedTable keyed by vec_id — create() collapses duplicate
+    # ids to one arbitrary-but-stable embedding while the oracle scores
+    # every row (the vector-store per-identity contract).
+    "dv_vector_store_topk_embeddings",
 }
 
 

@@ -76,6 +76,14 @@ def main() -> None:
         f"streaming_full_outer_join_replay_{n_events}",
         lambda: r10.streaming_full_outer_join_replay_events(spark, sf),
     )
+    probe(
+        f"dv_vector_store_topk_{n_vecs}",
+        lambda: r10.dv_vector_store_topk_embeddings(spark, sf),
+    )
+    probe(
+        f"optimize_dv_purge_{n_orders}",
+        lambda: r10.optimize_dv_purge_orders(spark, sf),
+    )
 
 
 

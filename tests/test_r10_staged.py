@@ -16,7 +16,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import r10_queries as r10
 
 def test_staged_registry_shape():
     assert set(r10.STAGED_QUERIES) == set(r10.STAGED_ORACLES)
-    assert len(r10.STAGED_QUERIES) == 8
+    assert len(r10.STAGED_QUERIES) == 10
 
 
 def _write(df, tmp_path, table):
@@ -246,3 +246,40 @@ def test_full_outer_replay_empty_side_suppresses_outer(spark, tmp_path):
     assert got["n_pairs"] == 0
     assert got["n_left_nulls"] == 0
     assert got["n_right_nulls"] == 0
+
+
+# --- vector store over the lakehouse ------------------------------------------------
+
+
+def test_dv_vector_store_excludes_retired_vectors(spark, tmp_path):
+    """Retired (deferred-deleted) vectors must vanish from the top-k:
+    vec_id%5==2 never appears, and the probe still ranks itself
+    first."""
+    import math
+
+    vecs = [
+        (i, [math.cos(i * 0.37), math.sin(i * 0.37), 0.5, 1.0])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    df = df.withColumn("label", F.lit(0))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    rows = r10.dv_vector_store_topk_embeddings(spark, str(tmp_path)).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == 20
+    assert all(i % 5 != 2 for i in ids)
+    assert ids[0] == 0  # the probe matches itself at cosine 1.0
+
+
+# --- optimize purges deletion vectors ------------------------------------------------
+
+
+def test_optimize_dv_purge_counts(spark, tmp_path):
+    keys = list(range(1, 65))
+    sf = _orders(spark, tmp_path, keys)
+    got = r10.optimize_dv_purge_orders(spark, sf).collect()[0]
+    survivors = [k for k in keys if k % 8 != 0]
+    assert got["n_rows"] == len(survivors)
+    assert got["cents_sum"] == sum(k % 500 for k in survivors)
+    assert got["dvs_after_optimize"] == 0
+    assert got["physical_after_vacuum"] == len(survivors)
