@@ -38,6 +38,26 @@ REPROVE: dict[int, list[str]] = {
     9: [
         "minhash_band_sweep_documents",
     ],
+    # r10: lake/table.py grew the deletion-vector layer + restore +
+    # timestamp time travel in round 9 — every registered query that
+    # flows through VersionedTable write/read paths and was last
+    # driver-checked in r08 (on the pre-DV code) re-proves; the r09
+    # lake heads (vacuum/rebucket/erasure) were checked in-round on the
+    # new code already.  streaming replays ride streaming/lakehouse.py,
+    # whose guard also changed (O(1) watermark read).
+    10: [
+        "zorder_optimize_roundtrip_orders",
+        "txn_consistent_snapshot_orders",
+        "ivm_incremental_dim_orders",
+        "cdc_apply_schema_evolution_orders",
+        "streaming_upsert_replay_events",
+        "clone_divergence_orders",
+        "cdc_apply_roundtrip_orders",
+        "versioned_table_cdf_orders",
+        "versioned_table_delete_cdf_orders",
+        "versioned_table_schema_evolution_orders",
+        "file_skipping_stats_orders",
+    ],
 }
 
 
