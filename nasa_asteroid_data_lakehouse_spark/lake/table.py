@@ -811,11 +811,18 @@ class VersionedTable:
 
     def changes(
         self,
-        from_version: int,
+        from_version: int | None = None,
         to_version: int | None = None,
         include_preimages: bool = False,
+        from_timestamp: float | None = None,
+        to_timestamp: float | None = None,
     ) -> DataFrame:
         """Row-level diff between two snapshots keyed by the table keys.
+
+        Endpoints are versions, or timestamps resolved through
+        :meth:`version_as_of` (Delta's ``table_changes`` accepts both
+        forms) — pass exactly one of ``from_version``/``from_timestamp``
+        and at most one of ``to_version``/``to_timestamp``.
 
         ``include_preimages=True`` additionally emits an
         ``update_preimage`` row (the OLD image) for every update-ish
@@ -859,7 +866,18 @@ class VersionedTable:
         delete classified in a single pass) instead of three separate
         joins.  An upsert that touched 5 of 1000 buckets diffs 5.
         """
-        to_v = self.latest_version() if to_version is None else to_version
+        if (from_version is None) == (from_timestamp is None):
+            raise ValueError(
+                "pass exactly one of from_version / from_timestamp"
+            )
+        if to_version is not None and to_timestamp is not None:
+            raise ValueError("pass at most one of to_version / to_timestamp")
+        if from_timestamp is not None:
+            from_version = self.version_as_of(from_timestamp)
+        if to_timestamp is not None:
+            to_v = self.version_as_of(to_timestamp)
+        else:
+            to_v = self.latest_version() if to_version is None else to_version
         from_m = self._load_manifest(from_version)
         to_m = self._load_manifest(to_v)
         keys = to_m["keys"]
@@ -1132,9 +1150,13 @@ class VersionedTable:
             raise
         return version + 1
 
-    def restore(self, version: int) -> int:
+    def restore(
+        self, version: int | None = None, timestamp: float | None = None
+    ) -> int:
         """Roll the table back to snapshot ``version`` AS A NEW COMMIT
-        (Delta ``RESTORE TABLE ... TO VERSION AS OF``): history is
+        (Delta ``RESTORE TABLE ... TO VERSION AS OF``; pass
+        ``timestamp`` instead for the TIMESTAMP AS OF form, resolved
+        through :meth:`version_as_of`): history is
         never rewritten — the rollback is itself a commit, so the
         pre-restore head stays readable and :meth:`changes`
         (pre_restore_head, restored_version) classifies the undo delta
@@ -1163,6 +1185,10 @@ class VersionedTable:
         any data file it references was vacuumed (Delta's RESTORE has
         the same hazard); the failure happens BEFORE the commit, so a
         failed restore leaves no trace."""
+        if (version is None) == (timestamp is None):
+            raise ValueError("pass exactly one of version / timestamp")
+        if timestamp is not None:
+            version = self.version_as_of(timestamp)
         head = self.latest_version()
         if head is None:
             raise ValueError("table does not exist")

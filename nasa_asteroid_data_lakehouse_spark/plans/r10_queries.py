@@ -1188,3 +1188,122 @@ FROM survivors
 
 STAGED_QUERIES["optimize_dv_purge_orders"] = optimize_dv_purge_orders
 STAGED_ORACLES["optimize_dv_purge_orders"] = OPTIMIZE_DV_PURGE_SQL
+
+
+# === Streaming CDF subscription through the table_changes source ===============
+
+
+def streaming_cdf_subscription_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CDC SUBSCRIPTION, end to end through the real source:
+    ``spark.readStream.format("table_changes")`` (sources/cdf_stream.py
+    — offsets are commit versions, one executor task per changed
+    bucket) drains a commit chain covering every round-9/10 commit
+    type — upsert (bump key%5, insert the synthetic -1), DEFERRED
+    delete (key%7 and -1: the dv-diff changed-bucket path), restore(0)
+    (the undo feed) — with ``availableNow`` and a real checkpoint.
+    The audit aggregates the drained feed per change type and counts
+    distinct commit versions; the arithmetic is the cdf_stream_replay
+    chain's, so the subscription is provably the same feed the batch
+    CDF computes, delivered with streaming offset semantics.
+
+    Scale: the source diffs O(changed buckets) per commit on
+    executors; the subscription never scans unchanged data."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+    from nasa_asteroid_data_lakehouse_spark.sources import cdf_stream
+
+    cdf_stream.register(spark)
+    base = _orders_base(spark, sf_dir)
+    synthetic = spark.createDataFrame(
+        [(-1, -1)], "o_orderkey bigint, cents bigint"
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_cdfsub_")
+    try:
+        t = VersionedTable(spark, f"{tmp}/t", num_buckets=8)
+        t.create(base, keys=["o_orderkey"])
+        t.upsert(
+            base.where(F.col("o_orderkey") % 5 == 0)
+            .select("o_orderkey", (F.col("cents") + 1000).alias("cents"))
+            .unionByName(synthetic)
+        )
+        t.delete_where(
+            ((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") >= 0))
+            | (F.col("o_orderkey") == -1),
+            deferred=True,
+        )
+        t.restore(0)
+        out = f"{tmp}/rows"
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", t.root)
+            .option("starting_version", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination()
+        feed = spark.read.parquet(out)
+        return (
+            feed.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_feed_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_change_type") == "insert", 1)),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_inserts"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("_change_type") == "update_postimage", 1)
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_updates"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_change_type") == "delete", 1)),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_deletes"),
+                F.countDistinct("_commit_version")
+                .cast("bigint")
+                .alias("n_versions"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_CDF_SUBSCRIPTION_SQL = f"""
+WITH base AS ({_ORDERS_BASE_SQL}),
+n5 AS (SELECT COUNT(*) AS c FROM base WHERE key % 5 = 0),
+n7 AS (SELECT COUNT(*) AS c FROM base WHERE key % 7 = 0),
+n57 AS (SELECT COUNT(*) AS c FROM base WHERE key % 5 = 0 AND NOT key % 7 = 0)
+-- v1 upsert: n5 updates + 1 insert (synthetic -1)
+-- v2 deferred delete: n7 + 1 deletes (the dv-diff path)
+-- v3 restore undo: n7 re-inserts + n57 reverts (-1 already gone)
+SELECT CAST((SELECT c FROM n5) + 1 + (SELECT c FROM n7) + 1
+            + (SELECT c FROM n7) + (SELECT c FROM n57) AS BIGINT)
+         AS n_feed_rows,
+       CAST(1 + (SELECT c FROM n7) AS BIGINT) AS n_inserts,
+       CAST((SELECT c FROM n5) + (SELECT c FROM n57) AS BIGINT) AS n_updates,
+       CAST((SELECT c FROM n7) + 1 AS BIGINT) AS n_deletes,
+       -- a version appears in the feed only if it emitted rows: v1/v2
+       -- always do (the synthetic row), v3's undo feed is empty when
+       -- no key%5 / key%7 rows exist (tiny fixtures)
+       CAST(2 + CASE WHEN (SELECT c FROM n7) + (SELECT c FROM n57) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_versions
+"""
+
+STAGED_QUERIES["streaming_cdf_subscription_orders"] = (
+    streaming_cdf_subscription_orders
+)
+STAGED_ORACLES["streaming_cdf_subscription_orders"] = (
+    STREAMING_CDF_SUBSCRIPTION_SQL
+)

@@ -84,6 +84,10 @@ def main() -> None:
         f"optimize_dv_purge_{n_orders}",
         lambda: r10.optimize_dv_purge_orders(spark, sf),
     )
+    probe(
+        f"streaming_cdf_subscription_{n_orders}",
+        lambda: r10.streaming_cdf_subscription_orders(spark, sf),
+    )
 
 
 

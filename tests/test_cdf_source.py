@@ -1,0 +1,171 @@
+"""The ``table_changes`` Python DataSource (sources/cdf_stream.py):
+a VersionedTable's change feed as a batch source and a streaming
+subscription — Delta's CDF read, over the manifest log.
+
+No reference analog: the reference (``src/etl/*.py``) rewrites whole
+tables per day and keeps no commit log.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nasa_asteroid_data_lakehouse_spark.lake import VersionedTable
+from nasa_asteroid_data_lakehouse_spark.sources import cdf_stream
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    cdf_stream.register(spark)
+    t = VersionedTable(spark, str(tmp_path / "t"), num_buckets=4)
+    t.create(
+        spark.createDataFrame(
+            [(i, i % 7) for i in range(30)], "k bigint, v bigint"
+        ),
+        keys=["k"],
+    )
+    return t
+
+
+def _rows(df):
+    return sorted(
+        map(tuple, df.select("k", "v", "_change_type", "_commit_version").collect())
+    )
+
+
+def test_batch_read_matches_changes(spark, table):
+    table.upsert(spark.createDataFrame([(3, 100), (99, 1)], "k bigint, v bigint"))
+    table.delete_where(F.col("k") % 10 == 5)
+    src = (
+        spark.read.format("table_changes")
+        .option("path", table.root)
+        .option("from_version", 0)
+        .load()
+    )
+    eng = table.changes(0)
+    assert sorted(
+        map(tuple, src.select("k", "v", "_change_type").collect())
+    ) == sorted(map(tuple, eng.select("k", "v", "_change_type").collect()))
+    # the default backfill also emits version 0 as inserts
+    full = spark.read.format("table_changes").option("path", table.root).load()
+    assert full.where("_commit_version = 0").count() == 30
+    assert (
+        full.where("_commit_version = 0")
+        .where("_change_type <> 'insert'")
+        .count()
+        == 0
+    )
+
+
+def test_deferred_delete_surfaces_in_feed(spark, table):
+    """A dv-only commit touches no data file; the source must still
+    emit its deletes (the dv-diff changed-bucket rule)."""
+    table.delete_where(F.col("k") % 9 == 0, deferred=True)
+    src = (
+        spark.read.format("table_changes")
+        .option("path", table.root)
+        .option("from_version", 0)
+        .load()
+    )
+    got = _rows(src)
+    assert got == sorted(
+        (k, k % 7, "delete", 1) for k in range(30) if k % 9 == 0
+    )
+
+
+def test_stream_drains_and_resumes_exactly_once(spark, table, tmp_path):
+    """availableNow drains the committed versions; a LATER drain from
+    the same checkpoint emits only versions committed in between — the
+    offset is the commit version and replays exactly."""
+    table.upsert(spark.createDataFrame([(3, 100)], "k bigint, v bigint"))
+    out, ck = str(tmp_path / "rows"), str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", table.root)
+            .option("starting_version", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    first = _rows(drain())
+    assert first == [(3, 100, "update_postimage", 1)]
+    # new commits while the stream is down
+    table.delete_where(F.col("k") == 5)
+    table.upsert(spark.createDataFrame([(200, 0)], "k bigint, v bigint"))
+    second = _rows(drain())
+    assert second == [
+        (3, 100, "update_postimage", 1),
+        (5, 5, "delete", 2),
+        (200, 0, "insert", 3),
+    ]
+    # a third drain with no new commits appends nothing
+    assert _rows(drain()) == second
+
+
+def test_stream_follows_restore_and_dv_commits(spark, table, tmp_path):
+    """The subscription composes with the round-9 commit types: a
+    deferred delete surfaces as deletes, a restore as its undo feed."""
+    v1 = table.delete_where(F.col("k") % 9 == 0, deferred=True)
+    table.restore(0)
+    out, ck = str(tmp_path / "rows"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", table.root)
+        .option("starting_version", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination()
+    got = _rows(spark.read.parquet(out))
+    dels = [(k, k % 7, "delete", v1) for k in range(30) if k % 9 == 0]
+    undo = [(k, k % 7, "insert", v1 + 1) for k in range(30) if k % 9 == 0]
+    assert got == sorted(dels + undo)
+
+
+def test_schema_added_columns_null_fill_in_feed(spark, table):
+    """Rows from commits BEFORE a column existed read the stream's
+    pinned schema with NULL in the late column (mergeSchema
+    semantics); the evolved rows carry their values."""
+    table.upsert(
+        spark.createDataFrame([(3, 100, "note")], "k bigint, v bigint, w string")
+    )
+    src = (
+        spark.read.format("table_changes")
+        .option("path", table.root)
+        .option("from_version", 0)
+        .load()
+    )
+    rows = {r["k"]: r for r in src.collect()}
+    assert rows[3]["w"] == "note"
+    assert rows[3]["_change_type"] == "update_postimage"
+
+
+def test_null_key_rows_diff_null_safely(spark, tmp_path):
+    cdf_stream.register(spark)
+    t = VersionedTable(spark, str(tmp_path / "tn"), num_buckets=2)
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (None, "n")], "k bigint, v string"
+        ),
+        keys=["k"],
+    )
+    t.upsert(spark.createDataFrame([(None, "N2")], "k bigint, v string"))
+    src = (
+        spark.read.format("table_changes")
+        .option("path", t.root)
+        .option("from_version", 0)
+        .load()
+    )
+    got = [(r["k"], r["v"], r["_change_type"]) for r in src.collect()]
+    assert got == [(None, "N2", "update_postimage")]

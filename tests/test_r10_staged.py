@@ -16,7 +16,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import r10_queries as r10
 
 def test_staged_registry_shape():
     assert set(r10.STAGED_QUERIES) == set(r10.STAGED_ORACLES)
-    assert len(r10.STAGED_QUERIES) == 10
+    assert len(r10.STAGED_QUERIES) == 11
 
 
 def _write(df, tmp_path, table):
@@ -283,3 +283,20 @@ def test_optimize_dv_purge_counts(spark, tmp_path):
     assert got["cents_sum"] == sum(k % 500 for k in survivors)
     assert got["dvs_after_optimize"] == 0
     assert got["physical_after_vacuum"] == len(survivors)
+
+
+# --- streaming CDF subscription ------------------------------------------------------
+
+
+def test_streaming_cdf_subscription_counts(spark, tmp_path):
+    keys = list(range(1, 36))
+    sf = _orders(spark, tmp_path, keys)
+    got = r10.streaming_cdf_subscription_orders(spark, sf).collect()[0]
+    n5 = sum(1 for k in keys if k % 5 == 0)
+    n7 = sum(1 for k in keys if k % 7 == 0)
+    n57 = sum(1 for k in keys if k % 5 == 0 and k % 7 != 0)
+    assert got["n_inserts"] == 1 + n7
+    assert got["n_updates"] == n5 + n57
+    assert got["n_deletes"] == n7 + 1
+    assert got["n_feed_rows"] == got["n_inserts"] + got["n_updates"] + got["n_deletes"]
+    assert got["n_versions"] == 3

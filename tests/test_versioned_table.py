@@ -1147,3 +1147,33 @@ def test_deferred_delete_with_key_values_pruning(spark, table):
     # k=50 is listed but fails the condition; k<10 unlisted keys stay
     assert got.where(F.col("k") == 50).count() == 1
     assert got.where(F.col("k") < 10).count() == 8
+
+
+def test_timestamp_forms_of_changes_and_restore(spark, table):
+    """Delta parity sugar: changes() and restore() accept timestamps,
+    resolved by the same latest-commit-<=-ts rule as read()."""
+    v1 = table.upsert(
+        spark.createDataFrame([(5, "B", 1.0), (500, "new", 0.0)],
+                              ["k", "val", "m"])
+    )
+    v2 = table.delete_where(F.col("k") == 7)
+    c1 = table._load_manifest(v1)["committed_at"]
+    c2 = table._load_manifest(v2)["committed_at"]
+    # CDF between timestamps == CDF between the resolved versions
+    got = table.changes(from_timestamp=c1, to_timestamp=c2 + 5)
+    want = table.changes(v1, v2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError):
+        table.changes()  # no from endpoint
+    with pytest.raises(ValueError):
+        table.changes(0, from_timestamp=c1)  # both from forms
+    with pytest.raises(ValueError):
+        table.changes(0, to_version=1, to_timestamp=c1)  # both to forms
+    # restore by timestamp: roll back to the v1-era snapshot
+    v3 = table.restore(timestamp=(c1 + c2) / 2)
+    assert table._load_manifest(v3)["restored_version"] == v1
+    assert table.read().where("k = 7").count() == 1  # un-deleted
+    with pytest.raises(ValueError):
+        table.restore()
+    with pytest.raises(ValueError):
+        table.restore(0, timestamp=c1)
