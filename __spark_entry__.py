@@ -93,7 +93,8 @@ REGISTER_R09 = True
 # (int8/int4/int2), stream-stream FULL OUTER interval-join replay,
 # vector-store-over-lakehouse top-k with retired vectors, OPTIMIZE
 # ZORDER DV purge, streaming CDF subscription through the
-# table_changes Python DataSource.  Pre-wired: _BNLJ_ALLOWED entry
+# table_changes Python DataSource, decontamination n-gram sweep,
+# quality-gate threshold sweep.  Pre-wired: _BNLJ_ALLOWED entry
 # (quant_bits_sweep_embeddings — broadcast anchors x corpus) and
 # KEY_UNIQUE entry (dv_vector_store_topk_embeddings — per-identity
 # vector store).  Then run update_rotation 10.

@@ -1307,3 +1307,267 @@ STAGED_QUERIES["streaming_cdf_subscription_orders"] = (
 STAGED_ORACLES["streaming_cdf_subscription_orders"] = (
     STREAMING_CDF_SUBSCRIPTION_SQL
 )
+
+
+# === Decontamination n-gram sweep ===============================================
+
+_DNS_NS = (2, 3, 5)
+
+
+def decontamination_ngram_sweep_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DECONTAMINATION tuning sweep — the seventh knob table: how many
+    corpus documents share at least one word n-gram with the held-out
+    eval slice (doc_id%97==0, the decontaminate_documents split) at
+    n = 2 / 3 / 5.  Small n over-flags (common phrases), large n
+    under-flags (only verbatim spans) — this table is what a training
+    run reads before fixing its contamination n (the 13-gram folklore
+    is a point on this curve, not a law).
+
+    ONE pass over the corpus serves every config: the per-doc token
+    array materializes once and each n's shingle set derives from it
+    in the same projection (a struct-array explode tags rows with n),
+    so adding an n costs one array column, not another corpus scan.
+    The eval side stays broadcast exactly as in the registered
+    decontaminate query; counts are monotone NON-INCREASING in n by
+    construction (an (n+1)-gram match implies an n-gram match on the
+    same tokens).  Output: 3 rows."""
+    from nasa_asteroid_data_lakehouse_spark.llm import dedup
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        *[dedup.word_shingles("text", n).alias(f"sh{n}") for n in _DNS_NS],
+    )
+    entries = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).cast("bigint").alias("n"),
+                            F.col(f"sh{n}").alias("sh"),
+                        )
+                        for n in _DNS_NS
+                    ]
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", F.col("t.n").alias("n"), F.explode("t.sh").alias("shingle"))
+        .distinct()
+    )
+    ev = (
+        entries.where(F.col("doc_id") % 97 == 0)
+        .select("n", "shingle")
+        .distinct()
+    )
+    corpus = entries.where(F.col("doc_id") % 97 != 0)
+    n_corpus_docs = int(
+        docs.where(F.col("doc_id") % 97 != 0).count()
+    )  # bounded scalar (includes shingle-less docs; the rate's denominator)
+    hits = corpus.join(F.broadcast(ev), ["n", "shingle"])
+    agg = hits.groupBy("n").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_contaminated"),
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap_pairs"),
+    )
+    grid = spark.createDataFrame([(n,) for n in _DNS_NS], "n bigint")
+    return (
+        grid.join(agg, "n", "left")
+        .select(
+            "n",
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.coalesce("n_overlap_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap_pairs"),
+            F.lit(n_corpus_docs).cast("bigint").alias("n_corpus_docs"),
+            F.round(
+                F.try_divide(
+                    F.coalesce("n_contaminated", F.lit(0)), F.lit(n_corpus_docs)
+                ),
+                6,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("n")
+    )
+
+
+def _dns_sql() -> str:
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    per_n = "\nUNION ALL\n".join(
+        f"""SELECT CAST({n} AS BIGINT) AS n,
+       (SELECT CAST(COUNT(DISTINCT c.doc_id) AS BIGINT)
+        FROM corpus{n} c JOIN ev{n} e USING (shingle)) AS n_contaminated,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM corpus{n} c JOIN ev{n} e USING (shingle)) AS n_overlap_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE doc_id % 97 <> 0) AS n_corpus_docs,
+       ROUND((SELECT COUNT(DISTINCT c.doc_id)
+              FROM corpus{n} c JOIN ev{n} e USING (shingle))
+             / NULLIF((SELECT COUNT(*) FROM documents
+                       WHERE doc_id % 97 <> 0), 0), 6)
+         AS contamination_rate"""
+        for n in _DNS_NS
+    )
+    shingle_ctes = ",\n".join(
+        f"""sh{n} AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {n}
+         THEN list_distinct(list_transform(range(1, len(words) - {n - 2}),
+                            j -> array_to_string(words[j:j+{n - 1}], ' ')))
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
+),
+ev{n} AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh{n}
+          WHERE doc_id % 97 = 0),
+corpus{n} AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh{n}
+              WHERE doc_id % 97 <> 0)"""
+        for n in _DNS_NS
+    )
+    return rf"""
+WITH w AS (SELECT doc_id, string_split({norm}, ' ') AS words FROM documents),
+{shingle_ctes}
+{per_n}
+ORDER BY n
+"""
+
+
+STAGED_QUERIES["decontamination_ngram_sweep_documents"] = (
+    decontamination_ngram_sweep_documents
+)
+STAGED_ORACLES["decontamination_ngram_sweep_documents"] = _dns_sql()
+
+
+# === Quality-gate threshold sweep ===============================================
+
+_QTS_MIN_WORDS = (5, 25, 100)
+
+
+def quality_threshold_sweep_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CURATION-GATE tuning sweep — the eighth knob table: the
+    Gopher-style composite gate's survivors and TOKEN YIELD as the
+    minimum-word-count threshold moves (5 / 25 / 100 words), every
+    other rule held at production values.  This is the curation trade
+    a pretraining run prices before fixing its gate: each step of the
+    threshold buys quality and pays tokens — the yield column is the
+    bill.
+
+    ONE shared feature frame serves every config (the sweep
+    discipline): ``llm/curation.quality_filter`` computes the per-doc
+    stats and rule booleans once, and each threshold is a boolean
+    filter over the same checkpointed frame — three bounded
+    aggregates, not three corpus scans.  Counts are monotone
+    NON-INCREASING in the threshold by construction.  Output: 3
+    rows."""
+    from nasa_asteroid_data_lakehouse_spark.llm import curation
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = int(docs.count())  # bounded scalar, the keep-rate denominator
+    qf = curation.quality_filter(docs).localCheckpoint(eager=False)
+    other_ok = (
+        F.col("ok_avg_word_len")
+        & F.col("ok_top_word")
+        & F.col("ok_dup_bigram")
+        & F.col("ok_stopwords")
+    )
+    rows = []
+    for t in _QTS_MIN_WORDS:
+        kept = other_ok & (
+            F.col("n_words") >= t
+        ) & (F.col("n_words") <= curation.QF_MAX_WORDS)
+        rows.append(
+            qf.agg(
+                F.lit(t).cast("bigint").alias("min_words"),
+                F.coalesce(F.sum(F.when(kept, 1)), F.lit(0))
+                .cast("bigint")
+                .alias("n_kept"),
+                F.coalesce(F.sum(F.when(kept, F.col("n_words"))), F.lit(0))
+                .cast("bigint")
+                .alias("token_yield"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "min_words",
+        "n_kept",
+        "token_yield",
+        F.round(F.try_divide(F.col("n_kept"), F.lit(n_docs)), 6).alias(
+            "keep_rate"
+        ),
+    ).orderBy("min_words")
+
+
+def _qts_sql() -> str:
+    from nasa_asteroid_data_lakehouse_spark.llm import curation, text
+
+    en = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+    normc = r"trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))"
+    toks = (
+        f"CASE WHEN {normc} = '' THEN []::VARCHAR[] "
+        f"ELSE string_split({normc}, ' ') END"
+    )
+    per_t = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS BIGINT) AS min_words,
+       CAST(COALESCE(SUM(CASE WHEN other_ok AND n_words >= {t}
+                          AND n_words <= {curation.QF_MAX_WORDS}
+                         THEN 1 END), 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN other_ok AND n_words >= {t}
+                          AND n_words <= {curation.QF_MAX_WORDS}
+                         THEN n_words END), 0) AS BIGINT) AS token_yield,
+       ROUND(COALESCE(SUM(CASE WHEN other_ok AND n_words >= {t}
+                           AND n_words <= {curation.QF_MAX_WORDS}
+                          THEN 1 END), 0)
+             / NULLIF((SELECT COUNT(*) FROM documents), 0), 6) AS keep_rate
+FROM feats"""
+        for t in _QTS_MIN_WORDS
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, {toks} AS w FROM documents
+),
+core AS (
+  SELECT doc_id, w,
+    len(w) AS n_words,
+    CASE WHEN len(w) > 0
+         THEN ROUND(length(array_to_string(w, '')) / len(w), 6)
+         ELSE 0.0 END AS avg_word_len,
+    CASE WHEN len(w) > 0
+         THEN ROUND(len(list_filter(w, t -> t IN ({en}))) / len(w), 6)
+         ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len(w) > 1
+         THEN ROUND(1 - len(list_distinct(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1]))) / (len(w) - 1), 6)
+         ELSE 0.0 END AS dup_bigram_frac
+  FROM base
+),
+top AS (
+  SELECT doc_id, ROUND(MAX(c) / SUM(c), 6) AS top_word_frac FROM (
+    SELECT doc_id, term, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS term FROM base) GROUP BY 1, 2
+  ) GROUP BY doc_id
+),
+feats AS (
+  SELECT core.doc_id, n_words,
+    (avg_word_len >= {curation.QF_MIN_AVG_WORD_LEN!r}
+     AND avg_word_len <= {curation.QF_MAX_AVG_WORD_LEN!r}
+     AND COALESCE(top_word_frac, 0.0) <= {curation.QF_MAX_TOP_WORD_FRAC!r}
+     AND dup_bigram_frac <= {curation.QF_MAX_DUP_BIGRAM_FRAC!r}
+     AND stopword_ratio >= {curation.QF_MIN_STOPWORD_RATIO!r}) AS other_ok
+  FROM core LEFT JOIN top ON core.doc_id = top.doc_id
+)
+{per_t}
+ORDER BY min_words
+"""
+
+
+STAGED_QUERIES["quality_threshold_sweep_documents"] = (
+    quality_threshold_sweep_documents
+)
+STAGED_ORACLES["quality_threshold_sweep_documents"] = _qts_sql()

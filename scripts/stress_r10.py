@@ -14,7 +14,7 @@ gets timed.
 - streaming_full_outer_join_replay at 1M events: horizon-0 full outer
   with 8 time-ordered batches; per-key state bounded by the gap.
 
-Usage: python scripts/stress_r10.py [n_events] [n_orders] [n_vecs]
+Usage: python scripts/stress_r10.py [n_events] [n_orders] [n_vecs] [n_docs]
 """
 
 from __future__ import annotations
@@ -30,12 +30,14 @@ from nasa_asteroid_data_lakehouse_spark.session import get_spark
 from scripts.stress_corpus_stats import synth_events
 from scripts.stress_curation import probe, synth_vecs
 from scripts.stress_r06 import synth_orders
+from scripts.stress_curation import synth_docs
 
 
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_orders = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+    n_docs = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000
 
     spark = get_spark(app_name="stress-r10", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -43,6 +45,7 @@ def main() -> None:
     synth_events(spark, n_events).write.parquet(f"{sf}/events.parquet")
     synth_orders(spark, n_orders).write.parquet(f"{sf}/orders.parquet")
     synth_vecs(spark, n_vecs, 64).write.parquet(f"{sf}/embeddings.parquet")
+    synth_docs(spark, n_docs).write.parquet(f"{sf}/documents.parquet")
 
     probe(
         f"time_travel_timestamp_{n_orders}",
@@ -87,6 +90,14 @@ def main() -> None:
     probe(
         f"streaming_cdf_subscription_{n_orders}",
         lambda: r10.streaming_cdf_subscription_orders(spark, sf),
+    )
+    probe(
+        f"decontamination_ngram_sweep_{n_docs}",
+        lambda: r10.decontamination_ngram_sweep_documents(spark, sf),
+    )
+    probe(
+        f"quality_threshold_sweep_{n_docs}",
+        lambda: r10.quality_threshold_sweep_documents(spark, sf),
     )
 
 

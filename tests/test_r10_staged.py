@@ -16,7 +16,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import r10_queries as r10
 
 def test_staged_registry_shape():
     assert set(r10.STAGED_QUERIES) == set(r10.STAGED_ORACLES)
-    assert len(r10.STAGED_QUERIES) == 11
+    assert len(r10.STAGED_QUERIES) == 13
 
 
 def _write(df, tmp_path, table):
@@ -300,3 +300,55 @@ def test_streaming_cdf_subscription_counts(spark, tmp_path):
     assert got["n_deletes"] == n7 + 1
     assert got["n_feed_rows"] == got["n_inserts"] + got["n_updates"] + got["n_deletes"]
     assert got["n_versions"] == 3
+
+
+# --- decontamination n-gram sweep -----------------------------------------------------
+
+
+def test_decontamination_ngram_sweep_monotone(spark, tmp_path):
+    """Crafted corpus: doc 97 (eval) = 'a b c d e f'; doc 1 shares a
+    5-gram span, doc 2 shares only a bigram, doc 3 shares nothing.
+    Counts are monotone non-increasing in n."""
+    rows = [
+        (97, "a b c d e f"),
+        (1, "x a b c d e y"),      # 5-gram 'a b c d e' matches
+        (2, "c d zzz www qqq rrr"),  # only the bigram 'c d'
+        (3, "p q r s t u"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df = df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["n"]: r
+        for r in r10.decontamination_ngram_sweep_documents(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert [got[n]["n_contaminated"] for n in (2, 3, 5)] == [2, 1, 1]
+    assert got[2]["n_corpus_docs"] == 3
+    assert (
+        got[2]["n_overlap_pairs"]
+        >= got[3]["n_overlap_pairs"]
+        >= got[5]["n_overlap_pairs"]
+    )
+    assert got[2]["contamination_rate"] > got[5]["contamination_rate"]
+
+
+# --- quality threshold sweep -----------------------------------------------------------
+
+
+def test_quality_threshold_sweep_monotone_yield(spark, sf_dir):
+    rows = {
+        r["min_words"]: r
+        for r in r10.quality_threshold_sweep_documents(spark, sf_dir).collect()
+    }
+    assert set(rows) == {5, 25, 100}
+    # raising the floor can only drop documents and tokens
+    assert rows[5]["n_kept"] >= rows[25]["n_kept"] >= rows[100]["n_kept"]
+    assert (
+        rows[5]["token_yield"]
+        >= rows[25]["token_yield"]
+        >= rows[100]["token_yield"]
+    )
+    assert rows[5]["keep_rate"] >= rows[100]["keep_rate"]
+    assert rows[5]["n_kept"] > 0
