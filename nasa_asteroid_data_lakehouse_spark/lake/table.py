@@ -605,6 +605,60 @@ class VersionedTable:
                 continue
         raise CommitConflict(f"gave up after {retries} conflicting commits")
 
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        retries: int = 3,
+        extra_meta: dict | None = None,
+    ) -> int:
+        """Deferred (deletion-vector) delete of EXACTLY the keys in
+        ``keys_df`` — the DataFrame-driven twin of
+        ``delete_where(key_values=..., deferred=True)`` for delete sets
+        too large to ship as driver literals (a CDC feed's delete half,
+        a GDPR id list).  No discovery scan at all: the key set writes
+        straight into per-bucket vectors (hash-bucketed like the data)
+        and the commit is O(deleted keys) regardless of table size.
+        Keys absent from the table are harmless: their vector entries
+        subtract nothing and purge with the rest at the next rewrite.
+
+        ``extra_meta`` merges into the commit manifest (the idempotent
+        streaming marker hook, as on :meth:`upsert`) — a CDC apply can
+        make its delete half carry the batch marker."""
+        for _ in range(retries):
+            version = self.latest_version()
+            if version is None:
+                raise ValueError("table does not exist; call create() first")
+            manifest = self._load_manifest(version)
+            keys = manifest["keys"]
+            self.num_buckets = int(manifest.get("num_buckets", self.num_buckets))
+            dv_new = self._write_bucket_files(
+                keys_df.select(*keys).distinct(), keys
+            )
+            if not dv_new:
+                return version  # empty key set: no-op, no commit spam
+            merged_dvs = {
+                b: list(fs) for b, fs in manifest.get("dvs", {}).items()
+            }
+            for b, fs in dv_new.items():
+                merged_dvs[b] = merged_dvs.get(b, []) + fs
+            try:
+                self._commit(
+                    version + 1,
+                    dict(manifest["buckets"]),
+                    {
+                        "keys": keys,
+                        "operation": "delete_deferred",
+                        "touched_buckets": sorted(dv_new),
+                        "schema": manifest.get("schema"),
+                        **(extra_meta or {}),
+                    },
+                    dvs=merged_dvs,
+                )
+                return version + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {retries} conflicting commits")
+
     # --- read paths ----------------------------------------------------------
 
     def version_as_of(self, timestamp: float) -> int:

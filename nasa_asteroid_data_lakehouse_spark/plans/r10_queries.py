@@ -1571,3 +1571,114 @@ STAGED_QUERIES["quality_threshold_sweep_documents"] = (
     quality_threshold_sweep_documents
 )
 STAGED_ORACLES["quality_threshold_sweep_documents"] = _qts_sql()
+
+
+# === Continuous replication: CDF subscription -> replica sink ===================
+
+
+def streaming_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS TABLE REPLICATION, the full Delta-mirror composition:
+    the upstream table commits an upsert (bump key%5, insert -1) and a
+    DEFERRED delete (key%7, and -1), and a replica — starting from the
+    version-0 snapshot — converges by draining the ``table_changes``
+    subscription through ``streaming/replication.replication_sink``
+    (deletes as key-targeted bucket-pruned delete_where, images as an
+    incoming-wins upsert, the batch marker on the LAST commit so the
+    two-commit apply is exactly-once under any crash point).  The
+    audit pins replica == upstream row-for-row (NULL-safe full diff)
+    plus the replica's stream watermark having advanced.
+
+    Scale: the mirror's cost per batch is O(changed rows) on both
+    sides — the source diffs only changed buckets, the sink rewrites
+    only touched buckets; keeping the copy never scans either table."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+    from nasa_asteroid_data_lakehouse_spark.sources import cdf_stream
+    from nasa_asteroid_data_lakehouse_spark.streaming.lakehouse import (
+        stream_batch_watermark,
+    )
+    from nasa_asteroid_data_lakehouse_spark.streaming.replication import (
+        replication_sink,
+    )
+
+    cdf_stream.register(spark)
+    base = _orders_base(spark, sf_dir)
+    synthetic = spark.createDataFrame(
+        [(-1, -1)], "o_orderkey bigint, cents bigint"
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_repl_")
+    try:
+        src = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
+        src.create(base, keys=["o_orderkey"])
+        src.upsert(
+            base.where(F.col("o_orderkey") % 5 == 0)
+            .select("o_orderkey", (F.col("cents") + 1000).alias("cents"))
+            .unionByName(synthetic)
+        )
+        src.delete_where(
+            ((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") >= 0))
+            | (F.col("o_orderkey") == -1),
+            deferred=True,
+        )
+        rep = VersionedTable(spark, f"{tmp}/rep", num_buckets=8)
+        rep.create(src.read(version=0), keys=["o_orderkey"])
+        feed = (
+            spark.readStream.format("table_changes")
+            .option("path", src.root)
+            .option("starting_version", 1)
+            .load()
+        )
+        q = (
+            replication_sink(
+                feed, rep, keys=["o_orderkey"], checkpoint_dir=f"{tmp}/ck"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got, want = rep.read(), src.read()
+        mismatch = (
+            got.join(
+                want,
+                on=(got["o_orderkey"].eqNullSafe(want["o_orderkey"]))
+                & (got["cents"].eqNullSafe(want["cents"])),
+                how="left_anti",
+            ).count()
+            + want.join(
+                got,
+                on=(want["o_orderkey"].eqNullSafe(got["o_orderkey"]))
+                & (want["cents"].eqNullSafe(got["cents"])),
+                how="left_anti",
+            ).count()
+        )
+        wm_advanced = 1 if stream_batch_watermark(rep, "replication") >= 0 else 0
+        agg = got.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("s"),
+        ).first()
+        out = spark.createDataFrame(
+            [(int(agg["n"]), int(agg["s"]), int(mismatch), int(wm_advanced))],
+            "n_rows bigint, cents_sum bigint, n_mismatch bigint, "
+            "watermark_advanced bigint",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_REPLICATION_SQL = f"""
+WITH base AS ({_ORDERS_BASE_SQL}),
+final AS (
+  SELECT key,
+         cents + CASE WHEN key % 5 = 0 THEN 1000 ELSE 0 END AS cents
+  FROM base
+  WHERE NOT (key % 7 = 0)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_sum,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(1 AS BIGINT) AS watermark_advanced
+FROM final
+"""
+
+STAGED_QUERIES["streaming_replication_orders"] = streaming_replication_orders
+STAGED_ORACLES["streaming_replication_orders"] = STREAMING_REPLICATION_SQL

@@ -99,6 +99,10 @@ def main() -> None:
         f"quality_threshold_sweep_{n_docs}",
         lambda: r10.quality_threshold_sweep_documents(spark, sf),
     )
+    probe(
+        f"streaming_replication_{n_orders}",
+        lambda: r10.streaming_replication_orders(spark, sf),
+    )
 
 
 

@@ -169,3 +169,106 @@ def test_null_key_rows_diff_null_safely(spark, tmp_path):
     )
     got = [(r["k"], r["v"], r["_change_type"]) for r in src.collect()]
     assert got == [(None, "N2", "update_postimage")]
+
+
+# --- continuous replication (table_changes source -> replica sink) ---------------
+
+
+def _mirror(spark, src_root, replica, tmp, starting_version=0):
+    from nasa_asteroid_data_lakehouse_spark.streaming.replication import (
+        replication_sink,
+    )
+
+    feed = (
+        spark.readStream.format("table_changes")
+        .option("path", src_root)
+        .option("starting_version", starting_version)
+        .load()
+    )
+    q = (
+        replication_sink(feed, replica, keys=["k"], checkpoint_dir=f"{tmp}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _content(t):
+    return sorted(map(tuple, t.read().select("k", "v").collect()))
+
+
+def test_replication_mirror_converges(spark, table, tmp_path):
+    """Full loop: subscribe to the source table's CDF and apply into a
+    replica — the replica converges to the source across upserts,
+    deletes (incl. deferred), and a restore, and a re-drain from the
+    same checkpoint applies nothing new."""
+    rep = VersionedTable(spark, str(tmp_path / "rep"), num_buckets=4)
+    rep.create(
+        spark.createDataFrame([], "k bigint, v bigint"), keys=["k"]
+    )
+    table.upsert(spark.createDataFrame([(3, 100), (99, 1)], "k bigint, v bigint"))
+    table.delete_where(F.col("k") % 10 == 5, deferred=True)
+    _mirror(spark, table.root, rep, str(tmp_path / "m1"))
+    assert _content(rep) == _content(table)
+    head = rep.latest_version()
+    # more upstream commits while the mirror is down, incl. a restore
+    table.restore(0)
+    table.upsert(spark.createDataFrame([(7, 700)], "k bigint, v bigint"))
+    _mirror(spark, table.root, rep, str(tmp_path / "m1"))
+    assert _content(rep) == _content(table)
+    # re-drain with nothing new: the replica commits nothing
+    v = rep.latest_version()
+    assert v > head
+    _mirror(spark, table.root, rep, str(tmp_path / "m1"))
+    assert rep.latest_version() == v
+
+
+def test_replication_replayed_batch_noops(spark, table, tmp_path):
+    """The idempotent-writer guard on the replica side: re-applying an
+    already-applied feed batch (fresh checkpoint lineage re-delivers
+    batch ids from 0) commits nothing and changes nothing."""
+    from nasa_asteroid_data_lakehouse_spark.streaming.replication import (
+        apply_feed_batch,
+    )
+
+    rep = VersionedTable(spark, str(tmp_path / "rep2"), num_buckets=4)
+    rep.create(spark.createDataFrame([], "k bigint, v bigint"), keys=["k"])
+    table.upsert(spark.createDataFrame([(3, 100)], "k bigint, v bigint"))
+    table.delete_where(F.col("k") == 9)
+    feed = (
+        spark.read.format("table_changes")
+        .option("path", table.root)
+        .option("from_version", -1)
+        .load()
+    )
+    assert apply_feed_batch(rep, feed, ["k"], 0) is True
+    assert _content(rep) == _content(table)
+    v = rep.latest_version()
+    assert apply_feed_batch(rep, feed, ["k"], 0) is False  # replay no-ops
+    assert rep.latest_version() == v
+    assert _content(rep) == _content(table)
+
+
+def test_replication_delete_only_batch_advances_watermark(spark, table, tmp_path):
+    from nasa_asteroid_data_lakehouse_spark.streaming.lakehouse import (
+        stream_batch_watermark,
+    )
+    from nasa_asteroid_data_lakehouse_spark.streaming.replication import (
+        apply_feed_batch,
+    )
+
+    rep = VersionedTable(spark, str(tmp_path / "rep3"), num_buckets=4)
+    rep.create(
+        spark.createDataFrame([(i, i % 7) for i in range(30)], "k bigint, v bigint"),
+        keys=["k"],
+    )
+    table.delete_where(F.col("k") < 3)
+    feed = (
+        spark.read.format("table_changes")
+        .option("path", table.root)
+        .option("from_version", 0)
+        .load()
+    )
+    assert apply_feed_batch(rep, feed, ["k"], 5) is True
+    assert _content(rep) == _content(table)
+    assert stream_batch_watermark(rep, "replication") == 5

@@ -16,7 +16,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import r10_queries as r10
 
 def test_staged_registry_shape():
     assert set(r10.STAGED_QUERIES) == set(r10.STAGED_ORACLES)
-    assert len(r10.STAGED_QUERIES) == 13
+    assert len(r10.STAGED_QUERIES) == 14
 
 
 def _write(df, tmp_path, table):
@@ -352,3 +352,21 @@ def test_quality_threshold_sweep_monotone_yield(spark, sf_dir):
     )
     assert rows[5]["keep_rate"] >= rows[100]["keep_rate"]
     assert rows[5]["n_kept"] > 0
+
+
+# --- continuous replication -------------------------------------------------------
+
+
+def test_streaming_replication_mirror(spark, tmp_path):
+    keys = list(range(1, 36))
+    sf = _orders(spark, tmp_path, keys)
+    got = r10.streaming_replication_orders(spark, sf).collect()[0]
+    final = {
+        k: (k % 500) + (1000 if k % 5 == 0 else 0)
+        for k in keys
+        if k % 7 != 0
+    }
+    assert got["n_mismatch"] == 0
+    assert got["n_rows"] == len(final)
+    assert got["cents_sum"] == sum(final.values())
+    assert got["watermark_advanced"] == 1

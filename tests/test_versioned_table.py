@@ -1177,3 +1177,23 @@ def test_timestamp_forms_of_changes_and_restore(spark, table):
         table.restore()
     with pytest.raises(ValueError):
         table.restore(0, timestamp=c1)
+
+
+def test_delete_keys_dataframe_driven_dv(spark, table):
+    """delete_keys: the DataFrame-driven deletion-vector delete — no
+    literals, no discovery scan; absent keys are harmless; extra_meta
+    carries the streaming marker."""
+    dels = spark.createDataFrame([(3,), (17,), (9999,)], "k bigint")
+    v = table.delete_keys(dels, extra_meta={"stream_txn": {"app_id": "a", "batch_id": 4}})
+    m = table._load_manifest(v)
+    assert m["operation"] == "delete_deferred"
+    assert m["stream_txn_watermarks"] == {"a": 4}
+    got = table.read()
+    assert got.count() == 98
+    assert got.where(F.col("k").isin([3, 17])).count() == 0
+    # empty key set: no commit
+    assert table.delete_keys(spark.createDataFrame([], "k bigint")) == v
+    # absent keys purge with the rest; content unchanged by compact
+    table.compact(target_files_per_bucket=1000)
+    assert not table._load_manifest(table.latest_version()).get("dvs")
+    assert table.read().count() == 98
