@@ -624,6 +624,8 @@ class VersionedTable:
         ``extra_meta`` merges into the commit manifest (the idempotent
         streaming marker hook, as on :meth:`upsert`) — a CDC apply can
         make its delete half carry the batch marker."""
+        from pyspark.sql.types import StructType
+
         for _ in range(retries):
             version = self.latest_version()
             if version is None:
@@ -631,8 +633,25 @@ class VersionedTable:
             manifest = self._load_manifest(version)
             keys = manifest["keys"]
             self.num_buckets = int(manifest.get("num_buckets", self.num_buckets))
+            # Cast the caller's key columns to the TABLE's key types
+            # before bucket-hashing: xxhash64 is type-sensitive, so a
+            # mistyped frame (int32 keys for a bigint table) would file
+            # its vectors under the wrong buckets and the per-bucket
+            # subtraction would silently MISS the delete.
+            key_cols = [F.col(k) for k in keys]
+            schema_json = manifest.get("schema")
+            if schema_json is not None:
+                by_name = {
+                    f.name: f for f in StructType.fromJson(schema_json).fields
+                }
+                key_cols = [
+                    F.col(k).cast(by_name[k].dataType).alias(k)
+                    if k in by_name
+                    else F.col(k)
+                    for k in keys
+                ]
             dv_new = self._write_bucket_files(
-                keys_df.select(*keys).distinct(), keys
+                keys_df.select(*key_cols).distinct(), keys
             )
             if not dv_new:
                 return version  # empty key set: no-op, no commit spam

@@ -1197,3 +1197,14 @@ def test_delete_keys_dataframe_driven_dv(spark, table):
     table.compact(target_files_per_bucket=1000)
     assert not table._load_manifest(table.latest_version()).get("dvs")
     assert table.read().count() == 98
+
+
+def test_delete_keys_casts_to_table_key_types(spark, table):
+    """xxhash64 is type-sensitive: an int-typed key frame against a
+    bigint table must still bucket its vectors correctly (delete_keys
+    casts to the manifest schema before hashing)."""
+    dels = spark.createDataFrame([(3,), (17,)], "k int")  # int, not bigint
+    table.delete_keys(dels)
+    got = table.read()
+    assert got.count() == 98
+    assert got.where(F.col("k").isin([3, 17])).count() == 0
