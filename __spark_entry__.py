@@ -94,8 +94,8 @@ REGISTER_R09 = True
 # vector-store-over-lakehouse top-k with retired vectors, OPTIMIZE
 # ZORDER DV purge, streaming CDF subscription through the
 # table_changes Python DataSource, decontamination n-gram sweep,
-# quality-gate threshold sweep, continuous replication mirror.
-# Pre-wired: _BNLJ_ALLOWED entry
+# quality-gate threshold sweep, continuous replication mirror,
+# sessionization gap sweep.  Pre-wired: _BNLJ_ALLOWED entry
 # (quant_bits_sweep_embeddings — broadcast anchors x corpus) and
 # KEY_UNIQUE entry (dv_vector_store_topk_embeddings — per-identity
 # vector store).  Then run update_rotation 10.

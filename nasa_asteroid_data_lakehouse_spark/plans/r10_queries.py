@@ -1682,3 +1682,129 @@ FROM final
 
 STAGED_QUERIES["streaming_replication_orders"] = streaming_replication_orders
 STAGED_ORACLES["streaming_replication_orders"] = STREAMING_REPLICATION_SQL
+
+
+# === Sessionization gap sweep ===================================================
+
+_SGS_GAPS = (15, 30, 60, 120)  # minutes
+
+
+def session_gap_sweep_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSIONIZATION tuning sweep — the ninth knob table: session
+    counts and mean session length as the inactivity gap moves
+    (15/30/60/120 minutes; the registered session family holds 30
+    fixed).  Small gaps shred visits into fragments, large gaps fuse
+    separate visits — this is the table an events pipeline reads
+    before fixing its gap against the corpus's real inter-arrival
+    distribution.
+
+    ONE per-user lag pass serves every config: n_sessions(gap) =
+    n_users + |consecutive diffs > gap|, so the expensive step (the
+    user-partitioned ordered window) runs once and each gap is a
+    conditional sum in the SAME single aggregate — the sweep costs one
+    sessionization, not four.  Break counts are order-invariant under
+    duplicate timestamps (lag over ORDER BY ts diffs the SORTED
+    multiset, which tie order cannot change), and the strict
+    ``diff > gap`` boundary matches the registered
+    session_windows_events semantics.  Output: 4 rows."""
+    from pyspark.sql import Window
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lagged = ev.withColumn("prev", F.lag("ts").over(w))
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("prev").isNotNull()
+                        & (
+                            F.col("ts")
+                            > F.col("prev") + F.expr(f"INTERVAL {g} MINUTES")
+                        ),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"b{g}")
+            for g in _SGS_GAPS
+        ],
+    )
+    return (
+        agg.select(
+            "n_events",
+            "n_users",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(g).cast("bigint").alias("gap_minutes"),
+                            F.col(f"b{g}").alias("n_breaks"),
+                        )
+                        for g in _SGS_GAPS
+                    ]
+                )
+            ).alias("t"),
+        )
+        .select(
+            F.col("t.gap_minutes").alias("gap_minutes"),
+            (F.col("n_users") + F.col("t.n_breaks"))
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.col("t.n_breaks").alias("n_breaks"),
+            F.round(
+                F.try_divide(
+                    F.col("n_events"), F.col("n_users") + F.col("t.n_breaks")
+                ),
+                6,
+            ).alias("mean_events_per_session"),
+        )
+        .orderBy("gap_minutes")
+    )
+
+
+def _sgs_sql() -> str:
+    sums = ",\n    ".join(
+        f"""COALESCE(SUM(CASE WHEN prev IS NOT NULL
+             AND ts - prev > INTERVAL {g} MINUTE THEN 1 ELSE 0 END), 0) AS b{g}"""
+        for g in _SGS_GAPS
+    )
+    per_gap = "\nUNION ALL\n".join(
+        f"""SELECT CAST({g} AS BIGINT) AS gap_minutes,
+       CAST(n_users + b{g} AS BIGINT) AS n_sessions,
+       CAST(b{g} AS BIGINT) AS n_breaks,
+       ROUND(n_events / NULLIF(n_users + b{g}, 0), 6)
+         AS mean_events_per_session
+FROM a"""
+        for g in _SGS_GAPS
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, ts::TIMESTAMP AS ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+l AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM e
+),
+a AS (
+  SELECT COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+    {sums}
+  FROM l
+)
+{per_gap}
+ORDER BY gap_minutes
+"""
+
+
+STAGED_QUERIES["session_gap_sweep_events"] = session_gap_sweep_events
+STAGED_ORACLES["session_gap_sweep_events"] = _sgs_sql()

@@ -103,6 +103,10 @@ def main() -> None:
         f"streaming_replication_{n_orders}",
         lambda: r10.streaming_replication_orders(spark, sf),
     )
+    probe(
+        f"session_gap_sweep_{n_events}",
+        lambda: r10.session_gap_sweep_events(spark, sf),
+    )
 
 
 

@@ -16,7 +16,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import r10_queries as r10
 
 def test_staged_registry_shape():
     assert set(r10.STAGED_QUERIES) == set(r10.STAGED_ORACLES)
-    assert len(r10.STAGED_QUERIES) == 14
+    assert len(r10.STAGED_QUERIES) == 15
 
 
 def _write(df, tmp_path, table):
@@ -370,3 +370,26 @@ def test_streaming_replication_mirror(spark, tmp_path):
     assert got["n_rows"] == len(final)
     assert got["cents_sum"] == sum(final.values())
     assert got["watermark_advanced"] == 1
+
+
+# --- session gap sweep -----------------------------------------------------------------
+
+
+def test_session_gap_sweep_monotone(spark, tmp_path):
+    """Crafted stream: one user, events at 0, 20m, 70m, 300m (diffs
+    20/50/230).  Gap 15m -> 4 sessions, 30m -> 3, 60m -> 2, 120m -> 2;
+    the boundary is STRICT (a diff equal to the gap does not break).
+    Wider gaps never increase session counts."""
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(minutes=m), 1)
+        for i, m in enumerate([0, 20, 70, 300])
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint"
+    ).withColumn("event_type", F.lit("t")).withColumn("value", F.lit(1.0))
+    sf = _write(ev, tmp_path, "events")
+    got = {r["gap_minutes"]: r for r in r10.session_gap_sweep_events(spark, sf).collect()}
+    assert [got[g]["n_sessions"] for g in (15, 30, 60, 120)] == [4, 3, 2, 2]
+    assert got[15]["n_breaks"] == 3
+    assert got[120]["mean_events_per_session"] == 2.0
