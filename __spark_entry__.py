@@ -99,7 +99,7 @@ REGISTER_R09 = True
 # (quant_bits_sweep_embeddings — broadcast anchors x corpus) and
 # KEY_UNIQUE entry (dv_vector_store_topk_embeddings — per-identity
 # vector store).  Then run update_rotation 10.
-REGISTER_R10 = False
+REGISTER_R10 = True
 
 
 def entry(spark: SparkSession) -> DataFrame:
