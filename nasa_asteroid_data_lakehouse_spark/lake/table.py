@@ -89,6 +89,36 @@ class VersionedTable:
             return {}
         return {str(k): int(v) for k, v in m.get("stream_txn_watermarks", {}).items()}
 
+    def _walk_stream_markers(self, from_version: int) -> dict[str, int]:
+        """Seed ``{app_id: max batch_id}`` by walking surviving
+        manifests newest-first from ``from_version``.  Only needed for
+        MIXED-ERA lineages: ``stream_txn`` markers committed before
+        watermark folding existed were never absorbed into any
+        ``stream_txn_watermarks`` map, so the first folding commit must
+        absorb them here or the fast path in
+        ``streaming.lakehouse.stream_batch_watermark`` would
+        under-report and re-apply a replayed batch (ADVICE r09 #1).
+        Stops at the first folded map (it absorbs everything below it)
+        or the first vacuumed manifest."""
+        out: dict[str, int] = {}
+        v = from_version
+        while v >= 0:
+            try:
+                m = self._load_manifest(v)
+            except FileNotFoundError:
+                break  # vacuum truncated the log below here
+            folded = m.get("stream_txn_watermarks")
+            if folded is not None:
+                for k, val in folded.items():
+                    out[str(k)] = max(out.get(str(k), -1), int(val))
+                break
+            txn = m.get("stream_txn")
+            if txn:
+                app = str(txn["app_id"])
+                out[app] = max(out.get(app, -1), int(txn["batch_id"]))
+            v -= 1
+        return out
+
     def _commit(
         self,
         version: int,
@@ -119,6 +149,12 @@ class VersionedTable:
         vectors after a rewrite."""
         watermarks = self._stream_watermarks(version - 1)
         txn = meta.get("stream_txn")
+        if txn and not watermarks:
+            # First folding commit on this lineage (a written map is
+            # never empty, so an empty result means the parent lacks
+            # one): absorb any pre-fold markers below before the head
+            # starts advertising a trusted fast-path map.
+            watermarks = self._walk_stream_markers(version - 1)
         if txn:
             app = str(txn["app_id"])
             watermarks[app] = max(watermarks.get(app, -1), int(txn["batch_id"]))
@@ -1130,20 +1166,31 @@ class VersionedTable:
             for b, fs in manifest["buckets"].items()
             if len(fs) > target_files_per_bucket or dvs.get(b)
         }
-        if not to_compact:
+        # A vector filed under a bucket with NO data files (delete_keys
+        # for keys absent from the table) references rows that cannot
+        # exist; it would never join a rewrite and be carried forward
+        # in every manifest indefinitely — drop it here so its key
+        # files become vacuum-eligible (ADVICE r09 #3).
+        orphan_dvs = sorted(b for b in dvs if b not in manifest["buckets"])
+        if not to_compact and not orphan_dvs:
             return version
-        files = [f for fs in to_compact.values() for f in fs]
-        consolidated = self._apply_dvs(
-            self.spark.read.parquet(*files).drop("__bucket"),
-            manifest,
-            sorted(to_compact),
-        )
-        new_buckets = self._write_bucket_files(consolidated, keys)
         combined = dict(manifest["buckets"])
-        for b in to_compact:
-            combined.pop(b, None)
-        combined.update(new_buckets)
-        carried_dvs = {b: fs for b, fs in dvs.items() if b not in to_compact}
+        if to_compact:
+            files = [f for fs in to_compact.values() for f in fs]
+            consolidated = self._apply_dvs(
+                self.spark.read.parquet(*files).drop("__bucket"),
+                manifest,
+                sorted(to_compact),
+            )
+            new_buckets = self._write_bucket_files(consolidated, keys)
+            for b in to_compact:
+                combined.pop(b, None)
+            combined.update(new_buckets)
+        carried_dvs = {
+            b: fs
+            for b, fs in dvs.items()
+            if b not in to_compact and b in manifest["buckets"]
+        }
         self._commit(
             version + 1,
             combined,
@@ -1224,7 +1271,10 @@ class VersionedTable:
         return version + 1
 
     def restore(
-        self, version: int | None = None, timestamp: float | None = None
+        self,
+        version: int | None = None,
+        timestamp: float | None = None,
+        retries: int = 3,
     ) -> int:
         """Roll the table back to snapshot ``version`` AS A NEW COMMIT
         (Delta ``RESTORE TABLE ... TO VERSION AS OF``; pass
@@ -1262,8 +1312,7 @@ class VersionedTable:
             raise ValueError("pass exactly one of version / timestamp")
         if timestamp is not None:
             version = self.version_as_of(timestamp)
-        head = self.latest_version()
-        if head is None:
+        if self.latest_version() is None:
             raise ValueError("table does not exist")
         target = self._load_manifest(version)  # FileNotFoundError if vacuumed
         missing = [
@@ -1282,21 +1331,33 @@ class VersionedTable:
         old_count = self.num_buckets
         self.num_buckets = int(target.get("num_buckets", self.num_buckets))
         try:
-            self._commit(
-                head + 1,
-                dict(target["buckets"]),
-                {
-                    "keys": target["keys"],
-                    "operation": "restore",
-                    "restored_version": int(version),
-                    "schema": target.get("schema"),
-                },
-                dvs=target.get("dvs"),
+            # The restore target is fixed, so losing a race to a
+            # concurrent commit is always safe to retry against the new
+            # head — same bounded optimistic loop as every other write
+            # path (ADVICE r09 #4).
+            for _ in range(retries):
+                head = self.latest_version()
+                try:
+                    self._commit(
+                        head + 1,
+                        dict(target["buckets"]),
+                        {
+                            "keys": target["keys"],
+                            "operation": "restore",
+                            "restored_version": int(version),
+                            "schema": target.get("schema"),
+                        },
+                        dvs=target.get("dvs"),
+                    )
+                    return head + 1
+                except CommitConflict:
+                    continue  # re-read the head and retry
+            raise CommitConflict(
+                f"gave up after {retries} conflicting commits"
             )
         except BaseException:
             self.num_buckets = old_count
             raise
-        return head + 1
 
     def optimize(
         self,

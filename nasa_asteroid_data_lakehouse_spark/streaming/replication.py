@@ -58,6 +58,15 @@ def apply_feed_batch(
         return False
     from pyspark.sql import Window
 
+    # Preimages are observational rows, never apply targets: a
+    # preimage-carrying feed would otherwise tie with its
+    # update_postimage twin at the same _commit_version and the
+    # row_number pick would be arbitrary — upserting the STALE old
+    # image half the time (mirrors VersionedTable.apply_changes,
+    # ADVICE r09 #2).  table_changes feeds omit preimages by default,
+    # so this filter is a no-op on the wired path.
+    if "_change_type" in feed.columns:
+        feed = feed.where(F.col("_change_type") != F.lit("update_preimage"))
     # latest image per key within the batch (a batch can span commits)
     w = Window.partitionBy(*keys).orderBy(F.desc("_commit_version"))
     latest = (

@@ -272,3 +272,33 @@ def test_replication_delete_only_batch_advances_watermark(spark, table, tmp_path
     assert apply_feed_batch(rep, feed, ["k"], 5) is True
     assert _content(rep) == _content(table)
     assert stream_batch_watermark(rep, "replication") == 5
+
+
+def test_replication_ignores_update_preimages(spark, table, tmp_path):
+    """ADVICE r09 #2: a preimage-carrying feed must never upsert the
+    stale old image — update_preimage rows tie with their postimage
+    twin at the same _commit_version, and the latest-per-key pick
+    between them would otherwise be arbitrary."""
+    from nasa_asteroid_data_lakehouse_spark.streaming.replication import (
+        apply_feed_batch,
+    )
+
+    rep = VersionedTable(spark, str(tmp_path / "rep_pre"), num_buckets=4)
+    rep.create(
+        spark.createDataFrame(
+            [(i, i % 7) for i in range(30)], "k bigint, v bigint"
+        ),
+        keys=["k"],
+    )
+    table.upsert(
+        spark.createDataFrame([(3, 999), (4, 888)], "k bigint, v bigint")
+    )
+    feed = table.changes(
+        0, table.latest_version(), include_preimages=True
+    ).withColumn("_commit_version", F.lit(table.latest_version()))
+    assert (
+        feed.where(F.col("_change_type") == "update_preimage").count() > 0
+    )
+    assert apply_feed_batch(rep, feed, ["k"], 0) is True
+    got = {r["k"]: r["v"] for r in rep.read().collect()}
+    assert got[3] == 999 and got[4] == 888  # postimages, never preimages

@@ -1282,3 +1282,114 @@ def test_concurrent_deferred_deletes_union_their_vectors(spark, tmp_path):
     got = t.read()
     assert got.count() == 32  # 40 - 4 (k%10==3) - 4 (k%10==7)
     assert got.where((F.col("k") % 10 == 3) | (F.col("k") % 10 == 7)).count() == 0
+
+
+def test_first_folding_commit_absorbs_prefold_markers(spark, tmp_path):
+    """ADVICE r09 #1: a MIXED-ERA lineage (stream_txn markers committed
+    before watermark folding existed, then continued by folding code)
+    must seed the folded map from a full marker walk on the first
+    folding commit — otherwise the O(1) fast path under-reports and a
+    replayed batch would be re-applied."""
+    from nasa_asteroid_data_lakehouse_spark.streaming.lakehouse import (
+        stream_batch_watermark,
+        upsert_batch_idempotent,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "mixed"), num_buckets=4)
+    t.create(
+        spark.createDataFrame([], "event_id bigint, val bigint"),
+        keys=["event_id"],
+    )
+    b = spark.createDataFrame([(1, 10)], "event_id bigint, val bigint")
+    upsert_batch_idempotent(t, b, 0, app_id="a")
+    upsert_batch_idempotent(t, b, 7, app_id="a")
+    upsert_batch_idempotent(t, b, 2, app_id="other")
+    # simulate the pre-fold era: strip the folded map from every manifest
+    for name in os.listdir(t._manifest_dir):
+        p = os.path.join(t._manifest_dir, name)
+        with open(p) as fh:
+            m = json.load(fh)
+        m.pop("stream_txn_watermarks", None)
+        with open(p, "w") as fh:
+            json.dump(m, fh)
+    # new-era streaming commit: the first folding commit must absorb
+    # the stripped markers (7 for "a", 2 for "other"), not start fresh
+    upsert_batch_idempotent(t, b, 3, app_id="other")
+    head = t._load_manifest(t.latest_version())
+    assert head["stream_txn_watermarks"] == {"a": 7, "other": 3}
+    # and the fast path (one manifest read) now reports correctly
+    assert stream_batch_watermark(t, "a") == 7
+    assert stream_batch_watermark(t, "other") == 3
+    # the replay guard holds: batch 7 for "a" is a no-op
+    v = t.latest_version()
+    assert upsert_batch_idempotent(t, b, 7, app_id="a") is False
+    assert t.latest_version() == v
+
+
+def test_compact_drops_orphan_deletion_vectors(spark, tmp_path):
+    """ADVICE r09 #3: delete_keys can file a vector under a bucket with
+    NO data files (keys absent from the table); compact must drop such
+    entries instead of carrying them forward forever."""
+    t = VersionedTable(spark, str(tmp_path / "orphan"), num_buckets=8)
+    t.create(
+        spark.createDataFrame([(1, "a")], "k bigint, v string"),
+        keys=["k"],
+    )
+    occupied = set(t._load_manifest(0)["buckets"])
+    # find keys hashing to UNOCCUPIED buckets (absent from the table)
+    probe = spark.range(2, 200).select(F.col("id").alias("k"))
+    absent = [
+        r["k"]
+        for r in probe.withColumn(
+            "__bucket", F.pmod(F.xxhash64(F.col("k")), F.lit(8))
+        )
+        .where(~F.col("__bucket").cast("string").isin(*occupied))
+        .limit(3)
+        .collect()
+    ]
+    assert absent
+    t.delete_keys(spark.createDataFrame([(k,) for k in absent], "k bigint"))
+    m1 = t._load_manifest(t.latest_version())
+    orphans = [b for b in m1.get("dvs", {}) if b not in m1["buckets"]]
+    assert orphans, "fixture must produce at least one orphan vector"
+    v = t.compact()
+    m2 = t._load_manifest(v)
+    assert v > t.latest_version() - 1 and all(
+        b in m2["buckets"] for b in m2.get("dvs", {})
+    )
+    # orphan entries are gone entirely (their keys reference no rows)
+    assert not set(m2.get("dvs", {})) & set(orphans)
+    # data unchanged
+    assert t.read().count() == 1
+
+
+def test_restore_retries_on_commit_conflict(spark, table):
+    """ADVICE r09 #4: restore is an ordinary optimistic write path — a
+    concurrent commit landing between the head read and the restore
+    commit must trigger a retry against the new head, not surface
+    CommitConflict to the caller."""
+    table.upsert(
+        spark.createDataFrame([(5, "NEW5", 5.5)], ["k", "val", "m"])
+    )
+    orig_commit = table._commit
+    raced = {"done": False}
+
+    def racing_commit(version, buckets, meta, dvs=None):
+        if not raced["done"]:
+            raced["done"] = True
+            # a concurrent writer wins this version first
+            orig_commit(
+                version,
+                dict(table._load_manifest(version - 1)["buckets"]),
+                {"keys": ["k"], "operation": "clone"},
+            )
+        return orig_commit(version, buckets, meta, dvs=dvs)
+
+    table._commit = racing_commit
+    v = table.restore(0)
+    table._commit = orig_commit
+    assert raced["done"]
+    # the interloper took one version; restore landed after it
+    assert v == table.latest_version()
+    assert table._load_manifest(v)["operation"] == "restore"
+    assert table.read().count() == 100  # version-0 content
