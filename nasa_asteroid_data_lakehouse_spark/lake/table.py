@@ -368,8 +368,12 @@ class VersionedTable:
                 # merge — a deferred-deleted row must not resurrect
                 # through the rewrite — and are dropped from the new
                 # manifest below (the rewrite materializes them).
+                # mergeSchema: touched buckets can hold files from
+                # commits with evolved schemas (upserts union-by-name)
                 existing = self._apply_dvs(
-                    self.spark.read.parquet(*old_files),
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *old_files
+                    ),
                     manifest,
                     sorted(touched_set),
                 )
@@ -1178,7 +1182,9 @@ class VersionedTable:
         if to_compact:
             files = [f for fs in to_compact.values() for f in fs]
             consolidated = self._apply_dvs(
-                self.spark.read.parquet(*files).drop("__bucket"),
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*files)
+                .drop("__bucket"),
                 manifest,
                 sorted(to_compact),
             )
@@ -1197,6 +1203,7 @@ class VersionedTable:
             {
                 "keys": keys,
                 "operation": "compact",
+                "data_change": False,
                 "compacted_buckets": sorted(to_compact),
                 "schema": manifest.get("schema"),
             },
@@ -1261,6 +1268,7 @@ class VersionedTable:
                 {
                     "keys": keys,
                     "operation": "rebucket",
+                    "data_change": False,
                     "previous_num_buckets": old_count,
                     "schema": manifest.get("schema"),
                 },
@@ -1457,6 +1465,7 @@ class VersionedTable:
             {
                 "keys": keys,
                 "operation": "optimize",
+                "data_change": False,
                 "zorder_by": list(zorder_by),
                 "files_per_bucket": files_per_bucket,
                 "schema": manifest.get("schema"),

@@ -26,7 +26,11 @@ stream start, plus Delta-parity ``_change_type`` and
 ``_commit_version`` metadata columns.  Deletion-vector commits
 (``delete_deferred``) surface exactly like deletes: the dv-list diff
 marks the bucket changed and the subtracted rows fall out of the new
-side.  Like Delta's CDF stream, a schema change DURING the stream is
+side.  Maintenance commits (compact / optimize / rebucket — manifest
+``data_change`` false) are skipped entirely, Delta's
+dataChange=false contract: they rewrite files without changing
+logical content, and across a rebucket the bucket-space change makes
+name-paired diffs actively wrong (see ``_changed_bucket_partitions``).  Like Delta's CDF stream, a schema change DURING the stream is
 not reflected (the source schema is pinned at start); columns added
 later are absent, columns dropped later read as NULL.
 
@@ -122,13 +126,46 @@ class _BucketDiff(InputPartition):
         self.columns = columns
 
 
+_MAINTENANCE_OPS = {"compact", "optimize", "rebucket"}
+
+
+def _is_data_change(manifest: dict) -> bool:
+    """Delta-parity ``dataChange`` test: maintenance commits (compact /
+    optimize / rebucket) rewrite files without changing logical content
+    and are SKIPPED by the change feed — Delta's CDF does the same for
+    OPTIMIZE's dataChange=false file actions.  New manifests carry the
+    flag explicitly; for manifests written before it existed, the
+    operation name is the equivalent test (those three write paths are
+    content-preserving by construction — compact/optimize only
+    materialize deletion vectors that were already subtracted on every
+    read, and rebucket re-hashes the same rows)."""
+    flag = manifest.get("data_change")
+    if flag is not None:
+        return bool(flag)
+    return manifest.get("operation") not in _MAINTENANCE_OPS
+
+
 def _changed_bucket_partitions(
     root: str, start_v: int, end_v: int, keys: list[str], columns: list[str]
 ) -> list[InputPartition]:
     """One partition per (version in (start_v, end_v], changed bucket)
     — the bucket-identity rule of ``VersionedTable.changes``: a bucket
     whose file list AND dv list are identical across the commit is
-    byte-identical and cannot hold a change."""
+    byte-identical and cannot hold a change.
+
+    Maintenance commits (``data_change`` false) are skipped entirely —
+    without the skip a rebucket would be WRONG, not just wasteful: the
+    bucket-local diff pairs buckets BY NAME, and across a bucket-space
+    change old bucket 3 and new bucket 3 hold different key-hash
+    ranges, so every moved key would surface as a false delete in its
+    old bucket's partition plus a false insert in its new one (same
+    ``_commit_version`` — a replica's latest-per-key pick between the
+    pair is arbitrary and can drop the row).  The one data-change
+    commit that can cross bucket spaces is a restore across a rebucket;
+    bucket pairing is meaningless there, so it degrades to a single
+    whole-snapshot diff partition (correct, documented cost — a
+    rollback across a bucket-spec change mid-subscription is a rare
+    manual event)."""
     parts: list[InputPartition] = []
     for v in range(start_v + 1, end_v + 1):
         if v == 0:
@@ -138,9 +175,25 @@ def _changed_bucket_partitions(
         else:
             from_m = _load_manifest(root, v - 1)
         to_m = _load_manifest(root, v)
+        if not _is_data_change(to_m):
+            continue
         from_b, to_b = from_m["buckets"], to_m["buckets"]
         from_dvs = from_m.get("dvs", {})
         to_dvs = to_m.get("dvs", {})
+        from_n = from_m.get("num_buckets")
+        if from_n is not None and int(from_n) != int(to_m["num_buckets"]):
+            parts.append(
+                _BucketDiff(
+                    v,
+                    [f for fs in from_b.values() for f in fs],
+                    [f for fs in to_b.values() for f in fs],
+                    [f for fs in from_dvs.values() for f in fs],
+                    [f for fs in to_dvs.values() for f in fs],
+                    keys,
+                    columns,
+                )
+            )
+            continue
         for b in set(from_b) | set(to_b) | set(from_dvs) | set(to_dvs):
             if from_b.get(b) == to_b.get(b) and from_dvs.get(b) == to_dvs.get(b):
                 continue

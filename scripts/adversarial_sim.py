@@ -190,10 +190,10 @@ def run_fixture(spark, mod, dst: str, only, skip=frozenset(), tag="") -> list[st
     qs, oracles = mod.queries(), mod.oracle_sql()
     if "--staged" in sys.argv:
         # round-10 staging (r09's batch is registered since REGISTER_R09)
-        from nasa_asteroid_data_lakehouse_spark.plans import r10_queries
+        from nasa_asteroid_data_lakehouse_spark.plans import r11_queries
 
-        qs = {**qs, **r10_queries.STAGED_QUERIES}
-        oracles = {**oracles, **r10_queries.STAGED_ORACLES}
+        qs = {**qs, **r11_queries.STAGED_QUERIES}
+        oracles = {**oracles, **r11_queries.STAGED_ORACLES}
     failures = []
     for name, fn in qs.items():
         if only is not None and name not in only:

@@ -386,12 +386,12 @@ def main() -> int:
         # round-(N+1) staging: gate queries built this round WITHOUT
         # touching the served surface (REGISTER_R09 flipped in round 9,
         # so the r10 batch is now the staged one)
-        from nasa_asteroid_data_lakehouse_spark.plans import r10_queries
+        from nasa_asteroid_data_lakehouse_spark.plans import r11_queries
 
-        qs = {**qs, **r10_queries.STAGED_QUERIES}
-        oracles = {**oracles, **r10_queries.STAGED_ORACLES}
+        qs = {**qs, **r11_queries.STAGED_QUERIES}
+        oracles = {**oracles, **r11_queries.STAGED_ORACLES}
         if only is None:
-            only = set(r10_queries.STAGED_QUERIES)
+            only = set(r11_queries.STAGED_QUERIES)
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue
