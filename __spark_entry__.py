@@ -101,6 +101,16 @@ REGISTER_R09 = True
 # vector store).  Then run update_rotation 10.
 REGISTER_R10 = True
 
+# Round-11 staged batch (plans/r11_queries.py, SEVEN queries): flip to
+# True at ROUND-11 START, after CORRECTNESS_r10 lands.  Replication
+# across rebucket (the data_change=false planner skip), maintenance
+# CDF census, transactional snapshot across deferred-delete commits,
+# upsert schema merge, schema evolution mid-subscription, Gopher
+# repetition census, Lloyd-iterated k-means (SemDeDup's clustering
+# step).  Pre-wired: KEY_UNIQUE entry (kmeans_lloyd_embeddings —
+# ORDER-BY-id seeds).  Then run update_rotation 11.
+REGISTER_R11 = False
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -299,6 +309,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from nasa_asteroid_data_lakehouse_spark.plans import r10_queries
 
         out.update(r10_queries.STAGED_QUERIES)
+    if REGISTER_R11:
+        from nasa_asteroid_data_lakehouse_spark.plans import r11_queries
+
+        out.update(r11_queries.STAGED_QUERIES)
     return _rotate(out)
 
 
@@ -342,4 +356,8 @@ def oracle_sql() -> dict[str, str]:
         from nasa_asteroid_data_lakehouse_spark.plans import r10_queries
 
         out.update(r10_queries.STAGED_ORACLES)
+    if REGISTER_R11:
+        from nasa_asteroid_data_lakehouse_spark.plans import r11_queries
+
+        out.update(r11_queries.STAGED_ORACLES)
     return _rotate(out)

@@ -89,6 +89,22 @@ class VersionedTable:
             return {}
         return {str(k): int(v) for k, v in m.get("stream_txn_watermarks", {}).items()}
 
+    def _align_to_schema(self, df: DataFrame, manifest: dict) -> DataFrame:
+        """Widen ``df`` with typed NULLs for manifest-schema columns it
+        is missing (the upsert schema-merge contract: a narrow incoming
+        batch never shrinks the table's logical schema; its rows read
+        the absent columns as NULL).  Columns ``df`` carries that the
+        manifest lacks are untouched — they WIDEN the schema."""
+        from pyspark.sql.types import StructType
+
+        schema_json = manifest.get("schema")
+        if schema_json is None:
+            return df
+        for f in StructType.fromJson(schema_json).fields:
+            if f.name != "__bucket" and f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df
+
     def _walk_stream_markers(self, from_version: int) -> dict[str, int]:
         """Seed ``{app_id: max batch_id}`` by walking surviving
         manifests newest-first from ``from_version``.  Only needed for
@@ -350,6 +366,17 @@ class VersionedTable:
             # its old version stays in an untouched one, duplicating
             # the key across the snapshot.
             self.num_buckets = int(manifest.get("num_buckets", self.num_buckets))
+
+            # Schema-merge contract (Delta mergeSchema on MERGE): an
+            # incoming batch MISSING table columns reads them as NULL
+            # (full-row replacement, operators/merge), and the commit's
+            # logical schema is always the UNION of table and incoming
+            # schemas.  Aligning here (not via unionByName alone)
+            # matters when the touched buckets hold no files — merged
+            # would otherwise BE the narrow incoming and the commit
+            # would silently drop table columns from the manifest
+            # schema.
+            incoming = self._align_to_schema(incoming, manifest)
 
             inc_bucketed = incoming.withColumn(
                 "__bucket",

@@ -256,30 +256,51 @@ def maintenance_cdf_skip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         t = VersionedTable(spark, f"{tmp}/t", num_buckets=8)
         t.create(base, keys=["o_orderkey"])
-        t.upsert(
-            base.where(F.col("o_orderkey") % 5 == 0).select(
-                "o_orderkey", (F.col("cents") + 1000).alias("cents")
-            )
+
+        # planned lifecycle SLOTS: an op that no-ops on a degenerate
+        # input (compact with nothing to compact, delete matching zero
+        # keys) commits no version — its slot still reports 0 feed
+        # rows, so the output shape is input-independent.
+        slots: list[tuple[int, str, int | None]] = []
+
+        def step(slot: int, op: str, fn) -> None:
+            before = t.latest_version()
+            after = fn()
+            slots.append((slot, op, after if after != before else None))
+
+        step(
+            1,
+            "upsert",
+            lambda: t.upsert(
+                base.where(F.col("o_orderkey") % 5 == 0).select(
+                    "o_orderkey", (F.col("cents") + 1000).alias("cents")
+                )
+            ),
         )
-        t.compact(target_files_per_bucket=0)  # force every bucket
-        t.delete_where(
-            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") >= 0),
-            deferred=True,
+        step(2, "compact", lambda: t.compact(target_files_per_bucket=0))
+        step(
+            3,
+            "delete_deferred",
+            lambda: t.delete_where(
+                (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") >= 0),
+                deferred=True,
+            ),
         )
-        t.optimize(zorder_by=["cents"], files_per_bucket=2)
-        t.rebucket(16)
-        t.upsert(
-            base.where(
-                (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0)
-            ).select("o_orderkey", (F.col("cents") + 7).alias("cents"))
+        step(
+            4,
+            "optimize",
+            lambda: t.optimize(zorder_by=["cents"], files_per_bucket=2),
         )
-        ops = spark.createDataFrame(
-            [
-                (int(h["version"]), str(h["operation"]))
-                for h in t.history()
-                if int(h["version"]) >= 1
-            ],
-            "version bigint, operation string",
+        step(5, "rebucket", lambda: t.rebucket(16))
+        step(
+            6,
+            "upsert",
+            lambda: t.upsert(
+                base.where(
+                    (F.col("o_orderkey") % 11 == 0)
+                    & (F.col("o_orderkey") % 7 != 0)
+                ).select("o_orderkey", (F.col("cents") + 7).alias("cents"))
+            ),
         )
         feed = (
             spark.read.format("table_changes")
@@ -287,21 +308,20 @@ def maintenance_cdf_skip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("from_version", 0)
             .load()
         )
-        counts = feed.groupBy(
-            F.col("_commit_version").alias("version")
-        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-        out = (
-            ops.join(counts, "version", "left")
-            .select(
-                "version",
-                "operation",
-                F.coalesce(F.col("n_rows"), F.lit(0))
-                .cast("bigint")
-                .alias("n_rows"),
-            )
-            .orderBy("version")
+        counts = {
+            int(r["v"]): int(r["n"])
+            for r in feed.groupBy(F.col("_commit_version").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }  # bounded: <= number of lifecycle commits (<= 6)
+        out = spark.createDataFrame(
+            [
+                (slot, op, counts.get(v, 0) if v is not None else 0)
+                for slot, op, v in slots
+            ],
+            "slot bigint, operation string, n_rows bigint",
         )
-        return out.localCheckpoint(eager=True)
+        return out.orderBy("slot").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -315,22 +335,19 @@ counts AS (
     (SELECT COUNT(*) FROM base WHERE key % 11 = 0 AND key % 7 <> 0)
       AS n_upsert2
 )
-SELECT CAST(version AS BIGINT) AS version,
+SELECT CAST(slot AS BIGINT) AS slot,
        operation,
-       CAST(n_rows AS BIGINT) AS n_rows
+       CAST(CASE slot
+              WHEN 1 THEN n_upsert1
+              WHEN 3 THEN n_delete
+              WHEN 6 THEN n_upsert2
+              ELSE 0
+            END AS BIGINT) AS n_rows
 FROM counts, (VALUES
-  (1, 'upsert', NULL), (2, 'compact', 0), (3, 'delete_deferred', NULL),
-  (4, 'optimize', 0), (5, 'rebucket', 0), (6, 'upsert', NULL)
-) AS v(version, operation, n_fixed),
-LATERAL (
-  SELECT CASE version
-           WHEN 1 THEN n_upsert1
-           WHEN 3 THEN n_delete
-           WHEN 6 THEN n_upsert2
-           ELSE n_fixed
-         END AS n_rows
-) AS n
-ORDER BY version
+  (1, 'upsert'), (2, 'compact'), (3, 'delete_deferred'),
+  (4, 'optimize'), (5, 'rebucket'), (6, 'upsert')
+) AS v(slot, operation)
+ORDER BY slot
 """
 
 STAGED_QUERIES["maintenance_cdf_skip_orders"] = maintenance_cdf_skip_orders
@@ -436,3 +453,485 @@ SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_fact_txn0,
 
 STAGED_QUERIES["txn_snapshot_across_dv_orders"] = txn_snapshot_across_dv_orders
 STAGED_ORACLES["txn_snapshot_across_dv_orders"] = TXN_SNAPSHOT_ACROSS_DV_SQL
+
+
+# === Upsert schema merge ========================================================
+
+
+def upsert_schema_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT SCHEMA EVOLUTION (Delta ``mergeSchema`` on MERGE): the
+    first incoming batch carries a NEW column (``flag``) — the table
+    widens in the same upsert commit; untouched buckets keep their
+    narrow files and read the new column as NULL (parquet mergeSchema
+    on every multi-file read).  The second batch arrives MISSING the
+    ``cents`` column — under this engine's documented full-row-
+    replacement semantics (incoming wins per key, ``operators/merge``)
+    the replaced rows read cents as NULL; rows not in the batch keep
+    their values.  No table rewrite at any point: only touched buckets
+    pay, exactly like a same-schema upsert.
+
+    Scale: schema evolution is metadata + the touched buckets' rewrite
+    — the 100 TB table's untouched files are never opened, and every
+    later scan merges the schemas from parquet footers alone."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+
+    base = _orders_base(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ndl_usm_")
+    try:
+        t = VersionedTable(spark, f"{tmp}/t", num_buckets=8)
+        t.create(base, keys=["o_orderkey"])
+        t.upsert(
+            base.where(F.col("o_orderkey") % 9 == 0).select(
+                "o_orderkey",
+                (F.col("cents") + 3).alias("cents"),
+                (F.col("o_orderkey") % 4).alias("flag"),
+            )
+        )
+        t.upsert(
+            base.where(F.col("o_orderkey") % 13 == 0).select(
+                "o_orderkey",
+                (F.col("o_orderkey") % 4 + 10).alias("flag"),
+            )
+        )
+        got = t.read()
+        agg = got.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col("cents").isNull(), 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_cents_null"),
+            F.coalesce(F.sum(F.when(F.col("flag").isNull(), 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_flag_null"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("cents_sum"),
+            F.coalesce(F.sum("flag"), F.lit(0)).cast("bigint").alias("flag_sum"),
+        )
+        return agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+UPSERT_SCHEMA_MERGE_SQL = f"""
+WITH base AS ({_ORDERS_BASE_SQL}),
+final AS (
+  SELECT key,
+         CASE
+           WHEN key % 13 = 0 THEN NULL
+           WHEN key % 9 = 0 THEN cents + 3
+           ELSE cents
+         END AS cents,
+         CASE
+           WHEN key % 13 = 0 THEN key % 4 + 10
+           WHEN key % 9 = 0 THEN key % 4
+           ELSE NULL
+         END AS flag
+  FROM base
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN cents IS NULL THEN 1 END), 0) AS BIGINT)
+         AS n_cents_null,
+       CAST(COALESCE(SUM(CASE WHEN flag IS NULL THEN 1 END), 0) AS BIGINT)
+         AS n_flag_null,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_sum,
+       CAST(COALESCE(SUM(flag), 0) AS BIGINT) AS flag_sum
+FROM final
+"""
+
+STAGED_QUERIES["upsert_schema_merge_orders"] = upsert_schema_merge_orders
+STAGED_ORACLES["upsert_schema_merge_orders"] = UPSERT_SCHEMA_MERGE_SQL
+
+
+# === Schema evolution mid-subscription ==========================================
+
+
+def cdf_schema_evolution_subscription_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA EVOLUTION ACROSS A LIVE SUBSCRIPTION (VERDICT r09 ask
+    #3a): a ``table_changes`` checkpoint lineage spans an
+    ``overwrite()`` commit that DROPS ``cents`` and ADDS ``flag``.
+    Delta's CDF stream fails on such a commit and restarts with the
+    new schema; this source has the same re-pin-at-restart contract —
+    drain 1 projects its commits onto the old schema, the evolution
+    lands, drain 2 (SAME checkpoint, resumed offsets) re-pins onto the
+    new head schema and replays from where drain 1 stopped.  The
+    replica follows through the apply algebra + upsert schema merge:
+    keys the overwrite dropped arrive as deletes, surviving keys as
+    updates whose images null the dropped column out and carry the
+    added one, and a post-evolution insert flows through untouched.
+    The audit pins replica == upstream on the evolved columns
+    (NULL-safe full diff) and every replica row's ``cents`` NULL.
+
+    Scale: the overwrite commit diffs O(all buckets) — it IS a full
+    snapshot change; the later commits go back to O(changed buckets)."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+    from nasa_asteroid_data_lakehouse_spark.sources import cdf_stream
+    from nasa_asteroid_data_lakehouse_spark.streaming.replication import (
+        replication_sink,
+    )
+
+    cdf_stream.register(spark)
+    base = _orders_base(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ndl_sevo_")
+    try:
+        src = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
+        src.create(base, keys=["o_orderkey"])
+        src.upsert(
+            base.where(F.col("o_orderkey") % 5 == 0).select(
+                "o_orderkey", (F.col("cents") + 1000).alias("cents")
+            )
+        )
+        rep = VersionedTable(spark, f"{tmp}/rep", num_buckets=8)
+        rep.create(src.read(version=0), keys=["o_orderkey"])
+
+        def drain():
+            feed = (
+                spark.readStream.format("table_changes")
+                .option("path", src.root)
+                .option("starting_version", 1)
+                .load()
+            )
+            q = (
+                replication_sink(
+                    feed, rep, keys=["o_orderkey"], checkpoint_dir=f"{tmp}/ck"
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()  # old schema: covers the upsert
+        src.overwrite(
+            base.where(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", (F.col("o_orderkey") % 3).alias("flag")
+            )
+        )
+        src.upsert(
+            spark.createDataFrame([(-5, 9)], "o_orderkey bigint, flag bigint")
+        )
+        drain()  # same checkpoint, re-pinned onto the evolved schema
+        got, want = rep.read(), src.read()
+        mismatch = (
+            got.join(
+                want,
+                on=(got["o_orderkey"].eqNullSafe(want["o_orderkey"]))
+                & (got["flag"].eqNullSafe(want["flag"])),
+                how="left_anti",
+            ).count()
+            + want.join(
+                got,
+                on=(want["o_orderkey"].eqNullSafe(got["o_orderkey"]))
+                & (want["flag"].eqNullSafe(got["flag"])),
+                how="left_anti",
+            ).count()
+        )
+        agg = got.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("flag"), F.lit(0)).cast("bigint").alias("fs"),
+            F.coalesce(F.sum(F.when(F.col("cents").isNull(), 1)), F.lit(0))
+            .cast("bigint")
+            .alias("cn"),
+        ).first()
+        out = spark.createDataFrame(
+            [(int(agg["n"]), int(agg["fs"]), int(agg["cn"]), int(mismatch))],
+            "n_rows bigint, flag_sum bigint, n_cents_null bigint, "
+            "n_mismatch bigint",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDF_SCHEMA_EVOLUTION_SUBSCRIPTION_SQL = f"""
+WITH base AS ({_ORDERS_BASE_SQL}),
+final AS (
+  SELECT key, key % 3 AS flag FROM base WHERE key % 2 = 0
+  UNION ALL
+  SELECT -5 AS key, 9 AS flag
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(flag), 0) AS BIGINT) AS flag_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_cents_null,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM final
+"""
+
+STAGED_QUERIES["cdf_schema_evolution_subscription_orders"] = (
+    cdf_schema_evolution_subscription_orders
+)
+STAGED_ORACLES["cdf_schema_evolution_subscription_orders"] = (
+    CDF_SCHEMA_EVOLUTION_SUBSCRIPTION_SQL
+)
+
+
+# === Gopher repetition census ===================================================
+
+_GRC_NS = (2, 3)
+
+
+def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPETITION QUALITY CENSUS — the Gopher/MassiveText duplicate
+    n-gram signals (Rae et al. 2021, table A1) as a corpus table:
+    per-document duplicate-2-gram and duplicate-3-gram fractions,
+    bucketed on a 0..10 integer lattice (``(10*(total-distinct)) DIV
+    total`` — pure integer arithmetic, no float division anywhere), the
+    histogram a quality gate reads before fixing its repetition
+    thresholds (MassiveText drops docs whose duplicate-n-gram fraction
+    exceeds rule-specific cutoffs; this table prices each cutoff).
+
+    ONE tokenization serves both n (the decontamination-sweep
+    discipline): the token array materializes once, both shingle
+    sequences derive from it in the same projection, and the duplicate
+    counts are row-local ``size(array_distinct(...))`` — NO shuffle at
+    all until the final tiny groupBy on (n, bucket).  Documents
+    shorter than n words carry no n-gram signal and are excluded on
+    both sides.  Output: <= 22 rows."""
+    from nasa_asteroid_data_lakehouse_spark.llm import dedup
+    from nasa_asteroid_data_lakehouse_spark.llm.text import (
+        normalized_text,
+        tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        "text",
+        tokens(normalized_text("text")).alias("words"),
+    )
+    per_n = toks.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).cast("bigint").alias("n"),
+                        F.size(
+                            F.array_distinct(
+                                dedup.word_shingle_sequence("text", n)
+                            )
+                        )
+                        .cast("bigint")
+                        .alias("n_distinct"),
+                    )
+                    for n in _GRC_NS
+                ]
+            )
+        ).alias("t"),
+    ).select(
+        "doc_id",
+        F.col("t.n").alias("n"),
+        (F.col("n_words") - F.col("t.n") + 1).alias("n_total"),
+        F.col("t.n_distinct").alias("n_distinct"),
+    ).where(F.col("n_words") >= F.col("n"))
+    out = (
+        per_n.select(
+            "n",
+            "n_total",
+            "n_distinct",
+            F.expr("(10 * (n_total - n_distinct)) DIV n_total").alias("bucket"),
+        )
+        .groupBy("n", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.col("n_total") - F.col("n_distinct")), F.lit(0))
+            .cast("bigint")
+            .alias("dup_ngrams"),
+        )
+        .orderBy("n", "bucket")
+    )
+    return out
+
+
+def _grc_sql() -> str:
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    per_n = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, CAST({n} AS BIGINT) AS n,
+       CAST(len(words) - {n} + 1 AS BIGINT) AS n_total,
+       CAST(len(list_distinct(list_transform(
+              range(1, len(words) - {n - 2}),
+              j -> array_to_string(words[j:j+{n - 1}], ' ')))) AS BIGINT)
+         AS n_distinct
+FROM w WHERE len(words) >= {n}"""
+        for n in _GRC_NS
+    )
+    return rf"""
+WITH w AS (SELECT doc_id, string_split({norm}, ' ') AS words
+           FROM documents),
+per_n AS ({per_n})
+SELECT n, (10 * (n_total - n_distinct)) // n_total AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(n_total - n_distinct), 0) AS BIGINT) AS dup_ngrams
+FROM per_n
+GROUP BY n, bucket
+ORDER BY n, bucket
+"""
+
+
+STAGED_QUERIES["gopher_repetition_documents"] = gopher_repetition_documents
+STAGED_ORACLES["gopher_repetition_documents"] = _grc_sql()
+
+
+# === Lloyd-iterated k-means (SemDeDup's clustering step) ========================
+
+_KML_K = 8
+_KML_ITERS = 2
+
+
+def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLOYD-ITERATED K-MEANS over the embedding corpus — the
+    clustering step of semantic dedup (SemDeDup, Abbas et al. 2023)
+    driver-checked through real iterations (the registered IVF family
+    holds centroids at their iteration-0 seeds; ``kmeans_fit``'s Lloyd
+    loop itself was pytest-only until now).  Seeds are the k lowest
+    vec_ids with a valid vector; each iteration assigns every vector
+    to its nearest centroid (argmin over k squared distances — a pure
+    broadcast projection, NO shuffle) and recomputes centroids via
+    posexplode + groupBy(cluster, dim) mean, LATTICE-ROUNDED to 1e-6
+    via the portable ``floor(x*1e6 + 0.5)`` snap every iteration so
+    reduction-order noise cannot compound (the PCA power-iteration
+    rule); empty clusters keep their previous centroid.  The audit
+    emits per-cluster membership and the total squared distance to the
+    final centroids in exact integer micro-units (per-vector snap,
+    BIGINT sum — order-free).
+
+    Scale: per iteration ONE narrow projection over the corpus plus a
+    k*d-bounded aggregate to the driver; the quadratic step of
+    SemDeDup stays per-cluster downstream (semantic_dedup, registered)
+    and never appears here.  Output: k rows."""
+    import math
+
+    from nasa_asteroid_data_lakehouse_spark.llm import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    valid = emb.where(similarity.vec_valid(F.col("embedding"))).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    seed_rows = valid.orderBy("vec_id").limit(_KML_K).collect()
+    centroids = [[float(x) for x in r["v"]] for r in seed_rows]
+    out_schema = (
+        "cluster bigint, n_members bigint, sqdist_micro_sum bigint"
+    )
+    if not centroids:
+        return spark.createDataFrame([], out_schema)
+    dim = len(centroids[0])
+
+    def snap(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for _ in range(_KML_ITERS):
+        assigned = similarity.with_ivf_assignment(valid, centroids, "v")
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )  # bounded k*d driver result, the kmeans_fit contract
+        by: dict = {}
+        for r in means:
+            by.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(r["m"])
+        centroids = [
+            [snap(by[c][d]) for d in range(dim)] if c in by else centroids[c]
+            for c in range(len(centroids))
+        ]
+    assigned = similarity.with_ivf_assignment(valid, centroids, "v")
+    sq = F.array(*[similarity._sq_dist(F.col("v"), c) for c in centroids])
+    scored = assigned.select(
+        "cluster",
+        F.floor(
+            F.element_at(sq, F.col("cluster").cast("int") + 1) * 1e6 + 0.5
+        )
+        .cast("bigint")
+        .alias("micro"),
+    )
+    agg = scored.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.coalesce(F.sum("micro"), F.lit(0))
+        .cast("bigint")
+        .alias("sqdist_micro_sum"),
+    )
+    grid = spark.createDataFrame(
+        [(c,) for c in range(len(centroids))], "cluster bigint"
+    )
+    return (
+        grid.join(agg.withColumn("cluster", F.col("cluster").cast("bigint")), "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce(F.col("n_members"), F.lit(0))
+            .cast("bigint")
+            .alias("n_members"),
+            F.coalesce(F.col("sqdist_micro_sum"), F.lit(0))
+            .cast("bigint")
+            .alias("sqdist_micro_sum"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kml_sql() -> str:
+    valid = (
+        "embedding IS NOT NULL AND len(list_filter(embedding, "
+        "x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
+    )
+    iters = []
+    prev = "cent0"
+    for i in range(_KML_ITERS):
+        iters.append(f"""assign{i} AS MATERIALIZED (
+  SELECT vec_id, ev, c FROM (
+    SELECT e.vec_id, e.ev, s.c,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.ev, s.cv), s.c) AS rn
+    FROM valid e, {prev} s
+  ) WHERE rn = 1
+),
+means{i} AS MATERIALIZED (
+  SELECT c, dim, avg(val) AS av FROM (
+    SELECT c, generate_subscripts(ev, 1) AS dim, unnest(ev) AS val
+    FROM assign{i}
+  ) GROUP BY c, dim
+),
+cent{i + 1} AS MATERIALIZED (
+  SELECT s.c, COALESCE(m.mv, s.cv) AS cv
+  FROM {prev} s LEFT JOIN (
+    SELECT c, list(floor(av * 1e6 + 0.5) / 1e6 ORDER BY dim) AS mv
+    FROM means{i} GROUP BY c
+  ) m ON s.c = m.c
+)""")
+        prev = f"cent{i + 1}"
+    body = ",\n".join(iters)
+    return f"""
+WITH valid AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE {valid}
+),
+cent0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, ev AS cv
+  FROM valid ORDER BY vec_id LIMIT {_KML_K}
+),
+{body},
+final AS (
+  SELECT vec_id, ev, c FROM (
+    SELECT e.vec_id, e.ev, s.c,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.ev, s.cv), s.c) AS rn
+    FROM valid e, {prev} s
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT f.c,
+    CAST(floor(list_sum(list_transform(range(1, len(f.ev) + 1),
+      i -> (f.ev[i] - s.cv[i]) * (f.ev[i] - s.cv[i]))) * 1e6 + 0.5)
+      AS BIGINT) AS micro
+  FROM final f JOIN {prev} s ON f.c = s.c
+)
+SELECT CAST(g.c AS BIGINT) AS cluster,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_members,
+       CAST(COALESCE(a.s, 0) AS BIGINT) AS sqdist_micro_sum
+FROM cent0 g LEFT JOIN (
+  SELECT c, COUNT(*) AS n, SUM(micro) AS s FROM scored GROUP BY c
+) a ON g.c = a.c
+ORDER BY cluster
+"""
+
+
+STAGED_QUERIES["kmeans_lloyd_embeddings"] = kmeans_lloyd_embeddings
+STAGED_ORACLES["kmeans_lloyd_embeddings"] = _kml_sql()

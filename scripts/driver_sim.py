@@ -90,6 +90,10 @@ KEY_UNIQUE_PRECONDITION = {
     # ids to one arbitrary-but-stable embedding while the oracle scores
     # every row (the vector-store per-identity contract).
     "dv_vector_store_topk_embeddings",
+    # r11 staged: ORDER-BY-vec_id seed selection (the ivf_topk
+    # ambiguity) — duplicate ids with conflicting vectors make the
+    # k-means seeds arbitrary on both engines.
+    "kmeans_lloyd_embeddings",
 }
 
 
