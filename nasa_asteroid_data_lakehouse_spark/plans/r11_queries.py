@@ -33,11 +33,14 @@ Families (VERDICT r09 "next round" asks #3/#4 + natural continuations):
   n-gram signals as a corpus census: per-document duplicate 2-/3-gram
   fractions on an integer lattice, the table a quality gate reads
   before fixing its repetition thresholds.
-* **SemDeDup clustering** — k-means over the embedding corpus
-  (deterministic md5-rank seeds, lattice-rounded Lloyd iterations)
-  with per-cluster capped near-duplicate pair counts: the
-  cluster-then-dedup-within shape of semantic deduplication, bounded
-  by construction (pairs only inside a cluster's md5-rank sample cap).
+* **SemDeDup clustering** — Lloyd-iterated k-means over the embedding
+  corpus (lowest-id seeds, lattice-rounded centroid updates every
+  iteration): the clustering step of semantic deduplication,
+  driver-checked through real iterations for the first time.
+* **Sliding-window streaming replay** — overlapping 2h/30min windows
+  under append-mode watermark emission (a window emits iff its END has
+  been passed, non-strict — pinned empirically), the window shape the
+  registered tumbling rollups cannot see.
 
 Portability contract as everywhere in this repo: integer SUMs cast to
 BIGINT, COALESCE(...,0) on empty-input sums, payloads KEY-DERIVED,
@@ -935,3 +938,155 @@ ORDER BY cluster
 
 STAGED_QUERIES["kmeans_lloyd_embeddings"] = kmeans_lloyd_embeddings
 STAGED_ORACLES["kmeans_lloyd_embeddings"] = _kml_sql()
+
+
+# === Sliding-window streaming replay ============================================
+
+_SWR_WINDOW_S = 7200  # 2 hours
+_SWR_SLIDE_S = 1800  # 30 minutes
+
+
+def streaming_sliding_window_replay_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SLIDING-WINDOW streaming aggregation replay — the overlapping-
+    window semantics the registered tumbling rollups cannot see: every
+    event contributes to window/slide = 4 overlapping 2-hour windows
+    on a 30-minute lattice, and append mode only emits a window once
+    the watermark passes its END (non-strict, ``end <= wm`` — pinned
+    empirically in tests/test_r11_staged.py: a window whose end equals
+    the final watermark DOES emit; stream-end windows the watermark
+    never passes are suppressed).  Replayed as four TIME-QUARTILE
+    ordered, mtime-pinned single-file batches under horizon 0 (the
+    outer-join replay discipline), so no row is ever late and the
+    final watermark is exactly the corpus max event time, which the
+    oracle reproduces.
+
+    Scale: state is bounded by (windows in the watermark horizon) x
+    (group keys) — closed windows are evicted at emission; the shuffle
+    key is (window, event_type), never a global window."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "user_id",
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_swr_")
+    try:
+        src = f"{tmp}/in"
+
+        def write_batches(df: DataFrame, path: str) -> None:
+            cut_row = df.agg(
+                F.expr(
+                    "percentile(cast(ts as double), array(0.25, 0.5, 0.75))"
+                ).alias("cs")
+            ).collect()[0]
+            cuts = list(cut_row["cs"]) if cut_row["cs"] is not None else []
+            b_col = F.lit(1)
+            for c in cuts:
+                b_col = b_col + F.when(
+                    F.col("ts").cast("double") > F.lit(c), 1
+                ).otherwise(0)
+            batched = df.withColumn("__b", b_col)
+            stamped: set[str] = set()
+            for b in range(1, 5):
+                (
+                    batched.where(F.col("__b") == b)
+                    .drop("__b")
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(path)
+                )
+                mtime = 1_000_000_000 + 10 * b
+                for name in os.listdir(path):
+                    if name.startswith("part-") and name not in stamped:
+                        os.utime(os.path.join(path, name), (mtime, mtime))
+                        stamped.add(name)
+
+        write_batches(ev, src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(
+                F.window(
+                    "ts", f"{_SWR_WINDOW_S} seconds", f"{_SWR_SLIDE_S} seconds"
+                ).alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.coalesce(F.sum("user_id"), F.lit(0))
+                .cast("bigint")
+                .alias("user_sum"),
+            )
+        )
+        out = f"{tmp}/rows"
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .format("parquet")
+            .start(out)
+        )
+        q.awaitTermination()
+        try:
+            got = spark.read.parquet(out)
+        except Exception:  # zero input files -> no sink directory
+            return spark.createDataFrame(
+                [],
+                "window_start timestamp_ntz, event_type string, "
+                "n_events bigint, user_sum bigint",
+            )
+        return (
+            got.select(
+                F.col("w.start")
+                .cast("timestamp_ntz")
+                .alias("window_start"),
+                "event_type",
+                "n_events",
+                "user_sum",
+            )
+            .orderBy("window_start", "event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_SLIDING_WINDOW_SQL = f"""
+WITH ev AS (
+  SELECT ts, event_type, user_id FROM events WHERE ts IS NOT NULL
+),
+wm AS (SELECT MAX(ts) AS m FROM ev),
+expanded AS (
+  SELECT make_timestamp({_SWR_SLIDE_S}000000 *
+           (epoch_us(ts) // {_SWR_SLIDE_S}000000 - j)) AS window_start,
+         event_type, user_id
+  FROM ev, (SELECT unnest(range({_SWR_WINDOW_S // _SWR_SLIDE_S})) AS j)
+)
+SELECT e.window_start, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(e.user_id), 0) AS BIGINT) AS user_sum
+FROM expanded e, wm
+WHERE e.window_start + INTERVAL {_SWR_WINDOW_S} SECOND <= wm.m
+GROUP BY e.window_start, e.event_type
+ORDER BY e.window_start, e.event_type
+"""
+
+STAGED_QUERIES["streaming_sliding_window_replay_events"] = (
+    streaming_sliding_window_replay_events
+)
+STAGED_ORACLES["streaming_sliding_window_replay_events"] = (
+    STREAMING_SLIDING_WINDOW_SQL
+)

@@ -58,6 +58,29 @@ REPROVE: dict[int, list[str]] = {
         "versioned_table_schema_evolution_orders",
         "file_skipping_stats_orders",
     ],
+    # r11: round-10 changed (a) upsert — manifest-schema alignment (the
+    # schema-merge contract) + mergeSchema existing read, (b) compact —
+    # orphan-DV drop + metadata-only commit path, (c) maintenance
+    # commits now carry data_change=false and the table_changes planner
+    # SKIPS them, (d) replication filters update_preimage, (e) restore
+    # retries on conflict, (f) _commit seeds the stream watermark map on
+    # mixed-era lineages.  Every registered query through those paths
+    # re-proves on the new code.
+    11: [
+        "lake_history_audit_orders",
+        "cdf_stream_replay_orders",
+        "streaming_cdf_subscription_orders",
+        "streaming_replication_orders",
+        "optimize_dv_purge_orders",
+        "dv_merge_on_read_orders",
+        "dv_upsert_materialize_orders",
+        "restore_undo_feed_orders",
+        "time_travel_timestamp_orders",
+        "rebucket_roundtrip_orders",
+        "dv_vector_store_topk_embeddings",
+        "vacuum_retention_orders",
+        "lsh_index_maintenance_embeddings",
+    ],
 }
 
 

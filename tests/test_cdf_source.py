@@ -302,3 +302,101 @@ def test_replication_ignores_update_preimages(spark, table, tmp_path):
     assert apply_feed_batch(rep, feed, ["k"], 0) is True
     got = {r["k"]: r["v"] for r in rep.read().collect()}
     assert got[3] == 999 and got[4] == 888  # postimages, never preimages
+
+
+def test_feed_skips_maintenance_commits(spark, table):
+    """Maintenance commits (data_change=false) are invisible to the
+    change feed — Delta's dataChange contract.  compact/optimize
+    rewrite every touched file, but the feed emits nothing for them
+    and the planner never reads a byte (zero partitions planned)."""
+    table.upsert(spark.createDataFrame([(3, 999)], "k bigint, v bigint"))
+    v_compact = table.compact(target_files_per_bucket=0)
+    feed = (
+        spark.read.format("table_changes")
+        .option("path", table.root)
+        .option("from_version", 0)
+        .load()
+    )
+    assert feed.where(F.col("_commit_version") == v_compact).count() == 0
+    parts = cdf_stream._changed_bucket_partitions(
+        table.root, v_compact - 1, v_compact, ["k"], ["k", "v"]
+    )
+    # only the mandatory no-op placeholder partition remains
+    assert len(parts) == 1 and parts[0].old_files == [] and parts[0].new_files == []
+
+
+def test_feed_skip_falls_back_to_operation_name(spark, table):
+    """Manifests written before the data_change flag existed are
+    classified by operation name — compact/optimize/rebucket are
+    content-preserving by construction."""
+    import json
+    import os
+
+    v = table.rebucket(8)
+    p = os.path.join(table._manifest_dir, f"v{v:08d}.json")
+    with open(p) as fh:
+        m = json.load(fh)
+    assert m.get("data_change") is False
+    del m["data_change"]  # simulate a pre-flag manifest
+    with open(p, "w") as fh:
+        json.dump(m, fh)
+    assert cdf_stream._is_data_change(m) is False
+    parts = cdf_stream._changed_bucket_partitions(
+        table.root, v - 1, v, ["k"], ["k", "v"]
+    )
+    assert len(parts) == 1 and parts[0].new_files == []
+
+
+def test_replication_feed_correct_across_rebucket(spark, table, tmp_path):
+    """The end-to-end hazard the skip exists for: without it, a
+    rebucket's name-paired bucket diff manufactures false delete +
+    insert pairs at one _commit_version and the replica's
+    latest-per-key pick can DROP rows.  With it, a replica draining
+    straight through a rebucket converges exactly."""
+    from nasa_asteroid_data_lakehouse_spark.streaming.replication import (
+        apply_feed_batch,
+    )
+
+    rep = VersionedTable(spark, str(tmp_path / "rep_rb"), num_buckets=4)
+    rep.create(
+        spark.createDataFrame(
+            [(i, i % 7) for i in range(30)], "k bigint, v bigint"
+        ),
+        keys=["k"],
+    )
+    table.upsert(spark.createDataFrame([(3, 999)], "k bigint, v bigint"))
+    table.rebucket(16)
+    table.delete_where(F.col("k") % 10 == 5)
+    feed = (
+        spark.read.format("table_changes")
+        .option("path", table.root)
+        .option("from_version", 0)
+        .load()
+    )
+    assert apply_feed_batch(rep, feed, ["k"], 0) is True
+    assert _content(rep) == _content(table)
+
+
+def test_restore_across_rebucket_global_diff_partition(spark, table):
+    """The one data-change commit that can cross bucket spaces — a
+    restore over a rebucket — degrades to a single whole-snapshot diff
+    partition and classifies the undo exactly once per row."""
+    table.upsert(spark.createDataFrame([(3, 999), (99, 1)], "k bigint, v bigint"))
+    table.rebucket(16)
+    v_restore = table.restore(0)
+    parts = cdf_stream._changed_bucket_partitions(
+        table.root, v_restore - 1, v_restore, ["k"], ["k", "v"]
+    )
+    assert len(parts) == 1  # global diff, not name-paired buckets
+    feed = (
+        spark.read.format("table_changes")
+        .option("path", table.root)
+        .option("from_version", v_restore - 1)
+        .option("to_version", v_restore)
+        .load()
+    )
+    rows = _rows(feed)
+    # the undo of the upsert: key 3 back to 3%7=3, key 99 un-inserted
+    assert (3, 3, "update_postimage", v_restore) in rows
+    assert (99, 1, "delete", v_restore) in rows
+    assert len(rows) == 2

@@ -15,7 +15,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import r11_queries as r11
 
 def test_staged_registry_shape():
     assert set(r11.STAGED_QUERIES) == set(r11.STAGED_ORACLES)
-    assert len(r11.STAGED_QUERIES) == 7
+    assert len(r11.STAGED_QUERIES) == 8
 
 
 def _write(df, tmp_path, table):
@@ -200,3 +200,43 @@ def test_kmeans_lloyd_iterates_away_from_seeds(spark, tmp_path):
     sf = _write(emb, tmp_path, "embeddings")
     out = r11.kmeans_lloyd_embeddings(spark, sf).collect()
     assert sum(r["n_members"] for r in out) == 24
+
+
+# --- sliding-window streaming replay --------------------------------------------
+
+
+def test_sliding_window_emission_boundary(spark, tmp_path):
+    """Append mode emits a window iff its END <= the final watermark
+    (non-strict — the empirical pin behind the oracle's comparison):
+    with max ts exactly on a window end, that window emits and every
+    window containing the max-ts event is suppressed."""
+    ev = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:15:00", 10),
+            (2, "a", "2024-01-01 02:00:00", 20),
+        ],
+        "event_id bigint, event_type string, ts string, user_id bigint",
+    ).select("event_id", "event_type", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id")
+    sf = _write(ev, tmp_path, "events")
+    rows = r11.streaming_sliding_window_replay_events(spark, sf).collect()
+    starts = sorted(str(r["window_start"]) for r in rows)
+    # four windows cover 00:15; only those ending <= 02:00 emit
+    assert starts == [
+        "2023-12-31 22:30:00",
+        "2023-12-31 23:00:00",
+        "2023-12-31 23:30:00",
+        "2024-01-01 00:00:00",
+    ]
+    assert all(r["n_events"] == 1 and r["user_sum"] == 10 for r in rows)
+
+
+def test_sliding_window_every_event_in_four_windows(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [(i, "x", f"2024-01-01 0{h}:10:00", 1) for i, h in enumerate([1, 2, 3])]
+        + [(99, "x", "2024-01-02 00:00:00", 0)],  # advances the watermark
+        "event_id bigint, event_type string, ts string, user_id bigint",
+    ).select("event_id", "event_type", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id")
+    sf = _write(ev, tmp_path, "events")
+    rows = r11.streaming_sliding_window_replay_events(spark, sf).collect()
+    # 3 closed events x 4 overlapping windows each = 12 contributions
+    assert sum(r["n_events"] for r in rows) == 12
