@@ -15,7 +15,11 @@ gets timed.
   projections + two k*d-bounded aggregates; the probe pins that
   iterations scale linearly, not quadratically.
 
-Usage: python scripts/stress_r11.py [n_orders] [n_docs] [n_vecs]
+- streaming_sliding_window_replay at 1M events: 4 overlapping windows
+  per event over 4 real micro-batches; state bounded by open windows x
+  event types, emitted windows evicted at the watermark.
+
+Usage: python scripts/stress_r11.py [n_orders] [n_docs] [n_vecs] [n_events]
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from nasa_asteroid_data_lakehouse_spark.plans import r11_queries as r11
 from nasa_asteroid_data_lakehouse_spark.session import get_spark
 from scripts.stress_curation import probe, synth_docs, synth_vecs
+from scripts.stress_round_extras import synth_events  # carries event_type
 from scripts.stress_r06 import synth_orders
 
 
@@ -36,6 +41,7 @@ def main() -> None:
     n_orders = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+    n_events = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000_000
 
     spark = get_spark(app_name="stress-r11", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -43,6 +49,7 @@ def main() -> None:
     synth_orders(spark, n_orders).write.parquet(f"{sf}/orders.parquet")
     synth_docs(spark, n_docs).write.parquet(f"{sf}/documents.parquet")
     synth_vecs(spark, n_vecs, 64).write.parquet(f"{sf}/embeddings.parquet")
+    synth_events(spark, n_events).write.parquet(f"{sf}/events.parquet")
 
     probe(
         f"replication_across_rebucket_{n_orders}",
@@ -71,6 +78,10 @@ def main() -> None:
     probe(
         f"kmeans_lloyd_{n_vecs}",
         lambda: r11.kmeans_lloyd_embeddings(spark, sf),
+    )
+    probe(
+        f"streaming_sliding_window_{n_events}",
+        lambda: r11.streaming_sliding_window_replay_events(spark, sf),
     )
 
 
