@@ -101,14 +101,15 @@ REGISTER_R09 = True
 # vector store).  Then run update_rotation 10.
 REGISTER_R10 = True
 
-# Round-11 staged batch (plans/r11_queries.py, EIGHT queries): flip to
+# Round-11 staged batch (plans/r11_queries.py, TEN queries): flip to
 # True at ROUND-11 START, after CORRECTNESS_r10 lands.  Replication
 # across rebucket (the data_change=false planner skip), maintenance
 # CDF census, transactional snapshot across deferred-delete commits,
 # upsert schema merge, schema evolution mid-subscription, Gopher
 # repetition census, Lloyd-iterated k-means (SemDeDup's clustering
-# step), sliding-window streaming replay.  Pre-wired: KEY_UNIQUE entry
-# (kmeans_lloyd_embeddings — ORDER-BY-id seeds).  Then run
+# step), sliding-window streaming replay, change-feed vacuum boundary
+# (fail-closed), clone-bootstrap replication.  Pre-wired: KEY_UNIQUE
+# entry (kmeans_lloyd_embeddings — ORDER-BY-id seeds).  Then run
 # update_rotation 11.
 REGISTER_R11 = False
 

@@ -41,6 +41,13 @@ Families (VERDICT r09 "next round" asks #3/#4 + natural continuations):
   under append-mode watermark emission (a window emits iff its END has
   been passed, non-strict — pinned empirically), the window shape the
   registered tumbling rollups cannot see.
+* **Vacuum boundary of the change feed** — fail-closed, never silently
+  partial: a feed range needing a vacuumed manifest raises a clear
+  driver-side error naming the earliest answerable version; reads
+  inside the surviving window answer exactly.
+* **Clone-bootstrap replication** — the Delta mirror recipe (SHALLOW
+  CLONE a snapshot, APPLY CHANGES from the next version): O(1)
+  zero-copy bootstrap, steady-state O(changed buckets).
 
 Portability contract as everywhere in this repo: integer SUMs cast to
 BIGINT, COALESCE(...,0) on empty-input sums, payloads KEY-DERIVED,
@@ -1089,4 +1096,242 @@ STAGED_QUERIES["streaming_sliding_window_replay_events"] = (
 )
 STAGED_ORACLES["streaming_sliding_window_replay_events"] = (
     STREAMING_SLIDING_WINDOW_SQL
+)
+
+
+# === Vacuum boundary of the change feed =========================================
+
+
+def cdf_vacuum_boundary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM BOUNDARY of the change feed — fail-closed, never
+    silently partial: after ``vacuum(keep_last=2)`` truncates the
+    manifest log, a ``table_changes`` read that needs a vacuumed
+    manifest raises a clear driver-side error naming the earliest
+    answerable version (Delta's CDF behaves the same when
+    startingVersion predates the earliest commit), while a read inside
+    the surviving window answers exactly.  The ``truncated_raises``
+    column pins the refusal; the audit columns pin the surviving
+    window's feed (the v2 -> v3 diff: every key%11 upsert image, no
+    phantom inserts).
+
+    Scale: the boundary check is driver-side manifest existence — the
+    refusal costs zero data I/O, and the answerable read stays
+    O(changed buckets)."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+    from nasa_asteroid_data_lakehouse_spark.sources import cdf_stream
+
+    cdf_stream.register(spark)
+    base = _orders_base(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ndl_vb_")
+    try:
+        t = VersionedTable(spark, f"{tmp}/t", num_buckets=8)
+        t.create(base, keys=["o_orderkey"])
+        t.upsert(
+            base.where(F.col("o_orderkey") % 5 == 0).select(
+                "o_orderkey", (F.col("cents") + 1000).alias("cents")
+            )
+        )
+        t.delete_where(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") >= 0),
+            deferred=True,
+        )  # may commit nothing when no key matches — use REAL versions
+        v_final = t.upsert(
+            base.where(
+                (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0)
+            ).select("o_orderkey", (F.col("cents") + 7).alias("cents"))
+        )
+        t.vacuum(keep_last=2)  # survivors: v_final-1, v_final
+        truncated_raises = 0
+        try:
+            (
+                spark.read.format("table_changes")
+                .option("path", t.root)
+                .option("from_version", 0)
+                .load()
+                .count()
+            )
+        except Exception as exc:  # noqa: BLE001 — the refusal contract
+            if "vacuumed" in str(exc):
+                truncated_raises = 1
+        feed = (
+            spark.read.format("table_changes")
+            .option("path", t.root)
+            .option("from_version", v_final - 1)
+            .load()
+        )
+        agg = feed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("_change_type") == "update_postimage", 1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("nu"),
+            F.coalesce(
+                F.sum(F.when(F.col("_change_type") == "insert", 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("ni"),
+        ).first()
+        out = spark.createDataFrame(
+            [
+                (
+                    int(truncated_raises),
+                    int(agg["n"]),
+                    int(agg["nu"]),
+                    int(agg["ni"]),
+                )
+            ],
+            "truncated_raises bigint, n_feed_rows bigint, n_updates bigint, "
+            "n_inserts bigint",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CDF_VACUUM_BOUNDARY_SQL = f"""
+WITH base AS ({_ORDERS_BASE_SQL}),
+touched AS (SELECT * FROM base WHERE key % 11 = 0 AND key % 7 <> 0)
+SELECT CAST(1 AS BIGINT) AS truncated_raises,
+       CAST((SELECT COUNT(*) FROM touched) AS BIGINT) AS n_feed_rows,
+       CAST((SELECT COUNT(*) FROM touched) AS BIGINT) AS n_updates,
+       CAST(0 AS BIGINT) AS n_inserts
+"""
+
+STAGED_QUERIES["cdf_vacuum_boundary_orders"] = cdf_vacuum_boundary_orders
+STAGED_ORACLES["cdf_vacuum_boundary_orders"] = CDF_VACUUM_BOUNDARY_SQL
+
+
+# === Clone-bootstrap replication ================================================
+
+
+def clone_bootstrap_replication_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLONE-BOOTSTRAP REPLICATION — the standard Delta mirror recipe
+    (SHALLOW CLONE a snapshot, then APPLY CHANGES from the next
+    version): the replica bootstraps as an O(1) zero-copy clone of the
+    source at v1 (ONE manifest write, no data movement — pinned by
+    ``bootstrap_commits``), then follows the source's later commits
+    (deferred delete, upsert) through the ``table_changes``
+    subscription starting exactly at v2.  Versus snapshot-copy
+    bootstrap (the registered streaming_replication shape), the clone
+    path moves zero bytes up front — at 100 TB that is the difference
+    between an instant mirror and a day-long backfill.
+
+    Scale: bootstrap O(1); steady state O(changed buckets) per drained
+    commit on both sides."""
+    from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
+    from nasa_asteroid_data_lakehouse_spark.sources import cdf_stream
+    from nasa_asteroid_data_lakehouse_spark.streaming.lakehouse import (
+        stream_batch_watermark,
+    )
+    from nasa_asteroid_data_lakehouse_spark.streaming.replication import (
+        replication_sink,
+    )
+
+    cdf_stream.register(spark)
+    base = _orders_base(spark, sf_dir)
+    synthetic = spark.createDataFrame(
+        [(-1, -1)], "o_orderkey bigint, cents bigint"
+    )
+    tmp = tempfile.mkdtemp(prefix="ndl_cbr_")
+    try:
+        src = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
+        src.create(base, keys=["o_orderkey"])
+        src.upsert(
+            base.where(F.col("o_orderkey") % 5 == 0)
+            .select("o_orderkey", (F.col("cents") + 1000).alias("cents"))
+            .unionByName(synthetic)
+        )
+        rep = src.clone(f"{tmp}/rep", version=1)
+        bootstrap_commits = 1 if rep.latest_version() == 0 else 0
+        src.delete_where(
+            ((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") >= 0))
+            | (F.col("o_orderkey") == -1),
+            deferred=True,
+        )
+        src.upsert(
+            base.where(
+                (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0)
+            ).select("o_orderkey", (F.col("cents") + 7).alias("cents"))
+        )
+        feed = (
+            spark.readStream.format("table_changes")
+            .option("path", src.root)
+            .option("starting_version", 2)
+            .load()
+        )
+        q = (
+            replication_sink(
+                feed, rep, keys=["o_orderkey"], checkpoint_dir=f"{tmp}/ck"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got, want = rep.read(), src.read()
+        mismatch = (
+            got.join(
+                want,
+                on=(got["o_orderkey"].eqNullSafe(want["o_orderkey"]))
+                & (got["cents"].eqNullSafe(want["cents"])),
+                how="left_anti",
+            ).count()
+            + want.join(
+                got,
+                on=(want["o_orderkey"].eqNullSafe(got["o_orderkey"]))
+                & (want["cents"].eqNullSafe(got["cents"])),
+                how="left_anti",
+            ).count()
+        )
+        wm_advanced = 1 if stream_batch_watermark(rep, "replication") >= 0 else 0
+        agg = got.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("s"),
+        ).first()
+        out = spark.createDataFrame(
+            [
+                (
+                    int(agg["n"]),
+                    int(agg["s"]),
+                    int(mismatch),
+                    int(bootstrap_commits),
+                    int(wm_advanced),
+                )
+            ],
+            "n_rows bigint, cents_sum bigint, n_mismatch bigint, "
+            "bootstrap_commits bigint, watermark_advanced bigint",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+CLONE_BOOTSTRAP_REPLICATION_SQL = f"""
+WITH base AS ({_ORDERS_BASE_SQL}),
+final AS (
+  SELECT key,
+         CASE
+           WHEN key % 11 = 0 THEN cents + 7
+           WHEN key % 5 = 0 THEN cents + 1000
+           ELSE cents
+         END AS cents
+  FROM base
+  WHERE NOT (key % 7 = 0)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_sum,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(1 AS BIGINT) AS bootstrap_commits,
+       CAST(1 AS BIGINT) AS watermark_advanced
+FROM final
+"""
+
+STAGED_QUERIES["clone_bootstrap_replication_orders"] = (
+    clone_bootstrap_replication_orders
+)
+STAGED_ORACLES["clone_bootstrap_replication_orders"] = (
+    CLONE_BOOTSTRAP_REPLICATION_SQL
 )

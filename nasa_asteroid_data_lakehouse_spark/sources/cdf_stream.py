@@ -165,7 +165,35 @@ def _changed_bucket_partitions(
     bucket pairing is meaningless there, so it degrades to a single
     whole-snapshot diff partition (correct, documented cost — a
     rollback across a bucket-spec change mid-subscription is a rare
-    manual event)."""
+    manual event).
+
+    FAIL-CLOSED past vacuum: a requested range that needs a vacuumed
+    manifest raises a clear driver-side error naming the earliest
+    answerable version (Delta's CDF raises the same way when
+    startingVersion predates the earliest available commit) — never a
+    bare executor FileNotFoundError, and never a silently partial
+    feed."""
+
+    def load_or_fail(v: int) -> dict:
+        try:
+            return _load_manifest(root, v)
+        except FileNotFoundError:
+            versions = sorted(
+                int(f[1:-5])
+                for f in os.listdir(_manifest_dir(root))
+                if f.startswith("v") and f.endswith(".json")
+            )
+            earliest = versions[0] if versions else None
+            if earliest is None:
+                raise ValueError(f"no manifests at {root}") from None
+            raise ValueError(
+                f"change feed for ({start_v}, {end_v}] needs manifest "
+                f"v{v}, which was vacuumed; earliest answerable "
+                f"from_version is {earliest} (starting_version "
+                f"{earliest + 1} — a diff of version k reads "
+                f"manifests k-1 and k)"
+            ) from None
+
     parts: list[InputPartition] = []
     for v in range(start_v + 1, end_v + 1):
         if v == 0:
@@ -173,8 +201,8 @@ def _changed_bucket_partitions(
             # insert (the batch default from_version=-1 backfills it)
             from_m: dict = {"buckets": {}, "dvs": {}}
         else:
-            from_m = _load_manifest(root, v - 1)
-        to_m = _load_manifest(root, v)
+            from_m = load_or_fail(v - 1)
+        to_m = load_or_fail(v)
         if not _is_data_change(to_m):
             continue
         from_b, to_b = from_m["buckets"], to_m["buckets"]

@@ -400,3 +400,26 @@ def test_restore_across_rebucket_global_diff_partition(spark, table):
     assert (3, 3, "update_postimage", v_restore) in rows
     assert (99, 1, "delete", v_restore) in rows
     assert len(rows) == 2
+
+
+def test_feed_fails_closed_past_vacuum(spark, table):
+    """A feed range needing a vacuumed manifest raises a clear
+    driver-side error naming the earliest answerable version — never a
+    bare executor FileNotFoundError, never a silently partial feed."""
+    import pytest
+
+    table.upsert(spark.createDataFrame([(3, 100)], "k bigint, v bigint"))
+    table.delete_where(F.col("k") == 5)
+    table.vacuum(keep_last=2)  # survivors: v1, v2
+    with pytest.raises(Exception, match="vacuumed"):
+        cdf_stream._changed_bucket_partitions(
+            table.root, 0, 2, ["k"], ["k", "v"]
+        )
+    # inside the surviving window: answers exactly
+    feed = (
+        spark.read.format("table_changes")
+        .option("path", table.root)
+        .option("from_version", 1)
+        .load()
+    )
+    assert _rows(feed) == [(5, 5, "delete", 2)]

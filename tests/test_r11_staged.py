@@ -15,7 +15,7 @@ from nasa_asteroid_data_lakehouse_spark.plans import r11_queries as r11
 
 def test_staged_registry_shape():
     assert set(r11.STAGED_QUERIES) == set(r11.STAGED_ORACLES)
-    assert len(r11.STAGED_QUERIES) == 8
+    assert len(r11.STAGED_QUERIES) == 10
 
 
 def _write(df, tmp_path, table):
@@ -240,3 +240,24 @@ def test_sliding_window_every_event_in_four_windows(spark, tmp_path):
     rows = r11.streaming_sliding_window_replay_events(spark, sf).collect()
     # 3 closed events x 4 overlapping windows each = 12 contributions
     assert sum(r["n_events"] for r in rows) == 12
+
+
+# --- vacuum boundary / clone bootstrap ---------------------------------------------
+
+
+def test_cdf_vacuum_boundary_refuses_and_answers(spark, tmp_path):
+    sf = _orders(spark, tmp_path, list(range(30)))
+    row = r11.cdf_vacuum_boundary_orders(spark, sf).first()
+    assert row["truncated_raises"] == 1  # fail-closed past the vacuum
+    # surviving window (v2 -> v3): key%11 and not key%7 -> 11, 22
+    assert row["n_feed_rows"] == 2
+    assert row["n_updates"] == 2 and row["n_inserts"] == 0
+
+
+def test_clone_bootstrap_replication_converges(spark, tmp_path):
+    sf = _orders(spark, tmp_path, list(range(40)))
+    row = r11.clone_bootstrap_replication_orders(spark, sf).first()
+    assert row["bootstrap_commits"] == 1  # clone = one manifest write
+    assert row["n_mismatch"] == 0
+    assert row["n_rows"] == 34  # minus key%7 (0,7,14,21,28,35)
+    assert row["watermark_advanced"] == 1
