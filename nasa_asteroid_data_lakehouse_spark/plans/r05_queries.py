@@ -203,9 +203,14 @@ def streaming_score_replay_documents(spark: SparkSession, sf_dir: str) -> DataFr
         read_scored,
         score_stream,
     )
+    from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+        scaled_stream_shuffle,
+    )
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="ndl_stream_score_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("ndl_stream_score_")
     try:
         src = f"{tmp}/in"
         docs.repartition(4).write.parquet(src)
@@ -215,12 +220,16 @@ def streaming_score_replay_documents(spark: SparkSession, sf_dir: str) -> DataFr
             .parquet(src)
         )
         out = f"{tmp}/scored"
-        q = (
-            score_stream(spark, stream, docs, out)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # Scale-adaptive shuffle partitions for the drain (streaming
+        # has no AQE; the per-batch scoring aggregates otherwise fan
+        # into cluster-sized tiny partitions — streaming/tuning.py).
+        with scaled_stream_shuffle(spark, src):
+            q = (
+                score_stream(spark, stream, docs, out)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return (
             read_scored(spark, out, latest_only=True)
             .select("doc_id", "n_tokens", "mean_surprisal")
@@ -528,33 +537,22 @@ def streaming_session_replay_events(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.createDataFrame([], out_schema)
     sentinel_ts = max_row["m"] + timedelta(days=30)
 
-    tmp = tempfile.mkdtemp(prefix="ndl_stream_sess_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+    from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+        write_time_quartile_batches,
+    )
+
+    tmp = scratch_dir("ndl_stream_sess_")
     try:
         src = f"{tmp}/in"
         # time-quartile batch assignment via percentile CUTS, not a
         # global NTILE window (an unpartitioned rank-all window is the
         # module's banned scale shape — the cuts are one aggregation
-        # and the assignment is embarrassingly parallel)
-        cut_row = ev.agg(
-            F.expr(
-                "percentile(cast(ts as double), array(0.25, 0.5, 0.75))"
-            ).alias("cs")
-        ).collect()[0]
-        cuts = list(cut_row["cs"]) if cut_row["cs"] is not None else []
-        b_col = F.lit(1)
-        for c in cuts:
-            b_col = b_col + F.when(
-                F.col("ts").cast("double") > F.lit(c), 1
-            ).otherwise(0)
-        batched = ev.withColumn("__b", b_col)
-        for b in range(1, 5):
-            (
-                batched.where(F.col("__b") == b)
-                .drop("__b")
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(src)
-            )
+        # and the assignment is embarrassingly parallel); batches are
+        # written in ONE job with pinned, strictly increasing mtimes
+        # (streaming/tuning.py) — the sentinel file below is written
+        # afterwards with a present-day mtime, so it still drains LAST.
+        write_time_quartile_batches(ev, src)
         (
             ev.select("user_id")
             .distinct()
@@ -589,14 +587,22 @@ def streaming_session_replay_events(spark: SparkSession, sf_dir: str) -> DataFra
             )
         )
         out = f"{tmp}/sessions"
-        q = (
-            sessions.writeStream.outputMode("append")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .format("parquet")
-            .start(out)
+        # Scale-adaptive state partitions for the session-window state
+        # store (streaming has no AQE; see streaming/tuning.py —
+        # measured 39 s -> 6 s at sf0.1 with 32 -> scaled partitions).
+        from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+            scaled_stream_shuffle,
         )
-        q.awaitTermination()
+
+        with scaled_stream_shuffle(spark, src):
+            q = (
+                sessions.writeStream.outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .format("parquet")
+                .start(out)
+            )
+            q.awaitTermination()
         try:
             got = spark.read.parquet(out)
         except Exception:  # no session emitted (e.g. single-user tiny input)

@@ -685,7 +685,7 @@ def _pca_moments(emb) -> DataFrame:
             ).alias("c"),
         )
         .coalesce(1)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -740,7 +740,7 @@ def pca_power_iteration_embeddings(
             ).alias("c"),
         )
         .coalesce(1)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     v = m.select(F.col("i").alias("dim")).distinct().select(
         "dim", F.lit(_PCA_V0).alias("x")
@@ -761,7 +761,7 @@ def pca_power_iteration_embeddings(
                 F.round(F.try_divide(F.col("ux"), F.col("nrm")), 9).alias("x"),
             )
             .coalesce(1)  # 8-row table: 1 task per iteration job, not 32
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     first_nz = (
         v.where(F.col("x").isNotNull() & (F.col("x") != 0.0))
@@ -895,7 +895,7 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.try_divide(F.col("c"), F.col("tot")), 9).alias("p"),
         )
         .coalesce(1)  # |types|^2-row matrix
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_states = states.agg(F.count(F.lit(1)).alias("ns"))
     pi = states.crossJoin(F.broadcast(n_states)).select(
@@ -916,7 +916,7 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.try_divide(F.col("u"), F.col("s")), 9).alias("pi"),
             )
             .coalesce(1)  # |types|-row table: 1 task per iteration job
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return pi.select(
         F.col("state").alias("event_type"),
@@ -1466,7 +1466,7 @@ def pca_two_components_embeddings(
             ).alias("c"),
         )
         .coalesce(1)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _power(mat):
@@ -1493,7 +1493,7 @@ def pca_two_components_embeddings(
                     ),
                 )
                 .coalesce(1)
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         first_nz = (
             v.where(F.col("x").isNotNull() & (F.col("x") != 0.0))
@@ -1510,7 +1510,7 @@ def pca_two_components_embeddings(
             v.crossJoin(F.broadcast(sgn))
             .select("dim", F.round(F.col("s") * F.col("x"), 9).alias("x"))
             .coalesce(1)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         vj = v.select(F.col("dim").alias("jd"), F.col("x").alias("xj"))
         vi = v.select(F.col("dim").alias("id"), F.col("x").alias("xi"))
@@ -1542,7 +1542,7 @@ def pca_two_components_embeddings(
             ).alias("c"),
         )
         .coalesce(1)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     v2, lam2 = _power(m2)
     return (

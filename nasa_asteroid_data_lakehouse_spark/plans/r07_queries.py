@@ -1264,7 +1264,9 @@ def streaming_dedup_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame
     if span["lo"] is not None and span["hi"] is not None:
         span_days = (span["hi"] - span["lo"]).days + 2
         horizon_days = max(horizon_days, span_days)
-    tmp = tempfile.mkdtemp(prefix="ndl_stream_dedup_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("ndl_stream_dedup_")
     try:
         src = f"{tmp}/in"
         ev.repartition(4).write.parquet(src)
@@ -1277,14 +1279,21 @@ def streaming_dedup_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame
             "ts", f"{horizon_days} days"
         ).dropDuplicatesWithinWatermark(["event_id"])
         out = f"{tmp}/deduped"
-        q = (
-            deduped.writeStream.outputMode("append")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .format("parquet")
-            .start(out)
+        # Scale-adaptive state partitions for the dedup state store
+        # (streaming has no AQE; see streaming/tuning.py).
+        from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+            scaled_stream_shuffle,
         )
-        q.awaitTermination()
+
+        with scaled_stream_shuffle(spark, src):
+            q = (
+                deduped.writeStream.outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .format("parquet")
+                .start(out)
+            )
+            q.awaitTermination()
         try:
             got = spark.read.parquet(out)
         except Exception:  # zero input files -> no sink directory

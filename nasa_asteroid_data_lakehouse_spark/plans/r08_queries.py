@@ -1010,12 +1010,18 @@ def streaming_upsert_replay_events(spark: SparkSession, sf_dir: str) -> DataFram
             "event_id", (F.col("event_id") % 997).alias("val")
         )
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_stream_upsert_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("ndl_stream_upsert_")
     try:
         src = f"{tmp}/in"
         ev.repartition(4).write.parquet(src)
         t = VersionedTable(spark, f"{tmp}/table", num_buckets=8)
         t.create(ev.limit(0), keys=["event_id"])
+
+        from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+            scaled_stream_shuffle,
+        )
 
         def replay(checkpoint: str) -> None:
             stream = (
@@ -1023,14 +1029,18 @@ def streaming_upsert_replay_events(spark: SparkSession, sf_dir: str) -> DataFram
                 .option("maxFilesPerTrigger", 1)
                 .parquet(src)
             )
-            q = (
-                versioned_upsert_sink(
-                    stream, t, f"{tmp}/{checkpoint}", app_id="evload"
+            # Scale-adaptive shuffle partitions for the per-batch merge
+            # windows inside the foreachBatch upsert (streaming has no
+            # AQE; see streaming/tuning.py).
+            with scaled_stream_shuffle(spark, src):
+                q = (
+                    versioned_upsert_sink(
+                        stream, t, f"{tmp}/{checkpoint}", app_id="evload"
+                    )
+                    .trigger(availableNow=True)
+                    .start()
                 )
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+                q.awaitTermination()
 
         replay("ckpt1")
         v_first = t.latest_version()

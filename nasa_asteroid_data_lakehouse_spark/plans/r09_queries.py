@@ -95,7 +95,9 @@ def streaming_interval_join_replay_events(
         horizon_days = max(horizon_days, (span["hi"] - span["lo"]).days + 2)
     left = ev.where(F.col("event_id") % 2 == 0)
     right = ev.where(F.col("event_id") % 2 == 1)
-    tmp = tempfile.mkdtemp(prefix="ndl_stream_ij_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("ndl_stream_ij_")
     try:
         src_l, src_r = f"{tmp}/in_l", f"{tmp}/in_r"
         left.repartition(2).write.parquet(src_l)
@@ -121,14 +123,23 @@ def streaming_interval_join_replay_events(
             max_gap=f"{_IJ_GAP_DAYS} day",
         ).select("l_event_id", "r_event_id", "l_user_id")
         out = f"{tmp}/pairs"
-        q = (
-            joined.writeStream.outputMode("append")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .format("parquet")
-            .start(out)
+        # Scale-adaptive state partitions: a stream-stream join keeps
+        # four state stores per partition per micro-batch (streaming
+        # has no AQE; see streaming/tuning.py — measured 20 s -> 5 s
+        # at sf0.1 with 32 -> scaled partitions).
+        from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+            scaled_stream_shuffle,
         )
-        q.awaitTermination()
+
+        with scaled_stream_shuffle(spark, src_l, src_r):
+            q = (
+                joined.writeStream.outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .format("parquet")
+                .start(out)
+            )
+            q.awaitTermination()
         try:
             got = spark.read.parquet(out)
         except Exception:  # zero input files -> no sink directory
@@ -213,7 +224,9 @@ def streaming_enrich_replay_events(
             F.col("c_mktsegment").alias("segment"),
         )
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_stream_enrich_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("ndl_stream_enrich_")
     try:
         src = f"{tmp}/in"
         ev.repartition(4).write.parquet(src)
@@ -963,46 +976,19 @@ def streaming_outer_join_replay_events(
     )
     left = ev.where(F.col("event_id") % 2 == 0)
     right = ev.where(F.col("event_id") % 2 == 1)
-    tmp = tempfile.mkdtemp(prefix="ndl_stream_oj_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+    from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+        write_time_quartile_batches,
+    )
+
+    tmp = scratch_dir("ndl_stream_oj_")
     try:
-
-        def write_batches(df: DataFrame, path: str) -> None:
-            cut_row = df.agg(
-                F.expr(
-                    "percentile(cast(ts as double), array(0.25, 0.5, 0.75))"
-                ).alias("cs")
-            ).collect()[0]
-            cuts = list(cut_row["cs"]) if cut_row["cs"] is not None else []
-            b_col = F.lit(1)
-            for c in cuts:
-                b_col = b_col + F.when(
-                    F.col("ts").cast("double") > F.lit(c), 1
-                ).otherwise(0)
-            batched = df.withColumn("__b", b_col)
-            # FileStreamSource orders files by mtime (ms granularity,
-            # arbitrary tie-break): on a fast filesystem two batch files
-            # can tie and replay out of order, making the later batch's
-            # rows late under the 0-second watermark and silently
-            # dropped (ADVICE r08).  Pin the intended order with
-            # explicit, strictly increasing mtimes per batch.
-            stamped: set[str] = set()
-            for b in range(1, 5):
-                (
-                    batched.where(F.col("__b") == b)
-                    .drop("__b")
-                    .coalesce(1)
-                    .write.mode("append")
-                    .parquet(path)
-                )
-                mtime = 1_000_000_000 + 10 * b
-                for name in os.listdir(path):
-                    if name.startswith("part-") and name not in stamped:
-                        os.utime(os.path.join(path, name), (mtime, mtime))
-                        stamped.add(name)
-
         src_l, src_r = f"{tmp}/in_l", f"{tmp}/in_r"
-        write_batches(left, src_l)
-        write_batches(right, src_r)
+        # Same time-quartile mtime-pinned batches as before (the
+        # ADVICE r08 ordering pin), written in ONE job per side
+        # instead of four (streaming/tuning.py).
+        write_time_quartile_batches(left, src_l)
+        write_time_quartile_batches(right, src_r)
 
         def stream(src: str) -> DataFrame:
             return (
@@ -1025,14 +1011,21 @@ def streaming_outer_join_replay_events(
             how="leftOuter",
         ).select("l_event_id", "r_event_id")
         out = f"{tmp}/rows"
-        q = (
-            joined.writeStream.outputMode("append")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .format("parquet")
-            .start(out)
+        # Scale-adaptive state partitions (streaming has no AQE; see
+        # streaming/tuning.py and the inner-join replay note).
+        from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+            scaled_stream_shuffle,
         )
-        q.awaitTermination()
+
+        with scaled_stream_shuffle(spark, src_l, src_r):
+            q = (
+                joined.writeStream.outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .format("parquet")
+                .start(out)
+            )
+            q.awaitTermination()
         try:
             got = spark.read.parquet(out)
         except Exception:  # zero input files -> no sink directory

@@ -882,40 +882,18 @@ def streaming_full_outer_join_replay_events(
     )
     left = ev.where(F.col("event_id") % 2 == 0)
     right = ev.where(F.col("event_id") % 2 == 1)
-    tmp = tempfile.mkdtemp(prefix="ndl_stream_foj_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+    from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+        write_time_quartile_batches,
+    )
+
+    tmp = scratch_dir("ndl_stream_foj_")
     try:
-
-        def write_batches(df: DataFrame, path: str) -> None:
-            cut_row = df.agg(
-                F.expr(
-                    "percentile(cast(ts as double), array(0.25, 0.5, 0.75))"
-                ).alias("cs")
-            ).collect()[0]
-            cuts = list(cut_row["cs"]) if cut_row["cs"] is not None else []
-            b_col = F.lit(1)
-            for c in cuts:
-                b_col = b_col + F.when(
-                    F.col("ts").cast("double") > F.lit(c), 1
-                ).otherwise(0)
-            batched = df.withColumn("__b", b_col)
-            stamped: set[str] = set()
-            for b in range(1, 5):
-                (
-                    batched.where(F.col("__b") == b)
-                    .drop("__b")
-                    .coalesce(1)
-                    .write.mode("append")
-                    .parquet(path)
-                )
-                mtime = 1_000_000_000 + 10 * b
-                for name in os.listdir(path):
-                    if name.startswith("part-") and name not in stamped:
-                        os.utime(os.path.join(path, name), (mtime, mtime))
-                        stamped.add(name)
-
         src_l, src_r = f"{tmp}/in_l", f"{tmp}/in_r"
-        write_batches(left, src_l)
-        write_batches(right, src_r)
+        # Same time-quartile mtime-pinned batches as before, written in
+        # ONE job per side instead of four (streaming/tuning.py).
+        write_time_quartile_batches(left, src_l)
+        write_time_quartile_batches(right, src_r)
 
         def stream(src: str) -> DataFrame:
             return (
@@ -938,14 +916,23 @@ def streaming_full_outer_join_replay_events(
             how="fullOuter",
         ).select("l_event_id", "r_event_id")
         out = f"{tmp}/rows"
-        q = (
-            joined.writeStream.outputMode("append")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .format("parquet")
-            .start(out)
+        # Scale-adaptive state partitions: the FULL OUTER stream-stream
+        # join keeps four state stores per partition per micro-batch
+        # (streaming has no AQE; see streaming/tuning.py — measured
+        # 47 s -> 9 s at sf0.1 with 32 -> scaled partitions).
+        from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+            scaled_stream_shuffle,
         )
-        q.awaitTermination()
+
+        with scaled_stream_shuffle(spark, src_l, src_r):
+            q = (
+                joined.writeStream.outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .format("parquet")
+                .start(out)
+            )
+            q.awaitTermination()
         try:
             got = spark.read.parquet(out)
         except Exception:  # zero input files -> no sink directory
@@ -1218,7 +1205,9 @@ def streaming_cdf_subscription_orders(
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_cdfsub_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("ndl_cdfsub_")
     try:
         t = VersionedTable(spark, f"{tmp}/t", num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -1340,24 +1329,20 @@ def decontamination_ngram_sweep_documents(
         "doc_id",
         *[dedup.word_shingles("text", n).alias(f"sh{n}") for n in _DNS_NS],
     )
-    entries = (
-        base.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(n).cast("bigint").alias("n"),
-                            F.col(f"sh{n}").alias("sh"),
-                        )
-                        for n in _DNS_NS
-                    ]
-                )
-            ).alias("t"),
-        )
-        .select("doc_id", F.col("t.n").alias("n"), F.explode("t.sh").alias("shingle"))
-        .distinct()
-    )
+    entries = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).cast("bigint").alias("n"),
+                        F.col(f"sh{n}").alias("sh"),
+                    )
+                    for n in _DNS_NS
+                ]
+            )
+        ).alias("t"),
+    ).select("doc_id", F.col("t.n").alias("n"), F.explode("t.sh").alias("shingle"))
     ev = (
         entries.where(F.col("doc_id") % 97 == 0)
         .select("n", "shingle")
@@ -1367,7 +1352,14 @@ def decontamination_ngram_sweep_documents(
     n_corpus_docs = int(
         docs.where(F.col("doc_id") % 97 != 0).count()
     )  # bounded scalar (includes shingle-less docs; the rate's denominator)
-    hits = corpus.join(F.broadcast(ev), ["n", "shingle"])
+    # Dedup AFTER the broadcast semi-screen, not before (guide §2.3 —
+    # shuffle fewer bytes): word_shingles is already distinct per
+    # document, so (doc_id, n, shingle) rows only duplicate under
+    # duplicate doc_id source rows, and distinct-then-join ≡
+    # join-then-distinct for an equi-join against a DISTINCT broadcast
+    # side.  The exchange now carries only the HITS (matched shingles),
+    # not every corpus shingle string.
+    hits = corpus.join(F.broadcast(ev), ["n", "shingle"]).distinct()
     agg = hits.groupBy("n").agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_contaminated"),
         F.count(F.lit(1)).cast("bigint").alias("n_overlap_pairs"),
@@ -1605,7 +1597,9 @@ def streaming_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_repl_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("ndl_repl_")
     try:
         src = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
         src.create(base, keys=["o_orderkey"])
@@ -1627,14 +1621,23 @@ def streaming_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("starting_version", 1)
             .load()
         )
-        q = (
-            replication_sink(
-                feed, rep, keys=["o_orderkey"], checkpoint_dir=f"{tmp}/ck"
-            )
-            .trigger(availableNow=True)
-            .start()
+        # Scale-adaptive shuffle partitions for the per-batch apply
+        # (delete_where + upsert windows inside foreachBatch; streaming
+        # has no AQE — see streaming/tuning.py).  Sized from the source
+        # table's data, an upper bound on any batch's feed.
+        from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+            scaled_stream_shuffle,
         )
-        q.awaitTermination()
+
+        with scaled_stream_shuffle(spark, src.root):
+            q = (
+                replication_sink(
+                    feed, rep, keys=["o_orderkey"], checkpoint_dir=f"{tmp}/ck"
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         got, want = rep.read(), src.read()
         mismatch = (
             got.join(

@@ -130,7 +130,9 @@ def replication_across_rebucket_orders(
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_rrb_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("ndl_rrb_")
     try:
         src = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
         src.create(base, keys=["o_orderkey"])
@@ -158,14 +160,21 @@ def replication_across_rebucket_orders(
             .option("starting_version", 1)
             .load()
         )
-        q = (
-            replication_sink(
-                feed, rep, keys=["o_orderkey"], checkpoint_dir=f"{tmp}/ck"
-            )
-            .trigger(availableNow=True)
-            .start()
+        # Scale-adaptive shuffle partitions for the per-batch apply
+        # (streaming has no AQE; see streaming/tuning.py).
+        from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+            scaled_stream_shuffle,
         )
-        q.awaitTermination()
+
+        with scaled_stream_shuffle(spark, src.root):
+            q = (
+                replication_sink(
+                    feed, rep, keys=["o_orderkey"], checkpoint_dir=f"{tmp}/ck"
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         rebucket_emitted = (
             spark.read.format("table_changes")
             .option("path", src.root)
@@ -581,7 +590,9 @@ def cdf_schema_evolution_subscription_orders(
 
     cdf_stream.register(spark)
     base = _orders_base(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="ndl_sevo_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("ndl_sevo_")
     try:
         src = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
         src.create(base, keys=["o_orderkey"])
@@ -593,6 +604,10 @@ def cdf_schema_evolution_subscription_orders(
         rep = VersionedTable(spark, f"{tmp}/rep", num_buckets=8)
         rep.create(src.read(version=0), keys=["o_orderkey"])
 
+        from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+            scaled_stream_shuffle,
+        )
+
         def drain():
             feed = (
                 spark.readStream.format("table_changes")
@@ -600,14 +615,17 @@ def cdf_schema_evolution_subscription_orders(
                 .option("starting_version", 1)
                 .load()
             )
-            q = (
-                replication_sink(
-                    feed, rep, keys=["o_orderkey"], checkpoint_dir=f"{tmp}/ck"
+            # Scale-adaptive shuffle partitions for the per-batch apply
+            # (streaming has no AQE; see streaming/tuning.py).
+            with scaled_stream_shuffle(spark, src.root):
+                q = (
+                    replication_sink(
+                        feed, rep, keys=["o_orderkey"], checkpoint_dir=f"{tmp}/ck"
+                    )
+                    .trigger(availableNow=True)
+                    .start()
                 )
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+                q.awaitTermination()
 
         drain()  # old schema: covers the upsert
         src.overwrite(
@@ -985,39 +1003,17 @@ def streaming_sliding_window_replay_events(
             "user_id",
         )
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_swr_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+    from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+        write_time_quartile_batches,
+    )
+
+    tmp = scratch_dir("ndl_swr_")
     try:
         src = f"{tmp}/in"
-
-        def write_batches(df: DataFrame, path: str) -> None:
-            cut_row = df.agg(
-                F.expr(
-                    "percentile(cast(ts as double), array(0.25, 0.5, 0.75))"
-                ).alias("cs")
-            ).collect()[0]
-            cuts = list(cut_row["cs"]) if cut_row["cs"] is not None else []
-            b_col = F.lit(1)
-            for c in cuts:
-                b_col = b_col + F.when(
-                    F.col("ts").cast("double") > F.lit(c), 1
-                ).otherwise(0)
-            batched = df.withColumn("__b", b_col)
-            stamped: set[str] = set()
-            for b in range(1, 5):
-                (
-                    batched.where(F.col("__b") == b)
-                    .drop("__b")
-                    .coalesce(1)
-                    .write.mode("append")
-                    .parquet(path)
-                )
-                mtime = 1_000_000_000 + 10 * b
-                for name in os.listdir(path):
-                    if name.startswith("part-") and name not in stamped:
-                        os.utime(os.path.join(path, name), (mtime, mtime))
-                        stamped.add(name)
-
-        write_batches(ev, src)
+        # Same time-quartile mtime-pinned batches as before, written in
+        # ONE job instead of four (streaming/tuning.py).
+        write_time_quartile_batches(ev, src)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1039,14 +1035,21 @@ def streaming_sliding_window_replay_events(
             )
         )
         out = f"{tmp}/rows"
-        q = (
-            agg.writeStream.outputMode("append")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .format("parquet")
-            .start(out)
+        # Scale-adaptive state partitions for the windowed-aggregate
+        # state store (streaming has no AQE; see streaming/tuning.py).
+        from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+            scaled_stream_shuffle,
         )
-        q.awaitTermination()
+
+        with scaled_stream_shuffle(spark, src):
+            q = (
+                agg.writeStream.outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .format("parquet")
+                .start(out)
+            )
+            q.awaitTermination()
         try:
             got = spark.read.parquet(out)
         except Exception:  # zero input files -> no sink directory
@@ -1236,7 +1239,9 @@ def clone_bootstrap_replication_orders(
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_cbr_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("ndl_cbr_")
     try:
         src = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
         src.create(base, keys=["o_orderkey"])
@@ -1263,14 +1268,21 @@ def clone_bootstrap_replication_orders(
             .option("starting_version", 2)
             .load()
         )
-        q = (
-            replication_sink(
-                feed, rep, keys=["o_orderkey"], checkpoint_dir=f"{tmp}/ck"
-            )
-            .trigger(availableNow=True)
-            .start()
+        # Scale-adaptive shuffle partitions for the per-batch apply
+        # (streaming has no AQE; see streaming/tuning.py).
+        from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+            scaled_stream_shuffle,
         )
-        q.awaitTermination()
+
+        with scaled_stream_shuffle(spark, src.root):
+            q = (
+                replication_sink(
+                    feed, rep, keys=["o_orderkey"], checkpoint_dir=f"{tmp}/ck"
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         got, want = rep.read(), src.read()
         mismatch = (
             got.join(

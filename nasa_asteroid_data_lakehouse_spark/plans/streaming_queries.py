@@ -42,13 +42,18 @@ def streaming_rollup_replay_events(spark: SparkSession, sf_dir: str) -> DataFram
     from nasa_asteroid_data_lakehouse_spark.streaming.rollup import (
         incremental_rollup_sink,
     )
+    from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
+        scaled_stream_shuffle,
+    )
 
     ev = (
         read_table(spark, sf_dir, "events")
         .where(F.col("ts").isNotNull())
         .select(F.to_date("ts").alias("day"), "event_type", "user_id")
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_stream_rollup_")
+    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+
+    tmp = scratch_dir("ndl_stream_rollup_")
     try:
         src = f"{tmp}/in"
         ev.repartition(4).write.parquet(src)
@@ -58,14 +63,18 @@ def streaming_rollup_replay_events(spark: SparkSession, sf_dir: str) -> DataFram
             .parquet(src)
         )
         root = f"{tmp}/rollup"
-        q = (
-            incremental_rollup_sink(
-                spark, stream, root, ["day", "event_type"], "user_id"
+        # Scale-adaptive state/shuffle partitions for the drain: AQE
+        # cannot coalesce streaming micro-batch shuffles (guide §2.2,
+        # streaming/tuning.py) — size them from the replayed bytes.
+        with scaled_stream_shuffle(spark, src):
+            q = (
+                incremental_rollup_sink(
+                    spark, stream, root, ["day", "event_type"], "user_id"
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         return (
             spark.read.parquet(f"{root}/data")
             .select(
