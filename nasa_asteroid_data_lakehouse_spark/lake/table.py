@@ -114,8 +114,12 @@ class VersionedTable:
         absorb them here or the fast path in
         ``streaming.lakehouse.stream_batch_watermark`` would
         under-report and re-apply a replayed batch (ADVICE r09 #1).
-        Stops at the first folded map (it absorbs everything below it)
-        or the first vacuumed manifest."""
+        Walks all the way down to the vacuum boundary: folded maps are
+        MERGED (max per app) and the walk CONTINUES past them, because
+        maps folded by pre-fix code never absorbed the pre-fold
+        ``stream_txn`` markers below them (ADVICE r10 #1) — max()
+        merging makes the full walk safe, and this path only runs on
+        the rare first-folding-commit seed, never per commit."""
         out: dict[str, int] = {}
         v = from_version
         while v >= 0:
@@ -127,7 +131,6 @@ class VersionedTable:
             if folded is not None:
                 for k, val in folded.items():
                     out[str(k)] = max(out.get(str(k), -1), int(val))
-                break
             txn = m.get("stream_txn")
             if txn:
                 app = str(txn["app_id"])

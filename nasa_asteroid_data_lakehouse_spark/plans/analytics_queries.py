@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1573,7 +1574,7 @@ def file_skipping_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nasa_asteroid_data_lakehouse_spark.lake.stats import collect_file_stats
 
     orders = _t(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="ndl_filestats_")
+    tmp = scratch_dir("ndl_filestats_")
     try:
         orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(tmp)
 

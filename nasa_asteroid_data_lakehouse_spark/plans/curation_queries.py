@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 from nasa_asteroid_data_lakehouse_spark.llm import curation, similarity, text
 from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import _bucket_sql
 
@@ -1358,7 +1359,7 @@ def versioned_table_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_vtcdf_")
+    tmp = scratch_dir("ndl_vtcdf_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v1 = t.create(orders, keys=["o_orderkey"])

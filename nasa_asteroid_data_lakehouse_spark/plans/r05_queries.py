@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 from nasa_asteroid_data_lakehouse_spark.llm import multimodal as mm
 
 STAGED_QUERIES: dict = {}
@@ -208,7 +209,6 @@ def streaming_score_replay_documents(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
     tmp = scratch_dir("ndl_stream_score_")
     try:
@@ -344,7 +344,7 @@ def versioned_table_delete_cdf_orders(spark: SparkSession, sf_dir: str) -> DataF
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_vtdel_")
+    tmp = scratch_dir("ndl_vtdel_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v1 = t.create(orders, keys=["o_orderkey"])
@@ -537,7 +537,6 @@ def streaming_session_replay_events(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.createDataFrame([], out_schema)
     sentinel_ts = max_row["m"] + timedelta(days=30)
 
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
     from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
         write_time_quartile_batches,
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 from nasa_asteroid_data_lakehouse_spark.llm import dedup, text
 from nasa_asteroid_data_lakehouse_spark.operators.stats import finite
 
@@ -1155,7 +1156,7 @@ def versioned_table_schema_evolution_orders(
         .where(F.col("o_orderkey").isNotNull())
         .select("o_orderkey", "o_custkey")
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_vtevo_")
+    tmp = scratch_dir("ndl_vtevo_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v0 = t.create(base, keys=["o_orderkey"])
@@ -1253,7 +1254,7 @@ def versioned_table_key_delete_orders(
         .where(F.col("o_orderkey").isNotNull())
         .select("o_orderkey", "o_custkey")
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_vtkdel_")
+    tmp = scratch_dir("ndl_vtkdel_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v0 = t.create(base, keys=["o_orderkey"])
@@ -1316,7 +1317,7 @@ def compaction_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderkey").isNotNull())
         .select("o_orderkey", "o_custkey")
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_vtcomp_")
+    tmp = scratch_dir("ndl_vtcomp_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])

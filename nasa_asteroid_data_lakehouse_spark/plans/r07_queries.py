@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 from nasa_asteroid_data_lakehouse_spark.llm import similarity, text
 from nasa_asteroid_data_lakehouse_spark.operators.stats import finite
 
@@ -1150,7 +1151,7 @@ def cdc_apply_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("o_orderkey", (F.col("o_orderkey") % 100).alias("seg"))
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_cdcapply_")
+    tmp = scratch_dir("ndl_cdcapply_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v0 = t.create(base, keys=["o_orderkey"])
@@ -1264,7 +1265,6 @@ def streaming_dedup_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame
     if span["lo"] is not None and span["hi"] is not None:
         span_days = (span["hi"] - span["lo"]).days + 2
         horizon_days = max(horizon_days, span_days)
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
     tmp = scratch_dir("ndl_stream_dedup_")
     try:

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 from nasa_asteroid_data_lakehouse_spark.llm import similarity
 from nasa_asteroid_data_lakehouse_spark.operators.stats import finite
 
@@ -406,7 +407,7 @@ def txn_consistent_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("cents").alias("cust_cents"),
         )
 
-    tmp = tempfile.mkdtemp(prefix="ndl_txn_")
+    tmp = scratch_dir("ndl_txn_")
     try:
         txn = MultiTableTransaction(spark, tmp, num_buckets=8)
         fact, dim = txn.table("fact"), txn.table("dim")
@@ -519,7 +520,7 @@ def zorder_optimize_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("cents"),
         )
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_zopt_")
+    tmp = scratch_dir("ndl_zopt_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -585,7 +586,7 @@ def cdc_apply_schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataF
             (F.col("o_orderkey") % 7).alias("extra"),
         )
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_cdcse_")
+    tmp = scratch_dir("ndl_cdcse_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v0 = t.create(base, keys=["o_orderkey"])
@@ -1010,7 +1011,6 @@ def streaming_upsert_replay_events(spark: SparkSession, sf_dir: str) -> DataFram
             "event_id", (F.col("event_id") % 997).alias("val")
         )
     )
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
     tmp = scratch_dir("ndl_stream_upsert_")
     try:
@@ -1115,7 +1115,7 @@ def ivm_incremental_dim_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") % 500).alias("cents"),
         )
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_ivm_")
+    tmp = scratch_dir("ndl_ivm_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v0 = t.create(base, keys=["o_orderkey"])
@@ -1254,7 +1254,7 @@ def clone_divergence_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("o_orderkey", (F.col("o_orderkey") % 100).alias("seg"))
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_clone_")
+    tmp = scratch_dir("ndl_clone_")
     try:
         t = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -1580,9 +1580,25 @@ def minhash_band_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        # Exact size-ratio screen BEFORE the O(|A|+|B|) intersect
+        # (guide §1.2: don't compute what you throw away):
+        # jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair whose
+        # size ratio cannot reach the ROUNDED-lattice boundary
+        # (J - 5e-7, the exact HALF_UP round-up floor at 6 decimals)
+        # cannot verify.  Integer arithmetic — no float edge:
+        # keep iff 10^7 * min >= (10^7 * J - 5) * max.  Verified
+        # output is bit-identical; only already-doomed pairs skip the
+        # intersect ((8,1)'s candidate set is ~20x the others', almost
+        # all length-mismatched false positives).
+        ratio_keep = (
+            F.least(F.size("sh_a"), F.size("sh_b")) * F.lit(10_000_000)
+            >= F.greatest(F.size("sh_a"), F.size("sh_b"))
+            * F.lit(int(_MBS_JACC * 10_000_000) - 5)
+        )
         verified = (
             cand.join(sh_a, "id_a")
             .join(sh_b, "id_b")
+            .where(ratio_keep)
             .select(
                 "id_a",
                 "id_b",

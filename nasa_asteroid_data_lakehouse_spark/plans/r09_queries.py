@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
 STAGED_QUERIES: dict = {}
 STAGED_ORACLES: dict = {}
@@ -95,7 +96,6 @@ def streaming_interval_join_replay_events(
         horizon_days = max(horizon_days, (span["hi"] - span["lo"]).days + 2)
     left = ev.where(F.col("event_id") % 2 == 0)
     right = ev.where(F.col("event_id") % 2 == 1)
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
     tmp = scratch_dir("ndl_stream_ij_")
     try:
@@ -224,7 +224,6 @@ def streaming_enrich_replay_events(
             F.col("c_mktsegment").alias("segment"),
         )
     )
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
     tmp = scratch_dir("ndl_stream_enrich_")
     try:
@@ -330,7 +329,7 @@ def vacuum_retention_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic = spark.createDataFrame(
         [(-1, -1, -1)], "o_orderkey bigint, cust bigint, cents bigint"
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_vacuum_")
+    tmp = scratch_dir("ndl_vacuum_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -433,7 +432,7 @@ def rebucket_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic = spark.createDataFrame(
         [(-1, -1, -1)], "o_orderkey bigint, cust bigint, cents bigint"
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_rebucket_")
+    tmp = scratch_dir("ndl_rebucket_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=4)
         t.create(base, keys=["o_orderkey"])
@@ -884,7 +883,7 @@ def physical_erasure_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     synthetic = spark.createDataFrame(
         [(-1, -1, -1)], "o_orderkey bigint, cust bigint, cents bigint"
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_erasure_")
+    tmp = scratch_dir("ndl_erasure_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base.unionByName(synthetic), keys=["o_orderkey"])
@@ -976,7 +975,6 @@ def streaming_outer_join_replay_events(
     )
     left = ev.where(F.col("event_id") % 2 == 0)
     right = ev.where(F.col("event_id") % 2 == 1)
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
     from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
         write_time_quartile_batches,
     )

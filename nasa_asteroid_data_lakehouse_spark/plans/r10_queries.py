@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
 STAGED_QUERIES: dict = {}
 STAGED_ORACLES: dict = {}
@@ -78,6 +79,40 @@ _ORDERS_BASE_SQL = """
 """
 
 
+def _row_set_mismatch(got: DataFrame, want: DataFrame, cols: list[str]) -> int:
+    """|got ∖ want| + |want ∖ got| under NULL-safe equality on ``cols``
+    — the replica==upstream audit, in ONE full-outer join job instead
+    of two anti-join jobs (guide §1.2: fewer passes).  Equal to the
+    anti-join pair by construction: an unmatched row appears exactly
+    once with the other side NULL-padded (no match ⇒ no fanout), a
+    matched row contributes to neither count."""
+    g = got.select(
+        *[F.col(c).alias(f"g_{c}") for c in cols], F.lit(1).alias("__g")
+    )
+    w = want.select(
+        *[F.col(c).alias(f"w_{c}") for c in cols], F.lit(1).alias("__w")
+    )
+    cond = None
+    for c in cols:
+        term = F.col(f"g_{c}").eqNullSafe(F.col(f"w_{c}"))
+        cond = term if cond is None else cond & term
+    row = (
+        g.join(w, cond, "full_outer")
+        .agg(
+            # the markers are literal 1s, so a NULL marker can only mean
+            # "no row on that side" — NULL data values cannot fake it
+            F.coalesce(
+                F.sum(F.when(F.col("__w").isNull(), 1)), F.lit(0)
+            ).alias("g_only"),
+            F.coalesce(
+                F.sum(F.when(F.col("__g").isNull(), 1)), F.lit(0)
+            ).alias("w_only"),
+        )
+        .first()
+    )
+    return int(row["g_only"]) + int(row["w_only"])
+
+
 # === Timestamp-as-of time travel ================================================
 
 
@@ -98,7 +133,7 @@ def time_travel_timestamp_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
 
     base = _orders_base(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="ndl_ttts_")
+    tmp = scratch_dir("ndl_ttts_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -199,7 +234,7 @@ def restore_undo_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_restore_")
+    tmp = scratch_dir("ndl_restore_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -280,7 +315,7 @@ def dv_merge_on_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
 
     base = _orders_base(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="ndl_dv_")
+    tmp = scratch_dir("ndl_dv_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -362,7 +397,7 @@ def dv_upsert_materialize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
 
     base = _orders_base(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="ndl_dvu_")
+    tmp = scratch_dir("ndl_dvu_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -443,7 +478,7 @@ def lake_history_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_hist_")
+    tmp = scratch_dir("ndl_hist_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base.unionByName(synthetic), keys=["o_orderkey"])
@@ -526,7 +561,7 @@ def cdf_stream_replay_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_cdfr_")
+    tmp = scratch_dir("ndl_cdfr_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -547,24 +582,15 @@ def cdf_stream_replay_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in range(1, head_v + 1):
             feed = t.changes(v - 1, v)
             feed_counts.append(int(feed.count()))
+            # eager=False: the plan still truncates per applied version
+            # (the iterated-plan rule is about PLAN size), but the three
+            # applies materialize inside the mismatch job's cascade
+            # instead of one eager job per version (guide §1.2).
             replica = VersionedTable.apply_changes(
                 replica, feed, keys=["o_orderkey"]
-            ).localCheckpoint(eager=True)  # truncate the iterated plan
+            ).localCheckpoint(eager=False)
         head = t.read()
-        mismatch = (
-            replica.join(
-                head,
-                on=(replica["o_orderkey"].eqNullSafe(head["o_orderkey"]))
-                & (replica["cents"].eqNullSafe(head["cents"])),
-                how="left_anti",
-            ).count()
-            + head.join(
-                replica,
-                on=(head["o_orderkey"].eqNullSafe(replica["o_orderkey"]))
-                & (head["cents"].eqNullSafe(replica["cents"])),
-                how="left_anti",
-            ).count()
-        )
+        mismatch = _row_set_mismatch(replica, head, ["o_orderkey", "cents"])
         agg = replica.agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("s"),
@@ -882,7 +908,6 @@ def streaming_full_outer_join_replay_events(
     )
     left = ev.where(F.col("event_id") % 2 == 0)
     right = ev.where(F.col("event_id") % 2 == 1)
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
     from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
         write_time_quartile_batches,
     )
@@ -1060,7 +1085,7 @@ def dv_vector_store_topk_embeddings(
         )
         .select("vec_id", "embedding")
     )
-    tmp = tempfile.mkdtemp(prefix="ndl_dvvs_")
+    tmp = scratch_dir("ndl_dvvs_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(emb, keys=["vec_id"])
@@ -1126,7 +1151,7 @@ def optimize_dv_purge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
 
     base = _orders_base(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="ndl_odv_")
+    tmp = scratch_dir("ndl_odv_")
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -1205,7 +1230,6 @@ def streaming_cdf_subscription_orders(
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
     tmp = scratch_dir("ndl_cdfsub_")
     try:
@@ -1597,7 +1621,6 @@ def streaming_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
     tmp = scratch_dir("ndl_repl_")
     try:
@@ -1639,20 +1662,7 @@ def streaming_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
         got, want = rep.read(), src.read()
-        mismatch = (
-            got.join(
-                want,
-                on=(got["o_orderkey"].eqNullSafe(want["o_orderkey"]))
-                & (got["cents"].eqNullSafe(want["cents"])),
-                how="left_anti",
-            ).count()
-            + want.join(
-                got,
-                on=(want["o_orderkey"].eqNullSafe(got["o_orderkey"]))
-                & (want["cents"].eqNullSafe(got["cents"])),
-                how="left_anti",
-            ).count()
-        )
+        mismatch = _row_set_mismatch(got, want, ["o_orderkey", "cents"])
         wm_advanced = 1 if stream_batch_watermark(rep, "replication") >= 0 else 0
         agg = got.agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

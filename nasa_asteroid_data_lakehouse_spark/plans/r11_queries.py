@@ -69,6 +69,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.plans.r10_queries import (
+    _row_set_mismatch,
+)
+from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
 STAGED_QUERIES: dict = {}
 STAGED_ORACLES: dict = {}
@@ -130,7 +134,6 @@ def replication_across_rebucket_orders(
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
     tmp = scratch_dir("ndl_rrb_")
     try:
@@ -184,20 +187,7 @@ def replication_across_rebucket_orders(
             .count()
         )
         got, want = rep.read(), src.read()
-        mismatch = (
-            got.join(
-                want,
-                on=(got["o_orderkey"].eqNullSafe(want["o_orderkey"]))
-                & (got["cents"].eqNullSafe(want["cents"])),
-                how="left_anti",
-            ).count()
-            + want.join(
-                got,
-                on=(want["o_orderkey"].eqNullSafe(got["o_orderkey"]))
-                & (want["cents"].eqNullSafe(got["cents"])),
-                how="left_anti",
-            ).count()
-        )
+        mismatch = _row_set_mismatch(got, want, ["o_orderkey", "cents"])
         wm_advanced = 1 if stream_batch_watermark(rep, "replication") >= 0 else 0
         agg = got.agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -271,7 +261,7 @@ def maintenance_cdf_skip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cdf_stream.register(spark)
     base = _orders_base(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="ndl_mcen_")
+    tmp = scratch_dir("ndl_mcen_")
     try:
         t = VersionedTable(spark, f"{tmp}/t", num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -398,7 +388,7 @@ def txn_snapshot_across_dv_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     base = _orders_base(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="ndl_txdv_")
+    tmp = scratch_dir("ndl_txdv_")
     try:
         txn = MultiTableTransaction(spark, tmp, num_buckets=8)
         fact = txn.table("fact")
@@ -495,7 +485,7 @@ def upsert_schema_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
 
     base = _orders_base(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="ndl_usm_")
+    tmp = scratch_dir("ndl_usm_")
     try:
         t = VersionedTable(spark, f"{tmp}/t", num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -590,7 +580,6 @@ def cdf_schema_evolution_subscription_orders(
 
     cdf_stream.register(spark)
     base = _orders_base(spark, sf_dir)
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
     tmp = scratch_dir("ndl_sevo_")
     try:
@@ -638,20 +627,7 @@ def cdf_schema_evolution_subscription_orders(
         )
         drain()  # same checkpoint, re-pinned onto the evolved schema
         got, want = rep.read(), src.read()
-        mismatch = (
-            got.join(
-                want,
-                on=(got["o_orderkey"].eqNullSafe(want["o_orderkey"]))
-                & (got["flag"].eqNullSafe(want["flag"])),
-                how="left_anti",
-            ).count()
-            + want.join(
-                got,
-                on=(want["o_orderkey"].eqNullSafe(got["o_orderkey"]))
-                & (want["flag"].eqNullSafe(got["flag"])),
-                how="left_anti",
-            ).count()
-        )
+        mismatch = _row_set_mismatch(got, want, ["o_orderkey", "flag"])
         agg = got.agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.coalesce(F.sum("flag"), F.lit(0)).cast("bigint").alias("fs"),
@@ -1003,7 +979,6 @@ def streaming_sliding_window_replay_events(
             "user_id",
         )
     )
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
     from nasa_asteroid_data_lakehouse_spark.streaming.tuning import (
         write_time_quartile_batches,
     )
@@ -1125,7 +1100,7 @@ def cdf_vacuum_boundary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cdf_stream.register(spark)
     base = _orders_base(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="ndl_vb_")
+    tmp = scratch_dir("ndl_vb_")
     try:
         t = VersionedTable(spark, f"{tmp}/t", num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -1239,7 +1214,6 @@ def clone_bootstrap_replication_orders(
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
     tmp = scratch_dir("ndl_cbr_")
     try:
@@ -1284,20 +1258,7 @@ def clone_bootstrap_replication_orders(
             )
             q.awaitTermination()
         got, want = rep.read(), src.read()
-        mismatch = (
-            got.join(
-                want,
-                on=(got["o_orderkey"].eqNullSafe(want["o_orderkey"]))
-                & (got["cents"].eqNullSafe(want["cents"])),
-                how="left_anti",
-            ).count()
-            + want.join(
-                got,
-                on=(want["o_orderkey"].eqNullSafe(got["o_orderkey"]))
-                & (want["cents"].eqNullSafe(got["cents"])),
-                how="left_anti",
-            ).count()
-        )
+        mismatch = _row_set_mismatch(got, want, ["o_orderkey", "cents"])
         wm_advanced = 1 if stream_batch_watermark(rep, "replication") >= 0 else 0
         agg = got.agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
+from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -51,7 +52,6 @@ def streaming_rollup_replay_events(spark: SparkSession, sf_dir: str) -> DataFram
         .where(F.col("ts").isNotNull())
         .select(F.to_date("ts").alias("day"), "event_type", "user_id")
     )
-    from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
 
     tmp = scratch_dir("ndl_stream_rollup_")
     try:

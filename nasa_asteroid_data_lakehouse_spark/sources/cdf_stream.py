@@ -145,8 +145,22 @@ def _is_data_change(manifest: dict) -> bool:
     return manifest.get("operation") not in _MAINTENANCE_OPS
 
 
+def _snapshot_diff_bound(options: dict) -> int | None:
+    """Single-partition bound for the cross-bucket-space whole-snapshot
+    diff: reader option ``snapshot_diff_max_bytes`` wins (readable in
+    the planning worker, unlike driver-process env), else None (the
+    planner falls back to $NDL_CDF_SNAPSHOT_DIFF_MAX_BYTES / 2 GiB)."""
+    v = options.get("snapshot_diff_max_bytes")
+    return int(v) if v is not None else None
+
+
 def _changed_bucket_partitions(
-    root: str, start_v: int, end_v: int, keys: list[str], columns: list[str]
+    root: str,
+    start_v: int,
+    end_v: int,
+    keys: list[str],
+    columns: list[str],
+    snapshot_diff_max_bytes: int | None = None,
 ) -> list[InputPartition]:
     """One partition per (version in (start_v, end_v], changed bucket)
     — the bucket-identity rule of ``VersionedTable.changes``: a bucket
@@ -209,12 +223,47 @@ def _changed_bucket_partitions(
         from_dvs = from_m.get("dvs", {})
         to_dvs = to_m.get("dvs", {})
         from_n = from_m.get("num_buckets")
-        if from_n is not None and int(from_n) != int(to_m["num_buckets"]):
+        to_n = to_m.get("num_buckets")
+        # Whole-snapshot diff ONLY when both counts are present and
+        # differ (ADVICE r10 #3: one legacy manifest missing the field
+        # next to a new one must fall through to the name-paired
+        # per-bucket diff, not crash the planner).
+        if from_n is not None and to_n is not None and int(from_n) != int(to_n):
+            from_files = [f for fs in from_b.values() for f in fs]
+            to_files = [f for fs in to_b.values() for f in fs]
+            # Both snapshots land in ONE pandas partition here; fail
+            # closed with a clear driver-side error instead of an
+            # executor OOM on large tables (ADVICE r10 #2).  The bound
+            # is deliberately generous — this path only serves the one
+            # data-change commit that can cross bucket spaces (restore
+            # over a rebucket); production mirrors re-bootstrap from a
+            # fresh snapshot instead of streaming through it.
+            limit = (
+                snapshot_diff_max_bytes
+                if snapshot_diff_max_bytes is not None
+                else int(
+                    os.environ.get("NDL_CDF_SNAPSHOT_DIFF_MAX_BYTES", 2 << 30)
+                )
+            )
+            total = 0
+            for f in from_files + to_files:
+                try:
+                    total += os.path.getsize(f)
+                except OSError:
+                    continue
+            if total > limit:
+                raise ValueError(
+                    f"table_changes: version {v} crosses bucket spaces and "
+                    f"needs a whole-snapshot diff of ~{total >> 20} MiB, over "
+                    f"the {limit >> 20} MiB single-partition bound "
+                    f"(NDL_CDF_SNAPSHOT_DIFF_MAX_BYTES); re-subscribe from a "
+                    f"snapshot at or after version {v} instead"
+                )
             parts.append(
                 _BucketDiff(
                     v,
-                    [f for fs in from_b.values() for f in fs],
-                    [f for fs in to_b.values() for f in fs],
+                    from_files,
+                    to_files,
                     [f for fs in from_dvs.values() for f in fs],
                     [f for fs in to_dvs.values() for f in fs],
                     keys,
@@ -450,10 +499,16 @@ class _ChangesBatchReader(DataSourceReader):
         self.to_v = int(options.get("to_version", latest if latest is not None else -1))
         self.keys = keys
         self.columns = columns
+        self.snapshot_diff_max_bytes = _snapshot_diff_bound(options)
 
     def partitions(self) -> list[InputPartition]:
         return _changed_bucket_partitions(
-            self.root, self.from_v, self.to_v, self.keys, self.columns
+            self.root,
+            self.from_v,
+            self.to_v,
+            self.keys,
+            self.columns,
+            self.snapshot_diff_max_bytes,
         )
 
     def read(self, partition: _BucketDiff) -> Iterator[tuple]:
@@ -471,6 +526,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self.keys = keys
         self.columns = columns
         self.start_v = int(options.get("starting_version", 0))
+        self.snapshot_diff_max_bytes = _snapshot_diff_bound(options)
 
     def initialOffset(self) -> dict:
         # the first batch emits versions (start_v - 1, latest] —
@@ -488,6 +544,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
             int(end["version"]),
             self.keys,
             self.columns,
+            self.snapshot_diff_max_bytes,
         )
 
     def read(self, partition: _BucketDiff) -> Iterator[tuple]:
