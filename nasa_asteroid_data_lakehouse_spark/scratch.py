@@ -30,13 +30,25 @@ import os
 import tempfile
 
 
+# tmpfs must hold a whole replay's scaffolding with headroom; container
+# runtimes often cap /dev/shm at 64 MB, where a mid-query ENOSPC would
+# be far worse than the fsync latency being avoided.
+MIN_TMPFS_FREE_BYTES = 1 << 30
+
+
 def scratch_base() -> str | None:
     """Preferred base directory for query-scoped scratch."""
     env = os.environ.get("NDL_SCRATCH_DIR")
     if env:
         return env
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        return "/dev/shm"
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= MIN_TMPFS_FREE_BYTES:
+                return shm
+        except OSError:
+            pass
     return None  # tempfile's default
 
 

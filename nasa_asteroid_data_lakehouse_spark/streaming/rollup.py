@@ -96,10 +96,12 @@ def fold_mergeable_batch(
     new_applied = spark.createDataFrame([(int(batch_id),)], "batch_id long")
     if applied is not None:
         new_applied = applied.unionByName(new_applied)
-    # Force both plans BEFORE the swap destroys the state they read.
-    merged = merged.localCheckpoint(eager=True)
-    new_applied = new_applied.localCheckpoint(eager=True)
 
+    # No pre-write checkpoint needed: both plans execute inside
+    # write_to, which staged_swap runs BEFORE any rename — the state
+    # they read is intact for the whole write.  (The former eager
+    # checkpoints added two Spark jobs per micro-batch for nothing;
+    # guide §1.2.)
     def write_to(staging: str) -> None:
         merged.write.mode("overwrite").parquet(f"{staging}/data")
         new_applied.write.mode("overwrite").parquet(f"{staging}/applied")
