@@ -173,6 +173,30 @@ def with_minhash_signature(
     )
 
 
+def lsh_signature_base(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Checkpointed ``(doc, sh, sig)`` frame — the shared input of LSH
+    banding and exact-Jaccard verification.  The md5-per-shingle
+    signature fold is the expensive projection; the checkpoint lets the
+    plan reference it three times (banding + both verify sides) without
+    recomputing (~3x at sf0.1), and callers running SEVERAL queries
+    over the same corpus/parameters can share one build (VERDICT r11
+    #4: the band sweep rebuilt ~5 s of shingles+signatures the near-dup
+    family had already computed in the same session)."""
+    sh = word_shingles(text_col, shingle_k)
+    return (
+        _fan_out(df.select(F.col(id_col).alias("doc"), text_col))
+        .select("doc", sh.alias("sh"))
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        .localCheckpoint(eager=False)
+    )
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -182,6 +206,7 @@ def lsh_near_dup_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 1000,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
@@ -190,19 +215,16 @@ def lsh_near_dup_pairs(
     groups of ``num_hashes/bands`` values; docs sharing any band hash
     are candidates.  Candidates join back to their shingle sets for
     the exact verify — so false LSH positives never survive.
+
+    Pass a precomputed ``base`` (a :func:`lsh_signature_base` frame
+    built with the SAME num_hashes/shingle_k) to share the signature
+    build across callers; ``df``/``text_col`` are then ignored.
     """
     rows_per_band = num_hashes // bands
-    sh = word_shingles(text_col, shingle_k)
-    # Checkpoint (doc, shingles, signature): the plan references it three
-    # times (banding, and both sides of the verify join-back) and the
-    # md5-per-shingle signature fold is the expensive part — recomputing
-    # it 3x measured ~3x slower at sf0.1.
-    base = (
-        _fan_out(df.select(F.col(id_col).alias("doc"), text_col))
-        .select("doc", sh.alias("sh"))
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-        .localCheckpoint(eager=False)
-    )
+    if base is None:
+        base = lsh_signature_base(
+            df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
+        )
 
     band_entries = base.select(
         "doc",

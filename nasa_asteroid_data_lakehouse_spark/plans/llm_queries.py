@@ -863,6 +863,45 @@ _LSHMH_MAX_BUCKET = 1000
 
 
 _LSH_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LSH_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lsh_sig_base_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared ``(doc, sh, sig)`` signature base over the FULL documents
+    table with the module's LSH parameters (K=2 word shingles, N=8
+    minhash), computed once per (session, sf_dir).
+
+    The md5-shingle-signature build is the common prefix of the
+    near-dup family pipeline AND the r08 band sweep (identical K and N
+    — the sweep's (8,1)/(4,2)/(2,4) configs re-band the same
+    signature).  Sharing it saves a full rebuild per consumer in a
+    bench/driver session (VERDICT r11 #4).  Keyed on applicationId so a
+    new session never sees a dead checkpoint; single entry per sf_dir,
+    bounded to 2 entries total.  Residency note: this is an O(corpus)
+    checkpoint, the same frame ``lsh_near_dup_pairs`` has always
+    checkpointed per call — the cache extends its lifetime to the
+    session but adds no new peak; eviction is FIFO like the pair
+    cache."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LSH_BASE_CACHE.get(key)
+    if cached is None:
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        cached = dedup.lsh_signature_base(
+            docs, "doc_id", num_hashes=_LSHMH_N, shingle_k=_LSHMH_K
+        )
+        while len(_LSH_BASE_CACHE) >= 2:
+            _LSH_BASE_CACHE.pop(next(iter(_LSH_BASE_CACHE)))
+        _LSH_BASE_CACHE[key] = cached
+    return cached
+
+
+def _peek_lsh_sig_base(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The shared signature base IF this session already built it, else
+    None.  The band sweep samples the corpus (md5-rank cap) before
+    shingling, so when the family base is not already materialized it
+    is CHEAPER for the sweep to shingle only its sample — reuse must
+    never make an isolated run slower at scale."""
+    return _LSH_BASE_CACHE.get((spark.sparkContext.applicationId, sf_dir))
 
 
 def _lsh_pairs_cached(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
@@ -891,6 +930,7 @@ def _lsh_pairs_cached(spark: SparkSession, sf_dir: str, threshold: float) -> Dat
             shingle_k=_LSHMH_K,
             jaccard_threshold=0.0,
             max_bucket=_LSHMH_MAX_BUCKET,
+            base=_lsh_sig_base_cached(spark, sf_dir),
         ).localCheckpoint(eager=False)
         while len(_LSH_PAIR_CACHE) >= 2:
             _LSH_PAIR_CACHE.pop(next(iter(_LSH_PAIR_CACHE)))

