@@ -230,6 +230,76 @@ class VersionedTable:
                     buckets[b] = sorted(files)
         return buckets
 
+    def _merge_write_bucket_files(
+        self,
+        existing: DataFrame | None,
+        incoming: DataFrame,
+        keys: list[str],
+        order_by: list | None = None,
+    ) -> tuple["StructType", dict[str, list[str]]]:
+        """``operators.merge.merge_dataframes`` + :meth:`_write_bucket_files`
+        fused into ONE exchange (guide §2.4: two operations keyed the
+        same way share an exchange).  ``__bucket = pmod(xxhash64(keys))``
+        is a pure function of the merge keys, so every row of one key
+        lands in one bucket partition — the survivor window can run
+        partitioned by ``(__bucket, *keys)`` directly on top of the
+        write's hash-repartition by ``__bucket`` (HashPartitioning on a
+        subset of the window keys satisfies the window's required
+        clustering), where the unfused form shuffled once for the
+        key-window and AGAIN for the bucket write.  Same survivor rule:
+        refining a window partition by a function of its keys changes
+        no group, and the (priority, tiebreak) rank order is unchanged.
+        Returns ``(merged logical schema, bucket -> [files])``."""
+        from pyspark.sql.types import StructType  # noqa: F401 — return type
+        from pyspark.sql.window import Window
+
+        inc = incoming.withColumn("__prio", F.lit(0))
+        if existing is not None:
+            unioned = inc.unionByName(
+                existing.withColumn("__prio", F.lit(1)),
+                allowMissingColumns=True,
+            )
+        else:
+            unioned = inc
+        schema = unioned.drop("__prio").schema
+        tiebreak = (
+            list(order_by) if order_by else [F.monotonically_increasing_id()]
+        )
+        bucketed = unioned.withColumn(
+            "__bucket",
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets)
+            ),
+        )
+        w = Window.partitionBy("__bucket", *keys).orderBy(
+            F.col("__prio"), *tiebreak
+        )
+        merged = (
+            bucketed.repartition(self.num_buckets, "__bucket")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__prio")
+        )
+        txn = uuid.uuid4().hex[:8]
+        out_dir = os.path.join(self._data_dir, txn)
+        (
+            merged.write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        buckets: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith("__bucket="):
+                b = entry.split("=", 1)[1]
+                files = [
+                    os.path.join(out_dir, entry, f)
+                    for f in os.listdir(os.path.join(out_dir, entry))
+                    if f.endswith(".parquet")
+                ]
+                if files:
+                    buckets[b] = sorted(files)
+        return schema, buckets
+
     def _buckets_of_key_values(
         self, manifest: dict, keys: list[str], key_values: list[tuple]
     ) -> set[int]:
@@ -320,12 +390,9 @@ class VersionedTable:
         payloads."""
         if self.latest_version() is not None:
             raise ValueError(f"table at {self.root} already exists")
-        from nasa_asteroid_data_lakehouse_spark.operators.merge import (
-            merge_dataframes,
+        schema, buckets = self._merge_write_bucket_files(
+            None, df, keys, order_by=order_by
         )
-
-        df = merge_dataframes(None, df, keys, order_by=order_by)
-        buckets = self._write_bucket_files(df, keys)
         # The logical schema travels in the manifest so snapshot reads
         # of an empty table (zero data files — e.g. created from an
         # empty source) still resolve every column.
@@ -335,7 +402,7 @@ class VersionedTable:
             {
                 "keys": keys,
                 "operation": "create",
-                "schema": df.schema.jsonValue(),
+                "schema": schema.jsonValue(),
             },
         )
         return 0
@@ -407,12 +474,12 @@ class VersionedTable:
                     manifest,
                     sorted(touched_set),
                 )
-                merged = merge_dataframes(
+                merged_schema, new_buckets = self._merge_write_bucket_files(
                     existing, incoming, keys, order_by=order_by
                 )
             else:
-                merged = incoming
-            new_buckets = self._write_bucket_files(merged, keys)
+                merged_schema = incoming.schema
+                new_buckets = self._write_bucket_files(incoming, keys)
 
             combined = dict(manifest["buckets"])
             for b in touched_set:
@@ -432,7 +499,7 @@ class VersionedTable:
                         "keys": keys,
                         "operation": "upsert",
                         "touched_buckets": sorted(touched_set),
-                        "schema": merged.schema.jsonValue(),
+                        "schema": merged_schema.jsonValue(),
                         **(extra_meta or {}),
                     },
                     dvs=carried_dvs,
@@ -456,10 +523,6 @@ class VersionedTable:
         definition — use :meth:`upsert`/:meth:`delete_where` for
         incremental change; this exists for the schema-evolution and
         recompute commits where full rewrite IS the operation."""
-        from nasa_asteroid_data_lakehouse_spark.operators.merge import (
-            merge_dataframes,
-        )
-
         for _ in range(retries):
             version = self.latest_version()
             if version is None:
@@ -467,8 +530,9 @@ class VersionedTable:
             manifest = self._load_manifest(version)
             keys = manifest["keys"]
             self.num_buckets = int(manifest.get("num_buckets", self.num_buckets))
-            merged = merge_dataframes(None, df, keys, order_by=order_by)
-            buckets = self._write_bucket_files(merged, keys)
+            merged_schema, buckets = self._merge_write_bucket_files(
+                None, df, keys, order_by=order_by
+            )
             try:
                 self._commit(
                     version + 1,
@@ -476,7 +540,7 @@ class VersionedTable:
                     {
                         "keys": keys,
                         "operation": "overwrite",
-                        "schema": merged.schema.jsonValue(),
+                        "schema": merged_schema.jsonValue(),
                     },
                 )
                 return version + 1
@@ -598,23 +662,22 @@ class VersionedTable:
                 scanned_buckets,
             )
             matching = snap.where(cond)
-            touched = sorted(
-                r["__b"]
-                for r in matching.select(bucket_of.alias("__b"))
-                .distinct()
-                .collect()
-            )
-            if not touched:
-                return version
-            touched_set = {str(b) for b in touched}
 
             if deferred:
                 # merge-on-read: record the deleted keys, touch no data
                 # file.  Vectors bucket by the same key hash as the
                 # data, so new files merge into the per-bucket lists.
+                # ONE job (guide §1.2): the DV write's dynamic
+                # partitionBy assigns the same pmod(xxhash64(keys))
+                # bucket the discovery distinct-collect used to compute,
+                # so the written bucket dirs ARE the touched set — the
+                # separate discovery job is gone, and zero written
+                # files ⇔ zero matching rows (the no-op early exit).
                 dv_new = self._write_bucket_files(
                     matching.select(*keys).distinct(), keys
                 )
+                if not dv_new:
+                    return version
                 merged_dvs = {
                     b: list(fs) for b, fs in manifest.get("dvs", {}).items()
                 }
@@ -627,7 +690,7 @@ class VersionedTable:
                         {
                             "keys": keys,
                             "operation": "delete_deferred",
-                            "touched_buckets": sorted(touched_set),
+                            "touched_buckets": sorted(dv_new),
                             "schema": manifest.get("schema"),
                         },
                         dvs=merged_dvs,
@@ -635,6 +698,16 @@ class VersionedTable:
                     return version + 1
                 except CommitConflict:
                     continue
+
+            touched = sorted(
+                r["__b"]
+                for r in matching.select(bucket_of.alias("__b"))
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                return version
+            touched_set = {str(b) for b in touched}
 
             touched_files = [
                 f for b in touched_set for f in manifest["buckets"].get(b, [])

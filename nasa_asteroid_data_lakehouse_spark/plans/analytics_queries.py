@@ -5,12 +5,17 @@ spark.sql serving path.  All oracle-checked against DuckDB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
-from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+from nasa_asteroid_data_lakehouse_spark.scratch import (
+    scratch_dir,
+    table_scratch_bytes,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1574,7 +1579,10 @@ def file_skipping_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nasa_asteroid_data_lakehouse_spark.lake.stats import collect_file_stats
 
     orders = _t(spark, sf_dir, "orders")
-    tmp = scratch_dir("ndl_filestats_")
+    tmp = scratch_dir(
+        "ndl_filestats_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(tmp)
 

@@ -17,11 +17,16 @@ pipeline runs after that ETL stage.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
-from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+from nasa_asteroid_data_lakehouse_spark.scratch import (
+    scratch_dir,
+    table_scratch_bytes,
+)
 from nasa_asteroid_data_lakehouse_spark.llm import curation, similarity, text
 from nasa_asteroid_data_lakehouse_spark.plans.llm_queries import _bucket_sql
 
@@ -1359,7 +1364,10 @@ def versioned_table_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    tmp = scratch_dir("ndl_vtcdf_")
+    tmp = scratch_dir(
+        "ndl_vtcdf_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v1 = t.create(orders, keys=["o_orderkey"])

@@ -21,11 +21,16 @@ carry NULL features (the round-4b contract).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
-from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+from nasa_asteroid_data_lakehouse_spark.scratch import (
+    scratch_dir,
+    table_scratch_bytes,
+)
 from nasa_asteroid_data_lakehouse_spark.llm import multimodal as mm
 
 STAGED_QUERIES: dict = {}
@@ -210,7 +215,10 @@ def streaming_score_replay_documents(spark: SparkSession, sf_dir: str) -> DataFr
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    tmp = scratch_dir("ndl_stream_score_")
+    tmp = scratch_dir(
+        "ndl_stream_score_",
+        table_scratch_bytes(os.path.join(sf_dir, "documents.parquet")),
+    )
     try:
         src = f"{tmp}/in"
         docs.repartition(4).write.parquet(src)
@@ -344,7 +352,10 @@ def versioned_table_delete_cdf_orders(spark: SparkSession, sf_dir: str) -> DataF
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    tmp = scratch_dir("ndl_vtdel_")
+    tmp = scratch_dir(
+        "ndl_vtdel_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v1 = t.create(orders, keys=["o_orderkey"])
@@ -541,7 +552,10 @@ def streaming_session_replay_events(spark: SparkSession, sf_dir: str) -> DataFra
         write_time_quartile_batches,
     )
 
-    tmp = scratch_dir("ndl_stream_sess_")
+    tmp = scratch_dir(
+        "ndl_stream_sess_",
+        table_scratch_bytes(os.path.join(sf_dir, "events.parquet")),
+    )
     try:
         src = f"{tmp}/in"
         # time-quartile batch assignment via percentile CUTS, not a

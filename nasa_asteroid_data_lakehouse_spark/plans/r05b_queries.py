@@ -16,11 +16,16 @@ No reference analog for any of these: the reference
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
-from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+from nasa_asteroid_data_lakehouse_spark.scratch import (
+    scratch_dir,
+    table_scratch_bytes,
+)
 from nasa_asteroid_data_lakehouse_spark.llm import dedup, text
 from nasa_asteroid_data_lakehouse_spark.operators.stats import finite
 
@@ -1156,7 +1161,10 @@ def versioned_table_schema_evolution_orders(
         .where(F.col("o_orderkey").isNotNull())
         .select("o_orderkey", "o_custkey")
     )
-    tmp = scratch_dir("ndl_vtevo_")
+    tmp = scratch_dir(
+        "ndl_vtevo_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v0 = t.create(base, keys=["o_orderkey"])
@@ -1254,7 +1262,10 @@ def versioned_table_key_delete_orders(
         .where(F.col("o_orderkey").isNotNull())
         .select("o_orderkey", "o_custkey")
     )
-    tmp = scratch_dir("ndl_vtkdel_")
+    tmp = scratch_dir(
+        "ndl_vtkdel_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v0 = t.create(base, keys=["o_orderkey"])
@@ -1317,7 +1328,10 @@ def compaction_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderkey").isNotNull())
         .select("o_orderkey", "o_custkey")
     )
-    tmp = scratch_dir("ndl_vtcomp_")
+    tmp = scratch_dir(
+        "ndl_vtcomp_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])

@@ -28,11 +28,16 @@ No reference analog for any of these: the reference
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
-from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+from nasa_asteroid_data_lakehouse_spark.scratch import (
+    scratch_dir,
+    table_scratch_bytes,
+)
 from nasa_asteroid_data_lakehouse_spark.llm import similarity, text
 from nasa_asteroid_data_lakehouse_spark.operators.stats import finite
 
@@ -1151,7 +1156,10 @@ def cdc_apply_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("o_orderkey", (F.col("o_orderkey") % 100).alias("seg"))
     )
-    tmp = scratch_dir("ndl_cdcapply_")
+    tmp = scratch_dir(
+        "ndl_cdcapply_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v0 = t.create(base, keys=["o_orderkey"])
@@ -1266,7 +1274,10 @@ def streaming_dedup_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame
         span_days = (span["hi"] - span["lo"]).days + 2
         horizon_days = max(horizon_days, span_days)
 
-    tmp = scratch_dir("ndl_stream_dedup_")
+    tmp = scratch_dir(
+        "ndl_stream_dedup_",
+        table_scratch_bytes(os.path.join(sf_dir, "events.parquet")),
+    )
     try:
         src = f"{tmp}/in"
         ev.repartition(4).write.parquet(src)

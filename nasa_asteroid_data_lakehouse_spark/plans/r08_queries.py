@@ -33,13 +33,18 @@ layout maintenance, no change feed.
 
 from __future__ import annotations
 
+import os
+
 import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
-from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+from nasa_asteroid_data_lakehouse_spark.scratch import (
+    scratch_dir,
+    table_scratch_bytes,
+)
 from nasa_asteroid_data_lakehouse_spark.llm import similarity
 from nasa_asteroid_data_lakehouse_spark.operators.stats import finite
 
@@ -407,7 +412,10 @@ def txn_consistent_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("cents").alias("cust_cents"),
         )
 
-    tmp = scratch_dir("ndl_txn_")
+    tmp = scratch_dir(
+        "ndl_txn_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         txn = MultiTableTransaction(spark, tmp, num_buckets=8)
         fact, dim = txn.table("fact"), txn.table("dim")
@@ -520,7 +528,10 @@ def zorder_optimize_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("cents"),
         )
     )
-    tmp = scratch_dir("ndl_zopt_")
+    tmp = scratch_dir(
+        "ndl_zopt_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -586,7 +597,10 @@ def cdc_apply_schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataF
             (F.col("o_orderkey") % 7).alias("extra"),
         )
     )
-    tmp = scratch_dir("ndl_cdcse_")
+    tmp = scratch_dir(
+        "ndl_cdcse_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v0 = t.create(base, keys=["o_orderkey"])
@@ -1012,7 +1026,10 @@ def streaming_upsert_replay_events(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
 
-    tmp = scratch_dir("ndl_stream_upsert_")
+    tmp = scratch_dir(
+        "ndl_stream_upsert_",
+        table_scratch_bytes(os.path.join(sf_dir, "events.parquet")),
+    )
     try:
         src = f"{tmp}/in"
         ev.repartition(4).write.parquet(src)
@@ -1115,7 +1132,10 @@ def ivm_incremental_dim_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") % 500).alias("cents"),
         )
     )
-    tmp = scratch_dir("ndl_ivm_")
+    tmp = scratch_dir(
+        "ndl_ivm_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         v0 = t.create(base, keys=["o_orderkey"])
@@ -1254,7 +1274,10 @@ def clone_divergence_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("o_orderkey", (F.col("o_orderkey") % 100).alias("seg"))
     )
-    tmp = scratch_dir("ndl_clone_")
+    tmp = scratch_dir(
+        "ndl_clone_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
         t.create(base, keys=["o_orderkey"])

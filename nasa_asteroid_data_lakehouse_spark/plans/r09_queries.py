@@ -38,7 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
-from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+from nasa_asteroid_data_lakehouse_spark.scratch import (
+    scratch_dir,
+    table_scratch_bytes,
+)
 
 STAGED_QUERIES: dict = {}
 STAGED_ORACLES: dict = {}
@@ -97,7 +100,10 @@ def streaming_interval_join_replay_events(
     left = ev.where(F.col("event_id") % 2 == 0)
     right = ev.where(F.col("event_id") % 2 == 1)
 
-    tmp = scratch_dir("ndl_stream_ij_")
+    tmp = scratch_dir(
+        "ndl_stream_ij_",
+        table_scratch_bytes(os.path.join(sf_dir, "events.parquet")),
+    )
     try:
         src_l, src_r = f"{tmp}/in_l", f"{tmp}/in_r"
         left.repartition(2).write.parquet(src_l)
@@ -225,7 +231,10 @@ def streaming_enrich_replay_events(
         )
     )
 
-    tmp = scratch_dir("ndl_stream_enrich_")
+    tmp = scratch_dir(
+        "ndl_stream_enrich_",
+        table_scratch_bytes(os.path.join(sf_dir, "events.parquet")),
+    )
     try:
         src = f"{tmp}/in"
         ev.repartition(4).write.parquet(src)
@@ -329,7 +338,10 @@ def vacuum_retention_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic = spark.createDataFrame(
         [(-1, -1, -1)], "o_orderkey bigint, cust bigint, cents bigint"
     )
-    tmp = scratch_dir("ndl_vacuum_")
+    tmp = scratch_dir(
+        "ndl_vacuum_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -432,7 +444,10 @@ def rebucket_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic = spark.createDataFrame(
         [(-1, -1, -1)], "o_orderkey bigint, cust bigint, cents bigint"
     )
-    tmp = scratch_dir("ndl_rebucket_")
+    tmp = scratch_dir(
+        "ndl_rebucket_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=4)
         t.create(base, keys=["o_orderkey"])
@@ -883,7 +898,10 @@ def physical_erasure_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     synthetic = spark.createDataFrame(
         [(-1, -1, -1)], "o_orderkey bigint, cust bigint, cents bigint"
     )
-    tmp = scratch_dir("ndl_erasure_")
+    tmp = scratch_dir(
+        "ndl_erasure_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base.unionByName(synthetic), keys=["o_orderkey"])
@@ -979,7 +997,10 @@ def streaming_outer_join_replay_events(
         write_time_quartile_batches,
     )
 
-    tmp = scratch_dir("ndl_stream_oj_")
+    tmp = scratch_dir(
+        "ndl_stream_oj_",
+        table_scratch_bytes(os.path.join(sf_dir, "events.parquet")),
+    )
     try:
         src_l, src_r = f"{tmp}/in_l", f"{tmp}/in_r"
         # Same time-quartile mtime-pinned batches as before (the

@@ -50,7 +50,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
-from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+from nasa_asteroid_data_lakehouse_spark.scratch import (
+    scratch_dir,
+    table_scratch_bytes,
+)
 
 STAGED_QUERIES: dict = {}
 STAGED_ORACLES: dict = {}
@@ -85,7 +88,16 @@ def _row_set_mismatch(got: DataFrame, want: DataFrame, cols: list[str]) -> int:
     of two anti-join jobs (guide §1.2: fewer passes).  Equal to the
     anti-join pair by construction: an unmatched row appears exactly
     once with the other side NULL-padded (no match ⇒ no fanout), a
-    matched row contributes to neither count."""
+    matched row contributes to neither count.
+
+    COST ASSUMPTION (ADVICE r11 #3): rows duplicated on BOTH sides fan
+    out m×n in the full-outer join where the anti-join pair was linear
+    per side.  The result is still equal (duplicated matched rows add
+    to neither counter), but keep call sites on unique-ish row sets —
+    every current caller joins snapshots keyed by o_orderkey, whose
+    one-row-per-key invariant the table enforces at create/upsert.  For
+    duplicate-heavy audits, pre-aggregate each side to (row, count)
+    first."""
     g = got.select(
         *[F.col(c).alias(f"g_{c}") for c in cols], F.lit(1).alias("__g")
     )
@@ -133,7 +145,10 @@ def time_travel_timestamp_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
 
     base = _orders_base(spark, sf_dir)
-    tmp = scratch_dir("ndl_ttts_")
+    tmp = scratch_dir(
+        "ndl_ttts_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -234,7 +249,10 @@ def restore_undo_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    tmp = scratch_dir("ndl_restore_")
+    tmp = scratch_dir(
+        "ndl_restore_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -315,7 +333,10 @@ def dv_merge_on_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
 
     base = _orders_base(spark, sf_dir)
-    tmp = scratch_dir("ndl_dv_")
+    tmp = scratch_dir(
+        "ndl_dv_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -397,7 +418,10 @@ def dv_upsert_materialize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
 
     base = _orders_base(spark, sf_dir)
-    tmp = scratch_dir("ndl_dvu_")
+    tmp = scratch_dir(
+        "ndl_dvu_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -478,7 +502,10 @@ def lake_history_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    tmp = scratch_dir("ndl_hist_")
+    tmp = scratch_dir(
+        "ndl_hist_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base.unionByName(synthetic), keys=["o_orderkey"])
@@ -561,7 +588,10 @@ def cdf_stream_replay_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic = spark.createDataFrame(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
-    tmp = scratch_dir("ndl_cdfr_")
+    tmp = scratch_dir(
+        "ndl_cdfr_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -577,10 +607,23 @@ def cdf_stream_replay_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.restore(0)
         replica = t.read(version=0)
-        feed_counts = []
         head_v = t.latest_version()
-        for v in range(1, head_v + 1):
-            feed = t.changes(v - 1, v)
+        # Each version's diff runs in a Python-DataSource-style scan the
+        # old form executed TWICE (once for the count, once inside the
+        # apply cascade).  Checkpoint each feed eagerly so the diff runs
+        # once — and materialize the per-version feeds from a small
+        # thread pool (guide §2.6): they depend only on the committed
+        # manifests, never on each other, so their scans back-fill each
+        # other's idle executors instead of running back to back.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _feed(v: int) -> DataFrame:
+            return t.changes(v - 1, v).localCheckpoint(eager=True)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            feeds = list(pool.map(_feed, range(1, head_v + 1)))
+        feed_counts = []
+        for feed in feeds:
             feed_counts.append(int(feed.count()))
             # eager=False: the plan still truncates per applied version
             # (the iterated-plan rule is about PLAN size), but the three
@@ -912,7 +955,10 @@ def streaming_full_outer_join_replay_events(
         write_time_quartile_batches,
     )
 
-    tmp = scratch_dir("ndl_stream_foj_")
+    tmp = scratch_dir(
+        "ndl_stream_foj_",
+        table_scratch_bytes(os.path.join(sf_dir, "events.parquet")),
+    )
     try:
         src_l, src_r = f"{tmp}/in_l", f"{tmp}/in_r"
         # Same time-quartile mtime-pinned batches as before, written in
@@ -1085,7 +1131,10 @@ def dv_vector_store_topk_embeddings(
         )
         .select("vec_id", "embedding")
     )
-    tmp = scratch_dir("ndl_dvvs_")
+    tmp = scratch_dir(
+        "ndl_dvvs_",
+        table_scratch_bytes(os.path.join(sf_dir, "embeddings.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(emb, keys=["vec_id"])
@@ -1151,7 +1200,10 @@ def optimize_dv_purge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
 
     base = _orders_base(spark, sf_dir)
-    tmp = scratch_dir("ndl_odv_")
+    tmp = scratch_dir(
+        "ndl_odv_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, tmp, num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -1231,7 +1283,10 @@ def streaming_cdf_subscription_orders(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
 
-    tmp = scratch_dir("ndl_cdfsub_")
+    tmp = scratch_dir(
+        "ndl_cdfsub_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, f"{tmp}/t", num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -1622,7 +1677,10 @@ def streaming_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
 
-    tmp = scratch_dir("ndl_repl_")
+    tmp = scratch_dir(
+        "ndl_repl_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         src = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
         src.create(base, keys=["o_orderkey"])

@@ -62,6 +62,8 @@ is a daily batch ETL with no manifest log, no streams, no clustering.
 
 from __future__ import annotations
 
+import os
+
 import shutil
 import tempfile
 
@@ -72,7 +74,10 @@ from nasa_asteroid_data_lakehouse_spark.catalog import read_table
 from nasa_asteroid_data_lakehouse_spark.plans.r10_queries import (
     _row_set_mismatch,
 )
-from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+from nasa_asteroid_data_lakehouse_spark.scratch import (
+    scratch_dir,
+    table_scratch_bytes,
+)
 
 STAGED_QUERIES: dict = {}
 STAGED_ORACLES: dict = {}
@@ -135,7 +140,10 @@ def replication_across_rebucket_orders(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
 
-    tmp = scratch_dir("ndl_rrb_")
+    tmp = scratch_dir(
+        "ndl_rrb_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         src = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
         src.create(base, keys=["o_orderkey"])
@@ -261,7 +269,10 @@ def maintenance_cdf_skip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cdf_stream.register(spark)
     base = _orders_base(spark, sf_dir)
-    tmp = scratch_dir("ndl_mcen_")
+    tmp = scratch_dir(
+        "ndl_mcen_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, f"{tmp}/t", num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -388,7 +399,10 @@ def txn_snapshot_across_dv_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     base = _orders_base(spark, sf_dir)
-    tmp = scratch_dir("ndl_txdv_")
+    tmp = scratch_dir(
+        "ndl_txdv_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         txn = MultiTableTransaction(spark, tmp, num_buckets=8)
         fact = txn.table("fact")
@@ -485,7 +499,10 @@ def upsert_schema_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nasa_asteroid_data_lakehouse_spark.lake.table import VersionedTable
 
     base = _orders_base(spark, sf_dir)
-    tmp = scratch_dir("ndl_usm_")
+    tmp = scratch_dir(
+        "ndl_usm_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, f"{tmp}/t", num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -581,7 +598,10 @@ def cdf_schema_evolution_subscription_orders(
     cdf_stream.register(spark)
     base = _orders_base(spark, sf_dir)
 
-    tmp = scratch_dir("ndl_sevo_")
+    tmp = scratch_dir(
+        "ndl_sevo_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         src = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
         src.create(base, keys=["o_orderkey"])
@@ -983,7 +1003,10 @@ def streaming_sliding_window_replay_events(
         write_time_quartile_batches,
     )
 
-    tmp = scratch_dir("ndl_swr_")
+    tmp = scratch_dir(
+        "ndl_swr_",
+        table_scratch_bytes(os.path.join(sf_dir, "events.parquet")),
+    )
     try:
         src = f"{tmp}/in"
         # Same time-quartile mtime-pinned batches as before, written in
@@ -1100,7 +1123,10 @@ def cdf_vacuum_boundary_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cdf_stream.register(spark)
     base = _orders_base(spark, sf_dir)
-    tmp = scratch_dir("ndl_vb_")
+    tmp = scratch_dir(
+        "ndl_vb_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         t = VersionedTable(spark, f"{tmp}/t", num_buckets=8)
         t.create(base, keys=["o_orderkey"])
@@ -1215,7 +1241,10 @@ def clone_bootstrap_replication_orders(
         [(-1, -1)], "o_orderkey bigint, cents bigint"
     )
 
-    tmp = scratch_dir("ndl_cbr_")
+    tmp = scratch_dir(
+        "ndl_cbr_",
+        table_scratch_bytes(os.path.join(sf_dir, "orders.parquet")),
+    )
     try:
         src = VersionedTable(spark, f"{tmp}/src", num_buckets=8)
         src.create(base, keys=["o_orderkey"])

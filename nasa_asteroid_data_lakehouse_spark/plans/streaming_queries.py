@@ -19,11 +19,16 @@ commits), not a single-batch degenerate case.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
-from nasa_asteroid_data_lakehouse_spark.scratch import scratch_dir
+from nasa_asteroid_data_lakehouse_spark.scratch import (
+    scratch_dir,
+    table_scratch_bytes,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -53,7 +58,10 @@ def streaming_rollup_replay_events(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.to_date("ts").alias("day"), "event_type", "user_id")
     )
 
-    tmp = scratch_dir("ndl_stream_rollup_")
+    tmp = scratch_dir(
+        "ndl_stream_rollup_",
+        table_scratch_bytes(os.path.join(sf_dir, "events.parquet")),
+    )
     try:
         src = f"{tmp}/in"
         ev.repartition(4).write.parquet(src)

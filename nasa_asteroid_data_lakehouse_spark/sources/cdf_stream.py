@@ -246,11 +246,25 @@ def _changed_bucket_partitions(
                 )
             )
             total = 0
+            skipped = 0
             for f in from_files + to_files:
                 try:
                     total += os.path.getsize(f)
                 except OSError:
-                    continue
+                    skipped += 1
+            # Fail CLOSED when the sizes are unknowable (ADVICE r11
+            # #4): if most of the snapshot's files cannot be stat'ed
+            # from here (relative roots, object-store paths), a total
+            # of ~0 would silently disarm the guard and reintroduce
+            # the single-partition OOM it exists to prevent.
+            n_files = len(from_files) + len(to_files)
+            if n_files and skipped * 2 > n_files:
+                raise ValueError(
+                    f"table_changes: version {v} crosses bucket spaces and "
+                    f"{skipped}/{n_files} snapshot files could not be sized "
+                    f"from the planner; refusing the whole-snapshot diff — "
+                    f"re-subscribe from a snapshot at or after version {v}"
+                )
             if total > limit:
                 raise ValueError(
                     f"table_changes: version {v} crosses bucket spaces and "

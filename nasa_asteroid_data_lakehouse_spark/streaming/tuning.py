@@ -149,6 +149,15 @@ def scaled_stream_shuffle(spark: SparkSession, *paths: str, input_bytes: int | N
     The conf is read at stream start (it fixes the state-store layout
     for the checkpoint's lifetime); restoring it after the drain leaves
     every batch plan in the enclosing query untouched.
+
+    SINGLE-WRITER ASSUMPTION (ADVICE r11 #2): this mutates the
+    session-global conf for the duration of the drain, so any
+    concurrent query or second stream on the same SparkSession inside
+    the window would silently inherit the reduced partition count, and
+    nested/overlapping uses would restore stale values.  The bench and
+    driver harness run queries strictly sequentially; a deployment that
+    runs concurrent streams should give each stream its own
+    ``spark.newSession()`` (per-session conf) instead of this context.
     """
     n_bytes = input_bytes if input_bytes is not None else dir_bytes(*paths)
     old = spark.conf.get("spark.sql.shuffle.partitions")
