@@ -12,6 +12,10 @@ silently growing.
 
 import pytest
 
+# Deselected by default (pytest.ini addopts -m 'not slow'): full 300-query plan scan (~8 min); the default set runs tests/test_plan_quality_smoke.py.
+# Run with `pytest -m ""` to include; assertions are unchanged.
+pytestmark = pytest.mark.slow
+
 import __spark_entry__ as entry
 
 # Queries whose audited plan legitimately contains BroadcastNestedLoopJoin:

@@ -1,3 +1,4 @@
+import pytest
 """Pins for the round-11 STAGED query batch (plans/r11_queries.py) —
 gate-verified in round 10 behind ``driver_sim --staged``, to be
 registered at round-11 start by flipping ``REGISTER_R11``.  These tests
@@ -7,6 +8,10 @@ tests/test_cdf_source.py and the schema-merge mechanics in
 tests/test_versioned_table.py.
 """
 
+
+# Deselected by default (pytest.ini addopts -m 'not slow'): staged r11 lake/replay integrations.
+# Run with `pytest -m ""` to include; assertions are unchanged.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.lake import VersionedTable

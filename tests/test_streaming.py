@@ -3,6 +3,10 @@ availableNow, asserted against the equivalent batch computation."""
 
 
 import pytest
+
+# Deselected by default (pytest.ini addopts -m 'not slow'): streaming replay integrations (multi-batch drains).
+# Run with `pytest -m ""` to include; assertions are unchanged.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from nasa_asteroid_data_lakehouse_spark.catalog import read_table
